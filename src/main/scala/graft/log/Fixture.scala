@@ -1,0 +1,46 @@
+package graft.log
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Adapter from the driver's `events.parquet` fixture
+ * (event_id, ts, user_id, event_type, value, props — FIXTURES.md §B) to the
+ * engine's canonical event-log schema (stream, revision, position + payload
+ * pass-through).
+ *
+ * Mapping (FIXTURES.md): `user_id` plays the stream key, `event_id` the
+ * ingest order. The fixture's `event_id` is a 0-based dense global sequence
+ * (ts is strictly monotone in it), so the reference's BIGSERIAL `position`
+ * (`backend/backend.go:46`) is simply `event_id + 1` — an O(1) column,
+ * no global window. Per-stream `revision` (`streams/streams.go:150`) is
+ * derived with a window partitioned BY STREAM — one shuffle, parallel across
+ * streams, no global sort; this is the plan that survives 100 TB (a global
+ * `row_number()` would not — see graft.append for ingest-time assignment).
+ */
+object Fixture {
+
+  /** Raw fixture table. */
+  def raw(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/events.parquet")
+
+  /** Canonical event log WITHOUT per-stream revision (cheapest form —
+    * sufficient for $all reads; nothing to shuffle). */
+  def eventsNoRevision(spark: SparkSession, sfDir: String): DataFrame =
+    raw(spark, sfDir)
+      .withColumn("stream", concat(lit("user-"), col("user_id")))
+      .withColumn("position", col("event_id") + 1L)
+
+  /** Canonical event log with `revision` (adds one shuffle by stream). */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("stream").orderBy("position")
+    eventsNoRevision(spark, sfDir)
+      .withColumn("revision", row_number().over(w).cast("long") - 1L)
+  }
+
+  /** Projection of the canonical columns used by read-path query outputs —
+    * a stable column list keeps the DuckDB oracle schema-aligned. */
+  val outCols: Seq[String] =
+    Seq("position", "event_id", "stream", "event_type", "value", "revision")
+}

@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.log.{EventLog, Fixture}
+import graft.model._
+
+/**
+ * Verify-gate queries for the event-log read path (SURVEY.md §2.1-2.5:
+ * S1/S2, F1-F7, O1-O4, A8) plus schema-on-read JSON access (§1.2).
+ *
+ * Every query has an equivalent DuckDB oracle over the same parquet; both
+ * sides share the canonical-log derivation (see [[graft.log.Fixture]]).
+ */
+object LogQueries {
+
+  /** DuckDB CTE mirroring Fixture.events — keep in lockstep with it. */
+  private val EV =
+    """WITH ev AS (
+      |  SELECT event_id + 1 AS position,
+      |         event_id,
+      |         'user-' || CAST(user_id AS VARCHAR) AS stream,
+      |         event_type,
+      |         value,
+      |         CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS BIGINT) AS revision,
+      |         props
+      |  FROM events
+      |)""".stripMargin
+
+  private val cols = Fixture.outCols.map(col)
+
+  private def readQ(opts: ReadOptions)(s: SparkSession, dir: String): DataFrame =
+    EventLog.read(Fixture.events(s, dir), opts).select(cols: _*)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S1+F3+O1+O2: $all forwards from a position, bounded
+    "read_all_forward" -> readQ(
+      ReadOptions(AllStreams, Forwards, From(101), count = Some(50))
+    ) _,
+    // $all backwards from a position
+    "read_all_backward" -> readQ(
+      ReadOptions(AllStreams, Backwards, From(500), count = Some(50))
+    ) _,
+    // F1+F2: single stream forwards from a revision
+    "read_stream_forward" -> readQ(
+      ReadOptions(OneStream("user-7"), Forwards, From(10), count = Some(20))
+    ) _,
+    // single stream backwards from the end
+    "read_stream_backward" -> readQ(
+      ReadOptions(OneStream("user-3"), Backwards, FromEnd, count = Some(15))
+    ) _,
+    // O3 boundary quirks (ref backend.go:135-143,164-171; pinned by
+    // streams_test.go:235-303): forwards-from-End == last event,
+    // backwards-from-Start == first event — exactly 1 row each.
+    "read_last_event" -> readQ(
+      ReadOptions(OneStream("user-5"), Forwards, FromEnd)
+    ) _,
+    "read_first_event" -> readQ(
+      ReadOptions(OneStream("user-5"), Backwards, FromStart)
+    ) _,
+    // F5+F6: prefix-list filter on event type (startsWith disjunction)
+    "filter_type_prefix" -> readQ(
+      ReadOptions(
+        AllStreams,
+        Forwards,
+        FromStart,
+        count = Some(200),
+        filter = Some(PrefixFilter(OnEventType, Seq("s", "cl")))
+      )
+    ) _,
+    // F4: regex filter on event type
+    "filter_type_regex" -> readQ(
+      ReadOptions(
+        AllStreams,
+        Forwards,
+        FromStart,
+        count = Some(200),
+        filter = Some(RegexFilter(OnEventType, "^(click|view)$"))
+      )
+    ) _,
+    // F5 on stream identifiers: 'user-1' also matches user-10..user-14
+    "filter_stream_prefix" -> readQ(
+      ReadOptions(
+        AllStreams,
+        Forwards,
+        FromStart,
+        count = Some(300),
+        filter = Some(PrefixFilter(OnStreamId, Seq("user-1")))
+      )
+    ) _,
+    // A8 across streams: latest revision per stream
+    "max_revision" -> { (s: SparkSession, dir: String) =>
+      Fixture
+        .events(s, dir)
+        .groupBy("stream")
+        .agg(max("revision").as("max_revision"))
+        .orderBy("stream")
+    },
+    // §1.2 schema-on-read: JSON payload field access + predicate
+    "read_json_payload" -> { (s: SparkSession, dir: String) =>
+      Fixture
+        .events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .filter(col("k") >= 80)
+        .select(col("position"), col("stream"), col("k"))
+        .orderBy("position")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "read_all_forward" ->
+      s"""$EV SELECT position, event_id, stream, event_type, value, revision
+         |FROM ev WHERE position >= 101 ORDER BY position LIMIT 50""".stripMargin,
+    "read_all_backward" ->
+      s"""$EV SELECT position, event_id, stream, event_type, value, revision
+         |FROM ev WHERE position <= 500 ORDER BY position DESC LIMIT 50""".stripMargin,
+    "read_stream_forward" ->
+      s"""$EV SELECT position, event_id, stream, event_type, value, revision
+         |FROM ev WHERE stream = 'user-7' AND revision >= 10 ORDER BY revision LIMIT 20""".stripMargin,
+    "read_stream_backward" ->
+      s"""$EV SELECT position, event_id, stream, event_type, value, revision
+         |FROM ev WHERE stream = 'user-3' ORDER BY revision DESC LIMIT 15""".stripMargin,
+    "read_last_event" ->
+      s"""$EV SELECT position, event_id, stream, event_type, value, revision
+         |FROM ev WHERE stream = 'user-5' ORDER BY revision DESC LIMIT 1""".stripMargin,
+    "read_first_event" ->
+      s"""$EV SELECT position, event_id, stream, event_type, value, revision
+         |FROM ev WHERE stream = 'user-5' ORDER BY revision ASC LIMIT 1""".stripMargin,
+    "filter_type_prefix" ->
+      s"""$EV SELECT position, event_id, stream, event_type, value, revision
+         |FROM ev WHERE (event_type LIKE 's%' OR event_type LIKE 'cl%')
+         |ORDER BY position LIMIT 200""".stripMargin,
+    "filter_type_regex" ->
+      s"""$EV SELECT position, event_id, stream, event_type, value, revision
+         |FROM ev WHERE regexp_matches(event_type, '^(click|view)$$')
+         |ORDER BY position LIMIT 200""".stripMargin,
+    "filter_stream_prefix" ->
+      s"""$EV SELECT position, event_id, stream, event_type, value, revision
+         |FROM ev WHERE stream LIKE 'user-1%' ORDER BY position LIMIT 300""".stripMargin,
+    "max_revision" ->
+      s"""$EV SELECT stream, max(revision) AS max_revision FROM ev
+         |GROUP BY stream ORDER BY stream""".stripMargin,
+    "read_json_payload" ->
+      s"""$EV SELECT position, stream, CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+         |FROM ev WHERE CAST(json_extract_string(props, '$$.k') AS BIGINT) >= 80
+         |ORDER BY position""".stripMargin
+  )
+}
