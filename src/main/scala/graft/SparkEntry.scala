@@ -25,10 +25,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.LogQueries.queries
+    graft.queries.LogQueries.queries ++
+      graft.queries.ProjectionQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    graft.queries.LogQueries.oracles
+    graft.queries.LogQueries.oracles ++
+      graft.queries.ProjectionQueries.oracles
 }

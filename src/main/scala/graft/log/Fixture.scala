@@ -32,12 +32,20 @@ object Fixture {
       .withColumn("stream", concat(lit("user-"), col("user_id")))
       .withColumn("position", col("event_id") + 1L)
 
-  /** Canonical event log with `revision` (adds one shuffle by stream). */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.partitionBy("stream").orderBy("position")
-    eventsNoRevision(spark, sfDir)
-      .withColumn("revision", row_number().over(w).cast("long") - 1L)
-  }
+  // In a real deployment `revision` is a stored column assigned at ingest
+  // (graft.append) — derive-once-and-persist stands in for that here, so a
+  // query batch doesn't pay the per-stream window shuffle per query.
+  private val cache = scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Canonical event log with `revision` (one shuffle by stream, memoized
+    * per session+dir and persisted). */
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    cache.getOrElseUpdate((spark, sfDir), {
+      val w = Window.partitionBy("stream").orderBy("position")
+      eventsNoRevision(spark, sfDir)
+        .withColumn("revision", row_number().over(w).cast("long") - 1L)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
 
   /** Projection of the canonical columns used by read-path query outputs —
     * a stable column list keeps the DuckDB oracle schema-aligned. */

@@ -15,7 +15,9 @@ import graft.model._
  */
 object LogQueries {
 
-  /** DuckDB CTE mirroring Fixture.events — keep in lockstep with it. */
+  /** DuckDB CTE mirroring Fixture.events — keep in lockstep with it.
+    * Shared by the other query packs (def: avoids object-init order issues). */
+  private[queries] def evCte: String = EV
   private val EV =
     """WITH ev AS (
       |  SELECT event_id + 1 AS position,

@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.log.Fixture
+import graft.proj._
+
+// State types must be top-level for Spark product encoders.
+final case class CountState(count: Long)
+final case class DispatchState(clicks: Long, views: Long, others: Long)
+final case class SumKState(sum_k: Long)
+
+/**
+ * Verify-gate queries exercising the projection fold engine (SURVEY.md §2.4
+ * A1-A6) end-to-end on the fixture event log, each with a DuckDB oracle
+ * expressing the equivalent *final state* as SQL aggregation (SURVEY.md §7.4
+ * risk 6 — counting folds are GROUP BY-expressible; the order-dependent
+ * semantics themselves are pinned by ProjectionSpec/ProjectionBatchSpec).
+ */
+object ProjectionQueries {
+
+  private val EV = LogQueries.evCte
+
+  /** {"k": 42}-style payload → 42 (schema-on-read in a handler, like the
+    * reference's `e.Json()` body access, model.go:47-58). */
+  private val kRe = """"k"\s*:\s*(-?\d+)""".r.unanchored
+  private def parseK(bodyRaw: String): Long = bodyRaw match {
+    case kRe(k) => k.toLong
+    case _      => 0L
+  }
+
+  private def flat[S](ds: org.apache.spark.sql.Dataset[(String, S)]): DataFrame =
+    ds.toDF("partition", "state").select(col("partition"), col("state.*")).orderBy("partition")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1+A3 ($any handler, foreachStream): events per stream
+    "proj_count_by_stream" -> { (s: SparkSession, dir: String) =>
+      import s.implicits._
+      val p = Projection.named("count-by-stream").fromAll().foreachStream()
+        .when[CountState](CountState(0),
+          Map("$any" -> ((st: CountState, _: ProjEvent) => st.copy(count = st.count + 1))))
+        .outputState().build
+      flat(ProjectionBatch.finalStates(p, Fixture.events(s, dir)))
+    },
+    // A1 handler dispatch: specific handlers win over $any
+    "proj_dispatch" -> { (s: SparkSession, dir: String) =>
+      import s.implicits._
+      val p = Projection.named("dispatch").fromAll().foreachStream()
+        .when[DispatchState](DispatchState(0, 0, 0),
+          Map(
+            "click" -> ((st: DispatchState, _: ProjEvent) => st.copy(clicks = st.clicks + 1)),
+            "view"  -> ((st: DispatchState, _: ProjEvent) => st.copy(views = st.views + 1)),
+            "$any"  -> ((st: DispatchState, _: ProjEvent) => st.copy(others = st.others + 1))
+          ))
+        .build
+      flat(ProjectionBatch.finalStates(p, Fixture.events(s, dir)))
+    },
+    // A2 partitionBy(user fn) + schema-on-read payload access in the handler
+    "proj_sumk_by_type" -> { (s: SparkSession, dir: String) =>
+      import s.implicits._
+      val p = Projection.named("sumk").fromAll().partitionBy(_.eventType)
+        .when[SumKState](SumKState(0),
+          Map("$any" -> ((st: SumKState, e: ProjEvent) => st.copy(sum_k = st.sum_k + parseK(e.bodyRaw)))))
+        .build
+      flat(ProjectionBatch.finalStates(p, Fixture.events(s, dir)))
+    },
+    // F8 filterBy emit-gating + P3 transformBy: last emission per partition
+    "proj_filterby_threshold" -> { (s: SparkSession, dir: String) =>
+      import s.implicits._
+      val p = Projection.named("thresh").fromAll().foreachStream()
+        .when[CountState](CountState(0),
+          Map("$any" -> ((st: CountState, _: ProjEvent) => st.copy(count = st.count + 1))))
+        .filterBy(_.count > 60)
+        .build
+      flat(ProjectionBatch.lastEmitted(p, Fixture.events(s, dir)))
+    },
+    // A5 fromStreams selector + A4 global (unpartitioned) state
+    "proj_from_streams_global" -> { (s: SparkSession, dir: String) =>
+      import s.implicits._
+      val p = Projection.named("sel").fromStreams("user-3", "user-7")
+        .when[CountState](CountState(0),
+          Map("$any" -> ((st: CountState, _: ProjEvent) => st.copy(count = st.count + 1))))
+        .build
+      flat(ProjectionBatch.finalStates(p, Fixture.events(s, dir)))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "proj_count_by_stream" ->
+      s"""$EV SELECT stream AS partition, count(*) AS count FROM ev
+         |GROUP BY stream ORDER BY stream""".stripMargin,
+    "proj_dispatch" ->
+      s"""$EV SELECT stream AS partition,
+         |  count(*) FILTER (WHERE event_type = 'click') AS clicks,
+         |  count(*) FILTER (WHERE event_type = 'view') AS views,
+         |  count(*) FILTER (WHERE event_type NOT IN ('click','view')) AS others
+         |FROM ev GROUP BY stream ORDER BY stream""".stripMargin,
+    "proj_sumk_by_type" ->
+      s"""$EV SELECT event_type AS partition,
+         |  CAST(sum(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS BIGINT) AS sum_k
+         |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "proj_filterby_threshold" ->
+      s"""$EV SELECT stream AS partition, count(*) AS count FROM ev
+         |GROUP BY stream HAVING count(*) > 60 ORDER BY stream""".stripMargin,
+    "proj_from_streams_global" ->
+      s"""$EV SELECT '' AS partition, count(*) AS count FROM ev
+         |WHERE stream IN ('user-3', 'user-7')""".stripMargin
+  )
+}
