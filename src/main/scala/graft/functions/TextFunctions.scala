@@ -1,0 +1,110 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis column functions for large-scale training-data pipelines:
+ * token counting, quality scoring, language ID, document fingerprinting.
+ *
+ * All are composed from built-in `org.apache.spark.sql.functions` (arrays +
+ * higher-order lambdas) so they stay inside whole-stage codegen — no UDFs,
+ * no serialization boundary, safe at 100 TB. Ratio-style scores are emitted
+ * as floor-scaled integers (`*_x1000`) so results are exactly comparable
+ * across engines (no float-repr drift in the correctness gate).
+ */
+object TextFunctions {
+
+  /** Whitespace tokens of the trimmed, lowercased text. */
+  def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword proxy: letter runs, digit runs, single other marks —
+    * the standard pre-tokenization shape (GPT-2-style regex, simplified). */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Punctuation character count. */
+  def punctCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[.,!?;:]"), lit(0)))
+
+  /** Default English stopword list used by the quality score. */
+  val stopwords: Seq[String] =
+    Seq("the", "a", "of", "to", "and", "in", "is", "for", "on", "with")
+
+  /** Count of tokens that are in `words`. */
+  def wordSetCount(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isInCollection(words)))
+
+  /** Sum of token lengths (for mean token length). */
+  def tokenLenSum(text: Column): Column =
+    aggregate(transform(tokens(text), t => length(t)), lit(0), (a, b) => a + b)
+
+  /** floor(1000 * punctuation chars / chars). */
+  def punctRatioX1000(text: Column): Column =
+    floor(lit(1000.0) * punctCount(text) / greatest(length(text), lit(1))).cast("long")
+
+  /** floor(1000 * stopword tokens / tokens). */
+  def stopRatioX1000(text: Column): Column =
+    floor(lit(1000.0) * wordSetCount(text, stopwords) / greatest(tokenCount(text), lit(1))).cast("long")
+
+  /** floor(10 * mean token length). */
+  def meanTokenLenX10(text: Column): Column =
+    floor(lit(10.0) * tokenLenSum(text) / greatest(tokenCount(text), lit(1))).cast("long")
+
+  /**
+   * Composite quality score in [0, 1000]: rewards documents with enough
+   * tokens, a natural stopword ratio, and low punctuation density —
+   * the standard cheap quality heuristic for pretraining corpora.
+   */
+  def qualityScoreX1000(text: Column): Column = {
+    val lengthTerm = least(tokenCount(text).cast("double") / lit(100.0), lit(1.0))
+    val stopTerm = least(lit(3.0) * wordSetCount(text, stopwords) / greatest(tokenCount(text), lit(1)), lit(1.0))
+    val punctTerm = lit(1.0) - least(lit(5.0) * punctCount(text) / greatest(length(text), lit(1)), lit(1.0))
+    floor(lit(1000.0) * (lit(0.4) * lengthTerm + lit(0.3) * stopTerm + lit(0.3) * punctTerm)).cast("long")
+  }
+
+  /** Per-language marker word sets for the lang-ID heuristic. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "les", "et", "est", "dans"),
+    "es" -> Seq("el", "los", "las", "y", "es")
+  )
+
+  /** Marker score for one language. */
+  def langScore(text: Column, lang: String): Column = {
+    val markers = langMarkers.toMap.apply(lang)
+    wordSetCount(text, markers)
+  }
+
+  /**
+   * Language-ID heuristic: CJK codepoints → zh; otherwise argmax of
+   * marker-word scores with deterministic priority en > de > fr > es
+   * (first maximal wins). On real corpora the marker lists do the work;
+   * the mechanism (charset check + token-set scoring, one pass, codegen'd)
+   * is the scale-relevant part.
+   */
+  def langId(text: Column): Column = {
+    val scores = langMarkers.map { case (l, _) => l -> langScore(text, l) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = scores.foldRight(lit("und"): Column) { case ((l, s), acc) =>
+      when(s === best && best > 0, lit(l)).otherwise(acc)
+    }
+    when(text.rlike("[\\u4e00-\\u9fff]"), lit("zh")).otherwise(pick)
+  }
+
+  /**
+   * Document fingerprint: polynomial rolling hash (base 31, mod 2^31-1)
+   * over the codepoints of the normalized text — cheap, order-sensitive,
+   * and reproducible in any engine (the oracle re-computes it in SQL).
+   */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      transform(split(lower(trim(text)), ""), c => ascii(c).cast("long")),
+      lit(0L),
+      (h, c) => (h * 31L + c) % 2147483647L
+    )
+}
