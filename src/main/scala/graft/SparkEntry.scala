@@ -27,12 +27,16 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.LogQueries.queries ++
       graft.queries.ProjectionQueries.queries ++
-      graft.queries.TextQueries.queries
+      graft.queries.TextQueries.queries ++
+      graft.queries.DedupQueries.queries ++
+      graft.queries.SimQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.LogQueries.oracles ++
       graft.queries.ProjectionQueries.oracles ++
-      graft.queries.TextQueries.oracles
+      graft.queries.TextQueries.oracles ++
+      graft.queries.DedupQueries.oracles ++
+      graft.queries.SimQueries.oracles
 }

@@ -1,0 +1,133 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import Hashing._
+
+/**
+ * Deduplication operators for training-data pipelines: exact, n-gram
+ * Jaccard (set-similarity join), MinHash+LSH, SimHash, embedding-cosine.
+ *
+ * Scale design (the point at 100 TB):
+ *  - exact dedup groups by a 128-bit content hash, never by the raw text —
+ *    the shuffle moves 16-byte keys, not documents;
+ *  - the Jaccard join is an inverted-index (shingle → doc) self-join: only
+ *    documents sharing ≥1 shingle ever meet, and the explode keys are
+ *    8-byte shingle hashes (at petabyte scale add a document-frequency
+ *    cutoff on hot shingles — boilerplate shingles otherwise produce
+ *    quadratic bucket blowup);
+ *  - MinHash/LSH replaces the all-pairs problem with an equality join on
+ *    (band index, band key): candidates only where a band collides, then
+ *    exact Jaccard verification on the candidates — the standard
+ *    shingle→minhash→band→bucket-join pipeline;
+ *  - SimHash pairs are blocked on band-equality of signature halves (a
+ *    hamming-≤d pair must agree on some half for d ≤ bits/bands… the
+ *    blocking is lossy by design and stated in the result contract);
+ *  - embedding near-dup: brute-force all-pairs is provided as the exact
+ *    baseline (quadratic — fine for verification SFs); the LSH-bucketed
+ *    variant in [[graft.sim.Similarity]] is the scale path.
+ */
+object Dedup {
+
+  /**
+   * Exact dedup: one survivor (minimum id) per identical content.
+   * Returns (content_md5, keeper, n_copies).
+   */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol), md5(col(textCol)).as("content_md5"))
+      .groupBy("content_md5")
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
+
+  /** Per-doc distinct shingle-hash sets with their cardinality. */
+  private def shingleSets(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("id"), shingleHashes(col(textCol)).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+      .filter(col("n_sh") > 0)
+
+  /**
+   * N-gram Jaccard near-dup pairs via inverted-index self-join.
+   * Returns (a, b, jaccard_x1000) for distinct pairs a < b with
+   * Jaccard(shingle sets) ≥ threshold.
+   */
+  def ngramJaccardPairs(docs: DataFrame, thresholdX1000: Long,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sets = shingleSets(docs, idCol, textCol)
+    val inv = sets.select(col("id"), col("n_sh"), explode(col("sh")).as("h"))
+    val a = inv.select(col("id").as("a"), col("n_sh").as("na"), col("h"))
+    val b = inv.select(col("id").as("b"), col("n_sh").as("nb"), col("h"))
+    a.join(b, a("h") === b("h") && a("a") < b("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(first(col("na")).as("na"), first(col("nb")).as("nb"), count(lit(1)).as("c"))
+      .withColumn("jaccard_x1000",
+        floor(lit(1000.0) * col("c") / (col("na") + col("nb") - col("c"))).cast("long"))
+      .filter(col("jaccard_x1000") >= thresholdX1000)
+      .select(col("a"), col("b"), col("jaccard_x1000"))
+  }
+
+  /**
+   * MinHash+LSH candidate pairs, verified by exact Jaccard.
+   * shingle → minhash(k=8) → 4 bands × 2 rows → equality join on
+   * (band, r0, r1) → exact Jaccard ≥ threshold on candidates only.
+   * Returns (a, b, jaccard_x1000).
+   */
+  def minhashLshPairs(docs: DataFrame, thresholdX1000: Long,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sets = shingleSets(docs, idCol, textCol)
+    val sig = sets.withColumn("sig", minhashSignature(col("sh")))
+    // one row per band: (id, band, r0, r1)
+    val banded = sig.select(
+      col("id"), col("sh"), col("n_sh"),
+      posexplode(
+        array((0 until bands).map { bnd =>
+          struct(
+            element_at(col("sig"), bnd * rowsPerBand + 1).as("r0"),
+            element_at(col("sig"), bnd * rowsPerBand + 2).as("r1")
+          )
+        }: _*)
+      ).as(Seq("band", "bk"))
+    )
+    val l = banded.select(col("id").as("a"), col("sh").as("sha"), col("n_sh").as("na"),
+      col("band"), col("bk"))
+    val r = banded.select(col("id").as("b"), col("sh").as("shb"), col("n_sh").as("nb"),
+      col("band").as("band_r"), col("bk").as("bk_r"))
+    val cands = l
+      .join(r, l("band") === r("band_r") && l("bk") === r("bk_r") && l("a") < r("b"))
+      .select(col("a"), col("b"), col("sha"), col("shb"), col("na"), col("nb"))
+      .dropDuplicates("a", "b")
+    cands
+      .withColumn("c", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard_x1000",
+        floor(lit(1000.0) * col("c") / (col("na") + col("nb") - col("c"))).cast("long"))
+      .filter(col("jaccard_x1000") >= thresholdX1000)
+      .select(col("a"), col("b"), col("jaccard_x1000"))
+  }
+
+  /** Per-doc 16-bit SimHash: (id, simhash). */
+  def simhashes(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("id"), simhash16(col(textCol)).as("simhash"))
+
+  /**
+   * SimHash near-dup pairs: blocked on equality of either signature half
+   * (8-bit bands), then filtered to hamming ≤ maxHamming. The blocking is
+   * part of the contract: a pair differing in both halves is not reported
+   * even if its hamming distance is within the bound.
+   */
+  def simhashPairs(docs: DataFrame, maxHamming: Int,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = simhashes(docs, idCol, textCol)
+      .withColumn("lo", col("simhash").bitwiseAND(lit(255L)))
+      .withColumn("hi", shiftright(col("simhash"), 8).bitwiseAND(lit(255L)))
+    val banded = sh.select(col("id"), col("simhash"),
+      posexplode(array(col("lo"), col("hi"))).as(Seq("band", "bk")))
+    val l = banded.select(col("id").as("a"), col("simhash").as("sa"), col("band"), col("bk"))
+    val r = banded.select(col("id").as("b"), col("simhash").as("sb"),
+      col("band").as("band_r"), col("bk").as("bk_r"))
+    l.join(r, l("band") === r("band_r") && l("bk") === r("bk_r") && l("a") < r("b"))
+      .select(col("a"), col("b"), hamming(col("sa"), col("sb")).as("hamming"))
+      .dropDuplicates("a", "b")
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.{Dedup, Hashing}
+
+/**
+ * Verify-gate queries for the dedup suite over `documents`. The DuckDB
+ * oracles recompute the identical integer hash pipelines (same polynomial
+ * hashes mod the same prime, same banding), so candidate generation and
+ * verification match exactly across engines.
+ */
+object DedupQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> { (s: SparkSession, dir: String) =>
+      Dedup.exact(docs(s, dir)).orderBy("content_md5")
+    },
+    "dedup_ngram_jaccard" -> { (s: SparkSession, dir: String) =>
+      Dedup.ngramJaccardPairs(docs(s, dir), thresholdX1000 = 300).orderBy("a", "b")
+    },
+    "dedup_minhash_lsh" -> { (s: SparkSession, dir: String) =>
+      Dedup.minhashLshPairs(docs(s, dir), thresholdX1000 = 300).orderBy("a", "b")
+    },
+    "dedup_simhash" -> { (s: SparkSession, dir: String) =>
+      Dedup.simhashPairs(docs(s, dir), maxHamming = 1).orderBy("a", "b")
+    }
+  )
+
+  // ---- oracle SQL building blocks (mirror Hashing exactly) ----
+
+  private val P = Hashing.P
+
+  /** CTEs: toks → per-token hashes → distinct 3-gram shingle hashes. */
+  private val SH =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents
+       |), thc AS (
+       |  SELECT doc_id, list_transform(toks, tk ->
+       |    list_reduce(
+       |      list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(string_split(tk, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |      (h, c) -> (h * 31 + c) % $P)) AS th
+       |  FROM t
+       |), shs AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(1, greatest(len(th) - 2, 0) + 1),
+       |      i -> ((th[i] * 31 + th[i+1]) % $P * 31 + th[i+2]) % $P)) AS sh
+       |  FROM thc
+       |)""".stripMargin
+
+  private val sigExprs: String =
+    Hashing.minhashA.zip(Hashing.minhashB)
+      .map { case (a, b) => s"list_min(list_transform(sh, h -> ($a * h + $b) % $P))" }
+      .mkString("[", ",\n      ", "]")
+
+  private val simhashExpr: String =
+    (0 until 16)
+      .map(i =>
+        s"(CASE WHEN list_sum(list_transform(th, h -> 2 * ((h >> $i) & 1) - 1)) > 0 THEN ${1L << i} ELSE 0 END)")
+      .mkString(" + ")
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_md5, min(doc_id) AS keeper, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""$SH, inv AS (
+         |  SELECT doc_id, len(sh) AS n, unnest(sh) AS h FROM shs WHERE len(sh) > 0
+         |)
+         |SELECT a, b, jaccard_x1000 FROM (
+         |  SELECT l.doc_id AS a, r.doc_id AS b,
+         |    CAST(floor(1000.0 * count(*) / (any_value(l.n) + any_value(r.n) - count(*))) AS BIGINT) AS jaccard_x1000
+         |  FROM inv l JOIN inv r ON l.h = r.h AND l.doc_id < r.doc_id
+         |  GROUP BY 1, 2
+         |) WHERE jaccard_x1000 >= 300 ORDER BY a, b""".stripMargin,
+    "dedup_minhash_lsh" ->
+      s"""$SH, sig AS (
+         |  SELECT doc_id, sh, len(sh) AS n,
+         |    $sigExprs AS sig
+         |  FROM shs WHERE len(sh) > 0
+         |), band AS (
+         |  SELECT doc_id, u.band, sig[u.band * 2 + 1] AS r0, sig[u.band * 2 + 2] AS r1
+         |  FROM sig, unnest([0, 1, 2, 3]) AS u(band)
+         |), cand AS (
+         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |  FROM band l JOIN band r
+         |    ON l.band = r.band AND l.r0 = r.r0 AND l.r1 = r.r1 AND l.doc_id < r.doc_id
+         |)
+         |SELECT a, b, jaccard_x1000 FROM (
+         |  SELECT c.a, c.b,
+         |    CAST(floor(1000.0 * len(list_intersect(x.sh, y.sh))
+         |         / (x.n + y.n - len(list_intersect(x.sh, y.sh)))) AS BIGINT) AS jaccard_x1000
+         |  FROM cand c JOIN sig x ON c.a = x.doc_id JOIN sig y ON c.b = y.doc_id
+         |) WHERE jaccard_x1000 >= 300 ORDER BY a, b""".stripMargin,
+    "dedup_simhash" ->
+      s"""$SH, sim AS (
+         |  SELECT doc_id, $simhashExpr AS simhash FROM thc
+         |), sb AS (
+         |  SELECT doc_id, simhash, u.band,
+         |    CASE WHEN u.band = 0 THEN simhash & 255 ELSE (simhash >> 8) & 255 END AS bk
+         |  FROM sim, unnest([0, 1]) AS u(band)
+         |)
+         |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+         |  CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS hamming
+         |FROM sb l JOIN sb r ON l.band = r.band AND l.bk = r.bk AND l.doc_id < r.doc_id
+         |WHERE bit_count(xor(l.simhash, r.simhash)) <= 1 ORDER BY a, b""".stripMargin
+  )
+}

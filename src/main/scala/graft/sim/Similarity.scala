@@ -1,0 +1,129 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over embedding columns (`Array[Float]`): exact cosine
+ * via explicit left-fold array algebra, plus a random-hyperplane LSH
+ * blocking scheme for the approximate/scale path.
+ *
+ * Scale design:
+ *  - brute-force top-k is a broadcast of ONE query row against a scan —
+ *    a map-only plan plus a `TakeOrderedAndProject` top-k: no shuffle of
+ *    the corpus, linear in corpus size (the exact baseline);
+ *  - all-pairs near-dup is quadratic by nature; the LSH variant blocks on
+ *    any of L=4 tables × 4 hyperplane sign bits, turning it into an
+ *    equality join on small integer keys (candidates only where a table
+ *    bucket collides), then verifies exact cosine on candidates. Recall
+ *    is tunable via (tables, bits) — stated in the result contract;
+ *  - norms are computed inline here; at 100 TB they'd be precomputed and
+ *    stored with the vectors (one pass, amortized).
+ *
+ * All arithmetic is element-order-deterministic (zip_with + left-fold
+ * aggregate with double casts) so any engine can reproduce results
+ * bit-for-bit — the DuckDB oracles re-run the same folds.
+ */
+object Similarity {
+
+  /** Left-fold dot product with per-element float→double cast. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (s, p) => s + p
+    )
+
+  /** L2 norm. */
+  def norm(v: Column): Column = sqrt(dot(v, v))
+
+  /** Cosine similarity. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** LSH hyperplanes: L tables × `bitsPerTable` hyperplanes of ±1 entries,
+    * deterministic (oracle-reproducible). */
+  val tables = 4
+  val bitsPerTable = 4
+  def hyperplane(table: Int, bit: Int, dim: Int): Seq[Double] = {
+    val j = table * bitsPerTable + bit
+    (0 until dim).map(i => if ((i * 31 + j * 17 + (i * j) % 7) % 2 == 0) 1.0 else -1.0)
+  }
+
+  /** Signed projection of v on hyperplane (table, bit). */
+  def projection(v: Column, table: Int, bit: Int, dim: Int): Column =
+    aggregate(
+      zip_with(v, typedLit(hyperplane(table, bit, dim)), (x, h) => x.cast("double") * h),
+      lit(0.0),
+      (s, p) => s + p
+    )
+
+  /** Bucket id of v in one LSH table: packed sign bits. */
+  def bucket(v: Column, table: Int, dim: Int): Column =
+    (0 until bitsPerTable)
+      .map(b => when(projection(v, table, b, dim) >= 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  /** All L bucket ids as an array column. */
+  def buckets(v: Column, dim: Int): Column =
+    array((0 until tables).map(t => bucket(v, t, dim)): _*)
+
+  /**
+   * Exact brute-force top-k: cosine of every corpus vector against the
+   * single query row (broadcast), ordered (cos desc, id asc), limit k.
+   * Plan shape: scan + broadcast nested loop + TakeOrderedAndProject.
+   */
+  def topKBruteForce(corpus: DataFrame, query: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(query.select(col(vecCol).as("q")))
+    corpus
+      .join(q)
+      .select(col(idCol), cosine(col(vecCol), col("q")).as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Same, restricted to LSH candidates (≥1 shared table bucket with the
+    * query) — the approximate/scale variant. */
+  def topKLsh(corpus: DataFrame, query: DataFrame, k: Int, dim: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(query.select(col(vecCol).as("q"), buckets(col(vecCol), dim).as("qb")))
+    corpus
+      .withColumn("cb", buckets(col(vecCol), dim))
+      .join(q)
+      .filter(exists(zip_with(col("cb"), col("qb"), (x, y) => x === y), identity))
+      .select(col(idCol), cosine(col(vecCol), col("q")).as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /**
+   * Exact all-pairs near-dup (a < b, cosine ≥ threshold). Quadratic —
+   * the verification baseline; use [[lshPairs]] at scale.
+   */
+  def bruteForcePairs(corpus: DataFrame, threshold: Double,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val a = corpus.select(col(idCol).as("a"), col(vecCol).as("va"))
+    val b = corpus.select(col(idCol).as("b"), col(vecCol).as("vb"))
+    a.join(b, col("a") < col("b"))
+      .select(col("a"), col("b"), cosine(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** LSH-blocked near-dup pairs: equality join on (table, bucket), exact
+    * cosine ≥ threshold on candidates. Pairs colliding in no table are not
+    * reported (stated recall contract). */
+  def lshPairs(corpus: DataFrame, threshold: Double, dim: Int,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val withBuckets = corpus.select(
+      col(idCol).as("id"), col(vecCol).as("v"),
+      posexplode(buckets(col(vecCol), dim)).as(Seq("t", "bk"))
+    )
+    val l = withBuckets.select(col("id").as("a"), col("v").as("va"), col("t"), col("bk"))
+    val r = withBuckets.select(col("id").as("b"), col("v").as("vb"),
+      col("t").as("t_r"), col("bk").as("bk_r"))
+    l.join(r, l("t") === r("t_r") && l("bk") === r("bk_r") && l("a") < r("b"))
+      .dropDuplicates("a", "b")
+      .select(col("a"), col("b"), cosine(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}
