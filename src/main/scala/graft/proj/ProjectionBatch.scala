@@ -60,7 +60,7 @@ object ProjectionBatch {
   }
 
   /** Selector filter as a pushable Column predicate (ref `projection.go:96-119`). */
-  private def selected(p: Projection[_], events: Dataset[ProjEvent]): Dataset[ProjEvent] =
+  private[graft] def selected(p: Projection[_], events: Dataset[ProjEvent]): Dataset[ProjEvent] =
     p.selector match {
       case SelectAll          => events
       case SelectStreams(ss)  => events.filter(col("streamId").isin(ss: _*))

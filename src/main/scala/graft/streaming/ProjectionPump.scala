@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+import graft.proj._
+
+/**
+ * The projection pump — the piece the reference declares but never wires
+ * (`/root/reference/internal/projections/projection.go:15-27` holds a
+ * subscribe func; `projections/service.go:20-28` persists queries; nothing
+ * ever feeds a compiled projection from the event feed — SURVEY.md §2.10).
+ *
+ * Here it is the natural Structured Streaming job: subscription source →
+ * `groupByKey(partition)` → `flatMapGroupsWithState` running the same
+ * [[Projection.step]] fold as batch, with per-key state in the state store
+ * and emissions (filterBy-gated, transformBy-applied) flowing to the
+ * result sink (`$projections-{name}-result`, A6).
+ *
+ * Ordering: the reference folds strictly by global `position`
+ * (streams.go:264-309). Within a micro-batch each group is sorted by
+ * position before folding (group-per-batch materialization — bounded by
+ * the trigger's batch size); across micro-batches the file source replays
+ * appends in order, so the fold order is monotone end-to-end.
+ */
+object ProjectionPump {
+
+  /**
+   * Streaming emissions of a projection over an unbounded canonical event
+   * source: one `(partition, state)` row per forwarded fold step.
+   * OutputMode must be Update (or use [[start]] / `foreachBatch`).
+   */
+  def emissions[S](p: Projection[S], src: DataFrame)(implicit enc: Encoder[S]): Dataset[(String, S)] = {
+    implicit val keyedEnc: Encoder[KeyedEvent] = Encoders.product[KeyedEvent]
+    implicit val strEnc: Encoder[String] = Encoders.STRING
+    implicit val outEnc: Encoder[(String, S)] = Encoders.tuple(Encoders.STRING, enc)
+    val keyed = ProjectionBatch
+      .selected(p, ProjectionBatch.toProjEvents(src))
+      .map(e => KeyedEvent(p.partitionOf(e), e))
+    keyed
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[S, (String, S)](OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (key: String, events: Iterator[KeyedEvent], state: GroupState[S]) =>
+          val ordered = events.toArray.sortBy(_.event.position)
+          var cur = state.getOption
+          val out = Vector.newBuilder[(String, S)]
+          ordered.foreach { ke =>
+            val (s, fwd) = p.step(cur, ke.event)
+            cur = Some(s)
+            if (fwd) out += ((key, s))
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  /**
+   * Start the pump end-to-end: subscription source on `logDir` → fold →
+   * result-stream parquet sink at `outDir/$projections-{name}-result`.
+   * `availableNow = true` processes the backlog and stops (catch-up);
+   * otherwise the query tails the log until stopped.
+   */
+  def start[S](spark: SparkSession, p: Projection[S], logDir: String, outDir: String,
+               checkpointDir: String, availableNow: Boolean = false)(implicit enc: Encoder[S]): StreamingQuery = {
+    val src = Subscriptions.subscribe(spark, logDir, graft.model.ReadOptions(graft.model.AllStreams))
+    val sink = s"$outDir/${p.resultStream}"
+    val writer = emissions(p, src).toDF("partition", "state").writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(sink)
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+}

@@ -1,0 +1,125 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+import graft.model._
+import graft.proj._
+
+/** Canonical event row for streaming tests. */
+case class EvRow(stream: String, uuid: String, event_type: String, data: String,
+                 metadata: Map[String, String], revision: Long, position: Long)
+
+case class SCount(count: Long)
+
+/**
+ * Streaming semantics mirrored from the reference's subscription tests
+ * (`streams_test.go:482-564`: catch-up history, then live events, other
+ * streams must not leak in) and the unwired projection pump (§2.10).
+ */
+class StreamingSpec extends SparkSpec {
+
+  private def ev(stream: String, tpe: String, rev: Long, pos: Long): EvRow =
+    EvRow(stream, s"u-$pos", tpe, """{"k":1}""", Map("type" -> tpe, "content-type" -> "application/json"), rev, pos)
+
+  test("subscription: catch-up replays history, live tail appends, other streams filtered out") {
+    import spark.implicits._
+    val logDir = Files.createTempDirectory("graft-log").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+
+    // history: 10 events on test-stream interleaved with 10 on other-stream
+    val hist = (0L until 10L).flatMap(i =>
+      Seq(ev("test-stream", "t", i, 2 * i + 1), ev("other-stream", "t", i, 2 * i + 2)))
+    hist.toDF().write.mode("append").parquet(logDir)
+
+    val sub = Subscriptions.subscribe(
+      spark, logDir, ReadOptions(OneStream("test-stream"), from = From(0)))
+    val q = sub.writeStream
+      .format("memory").queryName("sub_test").outputMode(OutputMode.Append()).option("checkpointLocation", ckpt)
+      .start()
+    try {
+      q.processAllAvailable()
+      val caught = spark.sql("select * from sub_test").collect()
+      assert(caught.length == 10) // catch-up: only test-stream
+      // live: append 5 more to each stream
+      val live = (10L until 15L).flatMap(i =>
+        Seq(ev("test-stream", "t", i, 2 * i + 1), ev("other-stream", "t", i, 2 * i + 2)))
+      live.toDF().write.mode("append").parquet(logDir)
+      q.processAllAvailable()
+      val all = spark.sql("select * from sub_test order by revision").collect()
+      assert(all.length == 15)
+      assert(all.map(_.getAs[Long]("revision")).toSeq == (0L until 15L))
+      assert(all.forall(_.getAs[String]("stream") == "test-stream"))
+    } finally q.stop()
+  }
+
+  test("subscription filters: event-type prefix on $all from a position") {
+    import spark.implicits._
+    val logDir = Files.createTempDirectory("graft-log2").toString
+    val rows = (1L to 40L).map(p => ev(s"s-${p % 4}", if (p % 2 == 0) "click" else "view", p / 4, p))
+    rows.toDF().write.mode("append").parquet(logDir)
+    val sub = Subscriptions.subscribe(
+      spark, logDir,
+      ReadOptions(AllStreams, from = From(11), filter = Some(PrefixFilter(OnEventType, Seq("cl")))))
+    val q = sub.writeStream.format("memory").queryName("sub_filter").outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("select position from sub_filter order by position").collect().map(_.getLong(0))
+      assert(got.toSeq == (12L to 40L by 2L)) // even positions ≥ 11
+    } finally q.stop()
+  }
+
+  test("projection pump: state persists across micro-batches; emissions are filterBy-gated") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[EvRow]
+    val p = Projection
+      .named("pump")
+      .fromAll()
+      .foreachStream()
+      .when[SCount](SCount(0), Map("$any" -> ((s: SCount, _: ProjEvent) => s.copy(count = s.count + 1))))
+      .filterBy(_.count >= 3)
+      .build
+    val out = ProjectionPump.emissions(p, mem.toDF()).toDF("partition", "count_state")
+    val q = out.writeStream.format("memory").queryName("pump_test").outputMode(OutputMode.Update()).start()
+    try {
+      // batch 1: 2 events per stream -> below threshold, no emissions
+      mem.addData((1L to 4L).map(i => ev(s"s-${i % 2}", "t", i / 2, i)): _*)
+      q.processAllAvailable()
+      assert(spark.sql("select * from pump_test").count() == 0)
+      // batch 2: 2 more per stream -> states cross threshold (3 then 4)
+      mem.addData((5L to 8L).map(i => ev(s"s-${i % 2}", "t", i / 2, i)): _*)
+      q.processAllAvailable()
+      val rows = spark.sql("select partition, count_state.count as c from pump_test order by partition, c").collect()
+      assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+        Seq(("s-0", 3L), ("s-0", 4L), ("s-1", 3L), ("s-1", 4L)))
+    } finally q.stop()
+  }
+
+  test("pump end-to-end: catch-up writes result stream parquet") {
+    import spark.implicits._
+    val logDir = Files.createTempDirectory("graft-log3").toString
+    val outDir = Files.createTempDirectory("graft-out").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt3").toString
+    (1L to 20L).map(p => ev(s"s-${p % 2}", "t", p / 2, p)).toDF()
+      .write.mode("append").parquet(logDir)
+    val p = Projection
+      .named("e2e")
+      .fromAll()
+      .foreachStream()
+      .when[SCount](SCount(0), Map("$any" -> ((s: SCount, _: ProjEvent) => s.copy(count = s.count + 1))))
+      .outputState()
+      .build
+    val q = ProjectionPump.start(spark, p, logDir, outDir, ckpt, availableNow = true)
+    q.awaitTermination()
+    val res = spark.read.parquet(s"$outDir/${p.resultStream}")
+    // 10 emissions per stream (every fold step forwards), final count 10
+    assert(res.count() == 20)
+    val finals = res.groupBy("partition").agg(org.apache.spark.sql.functions.max("state.count").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(finals == Map("s-0" -> 10L, "s-1" -> 10L))
+  }
+}
