@@ -29,7 +29,8 @@ object SparkEntry {
       graft.queries.ProjectionQueries.queries ++
       graft.queries.TextQueries.queries ++
       graft.queries.DedupQueries.queries ++
-      graft.queries.SimQueries.queries
+      graft.queries.SimQueries.queries ++
+      graft.queries.MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -38,5 +39,6 @@ object SparkEntry {
       graft.queries.ProjectionQueries.oracles ++
       graft.queries.TextQueries.oracles ++
       graft.queries.DedupQueries.oracles ++
-      graft.queries.SimQueries.oracles
+      graft.queries.SimQueries.oracles ++
+      graft.queries.MultimodalQueries.oracles
 }

@@ -40,12 +40,19 @@ object Dedup {
       .groupBy("content_md5")
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
 
-  /** Per-doc distinct shingle-hash sets with their cardinality. */
+  /** Per-doc distinct shingle-hash sets with their cardinality.
+    * Materialized eagerly with lineage truncation (localCheckpoint): the
+    * shingle pipeline is the expensive pass and every pair-generation plan
+    * below uses it on both join sides — at scale this is the "materialize
+    * signatures once, then join" two-phase design. (localCheckpoint rather
+    * than cache: the giant lambda expression trees would otherwise make
+    * every subsequent plan's CacheManager canonicalization lookup slow.) */
   private def shingleSets(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
       .select(col(idCol).as("id"), shingleHashes(col(textCol)).as("sh"))
       .withColumn("n_sh", size(col("sh")))
       .filter(col("n_sh") > 0)
+      .localCheckpoint()
 
   /**
    * N-gram Jaccard near-dup pairs via inverted-index self-join.
@@ -76,10 +83,16 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, thresholdX1000: Long,
                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val sets = shingleSets(docs, idCol, textCol)
+    // materialize signatures ONCE: the banding join must see plain long
+    // key columns, not live expressions — struct/expression keys degrade
+    // the self-join to a nested-loop with per-pair recomputation of the
+    // whole minhash pipeline
     val sig = sets.withColumn("sig", minhashSignature(col("sh")))
-    // one row per band: (id, band, r0, r1)
+      .select(col("id"), col("sig")).localCheckpoint()
+    // one row per band: (id, band, r0, r1) — compact long keys only, the
+    // shingle arrays do NOT ride the candidate join
     val banded = sig.select(
-      col("id"), col("sh"), col("n_sh"),
+      col("id"),
       posexplode(
         array((0 until bands).map { bnd =>
           struct(
@@ -88,16 +101,19 @@ object Dedup {
           )
         }: _*)
       ).as(Seq("band", "bk"))
-    )
-    val l = banded.select(col("id").as("a"), col("sh").as("sha"), col("n_sh").as("na"),
-      col("band"), col("bk"))
-    val r = banded.select(col("id").as("b"), col("sh").as("shb"), col("n_sh").as("nb"),
-      col("band").as("band_r"), col("bk").as("bk_r"))
+    ).select(col("id"), col("band"), col("bk.r0").as("r0"), col("bk.r1").as("r1"))
+    val l = banded.select(col("id").as("a"), col("band"), col("r0"), col("r1"))
+    val r = banded.select(col("id").as("b"), col("band").as("band_r"),
+      col("r0").as("r0_r"), col("r1").as("r1_r"))
     val cands = l
-      .join(r, l("band") === r("band_r") && l("bk") === r("bk_r") && l("a") < r("b"))
-      .select(col("a"), col("b"), col("sha"), col("shb"), col("na"), col("nb"))
+      .join(r, l("band") === r("band_r") && l("r0") === r("r0_r") &&
+        l("r1") === r("r1_r") && l("a") < r("b"))
+      .select(col("a"), col("b"))
       .dropDuplicates("a", "b")
+    // verification pass: join the (cached) shingle sets back per side
     cands
+      .join(sets.select(col("id").as("a"), col("sh").as("sha"), col("n_sh").as("na")), "a")
+      .join(sets.select(col("id").as("b"), col("sh").as("shb"), col("n_sh").as("nb")), "b")
       .withColumn("c", size(array_intersect(col("sha"), col("shb"))))
       .withColumn("jaccard_x1000",
         floor(lit(1000.0) * col("c") / (col("na") + col("nb") - col("c"))).cast("long"))
@@ -120,6 +136,7 @@ object Dedup {
     val sh = simhashes(docs, idCol, textCol)
       .withColumn("lo", col("simhash").bitwiseAND(lit(255L)))
       .withColumn("hi", shiftright(col("simhash"), 8).bitwiseAND(lit(255L)))
+      .localCheckpoint() // one signature pass, lineage truncated; both join sides reuse it
     val banded = sh.select(col("id"), col("simhash"),
       posexplode(array(col("lo"), col("hi"))).as(Seq("band", "bk")))
     val l = banded.select(col("id").as("a"), col("simhash").as("sa"), col("band"), col("bk"))

@@ -1,0 +1,131 @@
+package graft.multimodal
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** An opaque multimodal asset: binary payload + typed metadata. */
+final case class Asset(asset_id: Long, kind: String, bytes: Array[Byte], meta: Map[String, String])
+
+/** Decoded media header (STUB decode — see [[Multimodal.decodeStub]]). */
+final case class Decoded(asset_id: Long, kind: String, width: Int, height: Int,
+                         channels: Int, n_frames: Int, n_bytes: Long)
+
+/** One sampled frame of a (fake-)video asset. */
+final case class Frame(asset_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
+
+/** A fixed-width feature vector extracted from an asset. */
+final case class AssetFeatures(asset_id: Long, features: Array[Float])
+
+/**
+ * Multimodal-column plumbing: image/audio/video as opaque `binary` columns
+ * with typed metadata, processed by per-partition batch operators.
+ *
+ * The Spark-side architecture is the real thing — typed `Dataset[Asset]`
+ * with binary payloads, `mapPartitions` operators that iterate in bounded
+ * batches (the batch shape a vectorized/Arrow UDF would see), partition-by-
+ * kind routing, explode-style frame sampling — while the codec itself is a
+ * clearly-marked DETERMINISTIC STUB (`decodeStub`): this container has no
+ * image/audio libraries, so the stub derives header fields arithmetically
+ * from the payload. Swapping in a real decoder changes one function, not
+ * the plumbing.
+ *
+ * Scale notes: binary payloads ride the scan (parquet binary column,
+ * pruned unless referenced); decode is map-only (no shuffle); frame
+ * sampling multiplies rows map-side only; `repartitionByKind` routes
+ * assets so codec-specific resources (a decoder pool) initialize once per
+ * partition, amortized across the batch — the mapPartitions iterator is
+ * exactly where that pool lives at scale.
+ */
+object Multimodal {
+
+  implicit val assetEnc: Encoder[Asset] = Encoders.product[Asset]
+  implicit val decodedEnc: Encoder[Decoded] = Encoders.product[Decoded]
+  implicit val frameEnc: Encoder[Frame] = Encoders.product[Frame]
+  implicit val featEnc: Encoder[AssetFeatures] = Encoders.product[AssetFeatures]
+
+  /** Batch size a real vectorized decoder would process per call. */
+  val decodeBatchSize = 64
+
+  /**
+   * STUB DECODE — deterministic fake. A real implementation would call the
+   * codec here (and ONLY here): e.g. javax.imageio / ffmpeg bindings over
+   * `a.bytes`. Header fields are pure functions of the payload so tests
+   * and oracles are exact.
+   */
+  def decodeStub(a: Asset): Decoded = {
+    val n = a.bytes.length
+    val first = if (n > 0) a.bytes(0) & 0xff else 0
+    Decoded(
+      a.asset_id, a.kind,
+      width = 16 + n % 113,
+      height = 16 + (n * 31 + first) % 97,
+      channels = 1 + first % 3,
+      n_frames = if (a.kind == "video") 1 + n % 7 else 1,
+      n_bytes = n.toLong
+    )
+  }
+
+  /** Route assets so each partition holds one kind (decoder-pool locality). */
+  def repartitionByKind(assets: Dataset[Asset]): Dataset[Asset] =
+    assets.repartition(col("kind"))
+
+  /** Decode all assets, iterating in [[decodeBatchSize]] batches per
+    * partition (the Arrow-ish batch shape). */
+  def decode(assets: Dataset[Asset]): Dataset[Decoded] =
+    assets.mapPartitions { it =>
+      it.grouped(decodeBatchSize).flatMap { batch =>
+        // a real decoder would process `batch` as one vectorized call
+        batch.iterator.map(decodeStub)
+      }
+    }
+
+  /** Sample every `stride`-th frame of video assets (map-side explode).
+    * Frame bytes are a deterministic slice of the payload (STUB). */
+  def sampleFrames(assets: Dataset[Asset], stride: Int): Dataset[Frame] =
+    assets.filter(_.kind == "video").flatMap { a =>
+      val d = decodeStub(a)
+      (0 until d.n_frames by stride).map { i =>
+        val from = math.min(i * 8, a.bytes.length)
+        val until = math.min(from + 8, a.bytes.length)
+        Frame(a.asset_id, i, a.bytes.slice(from, until))
+      }
+    }
+
+  /** Extract a fixed-width feature vector (STUB: seeded polynomial hashes
+    * of the payload, scaled to [0,1)) — stands in for a real embedding
+    * model; shape/partitioning/batching are what matter here. */
+  def extractFeatures(assets: Dataset[Asset], dim: Int = 8): Dataset[AssetFeatures] =
+    assets.mapPartitions { it =>
+      it.grouped(decodeBatchSize).flatMap { batch =>
+        batch.iterator.map { a =>
+          val fs = Array.tabulate(dim) { d =>
+            var h = (d * 1000003 + 17).toLong
+            var i = 0
+            while (i < a.bytes.length) { h = (h * 31 + (a.bytes(i) & 0xff)) % 2147483647L; i += 1 }
+            (h % 1000L) / 1000.0f
+          }
+          AssetFeatures(a.asset_id, fs)
+        }
+      }
+    }
+
+  /** Adapt `documents` into a fake asset table (text bytes as payload;
+    * kind round-robins image/audio/video) — the fixture has no binary
+    * media, so the corpus is synthesized deterministically. */
+  def documentsAsAssets(spark: SparkSession, dir: String): Dataset[Asset] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"), col("source"))
+      .as[(Long, String, String)]
+      .map { case (id, text, source) =>
+        val kind = (id % 3) match {
+          case 0 => "image"
+          case 1 => "audio"
+          case _ => "video"
+        }
+        Asset(id, kind, text.getBytes(StandardCharsets.UTF_8), Map("source" -> source))
+      }
+  }
+}

@@ -1,0 +1,56 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Multimodal
+
+/**
+ * Verify-gate queries for the multimodal plumbing. The decode is a
+ * deterministic stub (see [[graft.multimodal.Multimodal.decodeStub]]), so
+ * the DuckDB oracle can recompute the same header arithmetic from the
+ * synthesized payload (documents text bytes).
+ */
+object MultimodalQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_decode" -> { (s: SparkSession, dir: String) =>
+      Multimodal.decode(Multimodal.repartitionByKind(Multimodal.documentsAsAssets(s, dir)))
+        .toDF().orderBy("asset_id")
+    },
+    "mm_frames" -> { (s: SparkSession, dir: String) =>
+      Multimodal.sampleFrames(Multimodal.documentsAsAssets(s, dir), stride = 2)
+        .toDF().select(col("asset_id"), col("frame_idx")).orderBy("asset_id", "frame_idx")
+    },
+    // no SQL oracle (feature extraction is the model stub): rows-only check
+    "mm_features" -> { (s: SparkSession, dir: String) =>
+      Multimodal.extractFeatures(Multimodal.documentsAsAssets(s, dir))
+        .toDF().select(col("asset_id"), col("features")).orderBy("asset_id")
+    }
+  )
+
+  /** CTE: per-doc payload length (UTF-8 bytes), first byte, kind. */
+  private val A =
+    """WITH a AS (
+      |  SELECT doc_id AS asset_id,
+      |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+      |    octet_length(encode(text)) AS n,
+      |    CASE WHEN length(text) > 0 THEN ascii(substr(text, 1, 1)) ELSE 0 END AS fb
+      |  FROM documents
+      |)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "mm_decode" ->
+      s"""$A SELECT asset_id, kind,
+         |  CAST(16 + n % 113 AS INT) AS width,
+         |  CAST(16 + (n * 31 + fb) % 97 AS INT) AS height,
+         |  CAST(1 + fb % 3 AS INT) AS channels,
+         |  CAST(CASE WHEN kind = 'video' THEN 1 + n % 7 ELSE 1 END AS INT) AS n_frames,
+         |  CAST(n AS BIGINT) AS n_bytes
+         |FROM a ORDER BY asset_id""".stripMargin,
+    "mm_frames" ->
+      s"""$A SELECT asset_id, CAST(u.i AS INT) AS frame_idx
+         |FROM a, unnest(range(0, 1 + n % 7, 2)) AS u(i)
+         |WHERE kind = 'video' ORDER BY asset_id, frame_idx""".stripMargin
+  )
+}

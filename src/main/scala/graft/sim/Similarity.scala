@@ -67,6 +67,14 @@ object Similarity {
   def buckets(v: Column, dim: Int): Column =
     array((0 until tables).map(t => bucket(v, t, dim)): _*)
 
+  /** Corpus with the norm precomputed ONCE and cached — at 100 TB norms
+    * are stored with the vectors; this is the in-session equivalent. All
+    * downstream cosines are then a single dot per comparison. */
+  private def normed(corpus: DataFrame, idCol: String, vecCol: String): DataFrame =
+    corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .localCheckpoint() // materialize once, truncate the lambda lineage
+
   /**
    * Exact brute-force top-k: cosine of every corpus vector against the
    * single query row (broadcast), ordered (cos desc, id asc), limit k.
@@ -74,10 +82,10 @@ object Similarity {
    */
   def topKBruteForce(corpus: DataFrame, query: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = broadcast(query.select(col(vecCol).as("q")))
-    corpus
-      .join(q)
-      .select(col(idCol), cosine(col(vecCol), col("q")).as("cos"))
+    val c = normed(corpus, idCol, vecCol)
+    val q = broadcast(query.select(col(vecCol).as("q")).withColumn("qn", norm(col("q"))))
+    c.join(q)
+      .select(col("id").as(idCol), (dot(col("v"), col("q")) / (col("nrm") * col("qn"))).as("cos"))
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
   }
@@ -86,12 +94,13 @@ object Similarity {
     * query) — the approximate/scale variant. */
   def topKLsh(corpus: DataFrame, query: DataFrame, k: Int, dim: Int,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = broadcast(query.select(col(vecCol).as("q"), buckets(col(vecCol), dim).as("qb")))
-    corpus
-      .withColumn("cb", buckets(col(vecCol), dim))
-      .join(q)
+    val c = normed(corpus, idCol, vecCol).withColumn("cb", buckets(col("v"), dim))
+    val q = broadcast(query.select(col(vecCol).as("q"))
+      .withColumn("qn", norm(col("q")))
+      .withColumn("qb", buckets(col("q"), dim)))
+    c.join(q)
       .filter(exists(zip_with(col("cb"), col("qb"), (x, y) => x === y), identity))
-      .select(col(idCol), cosine(col(vecCol), col("q")).as("cos"))
+      .select(col("id").as(idCol), (dot(col("v"), col("q")) / (col("nrm") * col("qn"))).as("cos"))
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
   }
@@ -102,28 +111,32 @@ object Similarity {
    */
   def bruteForcePairs(corpus: DataFrame, threshold: Double,
                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val a = corpus.select(col(idCol).as("a"), col(vecCol).as("va"))
-    val b = corpus.select(col(idCol).as("b"), col(vecCol).as("vb"))
+    val c = normed(corpus, idCol, vecCol)
+    val a = c.select(col("id").as("a"), col("v").as("va"), col("nrm").as("na"))
+    val b = c.select(col("id").as("b"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, col("a") < col("b"))
-      .select(col("a"), col("b"), cosine(col("va"), col("vb")).as("cos"))
+      .select(col("a"), col("b"), (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
       .filter(col("cos") >= threshold)
   }
 
-  /** LSH-blocked near-dup pairs: equality join on (table, bucket), exact
-    * cosine ≥ threshold on candidates. Pairs colliding in no table are not
-    * reported (stated recall contract). */
+  /** LSH-blocked near-dup pairs: equality join on (table, bucket) over
+    * compact int keys, candidate (a,b) dedup, then ONE exact cosine per
+    * candidate via join-back to the cached normed vectors. Pairs colliding
+    * in no table are not reported (stated recall contract). */
   def lshPairs(corpus: DataFrame, threshold: Double, dim: Int,
                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val withBuckets = corpus.select(
-      col(idCol).as("id"), col(vecCol).as("v"),
-      posexplode(buckets(col(vecCol), dim)).as(Seq("t", "bk"))
-    )
-    val l = withBuckets.select(col("id").as("a"), col("v").as("va"), col("t"), col("bk"))
-    val r = withBuckets.select(col("id").as("b"), col("v").as("vb"),
-      col("t").as("t_r"), col("bk").as("bk_r"))
-    l.join(r, l("t") === r("t_r") && l("bk") === r("bk_r") && l("a") < r("b"))
+    val c = normed(corpus, idCol, vecCol)
+    val withBuckets = c.select(col("id"), posexplode(buckets(col("v"), dim)).as(Seq("t", "bk")))
+    val l = withBuckets.select(col("id").as("a"), col("t"), col("bk"))
+    val r = withBuckets.select(col("id").as("b"), col("t").as("t_r"), col("bk").as("bk_r"))
+    val cands = l
+      .join(r, l("t") === r("t_r") && l("bk") === r("bk_r") && l("a") < r("b"))
+      .select(col("a"), col("b"))
       .dropDuplicates("a", "b")
-      .select(col("a"), col("b"), cosine(col("va"), col("vb")).as("cos"))
+    cands
+      .join(c.select(col("id").as("a"), col("v").as("va"), col("nrm").as("na")), "a")
+      .join(c.select(col("id").as("b"), col("v").as("vb"), col("nrm").as("nb")), "b")
+      .select(col("a"), col("b"), (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }

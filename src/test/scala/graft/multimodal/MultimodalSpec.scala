@@ -1,0 +1,44 @@
+package graft.multimodal
+
+import graft.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+
+  private def assets = {
+    import spark.implicits._
+    (0L until 10L).map(i =>
+      Asset(i, Seq("image", "audio", "video")(i.toInt % 3),
+        Array.tabulate[Byte]((i * 13 + 5).toInt)(j => (j * 7 + i).toByte), Map("src" -> s"s$i"))
+    ).toDS()
+  }
+
+  test("decode is deterministic and total over all kinds") {
+    val d1 = Multimodal.decode(assets).collect().sortBy(_.asset_id)
+    val d2 = Multimodal.decode(Multimodal.repartitionByKind(assets)).collect().sortBy(_.asset_id)
+    assert(d1.toSeq == d2.toSeq) // partitioning must not change results
+    assert(d1.length == 10)
+    assert(d1.forall(d => d.width >= 16 && d.height >= 16 && (1 to 3).contains(d.channels)))
+    assert(d1.filter(_.kind != "video").forall(_.n_frames == 1))
+  }
+
+  test("frame sampling strides over video frames only") {
+    val frames = Multimodal.sampleFrames(assets, stride = 2).collect()
+    assert(frames.nonEmpty)
+    val byAsset = frames.groupBy(_.asset_id)
+    // only kind == video (asset_id % 3 == 2)
+    assert(byAsset.keySet.forall(_ % 3 == 2))
+    frames.foreach { f =>
+      assert(f.frame_idx % 2 == 0)
+      assert(f.frame_bytes.length <= 8)
+    }
+  }
+
+  test("feature extraction: fixed dim, deterministic, [0,1) range") {
+    val f1 = Multimodal.extractFeatures(assets, dim = 8).collect().sortBy(_.asset_id)
+    val f2 = Multimodal.extractFeatures(assets, dim = 8).collect().sortBy(_.asset_id)
+    assert(f1.length == 10)
+    assert(f1.zip(f2).forall { case (a, b) => a.features.sameElements(b.features) })
+    assert(f1.forall(_.features.length == 8))
+    assert(f1.forall(_.features.forall(v => v >= 0f && v < 1f)))
+  }
+}
