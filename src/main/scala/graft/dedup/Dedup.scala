@@ -49,7 +49,7 @@ object Dedup {
     * every subsequent plan's CacheManager canonicalization lookup slow.) */
   private def shingleSets(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
-      .select(col(idCol).as("id"), shingleHashes(col(textCol)).as("sh"))
+      .select(col(idCol).as("id"), graft.functions.Fast.shingleHashesFast(col(textCol)).as("sh"))
       .withColumn("n_sh", size(col("sh")))
       .filter(col("n_sh") > 0)
       .localCheckpoint()
@@ -87,7 +87,7 @@ object Dedup {
     // key columns, not live expressions — struct/expression keys degrade
     // the self-join to a nested-loop with per-pair recomputation of the
     // whole minhash pipeline
-    val sig = sets.withColumn("sig", minhashSignature(col("sh")))
+    val sig = sets.withColumn("sig", graft.functions.Fast.minhashFast(col("sh")))
       .select(col("id"), col("sig")).localCheckpoint()
     // one row per band: (id, band, r0, r1) — compact long keys only, the
     // shingle arrays do NOT ride the candidate join
@@ -123,7 +123,7 @@ object Dedup {
 
   /** Per-doc 16-bit SimHash: (id, simhash). */
   def simhashes(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs.select(col(idCol).as("id"), simhash16(col(textCol)).as("simhash"))
+    docs.select(col(idCol).as("id"), graft.functions.Fast.simhash16Fast(col(textCol)).as("simhash"))
 
   /**
    * SimHash near-dup pairs: blocked on equality of either signature half

@@ -1,0 +1,173 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+import graft.dedup.Hashing
+
+/**
+ * Primitive-loop implementations of the hot inner kernels (hashing,
+ * signatures, dot products) as Scala UDFs.
+ *
+ * Spark's higher-order array lambdas (`transform`/`aggregate`/`zip_with`)
+ * are *interpreted* per element — fine for the declarative reference
+ * implementations in [[TextFunctions]]/[[Hashing]]/[[graft.sim.Similarity]],
+ * but a 10-100× tax on the quadratic/pair-join paths. These UDFs compute
+ * the *identical* arithmetic (same fold order, same casts, same modulus)
+ * with JVM while-loops, so results are bit-for-bit the same — the DuckDB
+ * oracles pin that. A custom codegen'd Catalyst `Expression` would shave
+ * the remaining row-boxing cost; that's the next step if these ever top a
+ * profile again.
+ */
+object Fast {
+
+  private val P = Hashing.P
+
+  /** Polynomial rolling hash of a string — identical to
+    * [[Hashing.strHash]] / [[TextFunctions.fingerprint]]. */
+  @inline def strHashJvm(s: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      // ascii() semantics: Unicode code point of the char
+      h = (h * 31L + s.codePointAt(i)) % P
+      i += (if (Character.isHighSurrogate(s.charAt(i)) && i + 1 < s.length) 2 else 1)
+    }
+    h
+  }
+
+  /** Whitespace tokens of lower(trim(text)) — identical to
+    * [[Hashing.toks]]'s split semantics. */
+  @inline def toksJvm(text: String): Array[String] = {
+    val t = text.trim.toLowerCase
+    if (t.isEmpty) Array("") else t.split("\\s+")
+  }
+
+  /** Distinct 3-gram shingle hashes — identical to [[Hashing.shingleHashes]]. */
+  def shingleHashesJvm(text: String, n: Int): Array[Long] = {
+    val toks = toksJvm(text)
+    val th = toks.map(strHashJvm)
+    val m = th.length - (n - 1)
+    if (m < 1) Array.empty[Long]
+    else {
+      val out = new Array[Long](m)
+      var i = 0
+      while (i < m) {
+        var acc = th(i)
+        var j = 1
+        while (j < n) { acc = (acc * 31L + th(i + j)) % P; j += 1 }
+        out(i) = acc
+        i += 1
+      }
+      // array_distinct preserves first-occurrence order
+      val seen = new java.util.LinkedHashSet[java.lang.Long]()
+      out.foreach(seen.add(_))
+      val res = new Array[Long](seen.size)
+      val it = seen.iterator()
+      var k = 0
+      while (it.hasNext) { res(k) = it.next(); k += 1 }
+      res
+    }
+  }
+
+  /** MinHash signature over a shingle set — identical to
+    * [[Hashing.minhashSignature]]. */
+  def minhashJvm(sh: Array[Long]): Array[Long] = {
+    val a = Hashing.minhashA.toArray
+    val b = Hashing.minhashB.toArray
+    val sig = new Array[Long](a.length)
+    var j = 0
+    while (j < a.length) {
+      var m = Long.MaxValue
+      var i = 0
+      while (i < sh.length) {
+        val v = (a(j) * sh(i) + b(j)) % P
+        if (v < m) m = v
+        i += 1
+      }
+      sig(j) = m
+      j += 1
+    }
+    sig
+  }
+
+  /** 16-bit SimHash over token hashes — identical to [[Hashing.simhash16]]. */
+  def simhash16Jvm(text: String): Long = {
+    val th = toksJvm(text).map(strHashJvm)
+    var out = 0L
+    var bit = 0
+    while (bit < 16) {
+      var s = 0L
+      var i = 0
+      while (i < th.length) { s += 2L * ((th(i) >> bit) & 1L) - 1L; i += 1 }
+      if (s > 0) out |= (1L << bit)
+      bit += 1
+    }
+    out
+  }
+
+  /** Left-fold dot product with per-element float→double cast — identical
+    * to [[graft.sim.Similarity.dot]]. */
+  @inline def dotJvm(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s = s + a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+
+  /** Left-fold signed projection on a ±1 hyperplane — identical to
+    * [[graft.sim.Similarity.projection]]. */
+  @inline def projJvm(v: Array[Float], hp: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    val n = math.min(v.length, hp.length)
+    while (i < n) { s = s + v(i).toDouble * hp(i); i += 1 }
+    s
+  }
+
+  // per-dim hyperplane cache (tables × bitsPerTable planes)
+  private val hpCache = new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Double]]]()
+  private def hyperplanes(dim: Int): Array[Array[Double]] =
+    hpCache.computeIfAbsent(dim, d => {
+      import graft.sim.Similarity.{tables, bitsPerTable, hyperplane}
+      Array.tabulate(tables * bitsPerTable)(j => hyperplane(j / bitsPerTable, j % bitsPerTable, d).toArray)
+    })
+
+  /** All LSH table bucket ids — identical to [[graft.sim.Similarity.buckets]]. */
+  def bucketsJvm(v: Array[Float]): Array[Long] = {
+    import graft.sim.Similarity.{tables, bitsPerTable}
+    val hps = hyperplanes(v.length)
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var b = 0
+      while (b < bitsPerTable) {
+        if (projJvm(v, hps(t * bitsPerTable + b)) >= 0) bucket |= (1L << b)
+        b += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    out
+  }
+
+  // ---- Column-facing UDFs ----
+  val fingerprintUdf = udf((s: String) => strHashJvm(s.trim.toLowerCase))
+  val shingleHashesUdf = udf((text: String) => shingleHashesJvm(text, 3))
+  val minhashUdf = udf((sh: Seq[Long]) => minhashJvm(sh.toArray))
+  val simhash16Udf = udf((text: String) => simhash16Jvm(text))
+  val dotUdf = udf((a: Seq[Float], b: Seq[Float]) => dotJvm(a.toArray, b.toArray))
+  val normUdf = udf((a: Seq[Float]) => { val arr = a.toArray; math.sqrt(dotJvm(arr, arr)) })
+  val bucketsUdf = udf((v: Seq[Float]) => bucketsJvm(v.toArray))
+
+  /** Identical to [[TextFunctions.fingerprint]]. */
+  def fingerprintFast(text: Column): Column = fingerprintUdf(text)
+  def shingleHashesFast(text: Column): Column = shingleHashesUdf(text)
+  def minhashFast(sh: Column): Column = minhashUdf(sh)
+  def simhash16Fast(text: Column): Column = simhash16Udf(text)
+  def dotFast(a: Column, b: Column): Column = dotUdf(a, b)
+  def normFast(a: Column): Column = normUdf(a)
+  def bucketsFast(v: Column): Column = bucketsUdf(v)
+}

@@ -58,7 +58,8 @@ object TextQueries {
     "text_fingerprint" -> { (s: SparkSession, dir: String) =>
       docs(s, dir).select(
         col("doc_id"),
-        fingerprint(col("text")).as("fp")
+        // JVM kernel, bit-identical to TextFunctions.fingerprint
+        graft.functions.Fast.fingerprintFast(col("text")).as("fp")
       ).orderBy("doc_id")
     }
   )

@@ -43,7 +43,7 @@ object Similarity {
   /** LSH hyperplanes: L tables × `bitsPerTable` hyperplanes of ±1 entries,
     * deterministic (oracle-reproducible). */
   val tables = 4
-  val bitsPerTable = 4
+  val bitsPerTable = 6 // 64 buckets/table: ~16x candidate pruning at the test SFs
   def hyperplane(table: Int, bit: Int, dim: Int): Seq[Double] = {
     val j = table * bitsPerTable + bit
     (0 until dim).map(i => if ((i * 31 + j * 17 + (i * j) % 7) % 2 == 0) 1.0 else -1.0)
@@ -72,7 +72,7 @@ object Similarity {
     * downstream cosines are then a single dot per comparison. */
   private def normed(corpus: DataFrame, idCol: String, vecCol: String): DataFrame =
     corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("nrm", norm(col("v")))
+      .withColumn("nrm", graft.functions.Fast.normFast(col("v")))
       .localCheckpoint() // materialize once, truncate the lambda lineage
 
   /**
@@ -83,9 +83,9 @@ object Similarity {
   def topKBruteForce(corpus: DataFrame, query: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val c = normed(corpus, idCol, vecCol)
-    val q = broadcast(query.select(col(vecCol).as("q")).withColumn("qn", norm(col("q"))))
+    val q = broadcast(query.select(col(vecCol).as("q")).withColumn("qn", graft.functions.Fast.normFast(col("q"))))
     c.join(q)
-      .select(col("id").as(idCol), (dot(col("v"), col("q")) / (col("nrm") * col("qn"))).as("cos"))
+      .select(col("id").as(idCol), (graft.functions.Fast.dotFast(col("v"), col("q")) / (col("nrm") * col("qn"))).as("cos"))
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
   }
@@ -94,29 +94,45 @@ object Similarity {
     * query) — the approximate/scale variant. */
   def topKLsh(corpus: DataFrame, query: DataFrame, k: Int, dim: Int,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = normed(corpus, idCol, vecCol).withColumn("cb", buckets(col("v"), dim))
+    val c = normed(corpus, idCol, vecCol).withColumn("cb", graft.functions.Fast.bucketsFast(col("v")))
     val q = broadcast(query.select(col(vecCol).as("q"))
-      .withColumn("qn", norm(col("q")))
-      .withColumn("qb", buckets(col("q"), dim)))
+      .withColumn("qn", graft.functions.Fast.normFast(col("q")))
+      .withColumn("qb", graft.functions.Fast.bucketsFast(col("q"))))
     c.join(q)
       .filter(exists(zip_with(col("cb"), col("qb"), (x, y) => x === y), identity))
-      .select(col("id").as(idCol), (dot(col("v"), col("q")) / (col("nrm") * col("qn"))).as("cos"))
+      .select(col("id").as(idCol), (graft.functions.Fast.dotFast(col("v"), col("q")) / (col("nrm") * col("qn"))).as("cos"))
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
   }
 
   /**
-   * Exact all-pairs near-dup (a < b, cosine ≥ threshold). Quadratic —
-   * the verification baseline; use [[lshPairs]] at scale.
+   * Exact all-pairs near-dup (a < b, cosine ≥ threshold). Quadratic by
+   * definition — the verification baseline; use [[lshPairs]] at scale.
+   *
+   * Shape: broadcast the corpus as primitive arrays (the build side of a
+   * broadcast join, minus Spark's per-pair row machinery — a nested-loop
+   * join spends ~100µs/pair on row copies vs ~100ns for the actual dot)
+   * and stream each partition's rows against it. Valid while one side fits
+   * in a broadcast (like any broadcast join); beyond that, [[lshPairs]].
    */
   def bruteForcePairs(corpus: DataFrame, threshold: Double,
                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = normed(corpus, idCol, vecCol)
-    val a = c.select(col("id").as("a"), col("v").as("va"), col("nrm").as("na"))
-    val b = c.select(col("id").as("b"), col("v").as("vb"), col("nrm").as("nb"))
-    a.join(b, col("a") < col("b"))
-      .select(col("a"), col("b"), (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
-      .filter(col("cos") >= threshold)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    import graft.functions.Fast.dotJvm
+    val side = corpus.select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
+    val build = spark.sparkContext.broadcast(
+      side.collect().sortBy(_._1).map { case (i, v) => (i, v, math.sqrt(dotJvm(v, v))) })
+    side.mapPartitions { it =>
+      val all = build.value
+      it.flatMap { case (ia, va) =>
+        val na = math.sqrt(dotJvm(va, va))
+        all.iterator
+          .filter(_._1 > ia)
+          .map { case (ib, vb, nb) => (ia, ib, dotJvm(va, vb) / (na * nb)) }
+          .filter(_._3 >= threshold)
+      }
+    }.toDF("a", "b", "cos")
   }
 
   /** LSH-blocked near-dup pairs: equality join on (table, bucket) over
@@ -126,7 +142,7 @@ object Similarity {
   def lshPairs(corpus: DataFrame, threshold: Double, dim: Int,
                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val c = normed(corpus, idCol, vecCol)
-    val withBuckets = c.select(col("id"), posexplode(buckets(col("v"), dim)).as(Seq("t", "bk")))
+    val withBuckets = c.select(col("id"), posexplode(graft.functions.Fast.bucketsFast(col("v"))).as(Seq("t", "bk")))
     val l = withBuckets.select(col("id").as("a"), col("t"), col("bk"))
     val r = withBuckets.select(col("id").as("b"), col("t").as("t_r"), col("bk").as("bk_r"))
     val cands = l
@@ -136,7 +152,7 @@ object Similarity {
     cands
       .join(c.select(col("id").as("a"), col("v").as("va"), col("nrm").as("na")), "a")
       .join(c.select(col("id").as("b"), col("v").as("vb"), col("nrm").as("nb")), "b")
-      .select(col("a"), col("b"), (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+      .select(col("a"), col("b"), (graft.functions.Fast.dotFast(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }

@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+import graft.SparkSpec
+import graft.dedup.Hashing
+import graft.sim.Similarity
+
+/**
+ * The JVM kernels in [[Fast]] must be bit-identical to the declarative
+ * Column implementations they replace on hot paths — the DuckDB oracles
+ * assume one arithmetic, whichever implementation runs.
+ */
+class FastEquivalenceSpec extends SparkSpec {
+
+  private val word = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+  private val text = Gen.listOfN(30, word).map(_.mkString(" "))
+
+  test("strHash / fingerprint: JVM == Column == reference arithmetic") {
+    import spark.implicits._
+    val samples = (1 to 50).flatMap(i => text.sample) :+ "a" :+ "Hello,  World!  "
+    val df = samples.toDF("text")
+    val got = df.select(
+      TextFunctions.fingerprint(col("text")).as("colv"),
+      Fast.fingerprintFast(col("text")).as("jvm")
+    ).collect()
+    got.foreach(r => assert(r.getLong(0) == r.getLong(1), s"mismatch on ${r}"))
+  }
+
+  test("shingleHashes: JVM == Column incl. short docs") {
+    import spark.implicits._
+    val samples = Seq("one two", "one two three", "a b c d e f g", "") ++ (1 to 30).flatMap(_ => text.sample)
+    val df = samples.toDF("text")
+    val got = df.select(
+      Hashing.shingleHashes(col("text")).as("colv"),
+      Fast.shingleHashesFast(col("text")).as("jvm")
+    ).collect()
+    got.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"mismatch on $r"))
+  }
+
+  test("minhash signature: JVM == Column") {
+    import spark.implicits._
+    val samples = (1 to 30).flatMap(_ => text.sample).filter(_.split("\\s+").length >= 3)
+    val df = samples.toDF("text").select(Hashing.shingleHashes(col("text")).as("sh"))
+    val got = df.select(
+      Hashing.minhashSignature(col("sh")).as("colv"),
+      Fast.minhashFast(col("sh")).as("jvm")
+    ).collect()
+    got.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"mismatch on $r"))
+  }
+
+  test("simhash16: JVM == Column") {
+    import spark.implicits._
+    val samples = (1 to 30).flatMap(_ => text.sample)
+    val df = samples.toDF("text")
+    val got = df.select(
+      Hashing.simhash16(col("text")).as("colv"),
+      Fast.simhash16Fast(col("text")).as("jvm")
+    ).collect()
+    got.foreach(r => assert(r.getLong(0) == r.getLong(1), s"mismatch on $r"))
+  }
+
+  test("LSH buckets: JVM == Column") {
+    import spark.implicits._
+    val vecs = (1 to 20).map(i => Array.tabulate(64)(j => ((i * 37 + j * 11) % 100 - 50) / 29.0f))
+    val df = vecs.toDF("v")
+    val got = df.select(
+      Similarity.buckets(col("v"), 64).as("colv"),
+      Fast.bucketsFast(col("v")).as("jvm")
+    ).collect()
+    got.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"mismatch on $r"))
+  }
+
+  test("dot/norm: JVM == Column (bit-exact doubles)") {
+    import spark.implicits._
+    val vecs = (1 to 20).map(i => Array.tabulate(64)(j => ((i * 31 + j * 7) % 100 - 50) / 37.0f))
+    val df = vecs.zip(vecs.reverse).toDF("a", "b")
+    val got = df.select(
+      Similarity.dot(col("a"), col("b")).as("colv"),
+      Fast.dotFast(col("a"), col("b")).as("jvm"),
+      Similarity.norm(col("a")).as("coln"),
+      Fast.normFast(col("a")).as("jvmn")
+    ).collect()
+    got.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) == java.lang.Double.doubleToLongBits(r.getDouble(1)))
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) == java.lang.Double.doubleToLongBits(r.getDouble(3)))
+    }
+  }
+}
