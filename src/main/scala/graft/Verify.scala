@@ -15,6 +15,7 @@ object Verify {
       // fixture `ts` is timestamp[ns]; Spark's parquet reader rejects NANOS
       // unless read as long (we order by event_id, so long nanos is fine)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

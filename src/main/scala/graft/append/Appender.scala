@@ -83,9 +83,17 @@ object Appender {
   def append(spark: SparkSession, logDir: String, stream: String,
              events: Seq[ProposedEvent], expected: ExpectedRevision = AnyRevision,
              nowNanos: Long = System.nanoTime()): AppendResult = {
-    require(events.nonEmpty, "empty append")
     validate(events)
+    appendInternal(spark, logDir, stream, events, expected, nowNanos)
+  }
+
+  /** Shared append path (markers skip user-metadata validation). */
+  private def appendInternal(spark: SparkSession, logDir: String, stream: String,
+                             events: Seq[ProposedEvent], expected: ExpectedRevision,
+                             nowNanos: Long): AppendResult = {
+    require(events.nonEmpty, "empty append")
     val log = readLog(spark, logDir)
+    if (isTombstoned(log, stream)) throw StreamDeleted(stream)
     val (currentRev, maxPos) = currentState(log, stream)
     checkRevision(stream, currentRev, expected)
 
@@ -99,6 +107,92 @@ object Appender {
     rows.write.mode("append").parquet(logDir)
     AppendResult(currentRev + 1L, currentRev + events.size,
       maxPos + 1L, maxPos + events.size)
+  }
+
+  // system event types for the stream-lifecycle markers (the reference
+  // declares Delete/Tombstone/BatchAppend but stubs them,
+  // transport/grpc/streams/grpc_server.go:271-281 — completed here with
+  // EventStoreDB's semantics: soft delete truncates, tombstone is final)
+  val DeletedMarker = "$deleted"
+  val TombstoneMarker = "$tombstoned"
+
+  private def isTombstoned(log: DataFrame, stream: String): Boolean =
+    log.filter(col("stream") === stream && col("event_type") === TombstoneMarker)
+      .limit(1).count() > 0
+
+  private def marker(uuid: String, tpe: String): ProposedEvent =
+    ProposedEvent(uuid, tpe, "",
+      Map("type" -> tpe, "content-type" -> "application/json"))
+
+  /**
+   * Soft delete: appends a `$deleted` marker; events at or before the
+   * marker become invisible to [[visible]] reads. The stream can be
+   * recreated by appending again (EventStoreDB soft-delete semantics).
+   */
+  def delete(spark: SparkSession, logDir: String, stream: String,
+             expected: ExpectedRevision = AnyRevision, nowNanos: Long = System.nanoTime()): AppendResult =
+    appendInternal(spark, logDir, stream, Seq(marker(s"del-$nowNanos", DeletedMarker)), expected, nowNanos)
+
+  /**
+   * Hard delete: appends a `$tombstoned` marker; any later append to the
+   * stream fails with [[StreamDeleted]] (irreversible).
+   */
+  def tombstone(spark: SparkSession, logDir: String, stream: String,
+                expected: ExpectedRevision = AnyRevision, nowNanos: Long = System.nanoTime()): AppendResult =
+    appendInternal(spark, logDir, stream, Seq(marker(s"tomb-$nowNanos", TombstoneMarker)), expected, nowNanos)
+
+  /**
+   * Batch append: one call, many streams, one global position sequence
+   * (each stream's expected-revision precondition checked up front; all
+   * rows written together — single-writer contract as [[append]]).
+   */
+  def batchAppend(spark: SparkSession, logDir: String,
+                  batches: Seq[(String, Seq[ProposedEvent], ExpectedRevision)],
+                  nowNanos: Long = System.nanoTime()): Seq[(String, AppendResult)] = {
+    require(batches.nonEmpty, "empty batch")
+    batches.foreach { case (_, events, _) => validate(events) }
+    val log = readLog(spark, logDir)
+    var maxPos = {
+      val r = log.agg(max(col("position"))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    val created = (nowNanos / 100L).toString
+    import spark.implicits._
+    val results = Seq.newBuilder[(String, AppendResult)]
+    val rows = Seq.newBuilder[(String, String, String, String, Map[String, String], Long, Long)]
+    batches.foreach { case (stream, events, expected) =>
+      if (isTombstoned(log, stream)) throw StreamDeleted(stream)
+      val (currentRev, _) = currentState(log, stream)
+      checkRevision(stream, currentRev, expected)
+      events.zipWithIndex.foreach { case (e, i) =>
+        rows += ((stream, e.uuid, e.eventType, e.data,
+          e.metadata + ("created" -> created), currentRev + 1L + i, maxPos + 1L + i))
+      }
+      results += stream -> AppendResult(currentRev + 1L, currentRev + events.size,
+        maxPos + 1L, maxPos + events.size)
+      maxPos += events.size
+    }
+    rows.result().toDF("stream", "uuid", "event_type", "data", "metadata", "revision", "position")
+      .write.mode("append").parquet(logDir)
+    results.result()
+  }
+
+  /**
+   * Visibility view over the raw log: strips system markers and applies
+   * soft-delete truncation (events at or before a stream's last `$deleted`
+   * marker are hidden). One window over the marker rows only — the
+   * truncation points are a tiny broadcast-joined dimension at scale.
+   */
+  def visible(log: DataFrame): DataFrame = {
+    val cutoffs = log
+      .filter(col("event_type") === DeletedMarker || col("event_type") === TombstoneMarker)
+      .groupBy(col("stream").as("del_stream"))
+      .agg(max(col("position")).as("del_pos"))
+    log
+      .filter(col("event_type") =!= DeletedMarker && col("event_type") =!= TombstoneMarker)
+      .join(broadcast(cutoffs), col("stream") === col("del_stream"), "left")
+      .filter(col("del_pos").isNull || col("position") > col("del_pos"))
+      .drop("del_stream", "del_pos")
   }
 
   /** Read the canonical log (empty DataFrame with the canonical schema if

@@ -154,6 +154,11 @@ object Fast {
   }
 
   // ---- Column-facing UDFs ----
+  /** UTF8String entry point for the codegen'd [[graft.plans.PolyHash]]
+    * expression (static forwarder — generated Java calls this directly). */
+  def polyHashUtf8(s: org.apache.spark.unsafe.types.UTF8String): Long =
+    strHashJvm(s.toString.trim.toLowerCase)
+
   val fingerprintUdf = udf((s: String) => strHashJvm(s.trim.toLowerCase))
   val shingleHashesUdf = udf((text: String) => shingleHashesJvm(text, 3))
   val minhashUdf = udf((sh: Seq[Long]) => minhashJvm(sh.toArray))

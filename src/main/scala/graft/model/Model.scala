@@ -90,3 +90,9 @@ final case class WrongExpectedRevision(stream: String, expected: ExpectedRevisio
     )
 final case class MissingMetadata(key: String)
     extends RuntimeException(s"missing required metadata key: $key")
+
+/** Append to a hard-deleted (tombstoned) stream (EventStoreDB
+  * `StreamDeleted`; the reference declares Delete/Tombstone but stubs
+  * them, `grpc_server.go:271-281`). */
+final case class StreamDeleted(stream: String)
+    extends RuntimeException(s"stream '$stream' is tombstoned")

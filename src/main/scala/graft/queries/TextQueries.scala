@@ -58,8 +58,9 @@ object TextQueries {
     "text_fingerprint" -> { (s: SparkSession, dir: String) =>
       docs(s, dir).select(
         col("doc_id"),
-        // JVM kernel, bit-identical to TextFunctions.fingerprint
-        graft.functions.Fast.fingerprintFast(col("text")).as("fp")
+        // codegen'd native expression (GraftExtensions), bit-identical to
+        // TextFunctions.fingerprint / Fast.fingerprintFast
+        call_function("graft_polyhash", col("text")).as("fp")
       ).orderBy("doc_id")
     }
   )

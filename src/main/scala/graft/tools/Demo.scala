@@ -70,6 +70,17 @@ object Demo {
     spark.read.parquet(s"$outDir/${proj.resultStream}")
       .groupBy("partition").max("state.count").orderBy("partition").show(false)
 
+    // 4. stream lifecycle: soft delete truncates, tombstone is final
+    Appender.delete(spark, logDir, "account-2")
+    println(s"after soft-deleting account-2, visible events: " +
+      Appender.visible(Appender.readLog(spark, logDir))
+        .groupBy("stream").count().collect().mkString(", "))
+    Appender.tombstone(spark, logDir, "account-1")
+    val tomb =
+      try { Appender.append(spark, logDir, "account-1", evs("x", 1)); "NO-ERROR?!" }
+      catch { case e: StreamDeleted => s"rejected: ${e.getMessage}" }
+    println(s"append to tombstoned stream: $tomb")
+
     spark.stop()
   }
 }

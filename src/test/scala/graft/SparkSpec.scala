@@ -20,6 +20,7 @@ object SparkSpec {
       .config("spark.ui.enabled", "false")
       // fixture ts is timestamp[ns] (see .claude/skills/verify/SKILL.md)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -23,9 +23,17 @@ class FastEquivalenceSpec extends SparkSpec {
     val df = samples.toDF("text")
     val got = df.select(
       TextFunctions.fingerprint(col("text")).as("colv"),
-      Fast.fingerprintFast(col("text")).as("jvm")
+      Fast.fingerprintFast(col("text")).as("jvm"),
+      call_function("graft_polyhash", col("text")).as("native")
     ).collect()
-    got.foreach(r => assert(r.getLong(0) == r.getLong(1), s"mismatch on ${r}"))
+    got.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), s"mismatch on ${r}")
+      assert(r.getLong(0) == r.getLong(2), s"native expr mismatch on ${r}")
+    }
+    // the native expression must also work from SQL text and stay codegen'd
+    df.createOrReplaceTempView("fp_docs")
+    val sqlRes = spark.sql("select graft_polyhash(text) from fp_docs").collect()
+    assert(sqlRes.map(_.getLong(0)).toSeq == got.map(_.getLong(0)).toSeq)
   }
 
   test("shingleHashes: JVM == Column incl. short docs") {
