@@ -60,9 +60,19 @@ object Dedup {
    * Jaccard(shingle sets) ≥ threshold.
    */
   def ngramJaccardPairs(docs: DataFrame, thresholdX1000: Long,
-                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                        idCol: String = "doc_id", textCol: String = "text",
+                        maxShingleDf: Option[Int] = None): DataFrame = {
     val sets = shingleSets(docs, idCol, textCol)
-    val inv = sets.select(col("id"), col("n_sh"), explode(col("sh")).as("h"))
+    val invAll = sets.select(col("id"), col("n_sh"), explode(col("sh")).as("h"))
+    // optional document-frequency cutoff: a shingle in f docs contributes
+    // f*(f-1)/2 join pairs, so boilerplate shingles dominate the join at
+    // corpus scale. Dropping them from the INDEX (not from the sets — the
+    // Jaccard arithmetic is unchanged) only loses pairs whose every shared
+    // shingle is hot; at petabyte scale this cutoff is mandatory.
+    val inv = maxShingleDf.fold(invAll) { f =>
+      val hot = invAll.groupBy("h").count().filter(col("count") > f).select(col("h").as("hot_h"))
+      invAll.join(broadcast(hot), invAll("h") === hot("hot_h"), "left_anti")
+    }
     val a = inv.select(col("id").as("a"), col("n_sh").as("na"), col("h"))
     val b = inv.select(col("id").as("b"), col("n_sh").as("nb"), col("h"))
     a.join(b, a("h") === b("h") && a("a") < b("b"))

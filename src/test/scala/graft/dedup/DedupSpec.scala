@@ -1,0 +1,38 @@
+package graft.dedup
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+
+  test("ngram jaccard DF cutoff: hot boilerplate pruned from index, near-dups kept") {
+    import spark.implicits._
+    val boiler = "this document is provided as is without warranty"
+    // 20 docs sharing only the boilerplate + 2 true near-dups
+    val docs = ((0L until 20L).map(i => (i, s"$boiler unique$i alpha$i beta$i gamma$i delta$i")) ++ Seq(
+      (100L, "rare tokens shared alpha beta gamma delta epsilon zeta eta theta"),
+      (101L, "rare tokens shared alpha beta gamma delta epsilon zeta eta iota")
+    )).toDF("doc_id", "text")
+
+    val noCutoff = Dedup.ngramJaccardPairs(docs, 300).collect()
+    val cutoff = Dedup.ngramJaccardPairs(docs, 300, maxShingleDf = Some(5)).collect()
+    // the true near-dup pair survives the cutoff with identical jaccard
+    assert(cutoff.exists(r => r.getLong(0) == 100L && r.getLong(1) == 101L))
+    val j0 = noCutoff.find(r => r.getLong(0) == 100L).map(_.getLong(2))
+    val j1 = cutoff.find(r => r.getLong(0) == 100L).map(_.getLong(2))
+    assert(j0 == j1, "cutoff must not change the Jaccard value, only candidate generation")
+    // boilerplate-only pairs exceed DF 5 and disappear from candidates
+    assert(!cutoff.exists(r => r.getLong(0) < 20L && r.getLong(1) < 20L))
+  }
+
+  test("simhash of identical docs is identical; hamming of disjoint docs > 0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),
+      (3L, "completely different words entirely unrelated content here")
+    ).toDF("doc_id", "text")
+    val sh = Dedup.simhashes(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L))
+    assert(java.lang.Long.bitCount(sh(1L) ^ sh(3L)) > 0)
+  }
+}
