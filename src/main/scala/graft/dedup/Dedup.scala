@@ -63,25 +63,41 @@ object Dedup {
                         idCol: String = "doc_id", textCol: String = "text",
                         maxShingleDf: Option[Int] = None): DataFrame = {
     val sets = shingleSets(docs, idCol, textCol)
-    val invAll = sets.select(col("id"), col("n_sh"), explode(col("sh")).as("h"))
-    // optional document-frequency cutoff: a shingle in f docs contributes
-    // f*(f-1)/2 join pairs, so boilerplate shingles dominate the join at
-    // corpus scale. Dropping them from the INDEX (not from the sets — the
-    // Jaccard arithmetic is unchanged) only loses pairs whose every shared
-    // shingle is hot; at petabyte scale this cutoff is mandatory.
-    val inv = maxShingleDf.fold(invAll) { f =>
-      val hot = invAll.groupBy("h").count().filter(col("count") > f).select(col("h").as("hot_h"))
-      invAll.join(broadcast(hot), invAll("h") === hot("hot_h"), "left_anti")
+    val inv = sets.select(col("id"), col("n_sh"), explode(col("sh")).as("h"))
+    maxShingleDf match {
+      case None =>
+        // full index: the join-match count per pair IS the intersection size
+        val a = inv.select(col("id").as("a"), col("n_sh").as("na"), col("h"))
+        val b = inv.select(col("id").as("b"), col("n_sh").as("nb"), col("h"))
+        a.join(b, a("h") === b("h") && a("a") < b("b"))
+          .groupBy(col("a"), col("b"))
+          .agg(first(col("na")).as("na"), first(col("nb")).as("nb"), count(lit(1)).as("c"))
+          .withColumn("jaccard_x1000",
+            floor(lit(1000.0) * col("c") / (col("na") + col("nb") - col("c"))).cast("long"))
+          .filter(col("jaccard_x1000") >= thresholdX1000)
+          .select(col("a"), col("b"), col("jaccard_x1000"))
+      case Some(f) =>
+        // document-frequency cutoff: a shingle in f docs contributes
+        // f*(f-1)/2 join pairs, so boilerplate shingles dominate the join
+        // at corpus scale. They are pruned from CANDIDATE GENERATION only;
+        // surviving candidates are verified against the FULL shingle sets,
+        // so reported Jaccard values are exact. Lost: pairs whose every
+        // shared shingle is hot (stated contract). Mandatory at PB scale.
+        val hot = inv.groupBy("h").count().filter(col("count") > f).select(col("h").as("hot_h"))
+        val pruned = inv.join(broadcast(hot), inv("h") === hot("hot_h"), "left_anti")
+        val a = pruned.select(col("id").as("a"), col("h"))
+        val b = pruned.select(col("id").as("b"), col("h"))
+        val cands = a.join(b, a("h") === b("h") && a("a") < b("b"))
+          .select(col("a"), col("b")).dropDuplicates("a", "b")
+        cands
+          .join(sets.select(col("id").as("a"), col("sh").as("sha"), col("n_sh").as("na")), "a")
+          .join(sets.select(col("id").as("b"), col("sh").as("shb"), col("n_sh").as("nb")), "b")
+          .withColumn("c", size(array_intersect(col("sha"), col("shb"))))
+          .withColumn("jaccard_x1000",
+            floor(lit(1000.0) * col("c") / (col("na") + col("nb") - col("c"))).cast("long"))
+          .filter(col("jaccard_x1000") >= thresholdX1000)
+          .select(col("a"), col("b"), col("jaccard_x1000"))
     }
-    val a = inv.select(col("id").as("a"), col("n_sh").as("na"), col("h"))
-    val b = inv.select(col("id").as("b"), col("n_sh").as("nb"), col("h"))
-    a.join(b, a("h") === b("h") && a("a") < b("b"))
-      .groupBy(col("a"), col("b"))
-      .agg(first(col("na")).as("na"), first(col("nb")).as("nb"), count(lit(1)).as("c"))
-      .withColumn("jaccard_x1000",
-        floor(lit(1000.0) * col("c") / (col("na") + col("nb") - col("c"))).cast("long"))
-      .filter(col("jaccard_x1000") >= thresholdX1000)
-      .select(col("a"), col("b"), col("jaccard_x1000"))
   }
 
   /**

@@ -26,6 +26,12 @@ object DedupQueries {
     "dedup_minhash_lsh" -> { (s: SparkSession, dir: String) =>
       Dedup.minhashLshPairs(docs(s, dir), thresholdX1000 = 300).orderBy("a", "b")
     },
+    // the petabyte-scale variant: hot shingles (df > 5) pruned from the
+    // candidate index; Jaccard arithmetic unchanged
+    "dedup_ngram_jaccard_dfcut" -> { (s: SparkSession, dir: String) =>
+      Dedup.ngramJaccardPairs(docs(s, dir), thresholdX1000 = 300, maxShingleDf = Some(5))
+        .orderBy("a", "b")
+    },
     "dedup_simhash" -> { (s: SparkSession, dir: String) =>
       Dedup.simhashPairs(docs(s, dir), maxHamming = 1).orderBy("a", "b")
     }
@@ -77,6 +83,25 @@ object DedupQueries {
          |    CAST(floor(1000.0 * count(*) / (any_value(l.n) + any_value(r.n) - count(*))) AS BIGINT) AS jaccard_x1000
          |  FROM inv l JOIN inv r ON l.h = r.h AND l.doc_id < r.doc_id
          |  GROUP BY 1, 2
+         |) WHERE jaccard_x1000 >= 300 ORDER BY a, b""".stripMargin,
+    "dedup_ngram_jaccard_dfcut" ->
+      s"""$SH, inv0 AS (
+         |  SELECT doc_id, len(sh) AS n, unnest(sh) AS h FROM shs WHERE len(sh) > 0
+         |), hot AS (
+         |  SELECT h FROM inv0 GROUP BY h HAVING count(*) > 5
+         |), inv AS (
+         |  SELECT * FROM inv0 WHERE h NOT IN (SELECT h FROM hot)
+         |), cand AS (
+         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |  FROM inv l JOIN inv r ON l.h = r.h AND l.doc_id < r.doc_id
+         |)
+         |SELECT a, b, jaccard_x1000 FROM (
+         |  SELECT c.a, c.b,
+         |    CAST(floor(1000.0 * len(list_intersect(x.sh, y.sh))
+         |         / (x.n + y.n - len(list_intersect(x.sh, y.sh)))) AS BIGINT) AS jaccard_x1000
+         |  FROM cand c
+         |  JOIN (SELECT doc_id, sh, len(sh) AS n FROM shs) x ON c.a = x.doc_id
+         |  JOIN (SELECT doc_id, sh, len(sh) AS n FROM shs) y ON c.b = y.doc_id
          |) WHERE jaccard_x1000 >= 300 ORDER BY a, b""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""$SH, sig AS (

@@ -38,6 +38,13 @@ object SimQueries {
     },
     "sim_lsh_pairs" -> { (s: SparkSession, dir: String) =>
       x1e6(Similarity.lshPairs(emb(s, dir), 0.4, DIM)).orderBy("a", "b")
+    },
+    // IVF scale path (k-means routing; not SQL-expressible -> rows-only
+    // check here; exactness vs brute force pinned by IvfSpec)
+    "sim_topk_ivf" -> { (s: SparkSession, dir: String) =>
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+      x1e6(graft.sim.Ivf.build(e, nlist = 16).topK(q, K, nprobe = 4))
     }
   )
 
