@@ -16,7 +16,9 @@ object Profile {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val fn = graft.SparkEntry.queries(name)
+    val fn: (SparkSession, String) => org.apache.spark.sql.DataFrame =
+      if (name == "entry") (s, _) => graft.SparkEntry.entry(s)
+      else graft.SparkEntry.queries(name)
     if (args.contains("explain")) fn(spark, sfDir).explain("formatted")
     for (i <- 1 to 2) {
       val t0 = System.nanoTime()
