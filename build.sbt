@@ -26,5 +26,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] at sf0.1 needs real heap: 32 task threads × (parquet scan
+  // buffers + shuffle + localCheckpointed signature tables + codegen
+  // cache) thrash an 8g heap into GC storms (round-1 bench showed 10-30x
+  // inflation on scan-shaped queries). The container has 128 GiB.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  "-XX:+UseG1GC",
 )
+// Forked `run` output goes straight to stdout (no `[info] ` log prefix):
+// the Bench JSON line must be machine-parseable from stdout.
+run / outputStrategy := Some(StdoutOutput)

@@ -13,7 +13,8 @@ final case class ProposedEvent(
     uuid: String,
     eventType: String,
     data: String,
-    metadata: Map[String, String] = Map.empty
+    metadata: Map[String, String] = Map.empty,
+    customMetadata: Option[String] = None // opaque caller payload (ref backend.go:43)
 )
 
 /** Result of an append: committed revision range + global positions
@@ -75,6 +76,21 @@ object Appender {
   private def validate(events: Seq[ProposedEvent]): Unit =
     for (e <- events; k <- requiredMeta if !e.metadata.contains(k)) throw MissingMetadata(k)
 
+  /** Duplicate (stream, uuid) detection — the reference's PK on
+    * (stream, uuid) surfaces `ErrConflict` on a replayed append
+    * (`backend/backend.go:48,316-329`). One filtered lookup against the
+    * log per append call; at scale this comes from the single writer's
+    * own key state (bloom/watermark), not a log scan. */
+  private def checkConflicts(log: DataFrame, stream: String, events: Seq[ProposedEvent]): Unit = {
+    val dupInBatch = events.groupBy(_.uuid).collectFirst { case (u, es) if es.size > 1 => u }
+    dupInBatch.foreach(u => throw EventConflict(stream, u))
+    val uuids = events.map(_.uuid)
+    val existing = log
+      .filter(col("stream") === stream && col("uuid").isin(uuids: _*))
+      .select("uuid").limit(1).collect()
+    if (existing.nonEmpty) throw EventConflict(stream, existing(0).getString(0))
+  }
+
   /**
    * Append a batch of proposed events to `stream` in the parquet log at
    * `logDir`, enforcing the expected-revision precondition. `nowNanos`
@@ -96,14 +112,18 @@ object Appender {
     if (isTombstoned(log, stream)) throw StreamDeleted(stream)
     val (currentRev, maxPos) = currentState(log, stream)
     checkRevision(stream, currentRev, expected)
+    // after the precondition, like the reference (revision check in
+    // streams.go, PK conflict at insert time)
+    checkConflicts(log, stream, events)
 
     val created = (nowNanos / 100L).toString // 100-ns ticks, streams.go:151
     import spark.implicits._
     val rows = events.zipWithIndex.map { case (e, i) =>
       (stream, e.uuid, e.eventType, e.data,
-        e.metadata + ("created" -> created),
+        e.metadata + ("created" -> created), e.customMetadata,
         currentRev + 1L + i, maxPos + 1L + i)
-    }.toDF("stream", "uuid", "event_type", "data", "metadata", "revision", "position")
+    }.toDF("stream", "uuid", "event_type", "data", "metadata", "custom_metadata",
+      "revision", "position")
     rows.write.mode("append").parquet(logDir)
     AppendResult(currentRev + 1L, currentRev + events.size,
       maxPos + 1L, maxPos + events.size)
@@ -151,6 +171,11 @@ object Appender {
                   nowNanos: Long = System.nanoTime()): Seq[(String, AppendResult)] = {
     require(batches.nonEmpty, "empty batch")
     batches.foreach { case (_, events, _) => validate(events) }
+    // (stream, uuid) must be unique across the whole call, like one tx
+    batches.flatMap { case (s, es, _) => es.map(e => (s, e.uuid)) }
+      .groupBy(identity).collectFirst { case ((s, u), xs) if xs.size > 1 =>
+        throw EventConflict(s, u)
+      }
     val log = readLog(spark, logDir)
     var maxPos = {
       val r = log.agg(max(col("position"))).head()
@@ -159,20 +184,24 @@ object Appender {
     val created = (nowNanos / 100L).toString
     import spark.implicits._
     val results = Seq.newBuilder[(String, AppendResult)]
-    val rows = Seq.newBuilder[(String, String, String, String, Map[String, String], Long, Long)]
+    val rows =
+      Seq.newBuilder[(String, String, String, String, Map[String, String], Option[String], Long, Long)]
     batches.foreach { case (stream, events, expected) =>
       if (isTombstoned(log, stream)) throw StreamDeleted(stream)
       val (currentRev, _) = currentState(log, stream)
       checkRevision(stream, currentRev, expected)
+      checkConflicts(log, stream, events)
       events.zipWithIndex.foreach { case (e, i) =>
         rows += ((stream, e.uuid, e.eventType, e.data,
-          e.metadata + ("created" -> created), currentRev + 1L + i, maxPos + 1L + i))
+          e.metadata + ("created" -> created), e.customMetadata,
+          currentRev + 1L + i, maxPos + 1L + i))
       }
       results += stream -> AppendResult(currentRev + 1L, currentRev + events.size,
         maxPos + 1L, maxPos + events.size)
       maxPos += events.size
     }
-    rows.result().toDF("stream", "uuid", "event_type", "data", "metadata", "revision", "position")
+    rows.result().toDF("stream", "uuid", "event_type", "data", "metadata", "custom_metadata",
+      "revision", "position")
       .write.mode("append").parquet(logDir)
     results.result()
   }

@@ -46,8 +46,11 @@ object Dedup {
     * below uses it on both join sides — at scale this is the "materialize
     * signatures once, then join" two-phase design. (localCheckpoint rather
     * than cache: the giant lambda expression trees would otherwise make
-    * every subsequent plan's CacheManager canonicalization lookup slow.) */
-  private def shingleSets(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    * every subsequent plan's CacheManager canonicalization lookup slow.)
+    * Callers running several dedup ops over one corpus should compute this
+    * ONCE and pass it to the `FromSets` variants below — recomputing the
+    * signature pass per operator is the round-1 bench mistake. */
+  def shingleSets(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs
       .select(col(idCol).as("id"), graft.functions.Fast.shingleHashesFast(col(textCol)).as("sh"))
       .withColumn("n_sh", size(col("sh")))
@@ -61,8 +64,12 @@ object Dedup {
    */
   def ngramJaccardPairs(docs: DataFrame, thresholdX1000: Long,
                         idCol: String = "doc_id", textCol: String = "text",
-                        maxShingleDf: Option[Int] = None): DataFrame = {
-    val sets = shingleSets(docs, idCol, textCol)
+                        maxShingleDf: Option[Int] = None): DataFrame =
+    ngramJaccardPairsFromSets(shingleSets(docs, idCol, textCol), thresholdX1000, maxShingleDf)
+
+  /** Same, over a precomputed [[shingleSets]] table (share it across ops). */
+  def ngramJaccardPairsFromSets(sets: DataFrame, thresholdX1000: Long,
+                                maxShingleDf: Option[Int] = None): DataFrame = {
     val inv = sets.select(col("id"), col("n_sh"), explode(col("sh")).as("h"))
     maxShingleDf match {
       case None =>
@@ -107,8 +114,11 @@ object Dedup {
    * Returns (a, b, jaccard_x1000).
    */
   def minhashLshPairs(docs: DataFrame, thresholdX1000: Long,
-                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sets = shingleSets(docs, idCol, textCol)
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    minhashLshPairsFromSets(shingleSets(docs, idCol, textCol), thresholdX1000)
+
+  /** Same, over a precomputed [[shingleSets]] table (share it across ops). */
+  def minhashLshPairsFromSets(sets: DataFrame, thresholdX1000: Long): DataFrame = {
     // materialize signatures ONCE: the banding join must see plain long
     // key columns, not live expressions — struct/expression keys degrade
     // the self-join to a nested-loop with per-pair recomputation of the
@@ -158,11 +168,19 @@ object Dedup {
    * even if its hamming distance is within the bound.
    */
   def simhashPairs(docs: DataFrame, maxHamming: Int,
-                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = simhashes(docs, idCol, textCol)
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    simhashPairsFromSigs(simhashSigs(docs, idCol, textCol), maxHamming)
+
+  /** Materialized simhash signature table (id, simhash, lo, hi) — compute
+    * once per corpus, reuse across pair queries. */
+  def simhashSigs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    simhashes(docs, idCol, textCol)
       .withColumn("lo", col("simhash").bitwiseAND(lit(255L)))
       .withColumn("hi", shiftright(col("simhash"), 8).bitwiseAND(lit(255L)))
       .localCheckpoint() // one signature pass, lineage truncated; both join sides reuse it
+
+  /** Same pair generation, over a precomputed [[simhashSigs]] table. */
+  def simhashPairsFromSigs(sh: DataFrame, maxHamming: Int): DataFrame = {
     val banded = sh.select(col("id"), col("simhash"),
       posexplode(array(col("lo"), col("hi"))).as(Seq("band", "bk")))
     val l = banded.select(col("id").as("a"), col("simhash").as("sa"), col("band"), col("bk"))

@@ -22,6 +22,7 @@ final case class Event(
     eventType: String,
     data: String, // JSON payload (schema-on-read), ref model.go:47-58
     metadata: Map[String, String],
+    customMetadata: Option[String], // opaque caller payload (ref backend.go:43)
     revision: Long, // 0-based, dense per stream   (ref streams.go:150)
     position: Long // 1-based, dense global order (ref backend.go:46)
 )
@@ -90,6 +91,12 @@ final case class WrongExpectedRevision(stream: String, expected: ExpectedRevisio
     )
 final case class MissingMetadata(key: String)
     extends RuntimeException(s"missing required metadata key: $key")
+
+/** Duplicate (stream, uuid) append — the reference's PK violation surfaced
+  * as `ErrConflict` (`backend/backend.go:48,316-329`): a replayed append
+  * must fail, not silently double-write. */
+final case class EventConflict(stream: String, uuid: String)
+    extends RuntimeException(s"event '$uuid' already exists in stream '$stream'")
 
 /** Append to a hard-deleted (tombstoned) stream (EventStoreDB
   * `StreamDeleted`; the reference declares Delete/Tombstone but stubs

@@ -1,7 +1,5 @@
 package graft.multimodal
 
-import java.nio.charset.StandardCharsets
-
 import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -82,9 +80,12 @@ object Multimodal {
     }
 
   /** Sample every `stride`-th frame of video assets (map-side explode).
-    * Frame bytes are a deterministic slice of the payload (STUB). */
+    * Frame bytes are a deterministic slice of the payload (STUB). The kind
+    * filter is a Column predicate (not a typed lambda) so Catalyst pushes
+    * it below the deserializer and into the scan — non-video assets are
+    * dropped before any object allocation. */
   def sampleFrames(assets: Dataset[Asset], stride: Int): Dataset[Frame] =
-    assets.filter(_.kind == "video").flatMap { a =>
+    assets.filter(col("kind") === "video").flatMap { a =>
       val d = decodeStub(a)
       (0 until d.n_frames by stride).map { i =>
         val from = math.min(i * 8, a.bytes.length)
@@ -116,16 +117,20 @@ object Multimodal {
     * media, so the corpus is synthesized deterministically. */
   def documentsAsAssets(spark: SparkSession, dir: String): Dataset[Asset] = {
     import spark.implicits._
+    // pure Column algebra (no typed map): the kind column is an expression
+    // over doc_id, so downstream Column predicates (e.g. sampleFrames'
+    // kind = 'video') collapse into the scan instead of being blocked
+    // behind a deserializer
     spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"), col("text"), col("source"))
-      .as[(Long, String, String)]
-      .map { case (id, text, source) =>
-        val kind = (id % 3) match {
-          case 0 => "image"
-          case 1 => "audio"
-          case _ => "video"
-        }
-        Asset(id, kind, text.getBytes(StandardCharsets.UTF_8), Map("source" -> source))
-      }
+      .select(
+        col("doc_id").as("asset_id"),
+        element_at(
+          array(lit("image"), lit("audio"), lit("video")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")
+        ).as("kind"),
+        encode(col("text"), "UTF-8").as("bytes"), // == String.getBytes(UTF_8)
+        map(lit("source"), col("source")).as("meta")
+      )
+      .as[Asset]
   }
 }

@@ -13,27 +13,28 @@ import graft.dedup.{Dedup, Hashing}
  */
 object DedupQueries {
 
-  private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
-
+  // the shingle-set / simhash signature passes are shared across the pair
+  // queries via Tables' per-(session, dir) memo — computed once per corpus
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> { (s: SparkSession, dir: String) =>
-      Dedup.exact(docs(s, dir)).orderBy("content_md5")
+      Dedup.exact(Tables.docs(s, dir)).orderBy("content_md5")
     },
     "dedup_ngram_jaccard" -> { (s: SparkSession, dir: String) =>
-      Dedup.ngramJaccardPairs(docs(s, dir), thresholdX1000 = 300).orderBy("a", "b")
+      Dedup.ngramJaccardPairsFromSets(Tables.shingleSets(s, dir), thresholdX1000 = 300)
+        .orderBy("a", "b")
     },
     "dedup_minhash_lsh" -> { (s: SparkSession, dir: String) =>
-      Dedup.minhashLshPairs(docs(s, dir), thresholdX1000 = 300).orderBy("a", "b")
+      Dedup.minhashLshPairsFromSets(Tables.shingleSets(s, dir), thresholdX1000 = 300)
+        .orderBy("a", "b")
     },
     // the petabyte-scale variant: hot shingles (df > 5) pruned from the
     // candidate index; Jaccard arithmetic unchanged
     "dedup_ngram_jaccard_dfcut" -> { (s: SparkSession, dir: String) =>
-      Dedup.ngramJaccardPairs(docs(s, dir), thresholdX1000 = 300, maxShingleDf = Some(5))
-        .orderBy("a", "b")
+      Dedup.ngramJaccardPairsFromSets(Tables.shingleSets(s, dir), thresholdX1000 = 300,
+        maxShingleDf = Some(5)).orderBy("a", "b")
     },
     "dedup_simhash" -> { (s: SparkSession, dir: String) =>
-      Dedup.simhashPairs(docs(s, dir), maxHamming = 1).orderBy("a", "b")
+      Dedup.simhashPairsFromSigs(Tables.simhashSigs(s, dir), maxHamming = 1).orderBy("a", "b")
     }
   )
 

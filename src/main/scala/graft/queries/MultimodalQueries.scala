@@ -22,10 +22,15 @@ object MultimodalQueries {
       Multimodal.sampleFrames(Multimodal.documentsAsAssets(s, dir), stride = 2)
         .toDF().select(col("asset_id"), col("frame_idx")).orderBy("asset_id", "frame_idx")
     },
-    // no SQL oracle (feature extraction is the model stub): rows-only check
+    // no SQL oracle (feature extraction is the model stub): rows-only
+    // check — emitted as per-dim integer columns (features[i]*1000 is an
+    // exact integer by construction) so the driver's sort-and-compare can
+    // handle the rows (a raw array<float> column is unsortable there)
     "mm_features" -> { (s: SparkSession, dir: String) =>
-      Multimodal.extractFeatures(Multimodal.documentsAsAssets(s, dir))
-        .toDF().select(col("asset_id"), col("features")).orderBy("asset_id")
+      val feats = Multimodal.extractFeatures(Multimodal.documentsAsAssets(s, dir)).toDF()
+      val dims = (0 until 8).map(i =>
+        round(element_at(col("features"), i + 1) * 1000).cast("int").as(s"f$i"))
+      feats.select((col("asset_id") +: dims): _*).orderBy("asset_id")
     }
   )
 

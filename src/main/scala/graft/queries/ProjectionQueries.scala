@@ -83,6 +83,30 @@ object ProjectionQueries {
           Map("$any" -> ((st: CountState, _: ProjEvent) => st.copy(count = st.count + 1))))
         .build
       flat(ProjectionBatch.finalStates(p, Fixture.events(s, dir)))
+    },
+    // S7 + §2.10: the stored-projection lifecycle — a JSON descriptor is
+    // saved to the Catalog, fetched back, compiled by ProjectionScript and
+    // executed distributed (the reference's create→store→run round-trip,
+    // projections/service.go:20-28 + projection.go:363-373)
+    "proj_catalog_roundtrip" -> { (s: SparkSession, dir: String) =>
+      import s.implicits._
+      val catalogDir = java.nio.file.Files.createTempDirectory("graft-catalog").toString
+      val script =
+        """{"name":"catalog-rt","from":["$all"],"partitionBy":"stream",
+          |"state":["clicks","others"],
+          |"when":{"click":[{"op":"inc","field":"clicks"}],
+          |        "$any":[{"op":"inc","field":"others"}]},
+          |"outputState":true}""".stripMargin
+      Catalog.save(s, catalogDir, "catalog-rt", ProjectionScript.validated(script))
+      val stored = Catalog.get(s, catalogDir, "catalog-rt")
+        .getOrElse(sys.error("catalog round-trip: projection not found"))
+      val p = ProjectionScript.compile(stored)
+      ProjectionBatch.finalStates(p, Fixture.events(s, dir))
+        .toDF("partition", "state")
+        .select(col("partition"),
+          element_at(col("state"), "clicks").as("clicks"),
+          element_at(col("state"), "others").as("others"))
+        .orderBy("partition")
     }
   )
 
@@ -105,6 +129,13 @@ object ProjectionQueries {
          |GROUP BY stream HAVING count(*) > 60 ORDER BY stream""".stripMargin,
     "proj_from_streams_global" ->
       s"""$EV SELECT '' AS partition, count(*) AS count FROM ev
-         |WHERE stream IN ('user-3', 'user-7')""".stripMargin
+         |WHERE stream IN ('user-3', 'user-7')""".stripMargin,
+    // specific handler WINS over $any (dispatch precedence), so 'others'
+    // counts only non-click events
+    "proj_catalog_roundtrip" ->
+      s"""$EV SELECT stream AS partition,
+         |  count(*) FILTER (WHERE event_type = 'click') AS clicks,
+         |  count(*) FILTER (WHERE event_type != 'click') AS others
+         |FROM ev GROUP BY stream ORDER BY stream""".stripMargin
   )
 }

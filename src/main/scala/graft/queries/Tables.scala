@@ -1,0 +1,46 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.dedup.Dedup
+import graft.sim.Similarity
+
+/**
+ * Per-(session, sf-dir) memoized corpus materializations shared by the
+ * query packs — the same pattern as [[graft.log.Fixture.events]].
+ *
+ * Why: a verify/bench batch runs every operator over ONE corpus. The
+ * expensive signature passes (shingle sets, minhash input, simhash,
+ * embedding norms) are inputs to several operators each; recomputing and
+ * re-localCheckpointing them per query both multiplies work and — the
+ * round-1 bench lesson — accumulates dead checkpoint RDDs across 30+
+ * queries until the heap thrashes. In a real deployment these are stored
+ * columns written by the ingest pipeline (compute once, amortized); the
+ * memo is the in-session equivalent.
+ */
+object Tables {
+
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
+  private def memo(s: SparkSession, dir: String, key: String)(mk: => DataFrame): DataFrame =
+    cache.getOrElseUpdate((s, dir, key), mk)
+
+  def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Materialized shingle-hash sets of `documents` (see [[Dedup.shingleSets]]). */
+  def shingleSets(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "shingleSets")(Dedup.shingleSets(docs(s, dir)))
+
+  /** Materialized simhash signatures of `documents`. */
+  def simhashSigs(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "simhashSigs")(Dedup.simhashSigs(docs(s, dir)))
+
+  /** Materialized normed embedding corpus (see [[Similarity.normed]]). */
+  def normedEmb(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "normedEmb")(Similarity.normed(emb(s, dir)))
+}

@@ -69,8 +69,10 @@ object Similarity {
 
   /** Corpus with the norm precomputed ONCE and cached — at 100 TB norms
     * are stored with the vectors; this is the in-session equivalent. All
-    * downstream cosines are then a single dot per comparison. */
-  private def normed(corpus: DataFrame, idCol: String, vecCol: String): DataFrame =
+    * downstream cosines are then a single dot per comparison. Callers
+    * running several similarity ops over one corpus should compute this
+    * once and pass it to the `FromNormed` variants below. */
+  def normed(corpus: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", graft.functions.Fast.normFast(col("v")))
       .localCheckpoint() // materialize once, truncate the lambda lineage
@@ -81,8 +83,12 @@ object Similarity {
    * Plan shape: scan + broadcast nested loop + TakeOrderedAndProject.
    */
   def topKBruteForce(corpus: DataFrame, query: DataFrame, k: Int,
-                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = normed(corpus, idCol, vecCol)
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    topKBruteForceFromNormed(normed(corpus, idCol, vecCol), query, k, idCol, vecCol)
+
+  /** Same, over a precomputed [[normed]] corpus (share it across ops). */
+  def topKBruteForceFromNormed(c: DataFrame, query: DataFrame, k: Int,
+                               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = broadcast(query.select(col(vecCol).as("q")).withColumn("qn", graft.functions.Fast.normFast(col("q"))))
     c.join(q)
       .select(col("id").as(idCol), (graft.functions.Fast.dotFast(col("v"), col("q")) / (col("nrm") * col("qn"))).as("cos"))
@@ -93,8 +99,13 @@ object Similarity {
   /** Same, restricted to LSH candidates (≥1 shared table bucket with the
     * query) — the approximate/scale variant. */
   def topKLsh(corpus: DataFrame, query: DataFrame, k: Int, dim: Int,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = normed(corpus, idCol, vecCol).withColumn("cb", graft.functions.Fast.bucketsFast(col("v")))
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    topKLshFromNormed(normed(corpus, idCol, vecCol), query, k, dim, idCol, vecCol)
+
+  /** Same, over a precomputed [[normed]] corpus. */
+  def topKLshFromNormed(nc: DataFrame, query: DataFrame, k: Int, dim: Int,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = nc.withColumn("cb", graft.functions.Fast.bucketsFast(col("v")))
     val q = broadcast(query.select(col(vecCol).as("q"))
       .withColumn("qn", graft.functions.Fast.normFast(col("q")))
       .withColumn("qb", graft.functions.Fast.bucketsFast(col("q"))))
@@ -140,8 +151,11 @@ object Similarity {
     * candidate via join-back to the cached normed vectors. Pairs colliding
     * in no table are not reported (stated recall contract). */
   def lshPairs(corpus: DataFrame, threshold: Double, dim: Int,
-               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = normed(corpus, idCol, vecCol)
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    lshPairsFromNormed(normed(corpus, idCol, vecCol), threshold, dim)
+
+  /** Same, over a precomputed [[normed]] corpus. */
+  def lshPairsFromNormed(c: DataFrame, threshold: Double, dim: Int): DataFrame = {
     val withBuckets = c.select(col("id"), posexplode(graft.functions.Fast.bucketsFast(col("v"))).as(Seq("t", "bk")))
     val l = withBuckets.select(col("id").as("a"), col("t"), col("bk"))
     val r = withBuckets.select(col("id").as("b"), col("t").as("t_r"), col("bk").as("bk_r"))

@@ -30,13 +30,16 @@ import graft.model._
  */
 object Subscriptions {
 
-  /** Canonical on-disk event-log schema for streaming sources. */
+  /** Canonical on-disk event-log schema for streaming sources
+    * (mirrors the reference storage row, `backend/backend.go:38-53`,
+    * including `custom_metadata` — opaque caller payload, nullable). */
   val eventSchema: StructType = StructType(Seq(
     StructField("stream", StringType),
     StructField("uuid", StringType),
     StructField("event_type", StringType),
     StructField("data", StringType),
     StructField("metadata", MapType(StringType, StringType)),
+    StructField("custom_metadata", StringType),
     StructField("revision", LongType),
     StructField("position", LongType)
   ))
@@ -53,7 +56,30 @@ object Subscriptions {
    */
   def subscribe(spark: SparkSession, logDir: String, opts: ReadOptions): DataFrame = {
     val src = spark.readStream.schema(eventSchema).parquet(logDir)
-    filtered(src, opts)
+    val resolved = opts.from match {
+      case FromEnd => opts.copy(from = From(endOffset(spark, logDir, opts.selector)))
+      case _       => opts
+    }
+    filtered(src, resolved)
+  }
+
+  /**
+   * Live-only start point: the first yet-unwritten offset of the log
+   * (`max + 1`), resolved with one batch aggregation at subscribe time —
+   * the reference's subscribe-from-current-end (`streams/streams.go:244-252`).
+   * Events appended after this call flow; history does not. Stream
+   * subscriptions track revision, `$all` subscriptions track position.
+   */
+  def endOffset(spark: SparkSession, logDir: String, selector: StreamSelector): Long = {
+    val log = graft.append.Appender.readLog(spark, logDir)
+    selector match {
+      case OneStream(s) =>
+        val r = log.filter(col("stream") === s).agg(max(col("revision"))).head()
+        (if (r.isNullAt(0)) -1L else r.getLong(0)) + 1L
+      case AllStreams =>
+        val r = log.agg(max(col("position"))).head()
+        (if (r.isNullAt(0)) 0L else r.getLong(0)) + 1L
+    }
   }
 
   /** Apply subscription-side filters (shared with in-memory test sources). */

@@ -12,8 +12,12 @@ import graft.model._
  */
 class AppenderSpec extends SparkSpec {
 
+  private val uuidSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Proposed events with globally unique uuids (a duplicate (stream, uuid)
+    * is a conflict since the reference's PK semantics were added). */
   private def events(n: Int): Seq[ProposedEvent] =
-    (0 until n).map(i => ProposedEvent(s"u-$i", "event-type", """{"x":1}""",
+    (0 until n).map(_ => ProposedEvent(s"u-${uuidSeq.incrementAndGet()}", "event-type", """{"x":1}""",
       Map("type" -> "event-type", "content-type" -> "content-type")))
 
   private def freshLog(): String = Files.createTempDirectory("graft-append").toString
@@ -58,6 +62,40 @@ class AppenderSpec extends SparkSpec {
     Appender.append(spark, dir, "s", events(1), ExactRevision(1))
     Appender.append(spark, dir, "s", events(1), AnyRevision)
     assert(Appender.currentState(Appender.readLog(spark, dir), "s")._1 == 3L)
+  }
+
+  test("duplicate (stream, uuid) append → EventConflict (backend.go:48,316-329)") {
+    val dir = freshLog()
+    val e = ProposedEvent("fixed-uuid", "t", "{}",
+      Map("type" -> "t", "content-type" -> "ct"))
+    Appender.append(spark, dir, "s", Seq(e))
+    // replayed append: conflict, no double-write
+    val c = intercept[EventConflict](Appender.append(spark, dir, "s", Seq(e)))
+    assert(c.stream == "s" && c.uuid == "fixed-uuid")
+    assert(Appender.readLog(spark, dir).count() == 1)
+    // same uuid within one batch: conflict
+    intercept[EventConflict](Appender.append(spark, dir, "s2", Seq(
+      e.copy(uuid = "dup"), e.copy(uuid = "dup"))))
+    // same uuid in a DIFFERENT stream: fine (PK is (stream, uuid))
+    Appender.append(spark, dir, "other", Seq(e))
+    assert(Appender.readLog(spark, dir).count() == 2)
+    // batchAppend: duplicate across the call's batches is one tx → conflict
+    intercept[EventConflict](Appender.batchAppend(spark, dir, Seq(
+      ("b1", Seq(e.copy(uuid = "x")), AnyRevision),
+      ("b1", Seq(e.copy(uuid = "x")), AnyRevision))))
+  }
+
+  test("custom_metadata is persisted and round-trips (backend.go:43)") {
+    val dir = freshLog()
+    val e = ProposedEvent("cm-1", "t", "{}",
+      Map("type" -> "t", "content-type" -> "ct"), customMetadata = Some("""{"tag":7}"""))
+    Appender.append(spark, dir, "s", Seq(e) ++ events(1))
+    import org.apache.spark.sql.functions._
+    val log = Appender.readLog(spark, dir)
+    val got = log.filter(col("uuid") === "cm-1").select("custom_metadata").head().getString(0)
+    assert(got == """{"tag":7}""")
+    // absent → null
+    assert(log.filter(col("uuid") =!= "cm-1").select("custom_metadata").head().isNullAt(0))
   }
 
   test("metadata validation: type and content-type required (streams.go:191-203)") {

@@ -33,6 +33,21 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("sampleFrames kind filter is a Column predicate below the deserializer (100 TB path)") {
+    // over the parquet-backed asset adapter the kind filter must not be a
+    // typed lambda (TypedFilter), which would force deserializing every
+    // asset (binary payload included) before dropping non-videos
+    val ds = Multimodal.sampleFrames(
+      Multimodal.documentsAsAssets(spark, "/root/testdata/sf0.001"), stride = 2)
+    val optimized = ds.queryExecution.optimizedPlan.toString()
+    assert(!optimized.contains("TypedFilter"), optimized)
+    // the filter collapses into the scan-side projection: the plan's
+    // Filter sits on the relation, not above a DeserializeToObject
+    val idxFilter = optimized.indexOf("Filter ")
+    val idxDeser = optimized.indexOf("DeserializeToObject")
+    assert(idxFilter >= 0 && (idxDeser == -1 || idxFilter > idxDeser), optimized)
+  }
+
   test("feature extraction: fixed dim, deterministic, [0,1) range") {
     val f1 = Multimodal.extractFeatures(assets, dim = 8).collect().sortBy(_.asset_id)
     val f2 = Multimodal.extractFeatures(assets, dim = 8).collect().sortBy(_.asset_id)

@@ -8,26 +8,51 @@ class IvfSpec extends SparkSpec {
   private lazy val corpus = spark.read
     .parquet("/root/testdata/sf0.001/embeddings.parquet")
 
-  private lazy val query: Array[Float] = corpus
-    .filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+  private lazy val queryDf = corpus.filter(col("vec_id") === 0)
 
-  test("probing all cells equals brute-force top-k exactly") {
+  test("probing all cells equals brute-force top-k exactly (k-means codebook)") {
     val index = Ivf.build(corpus, nlist = 8)
-    val ivfAll = index.topK(query, k = 10, nprobe = 8)
+    val ivfAll = index.topK(queryDf, k = 10, nprobe = 8)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     val brute = Similarity
-      .topKBruteForce(corpus, corpus.filter(col("vec_id") === 0), k = 10)
+      .topKBruteForce(corpus, queryDf, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(ivfAll == brute)
+  }
+
+  test("probing all cells equals brute-force top-k exactly (sampled codebook)") {
+    val index = Ivf.buildSampled(corpus, nlist = 8)
+    val nCells = index.centroids.length
+    val ivfAll = index.topK(queryDf, k = 10, nprobe = nCells)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val brute = Similarity
+      .topKBruteForce(corpus, queryDf, k = 10)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(ivfAll == brute)
   }
 
   test("partial probe returns k results from probed cells only, ranked by cosine") {
     val index = Ivf.build(corpus, nlist = 8)
-    val got = index.topK(query, k = 10, nprobe = 2).collect()
+    val got = index.topK(queryDf, k = 10, nprobe = 2).collect()
     assert(got.length == 10)
     val cosines = got.map(_.getDouble(1)).toSeq
     assert(cosines == cosines.sorted.reverse) // descending
     // the query vector itself lives in a probed cell (its own)
     assert(got.head.getLong(0) == 0L && got.head.getDouble(1) > 0.999999)
+  }
+
+  test("sampled codebook: assignment ties route to the lowest cid, cells cover corpus") {
+    val index = Ivf.buildSampled(corpus, nlist = 8)
+    val n = corpus.count()
+    assert(index.assigned.count() == n) // every vector routed to exactly one cell
+    val cells = index.assigned.select("ivf_cell").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(cells.subsetOf(index.centroids.map(_._1).toSet))
+    // each sampled centroid vector is assigned to its own cell (distance 0)
+    val maxId = corpus.agg(max(col("vec_id"))).head().getLong(0)
+    val stride = maxId / 8 + 1
+    val own = index.assigned.filter(col("id") % lit(stride) === 0)
+      .filter(col("ivf_cell") =!= (col("id") / lit(stride)).cast("int"))
+    assert(own.count() == 0)
   }
 }

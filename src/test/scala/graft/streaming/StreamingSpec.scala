@@ -72,6 +72,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("live-only subscription from end: history skipped, new events flow (streams.go:244-252)") {
+    import spark.implicits._
+    val logDir = Files.createTempDirectory("graft-log-end").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt-end").toString
+    // history that must NOT be delivered
+    (1L to 10L).map(p => ev(s"s-${p % 2}", "t", p / 2, p)).toDF()
+      .write.mode("append").parquet(logDir)
+    // FromEnd resolves the first yet-unwritten position at subscribe time
+    assert(Subscriptions.endOffset(spark, logDir, AllStreams) == 11L)
+    val sub = Subscriptions.subscribe(spark, logDir, ReadOptions(AllStreams, from = FromEnd))
+    val q = sub.writeStream
+      .format("memory").queryName("sub_end").outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("select * from sub_end").count() == 0) // no history
+      (11L to 14L).map(p => ev(s"s-${p % 2}", "t", p / 2, p)).toDF()
+        .write.mode("append").parquet(logDir)
+      q.processAllAvailable()
+      val got = spark.sql("select position from sub_end order by position").collect().map(_.getLong(0))
+      assert(got.toSeq == (11L to 14L)) // only post-subscribe events
+    } finally q.stop()
+    // per-stream variant tracks revision: end of s-0 is max revision + 1
+    assert(Subscriptions.endOffset(spark, logDir, OneStream("s-0")) == 8L)
+    assert(Subscriptions.endOffset(spark, logDir, OneStream("missing")) == 0L)
+  }
+
   test("projection pump: state persists across micro-batches; emissions are filterBy-gated") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
