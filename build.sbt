@@ -36,3 +36,5 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // Forked `run` output goes straight to stdout (no `[info] ` log prefix):
 // the Bench JSON line must be machine-parseable from stdout.
 run / outputStrategy := Some(StdoutOutput)
+// Dev diagnosis: SPARK_GRAFT_GC_LOG=/tmp/gc.log turns on GC logging.
+javaOptions ++= sys.env.get("SPARK_GRAFT_GC_LOG").map(p => s"-Xlog:gc*:file=$p").toSeq

@@ -4,26 +4,45 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.plans.PolyHash
+import graft.plans._
 
 /**
  * Engine extensions, registered with
  * `.config("spark.sql.extensions", "graft.GraftExtensions")`:
  *
- *  - `graft_polyhash(text)`: codegen'd polynomial document hash
- *    ([[graft.plans.PolyHash]]) usable from SQL text and `call_function`.
+ *  - `graft_polyhash(text)` — polynomial document hash ([[PolyHash]]);
+ *  - `graft_shingle_hashes(text)` — distinct 3-gram shingle hashes;
+ *  - `graft_minhash(shingles)` — MinHash signature;
+ *  - `graft_simhash16(text)` — 16-bit SimHash;
+ *  - `graft_dot(a, b)` / `graft_norm(v)` — left-fold vector algebra;
+ *  - `graft_lsh_buckets(v)` — hyperplane-LSH bucket ids.
  *
- * The extension-point route (SparkSessionExtensions) keeps custom pieces
- * out of the query-building API: any SQL client of the session gets the
- * function, and Catalyst treats it like a built-in (null folding,
- * whole-stage codegen, constant folding over literals).
+ * All are codegen'd Catalyst expressions (graft.plans.Kernels) — the
+ * engine's hot kernels participate in whole-stage codegen instead of
+ * paying a UDF encoder boundary per row. The extension-point route
+ * (SparkSessionExtensions) keeps custom pieces out of the query-building
+ * API: any SQL client of the session gets the functions, and Catalyst
+ * treats them like built-ins (null folding, constant folding, codegen).
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def unary(name: String, mk: Expression => Expression) = (
+    new FunctionIdentifier(name),
+    new ExpressionInfo(classOf[GraftExtensions].getName, name),
+    (children: Seq[Expression]) => mk(children.head)
+  )
+
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(unary("graft_polyhash", PolyHash))
+    ext.injectFunction(unary("graft_shingle_hashes", ShingleHashes))
+    ext.injectFunction(unary("graft_minhash", MinhashSig))
+    ext.injectFunction(unary("graft_simhash16", Simhash16))
+    ext.injectFunction(unary("graft_norm", NormL2))
+    ext.injectFunction(unary("graft_lsh_buckets", LshBuckets))
     ext.injectFunction((
-      new FunctionIdentifier("graft_polyhash"),
-      new ExpressionInfo(classOf[PolyHash].getName, "graft_polyhash"),
-      (children: Seq[Expression]) => PolyHash(children.head)
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_dot"),
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))
     ))
   }
 }

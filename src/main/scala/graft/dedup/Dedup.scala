@@ -157,6 +157,47 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard_x1000"))
   }
 
+  /**
+   * Duplicate-cluster resolution: connected components over a near-dup
+   * pair set (the step after pair generation in a dedup pipeline — every
+   * document keeps exactly one survivor per transitive duplicate group).
+   * Input: (a, b) pairs (any of the pair generators above). Output:
+   * (id, keeper) for every id that appears in ≥1 pair, keeper = min id of
+   * its component.
+   *
+   * Algorithm: iterative min-label propagation to a fixpoint — each round
+   * is one join + one aggregation (both on the pair set, NOT the corpus),
+   * converging in O(component diameter) rounds. Near-dup components are
+   * shallow in practice (dup clusters are cliques or near-cliques from
+   * banding), so the loop is 2-4 rounds; the driver only evaluates a
+   * changed-count per round (no data collected). At extreme scale the
+   * same loop is the standard alternating-star construction; checkpoint
+   * every few rounds to truncate lineage (done here each round).
+   */
+  def duplicateClusters(pairs: DataFrame): DataFrame = {
+    // symmetric edge list + self-loops; labels start as the node id
+    val fwd = pairs.select(col("a").as("src"), col("b").as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")).localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      // each node takes the min label among itself and its neighbours
+      val next = edges
+        .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("lbl", "nlbl"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("nlbl")).as("nbr"))
+        .join(labels, "id")
+        .select(col("id"), least(col("lbl"), col("nbr")).as("lbl"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("lbl", "old"), "id")
+        .filter(col("lbl") < col("old")).count()
+      labels = next
+    }
+    labels.select(col("id"), col("lbl").as("keeper"))
+  }
+
   /** Per-doc 16-bit SimHash: (id, simhash). */
   def simhashes(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.select(col(idCol).as("id"), graft.functions.Fast.simhash16Fast(col(textCol)).as("simhash"))

@@ -153,11 +153,41 @@ object Fast {
     out
   }
 
-  // ---- Column-facing UDFs ----
-  /** UTF8String entry point for the codegen'd [[graft.plans.PolyHash]]
-    * expression (static forwarder — generated Java calls this directly). */
-  def polyHashUtf8(s: org.apache.spark.unsafe.types.UTF8String): Long =
+  // ---- Tungsten-typed static entry points for the codegen'd expressions
+  // in graft.plans (generated Java calls these directly — no boxing) ----
+
+  import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** UTF8String entry point for the codegen'd [[graft.plans.PolyHash]]. */
+  def polyHashUtf8(s: UTF8String): Long =
     strHashJvm(s.toString.trim.toLowerCase)
+
+  def shingleHashesUtf8(s: UTF8String): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(shingleHashesJvm(s.toString, 3))
+
+  def minhashArr(sh: ArrayData): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(minhashJvm(sh.toLongArray()))
+
+  def simhash16Utf8(s: UTF8String): Long = simhash16Jvm(s.toString)
+
+  def dotArr(a: ArrayData, b: ArrayData): Double =
+    dotJvm(a.toFloatArray(), b.toFloatArray())
+
+  def normArr(a: ArrayData): Double = {
+    val arr = a.toFloatArray()
+    math.sqrt(dotJvm(arr, arr))
+  }
+
+  def bucketsArr(v: ArrayData): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(bucketsJvm(v.toFloatArray()))
+
+  // ---- Column-facing API ----
+  // call_function resolves the codegen'd expressions registered by
+  // graft.GraftExtensions (every engine session registers them); the UDF
+  // tier below is kept for equivalence pinning in FastEquivalenceSpec.
+  import org.apache.spark.sql.functions.call_function
 
   val fingerprintUdf = udf((s: String) => strHashJvm(s.trim.toLowerCase))
   val shingleHashesUdf = udf((text: String) => shingleHashesJvm(text, 3))
@@ -168,11 +198,11 @@ object Fast {
   val bucketsUdf = udf((v: Seq[Float]) => bucketsJvm(v.toArray))
 
   /** Identical to [[TextFunctions.fingerprint]]. */
-  def fingerprintFast(text: Column): Column = fingerprintUdf(text)
-  def shingleHashesFast(text: Column): Column = shingleHashesUdf(text)
-  def minhashFast(sh: Column): Column = minhashUdf(sh)
-  def simhash16Fast(text: Column): Column = simhash16Udf(text)
-  def dotFast(a: Column, b: Column): Column = dotUdf(a, b)
-  def normFast(a: Column): Column = normUdf(a)
-  def bucketsFast(v: Column): Column = bucketsUdf(v)
+  def fingerprintFast(text: Column): Column = call_function("graft_polyhash", text)
+  def shingleHashesFast(text: Column): Column = call_function("graft_shingle_hashes", text)
+  def minhashFast(sh: Column): Column = call_function("graft_minhash", sh)
+  def simhash16Fast(text: Column): Column = call_function("graft_simhash16", text)
+  def dotFast(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+  def normFast(a: Column): Column = call_function("graft_norm", a)
+  def bucketsFast(v: Column): Column = call_function("graft_lsh_buckets", v)
 }

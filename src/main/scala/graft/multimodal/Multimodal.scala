@@ -16,6 +16,10 @@ final case class Frame(asset_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
 /** A fixed-width feature vector extracted from an asset. */
 final case class AssetFeatures(asset_id: Long, features: Array[Float])
 
+/** A resized asset (STUB resize — see [[Multimodal.resize]]). */
+final case class Resized(asset_id: Long, kind: String, out_w: Int, out_h: Int,
+                         n_out: Long, resized_bytes: Array[Byte])
+
 /**
  * Multimodal-column plumbing: image/audio/video as opaque `binary` columns
  * with typed metadata, processed by per-partition batch operators.
@@ -42,6 +46,7 @@ object Multimodal {
   implicit val decodedEnc: Encoder[Decoded] = Encoders.product[Decoded]
   implicit val frameEnc: Encoder[Frame] = Encoders.product[Frame]
   implicit val featEnc: Encoder[AssetFeatures] = Encoders.product[AssetFeatures]
+  implicit val resizedEnc: Encoder[Resized] = Encoders.product[Resized]
 
   /** Batch size a real vectorized decoder would process per call. */
   val decodeBatchSize = 64
@@ -91,6 +96,30 @@ object Multimodal {
         val from = math.min(i * 8, a.bytes.length)
         val until = math.min(from + 8, a.bytes.length)
         Frame(a.asset_id, i, a.bytes.slice(from, until))
+      }
+    }
+
+  /** Resize to fit within (w, h) — the STUB kernel downsamples the payload
+    * by a deterministic byte stride (a real implementation calls the image
+    * scaler here and ONLY here). Output dims clamp the decoded header to
+    * the target box; map-only, batched like [[decode]]. */
+  def resize(assets: Dataset[Asset], w: Int, h: Int): Dataset[Resized] =
+    assets.mapPartitions { it =>
+      it.grouped(decodeBatchSize).flatMap { batch =>
+        batch.iterator.map { a =>
+          val d = decodeStub(a)
+          val ow = math.min(d.width, w)
+          val oh = math.min(d.height, h)
+          val n = math.min(d.n_bytes, ow.toLong * oh * d.channels)
+          val step = math.max(1L, d.n_bytes / math.max(n, 1L))
+          val out = new Array[Byte](n.toInt)
+          var i = 0
+          while (i < out.length) {
+            out(i) = a.bytes(math.min((i * step).toInt, a.bytes.length - 1))
+            i += 1
+          }
+          Resized(a.asset_id, a.kind, ow, oh, n, out)
+        }
       }
     }
 

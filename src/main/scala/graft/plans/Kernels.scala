@@ -1,0 +1,119 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Native Catalyst expressions for the engine's hot kernels — the top tier
+ * of the extension ladder (SURVEY §7.3), one rung above the Scala UDFs in
+ * [[graft.functions.Fast]]: same bit-identical arithmetic (the DuckDB
+ * oracles and `FastEquivalenceSpec` pin it), but the generated Java calls
+ * the static kernel directly on Tungsten values (`UTF8String`,
+ * `ArrayData`) — no encoder/boxing boundary, null handling folded into the
+ * stage, and the surrounding projection stays inside whole-stage codegen.
+ *
+ * All are registered as SQL functions by [[graft.GraftExtensions]].
+ */
+/** `graft_shingle_hashes(text)` — distinct 3-gram shingle hashes. */
+case class ShingleHashes(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hashes"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_shingle_hashes expects STRING, got ${child.dataType.catalogString}")
+  override def nullSafeEval(input: Any): Any =
+    graft.functions.Fast.shingleHashesUtf8(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Fast.shingleHashesUtf8($c)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+/** `graft_minhash(shingles)` — MinHash signature of a shingle-hash array. */
+case class MinhashSig(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_minhash expects ARRAY<BIGINT>, got ${t.catalogString}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    graft.functions.Fast.minhashArr(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Fast.minhashArr($c)")
+  override protected def withNewChildInternal(newChild: Expression): MinhashSig =
+    copy(child = newChild)
+}
+
+/** `graft_simhash16(text)` — 16-bit SimHash over token hashes. */
+case class Simhash16(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash16"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_simhash16 expects STRING, got ${child.dataType.catalogString}")
+  override def nullSafeEval(input: Any): Any =
+    graft.functions.Fast.simhash16Utf8(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Fast.simhash16Utf8($c)")
+  override protected def withNewChildInternal(newChild: Expression): Simhash16 =
+    copy(child = newChild)
+}
+
+private object FloatArrayCheck {
+  def apply(name: String, t: DataType): TypeCheckResult = t match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$name expects ARRAY<FLOAT>, got ${other.catalogString}")
+  }
+}
+
+/** `graft_dot(a, b)` — left-fold dot product, float→double per element. */
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+  override def checkInputDataTypes(): TypeCheckResult =
+    Seq(left, right).map(c => FloatArrayCheck(prettyName, c.dataType))
+      .find(!_.isSuccess).getOrElse(TypeCheckResult.TypeCheckSuccess)
+  override def nullSafeEval(a: Any, b: Any): Any =
+    graft.functions.Fast.dotArr(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Fast.dotArr($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+    copy(left = l, right = r)
+}
+
+/** `graft_norm(v)` — L2 norm (sqrt of the left-fold self-dot). */
+case class NormL2(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_norm"
+  override def checkInputDataTypes(): TypeCheckResult =
+    FloatArrayCheck(prettyName, child.dataType)
+  override def nullSafeEval(input: Any): Any =
+    graft.functions.Fast.normArr(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Fast.normArr($c)")
+  override protected def withNewChildInternal(newChild: Expression): NormL2 =
+    copy(child = newChild)
+}
+
+/** `graft_lsh_buckets(v)` — all hyperplane-LSH table bucket ids. */
+case class LshBuckets(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_lsh_buckets"
+  override def checkInputDataTypes(): TypeCheckResult =
+    FloatArrayCheck(prettyName, child.dataType)
+  override def nullSafeEval(input: Any): Any =
+    graft.functions.Fast.bucketsArr(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Fast.bucketsArr($c)")
+  override protected def withNewChildInternal(newChild: Expression): LshBuckets =
+    copy(child = newChild)
+}

@@ -1,0 +1,158 @@
+package graft.proj
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Projection service — the verbs of the reference's (never-registered)
+ * Projections wire surface (`/root/reference/transport/grpc/projections
+ * .proto:8-19`: Create/Update/Delete/Disable/Enable/Reset/State/Result/
+ * Statistics, SURVEY §2.9), implemented over the [[Catalog]] descriptor
+ * store + [[ProjectionScript]] compiler + [[ProjectionBatch]] executor.
+ * Note the reference's `UpdateProjection` is a no-op stub
+ * (`projections/service.go:30-32`) — implemented for real here.
+ *
+ * Layout under one service dir: `catalog/` (descriptor versions, [[Catalog]]
+ * merge-on-read) and `status/` (enabled flag + reset epoch, same pattern).
+ * State/Result recompute the fold from the event log (batch semantics —
+ * the fold IS the state); `reset` bumps an epoch that namespaces the
+ * live pump's checkpoint/result dirs, so a restarted pump refolds from
+ * scratch (the reference's Reset restarts the subscription from 0).
+ */
+object ProjectionService {
+
+  private def catalogDir(dir: String) = s"$dir/catalog"
+  private def statusDir(dir: String) = s"$dir/status"
+
+  private val statusSchema = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("enabled", BooleanType, nullable = false),
+    StructField("epoch", LongType, nullable = false),
+    StructField("deleted", BooleanType, nullable = false),
+    StructField("updated_at", LongType, nullable = false)
+  ))
+
+  private def readStatus(spark: SparkSession, dir: String): DataFrame = {
+    val f = new java.io.File(statusDir(dir))
+    if (f.exists && f.listFiles != null && f.listFiles.exists(_.getName.endsWith(".parquet")))
+      spark.read.schema(statusSchema).parquet(statusDir(dir))
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], statusSchema)
+  }
+
+  private def writeStatus(spark: SparkSession, dir: String, name: String, enabled: Boolean,
+                          epoch: Long, deleted: Boolean, nowNanos: Long): Unit = {
+    import spark.implicits._
+    Seq((name, enabled, epoch, deleted, nowNanos))
+      .toDF("name", "enabled", "epoch", "deleted", "updated_at")
+      .write.mode("append").parquet(statusDir(dir))
+  }
+
+  /** (enabled, epoch), None if absent or deleted. */
+  def status(spark: SparkSession, dir: String, name: String): Option[(Boolean, Long)] = {
+    val w = Window.partitionBy("name").orderBy(col("updated_at").desc)
+    readStatus(spark, dir)
+      .filter(col("name") === name)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .collect().headOption
+      .filter(!_.getBoolean(3))
+      .map(r => (r.getBoolean(1), r.getLong(2)))
+  }
+
+  /** proto `Create`: validate + store the descriptor, enabled at epoch 0.
+    * Fails if the name exists (the reference's INSERT-or-conflict). */
+  def create(spark: SparkSession, dir: String, name: String, script: String,
+             nowNanos: Long = System.nanoTime()): Unit = {
+    require(status(spark, dir, name).isEmpty, s"projection '$name' already exists")
+    Catalog.save(spark, catalogDir(dir), name, ProjectionScript.validated(script), nowNanos)
+    writeStatus(spark, dir, name, enabled = true, epoch = 0L, deleted = false, nowNanos)
+  }
+
+  /** proto `Update`: store a new descriptor version (no-op in the
+    * reference, service.go:30-32 — real here). */
+  def update(spark: SparkSession, dir: String, name: String, script: String,
+             nowNanos: Long = System.nanoTime()): Unit = {
+    require(status(spark, dir, name).nonEmpty, s"no such projection '$name'")
+    Catalog.save(spark, catalogDir(dir), name, ProjectionScript.validated(script), nowNanos)
+  }
+
+  /** proto `Delete`. */
+  def delete(spark: SparkSession, dir: String, name: String,
+             nowNanos: Long = System.nanoTime()): Unit =
+    writeStatus(spark, dir, name, enabled = false, epoch = 0L, deleted = true, nowNanos)
+
+  /** proto `Disable` / `Enable`: gate live processing (a disabled
+    * projection keeps its stored state; [[pumpDirs]] refuses to start). */
+  def disable(spark: SparkSession, dir: String, name: String,
+              nowNanos: Long = System.nanoTime()): Unit = setEnabled(spark, dir, name, false, nowNanos)
+  def enable(spark: SparkSession, dir: String, name: String,
+             nowNanos: Long = System.nanoTime()): Unit = setEnabled(spark, dir, name, true, nowNanos)
+
+  private def setEnabled(spark: SparkSession, dir: String, name: String, on: Boolean,
+                         nowNanos: Long): Unit = {
+    val (_, epoch) = status(spark, dir, name)
+      .getOrElse(throw new NoSuchElementException(s"no such projection '$name'"))
+    writeStatus(spark, dir, name, enabled = on, epoch = epoch, deleted = false, nowNanos)
+  }
+
+  /** proto `Reset`: discard accumulated state — the epoch bump namespaces
+    * the pump's checkpoint + result dirs, so the next start refolds from
+    * position 0 (the reference restarts the subscription). */
+  def reset(spark: SparkSession, dir: String, name: String,
+            nowNanos: Long = System.nanoTime()): Unit = {
+    val (enabled, epoch) = status(spark, dir, name)
+      .getOrElse(throw new NoSuchElementException(s"no such projection '$name'"))
+    writeStatus(spark, dir, name, enabled = enabled, epoch = epoch + 1L, deleted = false, nowNanos)
+  }
+
+  /** Compile the stored descriptor (latest version). */
+  def compiled(spark: SparkSession, dir: String, name: String): Projection[ProjectionScript.Bag] = {
+    if (status(spark, dir, name).isEmpty)
+      throw new NoSuchElementException(s"no such projection '$name'")
+    val src = Catalog.get(spark, catalogDir(dir), name)
+      .getOrElse(throw new NoSuchElementException(s"no descriptor for '$name'"))
+    ProjectionScript.compile(src)
+  }
+
+  /** Epoch-namespaced (checkpoint, result) dirs for the live pump; refuses
+    * when the projection is disabled. */
+  def pumpDirs(spark: SparkSession, dir: String, name: String): (String, String) = {
+    val (enabled, epoch) = status(spark, dir, name)
+      .getOrElse(throw new NoSuchElementException(s"no such projection '$name'"))
+    require(enabled, s"projection '$name' is disabled")
+    (s"$dir/pump/$name/epoch-$epoch/checkpoint", s"$dir/pump/$name/epoch-$epoch/result")
+  }
+
+  /** proto `State`: the current fold state per partition (batch recompute
+    * over the given event log — the fold IS the state). */
+  def state(spark: SparkSession, dir: String, name: String, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val p = compiled(spark, dir, name)
+    ProjectionBatch.finalStates(p, events).toDF("partition", "state")
+  }
+
+  /** proto `Result`: the emitted result-stream content (filterBy-gated). */
+  def result(spark: SparkSession, dir: String, name: String, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val p = compiled(spark, dir, name)
+    ProjectionBatch.emittedStates(p, events).toDF("partition", "state")
+      .withColumn("result_stream", lit(p.resultStream))
+  }
+
+  /** proto `Statistics`: per-projection processing counters. */
+  def statistics(spark: SparkSession, dir: String, name: String, events: DataFrame): DataFrame = {
+    val p = compiled(spark, dir, name)
+    val selectedEvents = p.selector match {
+      case SelectAll         => events
+      case SelectStreams(ss) => events.filter(col("stream").isin(ss: _*))
+    }
+    val (enabled, epoch) = status(spark, dir, name).get
+    selectedEvents.agg(count(lit(1)).as("events_processed"))
+      .withColumn("name", lit(name))
+      .withColumn("enabled", lit(enabled))
+      .withColumn("epoch", lit(epoch))
+      .withColumn("result_stream", lit(p.resultStream))
+      .select("name", "enabled", "epoch", "events_processed", "result_stream")
+  }
+}

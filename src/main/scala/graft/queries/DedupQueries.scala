@@ -35,6 +35,13 @@ object DedupQueries {
     },
     "dedup_simhash" -> { (s: SparkSession, dir: String) =>
       Dedup.simhashPairsFromSigs(Tables.simhashSigs(s, dir), maxHamming = 1).orderBy("a", "b")
+    },
+    // the step after pair generation: transitive duplicate groups, one
+    // keeper per component (min id), over the minhash near-dup pairs
+    "dedup_clusters" -> { (s: SparkSession, dir: String) =>
+      Dedup.duplicateClusters(
+        Dedup.minhashLshPairsFromSets(Tables.shingleSets(s, dir), thresholdX1000 = 300))
+        .orderBy("id")
     }
   )
 
@@ -42,9 +49,10 @@ object DedupQueries {
 
   private val P = Hashing.P
 
-  /** CTEs: toks → per-token hashes → distinct 3-gram shingle hashes. */
-  private val SH =
-    s"""WITH t AS (
+  /** CTEs: toks → per-token hashes → distinct 3-gram shingle hashes.
+    * (Body without the WITH keyword so callers can prepend RECURSIVE.) */
+  private val SHB =
+    s"""t AS (
        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents
        |), thc AS (
        |  SELECT doc_id, list_transform(toks, tk ->
@@ -60,10 +68,35 @@ object DedupQueries {
        |  FROM thc
        |)""".stripMargin
 
+  private val SH = s"WITH $SHB"
+
   private val sigExprs: String =
     Hashing.minhashA.zip(Hashing.minhashB)
       .map { case (a, b) => s"list_min(list_transform(sh, h -> ($a * h + $b) % $P))" }
       .mkString("[", ",\n      ", "]")
+
+  /** CTE chain ending in `pairs(a, b, jaccard_x1000)` — the verified
+    * minhash near-dup pairs (shared by dedup_minhash_lsh/dedup_clusters). */
+  private val minhashPairCtes: String =
+    s"""$SHB, sig AS (
+       |  SELECT doc_id, sh, len(sh) AS n,
+       |    $sigExprs AS sig
+       |  FROM shs WHERE len(sh) > 0
+       |), band AS (
+       |  SELECT doc_id, u.band, sig[u.band * 2 + 1] AS r0, sig[u.band * 2 + 2] AS r1
+       |  FROM sig, unnest([0, 1, 2, 3]) AS u(band)
+       |), cand AS (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |  FROM band l JOIN band r
+       |    ON l.band = r.band AND l.r0 = r.r0 AND l.r1 = r.r1 AND l.doc_id < r.doc_id
+       |), pairs AS (
+       |  SELECT a, b, jaccard_x1000 FROM (
+       |    SELECT c.a, c.b,
+       |      CAST(floor(1000.0 * len(list_intersect(x.sh, y.sh))
+       |           / (x.n + y.n - len(list_intersect(x.sh, y.sh)))) AS BIGINT) AS jaccard_x1000
+       |    FROM cand c JOIN sig x ON c.a = x.doc_id JOIN sig y ON c.b = y.doc_id
+       |  ) WHERE jaccard_x1000 >= 300
+       |)""".stripMargin
 
   private val simhashExpr: String =
     (0 until 16)
@@ -105,24 +138,21 @@ object DedupQueries {
          |  JOIN (SELECT doc_id, sh, len(sh) AS n FROM shs) y ON c.b = y.doc_id
          |) WHERE jaccard_x1000 >= 300 ORDER BY a, b""".stripMargin,
     "dedup_minhash_lsh" ->
-      s"""$SH, sig AS (
-         |  SELECT doc_id, sh, len(sh) AS n,
-         |    $sigExprs AS sig
-         |  FROM shs WHERE len(sh) > 0
-         |), band AS (
-         |  SELECT doc_id, u.band, sig[u.band * 2 + 1] AS r0, sig[u.band * 2 + 2] AS r1
-         |  FROM sig, unnest([0, 1, 2, 3]) AS u(band)
-         |), cand AS (
-         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-         |  FROM band l JOIN band r
-         |    ON l.band = r.band AND l.r0 = r.r0 AND l.r1 = r.r1 AND l.doc_id < r.doc_id
+      s"""WITH $minhashPairCtes
+         |SELECT a, b, jaccard_x1000 FROM pairs ORDER BY a, b""".stripMargin,
+    // transitive closure over the symmetric near-dup graph; keeper = min
+    // reachable id (mirrors Dedup.duplicateClusters' min-label fixpoint)
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashPairCtes, edges AS (
+         |  SELECT a AS src, b AS dst FROM pairs
+         |  UNION SELECT b, a FROM pairs
+         |), reach AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
          |)
-         |SELECT a, b, jaccard_x1000 FROM (
-         |  SELECT c.a, c.b,
-         |    CAST(floor(1000.0 * len(list_intersect(x.sh, y.sh))
-         |         / (x.n + y.n - len(list_intersect(x.sh, y.sh)))) AS BIGINT) AS jaccard_x1000
-         |  FROM cand c JOIN sig x ON c.a = x.doc_id JOIN sig y ON c.b = y.doc_id
-         |) WHERE jaccard_x1000 >= 300 ORDER BY a, b""".stripMargin,
+         |SELECT src AS id, least(src, min(dst)) AS keeper
+         |FROM reach GROUP BY src ORDER BY id""".stripMargin,
     "dedup_simhash" ->
       s"""$SH, sim AS (
          |  SELECT doc_id, $simhashExpr AS simhash FROM thc

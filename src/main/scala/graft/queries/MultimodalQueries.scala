@@ -22,6 +22,13 @@ object MultimodalQueries {
       Multimodal.sampleFrames(Multimodal.documentsAsAssets(s, dir), stride = 2)
         .toDF().select(col("asset_id"), col("frame_idx")).orderBy("asset_id", "frame_idx")
     },
+    // resize to a 32x32 box: dims clamp, payload downsampled (stub
+    // kernel); scalar fields oracled, bytes pinned by MultimodalSpec
+    "mm_resize" -> { (s: SparkSession, dir: String) =>
+      Multimodal.resize(Multimodal.documentsAsAssets(s, dir), 32, 32)
+        .toDF().select(col("asset_id"), col("kind"), col("out_w"), col("out_h"), col("n_out"))
+        .orderBy("asset_id")
+    },
     // no SQL oracle (feature extraction is the model stub): rows-only
     // check — emitted as per-dim integer columns (features[i]*1000 is an
     // exact integer by construction) so the driver's sort-and-compare can
@@ -56,6 +63,13 @@ object MultimodalQueries {
     "mm_frames" ->
       s"""$A SELECT asset_id, CAST(u.i AS INT) AS frame_idx
          |FROM a, unnest(range(0, 1 + n % 7, 2)) AS u(i)
-         |WHERE kind = 'video' ORDER BY asset_id, frame_idx""".stripMargin
+         |WHERE kind = 'video' ORDER BY asset_id, frame_idx""".stripMargin,
+    "mm_resize" ->
+      s"""$A SELECT asset_id, kind,
+         |  CAST(LEAST(16 + n % 113, 32) AS INT) AS out_w,
+         |  CAST(LEAST(16 + (n * 31 + fb) % 97, 32) AS INT) AS out_h,
+         |  CAST(LEAST(n, LEAST(16 + n % 113, 32)
+         |       * LEAST(16 + (n * 31 + fb) % 97, 32) * (1 + fb % 3)) AS BIGINT) AS n_out
+         |FROM a ORDER BY asset_id""".stripMargin
   )
 }

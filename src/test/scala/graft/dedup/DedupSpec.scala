@@ -24,6 +24,20 @@ class DedupSpec extends SparkSpec {
     assert(!cutoff.exists(r => r.getLong(0) < 20L && r.getLong(1) < 20L))
   }
 
+  test("duplicateClusters: transitive groups resolve to the min-id keeper") {
+    import spark.implicits._
+    // components: {1,2,3} via chain 1-2, 2-3; {10,11}; singletons absent
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val got = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // a longer chain exercises multi-round propagation
+    val chain = (0L until 6L).map(i => (i, i + 1)).toDF("a", "b")
+    val got2 = Dedup.duplicateClusters(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == (0L to 6L).map(_ -> 0L).toMap)
+  }
+
   test("simhash of identical docs is identical; hamming of disjoint docs > 0") {
     import spark.implicits._
     val docs = Seq(

@@ -48,6 +48,24 @@ class MultimodalSpec extends SparkSpec {
     assert(idxFilter >= 0 && (idxDeser == -1 || idxFilter > idxDeser), optimized)
   }
 
+  test("resize clamps dims to the box, output bytes bounded and deterministic") {
+    val r1 = Multimodal.resize(assets, 32, 32).collect().sortBy(_.asset_id)
+    val r2 = Multimodal.resize(assets, 32, 32).collect().sortBy(_.asset_id)
+    assert(r1.length == 10)
+    r1.foreach { r =>
+      assert(r.out_w <= 32 && r.out_h <= 32 && r.out_w >= 1 && r.out_h >= 1)
+      assert(r.n_out == r.resized_bytes.length)
+      assert(r.n_out <= r.out_w.toLong * r.out_h * 3)
+    }
+    assert(r1.zip(r2).forall { case (x, y) => x.resized_bytes.sameElements(y.resized_bytes) })
+    // a no-op box (huge target) keeps the decoded dims
+    val big = Multimodal.resize(assets, 1000, 1000).collect().sortBy(_.asset_id)
+    val dec = Multimodal.decode(assets).collect().sortBy(_.asset_id)
+    big.zip(dec).foreach { case (r, d) =>
+      assert(r.out_w == d.width && r.out_h == d.height)
+    }
+  }
+
   test("feature extraction: fixed dim, deterministic, [0,1) range") {
     val f1 = Multimodal.extractFeatures(assets, dim = 8).collect().sortBy(_.asset_id)
     val f2 = Multimodal.extractFeatures(assets, dim = 8).collect().sortBy(_.asset_id)

@@ -1,0 +1,72 @@
+package graft.proj
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+/**
+ * Projections-service verbs per the reference's declared wire surface
+ * (`projections.proto:8-19`); Update is real here (stub in the reference,
+ * `service.go:30-32`).
+ */
+class ProjectionServiceSpec extends SparkSpec {
+
+  private val script =
+    """{"name":"svc","from":["$all"],"partitionBy":"stream",
+      |"state":["n"],
+      |"when":{"$any":[{"op":"inc","field":"n"}]},
+      |"outputState":true}""".stripMargin
+
+  private def events(n: Int) = {
+    import spark.implicits._
+    (1 to n).map(p => (s"s-${p % 2}", "t", "{}", p.toLong))
+      .toDF("stream", "event_type", "data", "position")
+  }
+
+  test("create/update/delete lifecycle with status gating") {
+    val dir = Files.createTempDirectory("graft-svc").toString
+    ProjectionService.create(spark, dir, "svc", script, nowNanos = 1L)
+    intercept[IllegalArgumentException](
+      ProjectionService.create(spark, dir, "svc", script)) // exists
+    assert(ProjectionService.status(spark, dir, "svc").contains((true, 0L)))
+
+    // update stores a new version (count only clicks now)
+    val v2 = script.replace("\"$any\"", "\"click\"")
+    ProjectionService.update(spark, dir, "svc", v2, nowNanos = 2L)
+    assert(ProjectionService.compiled(spark, dir, "svc").handlers.contains("click"))
+
+    ProjectionService.delete(spark, dir, "svc", nowNanos = 3L)
+    assert(ProjectionService.status(spark, dir, "svc").isEmpty)
+    intercept[NoSuchElementException](ProjectionService.compiled(spark, dir, "svc"))
+    // a deleted name can be recreated
+    ProjectionService.create(spark, dir, "svc", script, nowNanos = 4L)
+  }
+
+  test("state and result run the stored fold; statistics count processed events") {
+    val dir = Files.createTempDirectory("graft-svc2").toString
+    ProjectionService.create(spark, dir, "svc", script, nowNanos = 1L)
+    val st = ProjectionService.state(spark, dir, "svc", events(10))
+      .collect().map(r => r.getString(0) -> r.getMap[String, Long](1).toMap).toMap
+    assert(st == Map("s-0" -> Map("n" -> 5L), "s-1" -> Map("n" -> 5L)))
+    // every fold step forwards (no filterBy) -> 10 emissions
+    assert(ProjectionService.result(spark, dir, "svc", events(10)).count() == 10)
+    val stats = ProjectionService.statistics(spark, dir, "svc", events(10)).head()
+    assert(stats.getString(0) == "svc" && stats.getBoolean(1))
+    assert(stats.getLong(3) == 10L)
+    assert(stats.getString(4) == "$projections-svc-result")
+  }
+
+  test("disable gates the pump; reset bumps the epoch namespace") {
+    val dir = Files.createTempDirectory("graft-svc3").toString
+    ProjectionService.create(spark, dir, "svc", script, nowNanos = 1L)
+    val (ck0, _) = ProjectionService.pumpDirs(spark, dir, "svc")
+    assert(ck0.contains("epoch-0"))
+    ProjectionService.disable(spark, dir, "svc", nowNanos = 2L)
+    assert(ProjectionService.status(spark, dir, "svc").contains((false, 0L)))
+    intercept[IllegalArgumentException](ProjectionService.pumpDirs(spark, dir, "svc"))
+    ProjectionService.enable(spark, dir, "svc", nowNanos = 3L)
+    ProjectionService.reset(spark, dir, "svc", nowNanos = 4L)
+    val (ck1, res1) = ProjectionService.pumpDirs(spark, dir, "svc")
+    assert(ck1.contains("epoch-1") && res1.contains("epoch-1")) // fresh fold namespace
+  }
+}
