@@ -123,17 +123,23 @@ object Multimodal {
       }
     }
 
-  /** Extract a fixed-width feature vector (STUB: seeded polynomial hashes
-    * of the payload, scaled to [0,1)) — stands in for a real embedding
-    * model; shape/partitioning/batching are what matter here. */
+  /** Extract a fixed-width feature vector (STUB: per-dim seeded polynomial
+    * hashes over the payload's UTF-8 code points, scaled to [0,1)) —
+    * stands in for a real embedding model; shape/partitioning/batching are
+    * what matter here. Code points (not raw bytes) so the arithmetic is
+    * exactly reproducible by the SQL oracle's `ascii()` folds. */
   def extractFeatures(assets: Dataset[Asset], dim: Int = 8): Dataset[AssetFeatures] =
     assets.mapPartitions { it =>
       it.grouped(decodeBatchSize).flatMap { batch =>
         batch.iterator.map { a =>
+          val text = new String(a.bytes, java.nio.charset.StandardCharsets.UTF_8)
           val fs = Array.tabulate(dim) { d =>
             var h = (d * 1000003 + 17).toLong
             var i = 0
-            while (i < a.bytes.length) { h = (h * 31 + (a.bytes(i) & 0xff)) % 2147483647L; i += 1 }
+            while (i < text.length) {
+              h = (h * 31 + text.codePointAt(i)) % 2147483647L
+              i += (if (Character.isHighSurrogate(text.charAt(i)) && i + 1 < text.length) 2 else 1)
+            }
             (h % 1000L) / 1000.0f
           }
           AssetFeatures(a.asset_id, fs)

@@ -124,6 +124,18 @@ object ProjectionService {
     (s"$dir/pump/$name/epoch-$epoch/checkpoint", s"$dir/pump/$name/epoch-$epoch/result")
   }
 
+  /** Run the stored projection LIVE: compile the latest descriptor and
+    * start the [[graft.streaming.ProjectionPump]] against `logDir`, with
+    * checkpoint/result dirs namespaced by the current epoch (so `reset`
+    * + restart refolds from scratch). Refuses when disabled. */
+  def startPump(spark: SparkSession, dir: String, name: String, logDir: String,
+                availableNow: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery = {
+    import spark.implicits._
+    val p = compiled(spark, dir, name)
+    val (ckpt, out) = pumpDirs(spark, dir, name)
+    graft.streaming.ProjectionPump.start(spark, p, logDir, out, ckpt, availableNow)
+  }
+
   /** proto `State`: the current fold state per partition (batch recompute
     * over the given event log — the fold IS the state). */
   def state(spark: SparkSession, dir: String, name: String, events: DataFrame): DataFrame = {

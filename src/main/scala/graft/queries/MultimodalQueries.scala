@@ -29,10 +29,10 @@ object MultimodalQueries {
         .toDF().select(col("asset_id"), col("kind"), col("out_w"), col("out_h"), col("n_out"))
         .orderBy("asset_id")
     },
-    // no SQL oracle (feature extraction is the model stub): rows-only
-    // check — emitted as per-dim integer columns (features[i]*1000 is an
-    // exact integer by construction) so the driver's sort-and-compare can
-    // handle the rows (a raw array<float> column is unsortable there)
+    // feature stub = per-dim seeded code-point hash folds → fully oracled;
+    // emitted as per-dim integer columns (features[i]*1000 is an exact
+    // integer by construction, and a raw array<float> column would be
+    // unsortable in the driver's compare)
     "mm_features" -> { (s: SparkSession, dir: String) =>
       val feats = Multimodal.extractFeatures(Multimodal.documentsAsAssets(s, dir)).toDF()
       val dims = (0 until 8).map(i =>
@@ -64,6 +64,19 @@ object MultimodalQueries {
       s"""$A SELECT asset_id, CAST(u.i AS INT) AS frame_idx
          |FROM a, unnest(range(0, 1 + n % 7, 2)) AS u(i)
          |WHERE kind = 'video' ORDER BY asset_id, frame_idx""".stripMargin,
+    // per-dim fold: h_d = fold over code points from seed d*1000003+17 of
+    // (h*31 + cp) % 2147483647; f_d = h_d % 1000 (mirrors extractFeatures)
+    "mm_features" -> {
+      val dims = (0 until 8).map { d =>
+        val seed = d * 1000003 + 17
+        s"""CAST(list_reduce(list_prepend(CAST($seed AS BIGINT),
+           |    list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+           |    (h, c) -> (h * 31 + c) % 2147483647) % 1000 AS INT) AS f$d""".stripMargin
+      }.mkString(",\n  ")
+      s"""SELECT doc_id AS asset_id,
+         |  $dims
+         |FROM documents ORDER BY asset_id""".stripMargin
+    },
     "mm_resize" ->
       s"""$A SELECT asset_id, kind,
          |  CAST(LEAST(16 + n % 113, 32) AS INT) AS out_w,

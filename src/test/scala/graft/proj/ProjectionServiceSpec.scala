@@ -56,6 +56,26 @@ class ProjectionServiceSpec extends SparkSpec {
     assert(stats.getString(4) == "$projections-svc-result")
   }
 
+  test("startPump runs the stored projection live end-to-end (catch-up)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-svc-pump").toString
+    val logDir = Files.createTempDirectory("graft-svc-log").toString
+    (1 to 8).map(p => (s"s-${p % 2}", s"u-$p", "t", "{}",
+      Map.empty[String, String], p / 2L, p.toLong))
+      .toDF("stream", "uuid", "event_type", "data", "metadata", "revision", "position")
+      .write.mode("append").parquet(logDir)
+    ProjectionService.create(spark, dir, "svc", script, nowNanos = 1L)
+    val q = ProjectionService.startPump(spark, dir, "svc", logDir, availableNow = true)
+    q.awaitTermination()
+    val res = spark.read.parquet(s"$dir/pump/svc/epoch-0/result/$$projections-svc-result")
+    assert(res.count() == 8) // every fold step forwards
+    import org.apache.spark.sql.functions.{element_at, max => fmax}
+    val finals = res.groupBy("partition")
+      .agg(fmax(element_at(org.apache.spark.sql.functions.col("state"), "n")).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(finals == Map("s-0" -> 4L, "s-1" -> 4L))
+  }
+
   test("disable gates the pump; reset bumps the epoch namespace") {
     val dir = Files.createTempDirectory("graft-svc3").toString
     ProjectionService.create(spark, dir, "svc", script, nowNanos = 1L)
