@@ -45,6 +45,11 @@ object SimQueries {
     "dedup_embedding_cosine" -> { (s: SparkSession, dir: String) =>
       x1e6(Similarity.bruteForcePairs(Tables.emb(s, dir), 0.45)).orderBy("a", "b")
     },
+    // the distributed-exact path: block-partitioned all-pairs (no driver
+    // collect, bounded per-task memory) — same result set, same oracle
+    "dedup_embedding_cosine_blocked" -> { (s: SparkSession, dir: String) =>
+      x1e6(Similarity.bruteForcePairsBlocked(Tables.emb(s, dir), 0.45)).orderBy("a", "b")
+    },
     "sim_lsh_pairs" -> { (s: SparkSession, dir: String) =>
       x1e6(Similarity.lshPairsFromNormed(Tables.normedEmb(s, dir), 0.4, DIM)).orderBy("a", "b")
     },
@@ -98,6 +103,15 @@ object SimQueries {
   private def bucketsSql(v: String): String =
     (0 until tables).map(t => bucketSql(v, t)).mkString("[", ", ", "]")
 
+  private val allPairsSql: String =
+    s"""$N
+       |SELECT a, b, cos_x1e6 FROM (
+       |  SELECT x.vec_id AS a, y.vec_id AS b,
+       |    ${dotSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm) AS cos,
+       |    CAST(floor((${dotSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm)) * 1000000.0) AS BIGINT) AS cos_x1e6
+       |  FROM n x JOIN n y ON x.vec_id < y.vec_id
+       |) WHERE cos >= 0.45 ORDER BY a, b""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "sim_topk_bruteforce" ->
       s"""$N, q AS (SELECT embedding AS qv, nrm AS qn FROM n WHERE vec_id = 0)
@@ -116,14 +130,9 @@ object SimQueries {
          |WHERE bks[1] = qbks[1] OR bks[2] = qbks[2] OR bks[3] = qbks[3] OR bks[4] = qbks[4]
          |ORDER BY (${dotSql("embedding", "qv")} / (nrm * qn)) DESC, vec_id ASC
          |LIMIT $K""".stripMargin,
-    "dedup_embedding_cosine" ->
-      s"""$N
-         |SELECT a, b, cos_x1e6 FROM (
-         |  SELECT x.vec_id AS a, y.vec_id AS b,
-         |    ${dotSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm) AS cos,
-         |    CAST(floor((${dotSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm)) * 1000000.0) AS BIGINT) AS cos_x1e6
-         |  FROM n x JOIN n y ON x.vec_id < y.vec_id
-         |) WHERE cos >= 0.45 ORDER BY a, b""".stripMargin,
+    "dedup_embedding_cosine" -> allPairsSql,
+    // exact-blocked variant computes the identical pair set
+    "dedup_embedding_cosine_blocked" -> allPairsSql,
     "sim_lsh_pairs" ->
       s"""$N, bk AS (
          |  SELECT vec_id, embedding, nrm, ${bucketsSql("embedding")} AS bks FROM n

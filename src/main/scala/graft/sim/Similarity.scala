@@ -146,6 +146,66 @@ object Similarity {
     }.toDF("a", "b", "cos")
   }
 
+  /**
+   * Exact all-pairs near-dup WITHOUT the driver-side collect: the classic
+   * block-partitioned construction. Vectors are hashed into `nBlocks`
+   * blocks; every unordered block pair (i ≤ j) becomes one shuffle group
+   * holding the two blocks' vectors, and each group computes its local
+   * pairs with primitive loops. Every vector pair lives in exactly one
+   * group, so results equal [[bruteForcePairs]] exactly (same arithmetic,
+   * same oracle).
+   *
+   * Scale: replication factor is ~nBlocks/2 rows per vector (choose
+   * nBlocks ≈ corpus_bytes·tasks/RAM so two blocks fit a task), total
+   * compute stays the inherent O(n²) dots but distributed over B(B+1)/2
+   * independent tasks with bounded memory — the exact-dedup path at scale
+   * where LSH's recall contract is not acceptable.
+   */
+  def bruteForcePairsBlocked(corpus: DataFrame, threshold: Double, nBlocks: Int = 8,
+                             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    import graft.functions.Fast.dotJvm
+    val side = corpus
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .withColumn("blk", pmod(col("id"), lit(nBlocks)).cast("int"))
+    val blockPairs = broadcast(
+      (for { i <- 0 until nBlocks; j <- i until nBlocks } yield (i, j)).toDF("bi", "bj"))
+    // replicate each vector into every block pair it participates in
+    val members = side.join(blockPairs, col("blk") === col("bi") || col("blk") === col("bj"))
+      .select(col("bi"), col("bj"), col("blk"), col("id"), col("v"))
+      .as[(Int, Int, Int, Long, Array[Float])]
+    members
+      .groupByKey { case (bi, bj, _, _, _) => (bi, bj) } // one shuffle, co-located block pair
+      .flatMapGroups { (key: (Int, Int), it: Iterator[(Int, Int, Int, Long, Array[Float])]) =>
+        val (bi, bj) = key
+        // bounded materialization: exactly two blocks' vectors per group
+        val rows = it.toArray
+        val left = rows.collect { case (_, _, blk, id, v) if blk == bi => (id, v, math.sqrt(dotJvm(v, v))) }
+        val right =
+          if (bi == bj) left
+          else rows.collect { case (_, _, blk, id, v) if blk == bj => (id, v, math.sqrt(dotJvm(v, v))) }
+        val out = Iterator.newBuilder[(Long, Long, Double)]
+        var x = 0
+        while (x < left.length) {
+          val (ia, va, na) = left(x)
+          var y = if (bi == bj) x + 1 else 0
+          while (y < right.length) {
+            val (ib, vb, nb) = right(y)
+            if (ia != ib) {
+              val cos = dotJvm(va, vb) / (na * nb)
+              if (cos >= threshold)
+                out += (if (ia < ib) (ia, ib, cos) else (ib, ia, cos))
+            }
+            y += 1
+          }
+          x += 1
+        }
+        out.result()
+      }
+      .toDF("a", "b", "cos")
+  }
+
   /** LSH-blocked near-dup pairs: equality join on (table, bucket) over
     * compact int keys, candidate (a,b) dedup, then ONE exact cosine per
     * candidate via join-back to the cached normed vectors. Pairs colliding

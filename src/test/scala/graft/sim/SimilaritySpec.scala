@@ -1,0 +1,23 @@
+package graft.sim
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+
+  private lazy val corpus = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(p => (p._1, p._2)).toSeq
+
+  test("block-partitioned exact all-pairs equals the broadcast baseline bit-for-bit") {
+    val base = pairs(Similarity.bruteForcePairs(corpus, 0.45))
+    assert(base.nonEmpty)
+    // several block counts, incl. B > distinct blocks touched and B = 1
+    for (b <- Seq(1, 3, 8)) {
+      val blocked = pairs(Similarity.bruteForcePairsBlocked(corpus, 0.45, nBlocks = b))
+      assert(blocked == base, s"nBlocks=$b diverged")
+    }
+  }
+}
