@@ -1,0 +1,59 @@
+package graft.log
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model._
+
+/**
+ * Hash-bucketed physical layout for the event log — the 100 TB storage
+ * design the scan-path scale notes assume (SURVEY §4): the log is written
+ * as parquet directory-partitioned by `bucket = polyhash(stream) mod N`,
+ * so the reference's dominant access pattern — read ONE stream
+ * (`backend.go:118-152`) — prunes to 1/N of the files at planning time
+ * (`PartitionFilters`, no data read outside the stream's bucket), while
+ * `$all` reads scan everything exactly as before.
+ *
+ * The bucket key is the engine's own `graft_polyhash` (deterministic,
+ * codegen'd, computable driver-side via [[graft.functions.Fast]]), NOT an
+ * internal Spark hash — both sides of the contract are public engine
+ * surface. Within a bucket, files remain written in position order, so
+ * parquet min/max row-group pruning on `position`/`revision` stacks on
+ * top of the directory pruning.
+ */
+object PartitionedLog {
+
+  /** Driver-side bucket of a stream id — must equal the Column-side
+    * expression used by [[write]] (same polyhash kernel). */
+  def bucketOf(stream: String, nBuckets: Int): Int =
+    math.floorMod(graft.functions.Fast.strHashJvm(stream.trim.toLowerCase), nBuckets.toLong).toInt
+
+  /** Write a canonical log hash-bucketed by stream. One shuffle-free pass:
+    * the bucket is a map-side column and parquet splits directories. */
+  def write(log: DataFrame, dir: String, nBuckets: Int = 64,
+            mode: String = "overwrite"): Unit =
+    log
+      .withColumn("bucket",
+        pmod(call_function("graft_polyhash", col("stream")), lit(nBuckets.toLong)))
+      .write.mode(mode).partitionBy("bucket").parquet(dir)
+
+  /** The partitioned log as a DataFrame (bucket column included). */
+  def open(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+
+  /**
+   * Bounded read over the partitioned layout: single-stream reads get the
+   * bucket-equality predicate (directory pruning); `$all` reads scan all
+   * buckets. Semantics are [[EventLog.read]] exactly; the bucket column is
+   * dropped from the result.
+   */
+  def read(spark: SparkSession, dir: String, opts: ReadOptions,
+           nBuckets: Int = 64): DataFrame = {
+    val df = open(spark, dir)
+    val pruned = opts.selector match {
+      case OneStream(s) => df.filter(col("bucket") === lit(bucketOf(s, nBuckets)))
+      case AllStreams   => df
+    }
+    EventLog.read(pruned, opts).drop("bucket")
+  }
+}

@@ -35,6 +35,17 @@ object LogQueries {
   private def readQ(opts: ReadOptions)(s: SparkSession, dir: String): DataFrame =
     EventLog.read(Fixture.events(s, dir), opts).select(cols: _*)
 
+  // hash-bucketed physical copy of the canonical log, written once per
+  // (session, sf-dir) — the stored layout a deployment would maintain
+  private val plogCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def partitionedDir(s: SparkSession, dir: String): String =
+    plogCache.getOrElseUpdate((s, dir), {
+      val d = java.nio.file.Files.createTempDirectory("graft-plog").toString
+      graft.log.PartitionedLog.write(Fixture.events(s, dir), d)
+      d
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1+F3+O1+O2: $all forwards from a position, bounded
     "read_all_forward" -> readQ(
@@ -91,6 +102,16 @@ object LogQueries {
         filter = Some(PrefixFilter(OnStreamId, Seq("user-1")))
       )
     ) _,
+    // S1 over the bucketed physical layout: same read semantics, but the
+    // single-stream scan prunes to 1/N of the files via PartitionFilters
+    // (graft.log.PartitionedLog — the 100 TB layout; partitioned copy
+    // written once per session+dir)
+    "read_stream_partitioned" -> { (s: SparkSession, dir: String) =>
+      graft.log.PartitionedLog
+        .read(s, partitionedDir(s, dir),
+          ReadOptions(OneStream("user-7"), Forwards, From(10), count = Some(20)))
+        .select(cols: _*)
+    },
     // A8 across streams: latest revision per stream
     "max_revision" -> { (s: SparkSession, dir: String) =>
       Fixture
@@ -140,6 +161,9 @@ object LogQueries {
     "filter_stream_prefix" ->
       s"""$EV SELECT position, event_id, stream, event_type, value, revision
          |FROM ev WHERE stream LIKE 'user-1%' ORDER BY position LIMIT 300""".stripMargin,
+    "read_stream_partitioned" ->
+      s"""$EV SELECT position, event_id, stream, event_type, value, revision
+         |FROM ev WHERE stream = 'user-7' AND revision >= 10 ORDER BY revision LIMIT 20""".stripMargin,
     "max_revision" ->
       s"""$EV SELECT stream, max(revision) AS max_revision FROM ev
          |GROUP BY stream ORDER BY stream""".stripMargin,
