@@ -74,9 +74,11 @@ object Dedup {
     maxShingleDf match {
       case None =>
         // full index: the join-match count per pair IS the intersection size
-        val a = inv.select(col("id").as("a"), col("n_sh").as("na"), col("h"))
-        val b = inv.select(col("id").as("b"), col("n_sh").as("nb"), col("h"))
-        a.join(b, a("h") === b("h") && a("a") < b("b"))
+        // (distinct column names per side keep the equi-join condition
+        // between distinct attributes — no ambiguous self-join resolution)
+        val a = inv.select(col("id").as("a"), col("n_sh").as("na"), col("h").as("ha"))
+        val b = inv.select(col("id").as("b"), col("n_sh").as("nb"), col("h").as("hb"))
+        a.join(b, col("ha") === col("hb") && col("a") < col("b"))
           .groupBy(col("a"), col("b"))
           .agg(first(col("na")).as("na"), first(col("nb")).as("nb"), count(lit(1)).as("c"))
           .withColumn("jaccard_x1000",
@@ -92,9 +94,9 @@ object Dedup {
         // shared shingle is hot (stated contract). Mandatory at PB scale.
         val hot = inv.groupBy("h").count().filter(col("count") > f).select(col("h").as("hot_h"))
         val pruned = inv.join(broadcast(hot), inv("h") === hot("hot_h"), "left_anti")
-        val a = pruned.select(col("id").as("a"), col("h"))
-        val b = pruned.select(col("id").as("b"), col("h"))
-        val cands = a.join(b, a("h") === b("h") && a("a") < b("b"))
+        val a = pruned.select(col("id").as("a"), col("h").as("ha"))
+        val b = pruned.select(col("id").as("b"), col("h").as("hb"))
+        val cands = a.join(b, col("ha") === col("hb") && col("a") < col("b"))
           .select(col("a"), col("b")).dropDuplicates("a", "b")
         cands
           .join(sets.select(col("id").as("a"), col("sh").as("sha"), col("n_sh").as("na")), "a")
