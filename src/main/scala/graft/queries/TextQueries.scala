@@ -27,6 +27,16 @@ object TextQueries {
   private val stopList = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // corpus-level vocabulary statistics per source: exact distinct tokens
+    // + token volume. Scale: explode → partial-aggregated groupBy on
+    // (source, token) — map-side combine, one shuffle, no driver state
+    "text_vocab" -> { (s: SparkSession, dir: String) =>
+      docs(s, dir)
+        .select(col("source"), explode(graft.dedup.Hashing.toks(col("text"))).as("tok"))
+        .groupBy("source")
+        .agg(countDistinct(col("tok")).as("n_vocab"), count(lit(1)).as("n_tokens"))
+        .orderBy("source")
+    },
     "text_token_stats" -> { (s: SparkSession, dir: String) =>
       docs(s, dir).select(
         col("doc_id"),
@@ -71,6 +81,15 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "text_vocab" ->
+      """WITH t AS (
+        |  SELECT source,
+        |         unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents
+        |)
+        |SELECT source, CAST(count(DISTINCT tok) AS BIGINT) AS n_vocab,
+        |       count(*) AS n_tokens
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
     "text_token_stats" ->
       s"""$D SELECT doc_id,
          |  CAST(len(toks) AS BIGINT) AS n_tokens,

@@ -76,6 +76,33 @@ class ProjectionBatchSpec extends SparkSpec {
     assert(got.head._2 == local.state.get)
   }
 
+  test("property: distributed fold == sequential fold on random interleavings") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      val n = 50 + rnd.nextInt(150)
+      val trialRows = (1L to n.toLong).map(p =>
+        (s"s-${rnd.nextInt(6)}", s"t-${rnd.nextInt(4)}", p))
+      // order-SENSITIVE state (non-commutative fold) — any ordering bug in
+      // the distributed plan diverges from the sequential reference
+      val p = Projection
+        .named(s"prop-$trial")
+        .fromAll()
+        .foreachStream()
+        .when[Count](Count(0), Map(
+          "t-0" -> ((s: Count, e: ProjEvent) => s.copy(count = s.count * 31 + e.position)),
+          "$any" -> ((s: Count, e: ProjEvent) => s.copy(count = s.count + e.position))
+        ))
+        .build
+      val got = ProjectionBatch.finalStates(p, eventsDf(trialRows)).collect().toMap
+      val local = new LocalRunner(p)
+      local.run(trialRows.sortBy(_._3).map { case (s, t, pos) =>
+        ProjEvent(streamId = s, eventType = t, position = pos)
+      })
+      assert(got == local.states, s"trial $trial (n=$n) diverged")
+    }
+  }
+
   test("selector filter restricts the fold input") {
     val p = Projection
       .named("sel")
