@@ -26,7 +26,8 @@ object LogQueries {
       |         event_type,
       |         value,
       |         CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS BIGINT) AS revision,
-      |         props
+      |         props,
+      |         ts
       |  FROM events
       |)""".stripMargin
 
@@ -120,6 +121,17 @@ object LogQueries {
         .agg(max("revision").as("max_revision"))
         .orderBy("stream")
     },
+    // event-time windowed aggregation (batch/backfill path of
+    // graft.streaming.EventTimeStats; same expression tree as the
+    // watermarked streaming variant)
+    "agg_time_buckets" -> { (s: SparkSession, dir: String) =>
+      import graft.streaming.EventTimeStats
+      EventTimeStats
+        .eventsPerWindow(Fixture.events(s, dir),
+          EventTimeStats.eventTimeFromNanos(col("ts")), "1 minute", "0 seconds")
+        .select(col("window.start").cast("long").as("bucket_start"), col("stream"), col("n"))
+        .orderBy("bucket_start", "stream")
+    },
     // §1.2 schema-on-read: JSON payload field access + predicate
     "read_json_payload" -> { (s: SparkSession, dir: String) =>
       Fixture
@@ -170,6 +182,11 @@ object LogQueries {
     "read_json_payload" ->
       s"""$EV SELECT position, stream, CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
          |FROM ev WHERE CAST(json_extract_string(props, '$$.k') AS BIGINT) >= 80
-         |ORDER BY position""".stripMargin
+         |ORDER BY position""".stripMargin,
+    // epoch-minute buckets: window.start (epoch seconds) = floor(ns/60e9)*60
+    "agg_time_buckets" ->
+      s"""$EV SELECT CAST(floor(epoch_ns(ts) / 60000000000) * 60 AS BIGINT) AS bucket_start,
+         |  stream, count(*) AS n
+         |FROM ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

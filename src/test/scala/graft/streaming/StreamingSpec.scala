@@ -13,6 +13,9 @@ import graft.proj._
 case class EvRow(stream: String, uuid: String, event_type: String, data: String,
                  metadata: Map[String, String], revision: Long, position: Long)
 
+/** Event-time row for watermark tests. */
+case class TsRow(stream: String, event_time: java.sql.Timestamp)
+
 case class SCount(count: Long)
 
 /**
@@ -123,6 +126,39 @@ class StreamingSpec extends SparkSpec {
       val rows = spark.sql("select partition, count_state.count as c from pump_test order by partition, c").collect()
       assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq ==
         Seq(("s-0", 3L), ("s-0", 4L), ("s-1", 3L), ("s-1", 4L)))
+    } finally q.stop()
+  }
+
+  test("event-time windows with watermark: counts by window, late rows dropped") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[TsRow]
+    val agg = EventTimeStats.eventsPerWindow(
+      mem.toDF(), org.apache.spark.sql.functions.col("event_time"), "1 minute", "1 minute")
+      .selectExpr("cast(window.start as string) as w", "stream", "n")
+    val q = agg.writeStream.format("memory").queryName("etw")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(
+        TsRow("a", t("2026-01-01 10:00:10")),
+        TsRow("a", t("2026-01-01 10:00:20")),
+        TsRow("b", t("2026-01-01 10:05:00"))) // advances watermark to 10:04
+      q.processAllAvailable()
+      val counts1 = spark.sql("select w, stream, n from etw").collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(counts1(("2026-01-01 10:00:00", "a")) == 2L)
+      assert(counts1(("2026-01-01 10:05:00", "b")) == 1L)
+      // batch 2: one row far behind the watermark (dropped), one current
+      mem.addData(
+        TsRow("a", t("2026-01-01 10:00:30")), // late beyond 1-minute lateness
+        TsRow("b", t("2026-01-01 10:05:30")))
+      q.processAllAvailable()
+      val rows2 = spark.sql("select w, stream, n from etw").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      // the 10:00 window never saw the late row: no update with n=3
+      assert(!rows2.contains(("2026-01-01 10:00:00", "a", 3L)))
+      assert(rows2.contains(("2026-01-01 10:05:00", "b", 2L)))
     } finally q.stop()
   }
 
