@@ -183,9 +183,11 @@ object LogQueries {
       s"""$EV SELECT position, stream, CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
          |FROM ev WHERE CAST(json_extract_string(props, '$$.k') AS BIGINT) >= 80
          |ORDER BY position""".stripMargin,
-    // epoch-minute buckets: window.start (epoch seconds) = floor(ns/60e9)*60
+    // epoch-minute buckets: window.start (epoch seconds) = (ns // 60e9) * 60.
+    // `//` (integer division) — `/` on BIGINTs is double division in DuckDB
+    // and a half-ULP at 1.7e18 ns can flip a bucket at an exact boundary
     "agg_time_buckets" ->
-      s"""$EV SELECT CAST(floor(epoch_ns(ts) / 60000000000) * 60 AS BIGINT) AS bucket_start,
+      s"""$EV SELECT CAST((epoch_ns(ts) // 60000000000) * 60 AS BIGINT) AS bucket_start,
          |  stream, count(*) AS n
          |FROM ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
