@@ -186,9 +186,12 @@ object Appender {
     val results = Seq.newBuilder[(String, AppendResult)]
     val rows =
       Seq.newBuilder[(String, String, String, String, Map[String, String], Option[String], Long, Long)]
+    // running per-stream revision across the call: a stream appearing in
+    // two batches of one call continues its dense sequence (one tx)
+    val revs = scala.collection.mutable.Map.empty[String, Long]
     batches.foreach { case (stream, events, expected) =>
       if (isTombstoned(log, stream)) throw StreamDeleted(stream)
-      val (currentRev, _) = currentState(log, stream)
+      val currentRev = revs.getOrElse(stream, currentState(log, stream)._1)
       checkRevision(stream, currentRev, expected)
       checkConflicts(log, stream, events)
       events.zipWithIndex.foreach { case (e, i) =>
@@ -198,6 +201,7 @@ object Appender {
       }
       results += stream -> AppendResult(currentRev + 1L, currentRev + events.size,
         maxPos + 1L, maxPos + events.size)
+      revs(stream) = currentRev + events.size
       maxPos += events.size
     }
     rows.result().toDF("stream", "uuid", "event_type", "data", "metadata", "custom_metadata",
@@ -226,11 +230,6 @@ object Appender {
 
   /** Read the canonical log (empty DataFrame with the canonical schema if
     * the directory has no files yet). */
-  def readLog(spark: SparkSession, logDir: String): DataFrame = {
-    val dir = new java.io.File(logDir)
-    val hasData = dir.exists && dir.listFiles != null &&
-      dir.listFiles.exists(f => f.getName.endsWith(".parquet"))
-    if (hasData) spark.read.schema(Subscriptions.eventSchema).parquet(logDir)
-    else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], Subscriptions.eventSchema)
-  }
+  def readLog(spark: SparkSession, logDir: String): DataFrame =
+    graft.util.ParquetDirs.readOrEmpty(spark, logDir, Subscriptions.eventSchema)
 }

@@ -59,7 +59,12 @@ object Multimodal {
    */
   def decodeStub(a: Asset): Decoded = {
     val n = a.bytes.length
-    val first = if (n > 0) a.bytes(0) & 0xff else 0
+    // first CODE POINT of the UTF-8 decode (deterministic for any bytes —
+    // invalid sequences decode to U+FFFD), matching the SQL oracles'
+    // ascii(substr(text,1,1)); the first RAW BYTE would diverge from them
+    // on any document starting with a non-ASCII character
+    val text = new String(a.bytes, java.nio.charset.StandardCharsets.UTF_8)
+    val first = if (text.nonEmpty) text.codePointAt(0) else 0
     Decoded(
       a.asset_id, a.kind,
       width = 16 + n % 113,

@@ -1,6 +1,6 @@
 package graft.proj
 
-import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.types._
 
 /**
@@ -27,12 +27,8 @@ object Catalog {
     StructField("updated_at", LongType, nullable = false)
   ))
 
-  private def read(spark: SparkSession, dir: String) = {
-    val f = new java.io.File(dir)
-    if (f.exists && f.listFiles != null && f.listFiles.exists(_.getName.endsWith(".parquet")))
-      spark.read.schema(schema).parquet(dir)
-    else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-  }
+  private def read(spark: SparkSession, dir: String) =
+    graft.util.ParquetDirs.readOrEmpty(spark, dir, schema)
 
   /** Upsert a projection (ref `SaveProjection`: INSERT … ON CONFLICT DO
     * UPDATE, backend.go:292-300). Last writer wins via `updated_at`. */

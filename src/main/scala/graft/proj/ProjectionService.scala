@@ -1,6 +1,6 @@
 package graft.proj
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -34,12 +34,8 @@ object ProjectionService {
     StructField("updated_at", LongType, nullable = false)
   ))
 
-  private def readStatus(spark: SparkSession, dir: String): DataFrame = {
-    val f = new java.io.File(statusDir(dir))
-    if (f.exists && f.listFiles != null && f.listFiles.exists(_.getName.endsWith(".parquet")))
-      spark.read.schema(statusSchema).parquet(statusDir(dir))
-    else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], statusSchema)
-  }
+  private def readStatus(spark: SparkSession, dir: String): DataFrame =
+    graft.util.ParquetDirs.readOrEmpty(spark, statusDir(dir), statusSchema)
 
   private def writeStatus(spark: SparkSession, dir: String, name: String, enabled: Boolean,
                           epoch: Long, deleted: Boolean, nowNanos: Long): Unit = {
@@ -49,24 +45,32 @@ object ProjectionService {
       .write.mode("append").parquet(statusDir(dir))
   }
 
-  /** (enabled, epoch), None if absent or deleted. */
-  def status(spark: SparkSession, dir: String, name: String): Option[(Boolean, Long)] = {
+  /** Latest status row incl. deleted tombstones: (enabled, epoch, deleted). */
+  private def rawStatus(spark: SparkSession, dir: String,
+                        name: String): Option[(Boolean, Long, Boolean)] = {
     val w = Window.partitionBy("name").orderBy(col("updated_at").desc)
     readStatus(spark, dir)
       .filter(col("name") === name)
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .collect().headOption
-      .filter(!_.getBoolean(3))
-      .map(r => (r.getBoolean(1), r.getLong(2)))
+      .map(r => (r.getBoolean(1), r.getLong(2), r.getBoolean(3)))
   }
 
-  /** proto `Create`: validate + store the descriptor, enabled at epoch 0.
-    * Fails if the name exists (the reference's INSERT-or-conflict). */
+  /** (enabled, epoch), None if absent or deleted. */
+  def status(spark: SparkSession, dir: String, name: String): Option[(Boolean, Long)] =
+    rawStatus(spark, dir, name).collect { case (en, ep, false) => (en, ep) }
+
+  /** proto `Create`: validate + store the descriptor, enabled. A name
+    * recreated after delete starts at the NEXT epoch — the pump's
+    * checkpoint/result dirs are epoch-namespaced, so the new incarnation
+    * never resumes the deleted one's streaming state or mixes into its
+    * result parquet. Fails if the name exists undeleted. */
   def create(spark: SparkSession, dir: String, name: String, script: String,
              nowNanos: Long = System.nanoTime()): Unit = {
     require(status(spark, dir, name).isEmpty, s"projection '$name' already exists")
+    val epoch = rawStatus(spark, dir, name).map(_._2 + 1L).getOrElse(0L)
     Catalog.save(spark, catalogDir(dir), name, ProjectionScript.validated(script), nowNanos)
-    writeStatus(spark, dir, name, enabled = true, epoch = 0L, deleted = false, nowNanos)
+    writeStatus(spark, dir, name, enabled = true, epoch = epoch, deleted = false, nowNanos)
   }
 
   /** proto `Update`: store a new descriptor version (no-op in the
@@ -77,10 +81,13 @@ object ProjectionService {
     Catalog.save(spark, catalogDir(dir), name, ProjectionScript.validated(script), nowNanos)
   }
 
-  /** proto `Delete`. */
+  /** proto `Delete`. The tombstone carries the deleted incarnation's
+    * epoch so a later recreate advances past every namespace it used. */
   def delete(spark: SparkSession, dir: String, name: String,
-             nowNanos: Long = System.nanoTime()): Unit =
-    writeStatus(spark, dir, name, enabled = false, epoch = 0L, deleted = true, nowNanos)
+             nowNanos: Long = System.nanoTime()): Unit = {
+    val epoch = rawStatus(spark, dir, name).map(_._2).getOrElse(0L)
+    writeStatus(spark, dir, name, enabled = false, epoch = epoch, deleted = true, nowNanos)
+  }
 
   /** proto `Disable` / `Enable`: gate live processing (a disabled
     * projection keeps its stored state; [[pumpDirs]] refuses to start). */

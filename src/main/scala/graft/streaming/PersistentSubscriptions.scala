@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -74,12 +74,8 @@ object PersistentSubscriptions {
     StructField("at", LongType, nullable = false)
   ))
 
-  private def readOr(spark: SparkSession, dir: String, schema: StructType): DataFrame = {
-    val f = new java.io.File(dir)
-    if (f.exists && f.listFiles != null && f.listFiles.exists(_.getName.endsWith(".parquet")))
-      spark.read.schema(schema).parquet(dir)
-    else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-  }
+  private def readOr(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    graft.util.ParquetDirs.readOrEmpty(spark, dir, schema)
 
   private def groupsDir(dir: String) = s"$dir/groups"
   private def opsDir(dir: String) = s"$dir/ops"
@@ -106,48 +102,76 @@ object PersistentSubscriptions {
       .write.mode("append").parquet(groupsDir(dir))
   }
 
-  /** Latest definition of a group, None if absent or deleted. */
-  def groupInfo(spark: SparkSession, dir: String, group: String): Option[(Option[String], Long, Strategy)] = {
+  /** Latest definition of a group + its creation stamp (the incarnation
+    * boundary: ops written before it belong to a previous, deleted
+    * incarnation of the name and are ignored). None if absent/deleted. */
+  private def groupRow(spark: SparkSession, dir: String,
+                       group: String): Option[(Option[String], Long, Strategy, Long)] = {
     val w = Window.partitionBy("group").orderBy(col("created_at").desc)
     readOr(spark, groupsDir(dir), groupSchema)
       .filter(col("group") === group)
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .collect().headOption
       .filter(r => r.getString(3) != "$deleted")
-      .map(r => (Option(r.getString(1)), r.getLong(2), strategyOf(r.getString(3))))
+      .map(r => (Option(r.getString(1)), r.getLong(2), strategyOf(r.getString(3)), r.getLong(4)))
   }
+
+  /** Latest definition of a group, None if absent or deleted. */
+  def groupInfo(spark: SparkSession, dir: String, group: String): Option[(Option[String], Long, Strategy)] =
+    groupRow(spark, dir, group).map { case (s, p, st, _) => (s, p, st) }
 
   /** Register a consumer in the group (proto `Read` handshake). Idempotent. */
   def join(spark: SparkSession, dir: String, group: String, consumer: String,
            nowNanos: Long = System.nanoTime()): Unit = {
+    val since = groupRow(spark, dir, group).map(_._4).getOrElse(Long.MinValue)
+    ensureJoined(spark, dir, group, consumer, since, nowNanos)
+    ()
+  }
+
+  /** Idempotent join returning the group's consumer list (one ops scan). */
+  private def ensureJoined(spark: SparkSession, dir: String, group: String, consumer: String,
+                           since: Long, nowNanos: Long): Seq[String] = {
     import spark.implicits._
-    if (!consumers(spark, dir, group).contains(consumer))
+    val cs = consumersSince(spark, dir, group, since)
+    if (cs.contains(consumer)) cs
+    else {
       Seq((group, 0L, "consumer-joined", consumer, nowNanos))
         .toDF("group", "position", "op", "consumer", "at")
         .write.mode("append").parquet(opsDir(dir))
+      cs :+ consumer
+    }
   }
 
   /** Active consumers in join order (first join wins ties by name). */
   def consumers(spark: SparkSession, dir: String, group: String): Seq[String] =
+    consumersSince(spark, dir, group,
+      groupRow(spark, dir, group).map(_._4).getOrElse(Long.MinValue))
+
+  private def consumersSince(spark: SparkSession, dir: String, group: String,
+                             since: Long): Seq[String] =
     readOr(spark, opsDir(dir), opSchema)
-      .filter(col("group") === group && col("op") === "consumer-joined")
+      .filter(col("group") === group && col("op") === "consumer-joined" && col("at") >= since)
       .groupBy("consumer").agg(min(col("at")).as("at"))
       .orderBy(col("at"), col("consumer"))
       .collect().map(_.getString(0)).toSeq
 
-  /** Latest op per event position for the group (merge-on-read). */
-  private def latestOps(spark: SparkSession, dir: String, group: String): DataFrame = {
+  /** Latest op per event position for the CURRENT incarnation of the
+    * group (merge-on-read): ops older than the group's created_at belong
+    * to a previous, deleted group of the same name and are ignored. */
+  private def latestOps(spark: SparkSession, dir: String, group: String,
+                        since: Long): DataFrame = {
     val w = Window.partitionBy("position").orderBy(col("at").desc)
     readOr(spark, opsDir(dir), opSchema)
-      .filter(col("group") === group && col("op") =!= "consumer-joined")
+      .filter(col("group") === group && col("op") =!= "consumer-joined" && col("at") >= since)
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("position"), col("op"))
   }
 
   /** Positions whose latest op makes them non-deliverable. A `retried` op
     * supersedes a park/ack and restores deliverability. */
-  private def processed(spark: SparkSession, dir: String, group: String): DataFrame =
-    latestOps(spark, dir, group)
+  private def processed(spark: SparkSession, dir: String, group: String,
+                        since: Long): DataFrame =
+    latestOps(spark, dir, group, since)
       .filter(col("op").isin("acked", "parked", "skipped"))
       .select(col("position").as("done_pos"))
 
@@ -159,17 +183,16 @@ object PersistentSubscriptions {
    */
   def read(spark: SparkSession, dir: String, log: DataFrame, group: String,
            consumer: String, maxCount: Int): DataFrame = {
-    val (stream, fromPos, strategy) = groupInfo(spark, dir, group)
+    val (stream, fromPos, strategy, since) = groupRow(spark, dir, group)
       .getOrElse(throw new NoSuchElementException(s"no such group '$group'"))
-    join(spark, dir, group, consumer)
-    val cs = consumers(spark, dir, group)
+    val cs = ensureJoined(spark, dir, group, consumer, since, System.nanoTime())
     val idx = cs.indexOf(consumer)
     val n = cs.length
 
     val base = stream.foldLeft(log.filter(col("position") >= fromPos))(
       (df, s) => df.filter(col("stream") === s))
     val deliverable = base
-      .join(broadcast(processed(spark, dir, group)),
+      .join(broadcast(processed(spark, dir, group, since)),
         col("position") === col("done_pos"), "left_anti")
     val routed = strategy match {
       case DispatchToSingle =>
@@ -213,17 +236,22 @@ object PersistentSubscriptions {
     case Retry => writeOps(spark, dir, group, positions, "retried", consumer, nowNanos)
   }
 
+  private def sinceOf(spark: SparkSession, dir: String, group: String): Long =
+    groupRow(spark, dir, group).map(_._4).getOrElse(Long.MinValue)
+
   /** Parked (dead-lettered) events of the group, joined back to the log. */
   def parked(spark: SparkSession, dir: String, log: DataFrame, group: String): DataFrame =
     log.join(
-      broadcast(latestOps(spark, dir, group).filter(col("op") === "parked")
+      broadcast(latestOps(spark, dir, group, sinceOf(spark, dir, group))
+        .filter(col("op") === "parked")
         .select(col("position").as("p"))),
       col("position") === col("p")).drop("p")
 
   /** Redeliver all parked events (proto `ReplayParked`). */
   def replayParked(spark: SparkSession, dir: String, group: String,
                    nowNanos: Long = System.nanoTime()): Unit = {
-    val ps = latestOps(spark, dir, group).filter(col("op") === "parked")
+    val ps = latestOps(spark, dir, group, sinceOf(spark, dir, group))
+      .filter(col("op") === "parked")
       .collect().map(_.getLong(0)).toSeq
     if (ps.nonEmpty) writeOps(spark, dir, group, ps, "retried", "$server", nowNanos)
   }

@@ -66,4 +66,29 @@ class LifecycleSpec extends SparkSpec {
     assert(log.count() == 5) // nothing from the failed batch
     assert(log.filter(org.apache.spark.sql.functions.col("stream") === "c").count() == 0)
   }
+
+  test("batchAppend: a stream in two batches of one call continues its dense revisions") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-life4").toString
+    val results = Appender.batchAppend(spark, dir, Seq(
+      ("s", events(2, "x"), NoStream),
+      ("other", events(1, "y"), NoStream),
+      ("s", events(2, "z"), AnyRevision) // same stream again, same call
+    ), nowNanos = 7L)
+    assert(results.map(_._2) == Seq(
+      AppendResult(0L, 1L, 1L, 2L),
+      AppendResult(0L, 0L, 3L, 3L),
+      AppendResult(2L, 3L, 4L, 5L) // revisions CONTINUE, not restart
+    ))
+    val revs = Appender.readLog(spark, dir).filter(col("stream") === "s")
+      .select("revision").collect().map(_.getLong(0)).sorted
+    assert(revs.toSeq == Seq(0L, 1L, 2L, 3L)) // dense, no duplicates
+    // NoStream for an already-appended stream within the call now fails
+    // (distinct uuids so the revision precondition is what trips, not the
+    // cross-batch uuid conflict)
+    intercept[WrongExpectedRevision](Appender.batchAppend(spark, dir, Seq(
+      ("fresh", events(1, "f1"), NoStream),
+      ("fresh", events(1, "f2"), NoStream)
+    )))
+  }
 }

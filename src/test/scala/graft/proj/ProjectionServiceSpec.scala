@@ -38,8 +38,12 @@ class ProjectionServiceSpec extends SparkSpec {
     ProjectionService.delete(spark, dir, "svc", nowNanos = 3L)
     assert(ProjectionService.status(spark, dir, "svc").isEmpty)
     intercept[NoSuchElementException](ProjectionService.compiled(spark, dir, "svc"))
-    // a deleted name can be recreated
+    // a deleted name can be recreated — at the NEXT epoch, so the new
+    // incarnation's pump namespace never resumes the deleted one's
+    // checkpoint or mixes into its result dir
     ProjectionService.create(spark, dir, "svc", script, nowNanos = 4L)
+    assert(ProjectionService.status(spark, dir, "svc").contains((true, 1L)))
+    assert(ProjectionService.pumpDirs(spark, dir, "svc")._1.contains("epoch-1"))
   }
 
   test("state and result run the stored fold; statistics count processed events") {

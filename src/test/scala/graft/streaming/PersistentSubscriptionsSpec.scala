@@ -90,4 +90,21 @@ class PersistentSubscriptionsSpec extends SparkSpec {
     assert(PS.groupInfo(spark, dir, "g").isEmpty)
     intercept[NoSuchElementException](PS.read(spark, dir, l, "g", "c", 1).collect())
   }
+
+  test("recreating a deleted group starts a fresh incarnation: no inherited acks or consumers") {
+    val dir = Files.createTempDirectory("graft-ps5").toString
+    val l = log(6)
+    PS.create(spark, dir, "g", None, strategy = PS.DispatchToSingle, nowNanos = 1L)
+    PS.join(spark, dir, "g", "old-consumer", nowNanos = 2L)
+    PS.ack(spark, dir, "g", "old-consumer", Seq(1L, 2L, 3L), nowNanos = 3L)
+    assert(positions(PS.read(spark, dir, l, "g", "old-consumer", 10)) == Seq(4L, 5L, 6L))
+    PS.delete(spark, dir, "g", nowNanos = 4L)
+    // same name, new incarnation: old acks must not suppress delivery and
+    // old consumers must not occupy routing slots
+    PS.create(spark, dir, "g", None, strategy = PS.DispatchToSingle, nowNanos = 5L)
+    assert(PS.consumers(spark, dir, "g").isEmpty)
+    PS.join(spark, dir, "g", "new-consumer", nowNanos = 6L)
+    assert(PS.consumers(spark, dir, "g") == Seq("new-consumer"))
+    assert(positions(PS.read(spark, dir, l, "g", "new-consumer", 10)) == (1L to 6L))
+  }
 }
