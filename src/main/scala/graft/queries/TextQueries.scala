@@ -37,6 +37,21 @@ object TextQueries {
         .agg(countDistinct(col("tok")).as("n_vocab"), count(lit(1)).as("n_tokens"))
         .orderBy("source")
     },
+    // corpus heavy hitters: top-20 bigrams by frequency. Scale: map-side
+    // bigram explode → partially-aggregated groupBy → TakeOrdered top-k
+    // (per-partition top-k + driver merge, no global sort)
+    "text_top_bigrams" -> { (s: SparkSession, dir: String) =>
+      val toks = graft.dedup.Hashing.toks(col("text"))
+      val bigrams = when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1)))
+      ).otherwise(array())
+      docs(s, dir)
+        .select(explode(bigrams).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram").asc)
+        .limit(20)
+    },
     "text_token_stats" -> { (s: SparkSession, dir: String) =>
       docs(s, dir).select(
         col("doc_id"),
@@ -81,6 +96,16 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "text_top_bigrams" ->
+      """WITH t AS (
+        |  SELECT string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents
+        |), b AS (
+        |  SELECT unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+        |    i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+        |  FROM t WHERE len(toks) >= 2
+        |)
+        |SELECT bigram, count(*) AS n FROM b GROUP BY bigram
+        |ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin,
     "text_vocab" ->
       """WITH t AS (
         |  SELECT source,
