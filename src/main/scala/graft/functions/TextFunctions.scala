@@ -96,6 +96,51 @@ object TextFunctions {
     when(text.rlike("[\\u4e00-\\u9fff]"), lit("zh")).otherwise(pick)
   }
 
+  // ---- repetition (Gopher-style within-document duplication signals) ----
+
+  /** Token bigrams ("a b") of the whitespace tokenization; empty for <2 tokens. */
+  def bigrams(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1)))
+    ).otherwise(array().cast("array<string>"))
+  }
+
+  /** floor(1000 * duplicated elements / elements) for an array column —
+    * the within-document repetition fraction of a token/n-gram stream. */
+  def dupFractionX1000(arr: Column): Column =
+    floor(lit(1000.0) * (size(arr) - size(array_distinct(arr)))
+      / greatest(size(arr), lit(1))).cast("long")
+
+  // ---- redaction (PII scrubbing for pretraining corpora) ----
+
+  /** Standard cheap PII patterns: emails and long digit runs (phone / id /
+    * card shapes). Both are RE2-compatible so the oracle matches exactly. */
+  val piiPatterns: Seq[String] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "[0-9]{6,}"
+  )
+
+  /** Whole-word alternation pattern for a term blocklist. */
+  def maskPattern(terms: Seq[String]): String =
+    terms.mkString("\\b(", "|", ")\\b")
+
+  /** Number of matches of `pattern` in `text`. */
+  def matchCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /**
+   * Redacted text: PII patterns → `<PII>`, then blocklist terms →
+   * `<MASKED>`. Pure `regexp_replace` chain — codegen'd, map-only,
+   * no shuffle; the shape of corpus scrubbing at 100 TB.
+   */
+  def redact(text: Column, maskTerms: Seq[String]): Column = {
+    val pii = piiPatterns.foldLeft(text)((c, p) => regexp_replace(c, p, "<PII>"))
+    if (maskTerms.isEmpty) pii
+    else regexp_replace(pii, maskPattern(maskTerms), "<MASKED>")
+  }
+
   /**
    * Document fingerprint: polynomial rolling hash (base 31, mod 2^31-1)
    * over the codepoints of the normalized text — cheap, order-sensitive,

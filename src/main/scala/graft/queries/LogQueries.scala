@@ -132,6 +132,17 @@ object LogQueries {
         .select(col("window.start").cast("long").as("bucket_start"), col("stream"), col("n"))
         .orderBy("bucket_start", "stream")
     },
+    // gap-based sessionization (graft.streaming.Sessionize): per-stream
+    // sessions split on a 4h inactivity gap. Exact integer µs arithmetic
+    // on both engines (µs is the finest resolution DuckDB can read from
+    // the ns parquet). One shuffle on the stream key.
+    "agg_sessions" -> { (s: SparkSession, dir: String) =>
+      import graft.streaming.Sessionize
+      Sessionize
+        .sessions(Fixture.events(s, dir), gap = 4L * 3600L * 1000000L,
+          time = Sessionize.microsFromNanos(col("ts")), unit = "us")
+        .orderBy("stream", "session_idx")
+    },
     // §1.2 schema-on-read: JSON payload field access + predicate
     "read_json_payload" -> { (s: SparkSession, dir: String) =>
       Fixture
@@ -183,6 +194,24 @@ object LogQueries {
       s"""$EV SELECT position, stream, CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
          |FROM ev WHERE CAST(json_extract_string(props, '$$.k') AS BIGINT) >= 80
          |ORDER BY position""".stripMargin,
+    // sessionization: same lag → gap-flag → running-sum derivation as
+    // Sessionize.sessions, on exact epoch-µs BIGINTs. DuckDB sums of
+    // INTEGER are HUGEINT — CAST back to BIGINT for schema parity.
+    "agg_sessions" ->
+      s"""$EV, x AS (
+         |  SELECT stream, position, epoch_us(ts) AS tus,
+         |         lag(epoch_us(ts)) OVER (PARTITION BY stream ORDER BY epoch_us(ts), position) AS prev
+         |  FROM ev
+         |), m AS (
+         |  SELECT stream, position, tus,
+         |         CAST(sum(CASE WHEN prev IS NULL OR tus - prev >= 14400000000 THEN 1 ELSE 0 END)
+         |           OVER (PARTITION BY stream ORDER BY tus, position
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+         |  FROM x
+         |)
+         |SELECT stream, session_idx, count(*) AS n_events,
+         |       min(tus) AS start_us, max(tus) AS end_us
+         |FROM m GROUP BY 1, 2 ORDER BY stream, session_idx""".stripMargin,
     // epoch-minute buckets: window.start (epoch seconds) = (ns // 60e9) * 60.
     // `//` (integer division) — `/` on BIGINTs is double division in DuckDB
     // and a half-ULP at 1.7e18 ns can flip a bucket at an exact boundary

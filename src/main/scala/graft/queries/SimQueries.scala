@@ -57,6 +57,17 @@ object SimQueries {
     // full DuckDB oracle below (k-means build exactness pinned by IvfSpec)
     "sim_topk_ivf" -> { (s: SparkSession, dir: String) =>
       x1e6(ivf(s, dir).topK(queryRow(Tables.emb(s, dir)), K, NPROBE))
+    },
+    // corpus clustering stats over the same stored assignment: per-cell
+    // membership histogram (the index-health / balance view an ANN
+    // deployment monitors; skewed cells → re-train the quantizer). One
+    // partial-aggregated shuffle on the cell id; exact-integer outputs.
+    "sim_cluster_hist" -> { (s: SparkSession, dir: String) =>
+      ivf(s, dir).assigned
+        .groupBy(col("ivf_cell").as("cid"))
+        .agg(count(lit(1)).as("n_vectors"),
+          min(col("id")).as("min_vec"), max(col("id")).as("max_vec"))
+        .orderBy("cid")
     }
   )
 
@@ -175,6 +186,25 @@ object SimQueries {
          |FROM n, q
          |WHERE vec_id IN (SELECT a.vec_id FROM assign a JOIN probe p ON a.cid = p.cid)
          |ORDER BY (${dotSql("embedding", "qv")} / (nrm * qn)) DESC, vec_id ASC
-         |LIMIT $K""".stripMargin
+         |LIMIT $K""".stripMargin,
+    // same sampled-codebook assignment as sim_topk_ivf, aggregated to the
+    // per-cell histogram
+    "sim_cluster_hist" ->
+      s"""WITH mx AS (SELECT max(vec_id) // $NLIST + 1 AS stride FROM embeddings),
+         |cent AS (
+         |  SELECT CAST(vec_id // stride AS INT) AS cid, embedding AS cv
+         |  FROM embeddings, mx WHERE vec_id % stride = 0
+         |), d AS (
+         |  SELECT e.vec_id, c.cid, ${l2Sql("e.embedding", "c.cv")} AS dist
+         |  FROM embeddings e CROSS JOIN cent c
+         |), assign AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+         |    FROM d
+         |  ) WHERE rk = 1
+         |)
+         |SELECT cid, count(*) AS n_vectors, min(vec_id) AS min_vec, max(vec_id) AS max_vec
+         |FROM assign GROUP BY cid ORDER BY cid""".stripMargin
   )
 }

@@ -41,13 +41,8 @@ object TextQueries {
     // bigram explode → partially-aggregated groupBy → TakeOrdered top-k
     // (per-partition top-k + driver merge, no global sort)
     "text_top_bigrams" -> { (s: SparkSession, dir: String) =>
-      val toks = graft.dedup.Hashing.toks(col("text"))
-      val bigrams = when(size(toks) >= 2,
-        transform(sequence(lit(1), size(toks) - 1),
-          i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1)))
-      ).otherwise(array())
       docs(s, dir)
-        .select(explode(bigrams).as("bigram"))
+        .select(explode(bigrams(col("text"))).as("bigram"))
         .groupBy("bigram").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("bigram").asc)
         .limit(20)
@@ -86,6 +81,54 @@ object TextQueries {
         // codegen'd native expression (GraftExtensions), bit-identical to
         // TextFunctions.fingerprint / Fast.fingerprintFast
         call_function("graft_polyhash", col("text")).as("fp")
+      ).orderBy("doc_id")
+    },
+    // TF-IDF keyword extraction: top-5 terms per document by a rational
+    // idf (tf * N / df — a monotone stand-in for tf·ln(N/df): ln is libm-
+    // dependent and would break cross-engine floor exactness; N/df is one
+    // IEEE divide, identical everywhere). Scale: two partial-aggregated
+    // shuffles (doc×tok, tok), a sort-merge join on tok, a broadcast
+    // 1-row N, and a per-doc window — no global sort, no driver state.
+    "text_tfidf" -> { (s: SparkSession, dir: String) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir)
+      val tf = d.select(col("doc_id"), explode(graft.dedup.Hashing.toks(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val nDocs = d.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("tok").asc)
+      tf.join(dfreq, "tok")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("score", lit(1000.0) * col("tf") * col("n_docs") / col("df"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("doc_id"), col("tok"), col("tf"),
+          floor(col("score")).cast("long").as("tfidf_x1000"))
+        .orderBy(col("doc_id"), col("tfidf_x1000").desc, col("tok"))
+    },
+    // within-document repetition (Gopher-style duplication quality
+    // signals): duplicate-token and duplicate-bigram fractions. Map-only,
+    // codegen'd array algebra — no shuffle.
+    "text_repetition" -> { (s: SparkSession, dir: String) =>
+      val toks = graft.dedup.Hashing.toks(col("text"))
+      docs(s, dir).select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"),
+        dupFractionX1000(toks).as("dup_tok_x1000"),
+        dupFractionX1000(bigrams(col("text"))).as("dup_bigram_x1000")
+      ).orderBy("doc_id")
+    },
+    // PII / blocklist redaction: match counts + fingerprint of the
+    // scrubbed text (proves the rewrite, sortable for the gate). Map-only
+    // regexp_replace chain + the native polyhash expression.
+    "text_redact" -> { (s: SparkSession, dir: String) =>
+      val masked = Seq("customer", "key")
+      docs(s, dir).select(
+        col("doc_id"),
+        matchCount(col("text"), maskPattern(masked)).cast("long").as("n_masked"),
+        matchCount(col("text"), piiPatterns.head).cast("long").as("n_pii"),
+        call_function("graft_polyhash", redact(col("text"), masked)).as("fp_redacted")
       ).orderBy("doc_id")
     }
   )
@@ -158,6 +201,59 @@ object TextQueries {
          |    list_prepend(CAST(0 AS BIGINT),
          |      list_transform(string_split(lower(trim(text)), ''), c -> CAST(ascii(c) AS BIGINT))),
          |    (h, c) -> (h * 31 + c) % 2147483647) AS fp
-         |FROM d ORDER BY doc_id""".stripMargin
+         |FROM d ORDER BY doc_id""".stripMargin,
+    // rational-idf TF-IDF: same ((1000.0 * tf) * N) / df IEEE arithmetic,
+    // same (score DESC, tok ASC) rank order, floor only on output
+    "text_tfidf" ->
+      s"""$D, t AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+         |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+         |nn AS (SELECT count(*) AS n_docs FROM documents),
+         |sc AS (
+         |  SELECT f.doc_id, f.tok, f.tf,
+         |         1000.0 * f.tf * n.n_docs / q.df AS score
+         |  FROM tf f JOIN dfq q USING (tok) CROSS JOIN nn n
+         |), rk AS (
+         |  SELECT doc_id, tok, tf, score,
+         |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok ASC) AS rk
+         |  FROM sc
+         |)
+         |SELECT doc_id, tok, tf, CAST(floor(score) AS BIGINT) AS tfidf_x1000
+         |FROM rk WHERE rk <= 5
+         |ORDER BY doc_id, tfidf_x1000 DESC, tok""".stripMargin,
+    "text_repetition" ->
+      s"""$D, b AS (
+         |  SELECT doc_id, toks,
+         |    CASE WHEN len(toks) >= 2
+         |      THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
+         |      ELSE [] END AS bgs
+         |  FROM d
+         |)
+         |SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+         |  CAST(floor(1000.0 * (len(toks) - len(list_distinct(toks))) / greatest(len(toks), 1)) AS BIGINT) AS dup_tok_x1000,
+         |  CAST(floor(1000.0 * (len(bgs) - len(list_distinct(bgs))) / greatest(len(bgs), 1)) AS BIGINT) AS dup_bigram_x1000
+         |FROM b ORDER BY doc_id""".stripMargin,
+    // same replace chain (emails → digit runs → blocklist, 'g' = all
+    // occurrences like Spark), then the rolling hash of the scrubbed text
+    "text_redact" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<PII>', 'g'),
+        |        '[0-9]{6,}', '<PII>', 'g'),
+        |      '\b(customer|key)\b', '<MASKED>', 'g') AS red,
+        |    CAST(len(regexp_extract_all(text, '\b(customer|key)\b')) AS BIGINT) AS n_masked,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_pii
+        |  FROM documents
+        |)
+        |SELECT doc_id, n_masked, n_pii,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(lower(trim(red)), ''), c -> CAST(ascii(c) AS BIGINT))),
+        |    (h, c) -> (h * 31 + c) % 2147483647) AS fp_redacted
+        |FROM r ORDER BY doc_id""".stripMargin
   )
 }
