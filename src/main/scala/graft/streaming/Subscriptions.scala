@@ -50,12 +50,20 @@ object Subscriptions {
    * sink (`writeStream`); `Trigger.AvailableNow` = catch-up only, default
    * trigger = catch-up then live.
    *
+   * `sourceOptions` are the backpressure knobs (T6): the reference's
+   * per-subscriber buffer maps to bounded micro-batches —
+   * `maxFilesPerTrigger` (and `maxBytesPerTrigger` on sources that
+   * support it) caps how much catch-up backlog one trigger ingests, so a
+   * subscriber that falls behind processes the backlog in buffer-sized
+   * batches instead of one unbounded replay.
+   *
    * Subscription reads are forward-only (the reference rejects nothing
    * else: `Count < 0` always reads Forwards, streams.go:264-285); the
    * direction/limit fields of [[ReadOptions]] are ignored here.
    */
-  def subscribe(spark: SparkSession, logDir: String, opts: ReadOptions): DataFrame = {
-    val src = spark.readStream.schema(eventSchema).parquet(logDir)
+  def subscribe(spark: SparkSession, logDir: String, opts: ReadOptions,
+                sourceOptions: Map[String, String] = Map.empty): DataFrame = {
+    val src = spark.readStream.schema(eventSchema).options(sourceOptions).parquet(logDir)
     val resolved = opts.from match {
       case FromEnd => opts.copy(from = From(endOffset(spark, logDir, opts.selector)))
       case _       => opts

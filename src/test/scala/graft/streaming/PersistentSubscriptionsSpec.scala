@@ -91,6 +91,71 @@ class PersistentSubscriptionsSpec extends SparkSpec {
     intercept[NoSuchElementException](PS.read(spark, dir, l, "g", "c", 1).collect())
   }
 
+  test("ack deadline: delivered events are leased, redelivered after expiry, acks stick") {
+    val dir = Files.createTempDirectory("graft-ps6").toString
+    val l = log(6)
+    val timeout = 100L
+    PS.create(spark, dir, "g", None, strategy = PS.DispatchToSingle,
+      messageTimeoutNanos = Some(timeout), nowNanos = 1L)
+    // c1 reads 3 → they are in-flight: an immediate re-read sees the rest
+    val first = positions(PS.read(spark, dir, l, "g", "c1", 3, nowNanos = 10L))
+    assert(first == Seq(1L, 2L, 3L))
+    assert(positions(PS.read(spark, dir, l, "g", "c1", 10, nowNanos = 20L)) == Seq(4L, 5L, 6L))
+    // past the deadline the unacked leases expire → 1..3 deliverable again
+    PS.ack(spark, dir, "g", "c1", Seq(2L), nowNanos = 30L)
+    val redelivered = positions(PS.read(spark, dir, l, "g", "c1", 10, nowNanos = 10L + timeout + 1))
+    assert(redelivered == Seq(1L, 3L)) // 2 acked; 4..6 still leased (read at t=20)
+    // lease is per-delivery: the redelivery itself re-leases 1 and 3
+    assert(positions(PS.read(spark, dir, l, "g", "c1", 10, nowNanos = 10L + timeout + 2)).isEmpty)
+  }
+
+  test("compact: checkpoint + pruned ops preserve read/parked semantics and shrink the log") {
+    val dir = Files.createTempDirectory("graft-ps7").toString
+    val l = log(12)
+    PS.create(spark, dir, "g", None, strategy = PS.DispatchToSingle, nowNanos = 1L)
+    PS.create(spark, dir, "other", None, strategy = PS.DispatchToSingle, nowNanos = 1L)
+    PS.ack(spark, dir, "other", "oc", Seq(1L, 2L), nowNanos = 2L)
+    // history: 1-4 acked (2 twice), 5 parked, 6 skipped, 7 retried after park, 8 acked
+    PS.ack(spark, dir, "g", "c1", Seq(1L, 2L, 3L, 4L), nowNanos = 3L)
+    PS.ack(spark, dir, "g", "c1", Seq(2L), nowNanos = 4L)
+    PS.nack(spark, dir, "g", "c1", Seq(5L), PS.Park, nowNanos = 5L)
+    PS.nack(spark, dir, "g", "c1", Seq(6L), PS.Skip, nowNanos = 6L)
+    PS.nack(spark, dir, "g", "c1", Seq(7L), PS.Park, nowNanos = 7L)
+    PS.nack(spark, dir, "g", "c1", Seq(7L), PS.Retry, nowNanos = 8L)
+    PS.ack(spark, dir, "g", "c1", Seq(8L), nowNanos = 9L)
+
+    val before = positions(PS.read(spark, dir, l, "g", "c1", 20))
+    val parkedBefore = positions(PS.parked(spark, dir, l, "g"))
+    val rawBefore = spark.read.parquet(s"$dir/ops").count()
+
+    PS.compact(spark, dir, l, "g", nowNanos = 100L)
+
+    // identical observable state
+    assert(positions(PS.read(spark, dir, l, "g", "c1", 20)) == before)
+    assert(positions(PS.parked(spark, dir, l, "g")) == parkedBefore)
+    assert(before == Seq(7L, 9L, 10L, 11L, 12L))
+    assert(parkedBefore == Seq(5L))
+    // history collapsed: ckpt at 4 (5 parked blocks it), parked row for 5,
+    // retried row for 7 dropped (deliverable is the default state)
+    val ops = spark.read.parquet(s"$dir/ops")
+      .filter(org.apache.spark.sql.functions.col("group") === "g")
+    assert(ops.filter(org.apache.spark.sql.functions.col("op") === "ckpt")
+      .select("position").collect().map(_.getLong(0)).toSeq == Seq(4L))
+    assert(spark.read.parquet(s"$dir/ops").count() < rawBefore)
+    // the other group is untouched
+    assert(positions(PS.read(spark, dir, l, "other", "oc", 20)) == (3L to 12L))
+
+    // acking past the parked row then recompacting advances the checkpoint
+    PS.replayParked(spark, dir, "g", nowNanos = 101L)
+    PS.ack(spark, dir, "g", "c1", Seq(5L, 7L), nowNanos = 102L)
+    PS.compact(spark, dir, l, "g", nowNanos = 103L)
+    val ops2 = spark.read.parquet(s"$dir/ops")
+      .filter(org.apache.spark.sql.functions.col("group") === "g")
+    assert(ops2.filter(org.apache.spark.sql.functions.col("op") === "ckpt")
+      .select("position").collect().map(_.getLong(0)).max == 8L)
+    assert(positions(PS.read(spark, dir, l, "g", "c1", 20)) == Seq(9L, 10L, 11L, 12L))
+  }
+
   test("recreating a deleted group starts a fresh incarnation: no inherited acks or consumers") {
     val dir = Files.createTempDirectory("graft-ps5").toString
     val l = log(6)

@@ -75,6 +75,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("backpressure: maxFilesPerTrigger bounds each micro-batch during catch-up (T6)") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val logDir = Files.createTempDirectory("graft-log-bp").toString
+    // 5 files of 4 events each (one write per file)
+    (0L until 5L).foreach { f =>
+      (1L to 4L).map(i => ev("s", "t", f * 4 + i - 1, f * 4 + i))
+        .toDF().coalesce(1).write.mode("append").parquet(logDir)
+    }
+    val sub = Subscriptions.subscribe(
+      spark, logDir, ReadOptions(AllStreams, from = FromStart),
+      sourceOptions = Map("maxFilesPerTrigger" -> "1"))
+    val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = sub.writeStream
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batchSizes.synchronized { batchSizes += df.count() }; ()
+      }
+      .start()
+    try {
+      q.awaitTermination(120000)
+      // the 20-event backlog arrived as 5 bounded batches, not one replay
+      assert(batchSizes.sum == 20L)
+      assert(batchSizes.length == 5)
+      assert(batchSizes.forall(_ == 4L))
+    } finally q.stop()
+  }
+
   test("live-only subscription from end: history skipped, new events flow (streams.go:244-252)") {
     import spark.implicits._
     val logDir = Files.createTempDirectory("graft-log-end").toString
