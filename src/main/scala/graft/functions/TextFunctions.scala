@@ -98,12 +98,20 @@ object TextFunctions {
 
   // ---- repetition (Gopher-style within-document duplication signals) ----
 
-  /** Token bigrams ("a b") of the whitespace tokenization; empty for <2 tokens. */
+  /** Token bigrams ("a b") of the whitespace tokenization; empty for <2
+    * tokens. `zip_with` over two slices, NOT `transform(sequence, i =>
+    * element_at(toks, i))`: a lambda body re-evaluates its subtrees per
+    * element, so element_at over the un-materialized `split` re-runs the
+    * regex split per bigram — O(tokens²) per document (measured 10s vs
+    * ~2s on the sf0.1 bigram count). zip_with evaluates each slice once
+    * per row. */
   def bigrams(text: Column): Column = {
     val toks = tokens(text)
     when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1),
-        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1)))
+      zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat(a, lit(" "), b))
     ).otherwise(array().cast("array<string>"))
   }
 

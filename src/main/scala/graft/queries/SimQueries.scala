@@ -58,6 +58,16 @@ object SimQueries {
     "sim_topk_ivf" -> { (s: SparkSession, dir: String) =>
       x1e6(ivf(s, dir).topK(queryRow(Tables.emb(s, dir)), K, NPROBE))
     },
+    // semantic duplicate clusters: connected components over the exact
+    // cosine near-dup pair graph (the embedding-space analogue of
+    // dedup_clusters; same min-label fixpoint, distributed-exact pair
+    // generation — no driver collect)
+    "sim_dup_clusters" -> { (s: SparkSession, dir: String) =>
+      graft.dedup.Dedup.duplicateClusters(
+        Similarity.bruteForcePairsBlocked(Tables.emb(s, dir), 0.45)
+          .select(col("a"), col("b")))
+        .orderBy("id")
+    },
     // corpus clustering stats over the same stored assignment: per-cell
     // membership histogram (the index-health / balance view an ANN
     // deployment monitors; skewed cells → re-train the quantizer). One
@@ -80,12 +90,14 @@ object SimQueries {
        |        i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
        |      (s, p) -> s + p)""".stripMargin
 
-  /** norms CTE: per-vector L2 norm. */
-  private val N =
-    s"""WITH n AS (
+  /** norms CTE body: per-vector L2 norm (no WITH keyword so callers can
+    * prepend RECURSIVE). */
+  private val NB =
+    s"""n AS (
        |  SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS nrm
        |  FROM embeddings
        |)""".stripMargin
+  private val N = s"WITH $NB"
 
   /** Left-fold squared L2 distance between two vector expressions
     * (float→double per element — mirrors Ivf's assignment arithmetic). */
@@ -187,6 +199,25 @@ object SimQueries {
          |WHERE vec_id IN (SELECT a.vec_id FROM assign a JOIN probe p ON a.cid = p.cid)
          |ORDER BY (${dotSql("embedding", "qv")} / (nrm * qn)) DESC, vec_id ASC
          |LIMIT $K""".stripMargin,
+    // transitive closure over the same exact pair set as
+    // dedup_embedding_cosine — min reachable id per member
+    "sim_dup_clusters" ->
+      s"""WITH RECURSIVE $NB, p AS (
+         |  SELECT a, b FROM (
+         |    SELECT x.vec_id AS a, y.vec_id AS b,
+         |      ${dotSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm) AS cos
+         |    FROM n x JOIN n y ON x.vec_id < y.vec_id
+         |  ) WHERE cos >= 0.45
+         |), edges AS (
+         |  SELECT a AS src, b AS dst FROM p
+         |  UNION SELECT b, a FROM p
+         |), reach AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |)
+         |SELECT src AS id, least(src, min(dst)) AS keeper
+         |FROM reach GROUP BY src ORDER BY id""".stripMargin,
     // same sampled-codebook assignment as sim_topk_ivf, aggregated to the
     // per-cell histogram
     "sim_cluster_hist" ->
