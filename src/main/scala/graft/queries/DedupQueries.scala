@@ -77,7 +77,7 @@ object DedupQueries {
 
   /** CTE chain ending in `pairs(a, b, jaccard_x1000)` — the verified
     * minhash near-dup pairs (shared by dedup_minhash_lsh/dedup_clusters). */
-  private val minhashPairCtes: String =
+  private[queries] val minhashPairCtes: String =
     s"""$SHB, sig AS (
        |  SELECT doc_id, sh, len(sh) AS n,
        |    $sigExprs AS sig

@@ -130,6 +130,27 @@ object TextQueries {
         matchCount(col("text"), piiPatterns.head).cast("long").as("n_pii"),
         call_function("graft_polyhash", redact(col("text"), masked)).as("fp_redacted")
       ).orderBy("doc_id")
+    },
+    // the end-to-end curation pipeline a pretraining corpus runs: quality
+    // gate → drop near-duplicate cluster members (MinHash+LSH keepers
+    // win) → redact. Composes the operators above; the dedup anti-join is
+    // against the (small) loser set, broadcast by AQE.
+    "corpus_curate" -> { (s: SparkSession, dir: String) =>
+      val losers = graft.dedup.Dedup
+        .duplicateClusters(graft.dedup.Dedup
+          .minhashLshPairsFromSets(Tables.shingleSets(s, dir), thresholdX1000 = 300))
+        .filter(col("id") =!= col("keeper"))
+        .select(col("id").as("doc_id"))
+      docs(s, dir)
+        .filter(qualityScoreX1000(col("text")) >= 550)
+        .join(losers, Seq("doc_id"), "left_anti")
+        .select(
+          col("doc_id"),
+          qualityScoreX1000(col("text")).as("quality_x1000"),
+          tokenCount(col("text")).cast("long").as("n_tokens"),
+          call_function("graft_polyhash",
+            redact(col("text"), Seq("customer", "key"))).as("fp_redacted"))
+        .orderBy("doc_id")
     }
   )
 
@@ -137,6 +158,30 @@ object TextQueries {
     val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
     s"CAST(len(list_filter(toks, t -> list_contains($lst, t))) AS BIGINT)"
   }
+
+  /** Redaction chain over `text` (emails → digit runs → blocklist; 'g' =
+    * all occurrences, like Spark's regexp_replace). */
+  private val redSql =
+    """regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<PII>', 'g'),
+      |        '[0-9]{6,}', '<PII>', 'g'),
+      |      '\b(customer|key)\b', '<MASKED>', 'g')""".stripMargin
+
+  /** Rolling polynomial hash of lower(trim(expr)) — graft_polyhash. */
+  private def fpSql(expr: String): String =
+    s"""list_reduce(
+       |    list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(lower(trim($expr)), ''), c -> CAST(ascii(c) AS BIGINT))),
+       |    (h, c) -> (h * 31 + c) % 2147483647)""".stripMargin
+
+  /** qualityScoreX1000 over columns (text, toks). */
+  private val qualSql =
+    s"""CAST(floor(1000.0 * (
+       |     0.4 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+       |   + 0.3 * least(3.0 * ${sc(stopwords)} / greatest(len(toks), 1), 1.0)
+       |   + 0.3 * (1.0 - least(5.0 * len(regexp_extract_all(text, '[.,!?;:]')) / greatest(length(text), 1), 1.0))
+       |  )) AS BIGINT)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "text_top_bigrams" ->
@@ -254,6 +299,30 @@ object TextQueries {
         |    list_prepend(CAST(0 AS BIGINT),
         |      list_transform(string_split(lower(trim(red)), ''), c -> CAST(ascii(c) AS BIGINT))),
         |    (h, c) -> (h * 31 + c) % 2147483647) AS fp_redacted
-        |FROM r ORDER BY doc_id""".stripMargin
+        |FROM r ORDER BY doc_id""".stripMargin,
+    // the same three stages: minhash near-dup clusters → losers (keeper =
+    // min reachable id), quality gate, redacted fingerprint
+    "corpus_curate" ->
+      s"""WITH RECURSIVE ${DedupQueries.minhashPairCtes}, edges AS (
+         |  SELECT a AS src, b AS dst FROM pairs
+         |  UNION SELECT b, a FROM pairs
+         |), reach AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |), losers AS (
+         |  SELECT src AS id FROM reach GROUP BY src HAVING min(dst) < src
+         |), dq AS (
+         |  SELECT doc_id, text,
+         |         string_split_regex(trim(lower(text)), '\\s+') AS toks,
+         |         $redSql AS red
+         |  FROM documents
+         |)
+         |SELECT doc_id, $qualSql AS quality_x1000,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  ${fpSql("red")} AS fp_redacted
+         |FROM dq
+         |WHERE $qualSql >= 550 AND doc_id NOT IN (SELECT id FROM losers)
+         |ORDER BY doc_id""".stripMargin
   )
 }

@@ -16,6 +16,9 @@ case class EvRow(stream: String, uuid: String, event_type: String, data: String,
 /** Event-time row for watermark tests. */
 case class TsRow(stream: String, event_time: java.sql.Timestamp)
 
+/** Ingest row for streaming-dedup tests. */
+case class InRow(stream: String, uuid: String, ts: java.sql.Timestamp)
+
 case class SCount(count: Long)
 
 /**
@@ -100,6 +103,29 @@ class StreamingSpec extends SparkSpec {
       assert(batchSizes.sum == 20L)
       assert(batchSizes.length == 5)
       assert(batchSizes.forall(_ == 4L))
+    } finally q.stop()
+  }
+
+  test("ingest dedup: (stream, uuid) redeliveries dropped across micro-batches, state bounded by watermark") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val mem = MemoryStream[InRow]
+    val q = IngestDedup.dedupByUuid(mem.toDF(), col("ts"), "10 seconds")
+      .writeStream.format("memory").queryName("ingest_dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: u1 delivered twice in-batch
+      mem.addData(InRow("s", "u1", ts(10)), InRow("s", "u1", ts(11)), InRow("s", "u2", ts(12)))
+      q.processAllAvailable()
+      // batch 2: u1 redelivered across batches (within the horizon), u3 new;
+      // same uuid on ANOTHER stream is a distinct event, not a duplicate
+      mem.addData(InRow("s", "u1", ts(13)), InRow("s", "u3", ts(14)), InRow("s2", "u1", ts(14)))
+      q.processAllAvailable()
+      val got = spark.sql("select stream, uuid from ingest_dedup").collect()
+        .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+      assert(got == Seq(("s", "u1"), ("s", "u2"), ("s", "u3"), ("s2", "u1")))
     } finally q.stop()
   }
 
