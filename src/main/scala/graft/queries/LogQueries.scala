@@ -151,6 +151,37 @@ object LogQueries {
         .filter(col("k") >= 80)
         .select(col("position"), col("stream"), col("k"))
         .orderBy("position")
+    },
+    // dimension enrichment: events joined to customer → nation (stream id
+    // encodes the entity key). Both dims BROADCAST — the event log is the
+    // only large input, so the join is map-side with zero shuffle of the
+    // fact side; the aggregate shuffles pre-combined (nation, type) rows
+    "agg_by_nation" -> { (s: SparkSession, dir: String) =>
+      val ev = Fixture.events(s, dir)
+        .withColumn("user_id", substring(col("stream"), 6, 1000000).cast("long"))
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val nat = s.read.parquet(s"$dir/nation.parquet")
+        .select(col("n_nationkey"), col("n_name"))
+      ev.join(broadcast(cust), col("user_id") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("n_name", "event_type")
+    },
+    // per-stream top-3 event types (frequency leaders): partial-agg
+    // shuffle on (stream, type), then a per-stream window — partitioned
+    // by the stream key, no global sort
+    "top_types_per_stream" -> { (s: SparkSession, dir: String) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("stream").orderBy(col("n").desc, col("event_type").asc)
+      Fixture.events(s, dir)
+        .groupBy(col("stream"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("stream"), col("event_type"), col("n"), col("rk").cast("long").as("rk"))
+        .orderBy("stream", "rk")
     }
   )
 
@@ -194,6 +225,21 @@ object LogQueries {
       s"""$EV SELECT position, stream, CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
          |FROM ev WHERE CAST(json_extract_string(props, '$$.k') AS BIGINT) >= 80
          |ORDER BY position""".stripMargin,
+    "agg_by_nation" ->
+      s"""$EV SELECT n_name, event_type, count(*) AS n
+         |FROM ev
+         |JOIN customer ON CAST(substr(stream, 6) AS BIGINT) = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "top_types_per_stream" ->
+      s"""$EV, c AS (
+         |  SELECT stream, event_type, count(*) AS n FROM ev GROUP BY 1, 2
+         |)
+         |SELECT stream, event_type, n, rk FROM (
+         |  SELECT stream, event_type, n,
+         |         row_number() OVER (PARTITION BY stream ORDER BY n DESC, event_type ASC) AS rk
+         |  FROM c
+         |) WHERE rk <= 3 ORDER BY stream, rk""".stripMargin,
     // sessionization: same lag → gap-flag → running-sum derivation as
     // Sessionize.sessions, on exact epoch-µs BIGINTs. DuckDB sums of
     // INTEGER are HUGEINT — CAST back to BIGINT for schema parity.
