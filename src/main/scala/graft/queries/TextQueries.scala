@@ -143,7 +143,9 @@ object TextQueries {
         .select(col("id").as("doc_id"))
       docs(s, dir)
         .filter(qualityScoreX1000(col("text")) >= 550)
-        .join(losers, Seq("doc_id"), "left_anti")
+        // explicit hint: the loser set is derived (no stats pre-AQE) but
+        // near-dup losers are a small fraction of any corpus by nature
+        .join(broadcast(losers), Seq("doc_id"), "left_anti")
         .select(
           col("doc_id"),
           qualityScoreX1000(col("text")).as("quality_x1000"),

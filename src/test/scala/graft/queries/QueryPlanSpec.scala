@@ -1,0 +1,50 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/**
+ * Plan-quality assertions for the round-2 query additions — the plans we
+ * designed for, not just the first ones that passed:
+ *
+ *  - dimension enrichment joins must BROADCAST the dims (the event-log
+ *    fact side must never shuffle before aggregation);
+ *  - sessionization must shuffle ONCE on the stream key — the session
+ *    window and the (stream, session) aggregation both ride the same
+ *    hash partitioning;
+ *  - the curation anti-join's loser set must broadcast.
+ */
+class QueryPlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("agg_by_nation: both dims broadcast, no sort-merge join") {
+    val plan = LogQueries.queries("agg_by_nation")(spark, dir)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"fact side must not shuffle for the join:\n$plan")
+  }
+
+  test("agg_sessions: one hash shuffle covers window + aggregation") {
+    val plan = LogQueries.queries("agg_sessions")(spark, dir)
+      .queryExecution.executedPlan.toString()
+    // count exchanges in the query's own pipeline, not inside the cached
+    // fixture's InMemoryRelation (whose build plan is embedded in toString)
+    val own = plan.split("InMemoryTableScan")(0)
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(own).length
+    assert(hashExchanges == 1,
+      s"expected a single stream-key shuffle, found $hashExchanges in:\n$plan")
+  }
+
+  test("top_types_per_stream: partial aggregation before the shuffle") {
+    val plan = LogQueries.queries("top_types_per_stream")(spark, dir)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("partial_count"), s"expected map-side combine in:\n$plan")
+  }
+
+  test("corpus_curate: loser set broadcast in the anti-join") {
+    val plan = TextQueries.queries("corpus_curate")(spark, dir)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("LeftAnti, BuildRight") || plan.contains("BroadcastHashJoin"),
+      s"expected broadcast anti-join in:\n$plan")
+  }
+}
