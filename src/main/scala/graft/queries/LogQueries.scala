@@ -169,6 +169,18 @@ object LogQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy("n_name", "event_type")
     },
+    // numeric aggregation over event payload values, exact across
+    // engines: DOUBLE sums are addition-order-dependent, so the value is
+    // floor-scaled to integer milli-units FIRST and summed as BIGINT
+    // (associative, partition-order-free — safe under any shuffle)
+    "agg_value_stats" -> { (s: SparkSession, dir: String) =>
+      val v = floor(col("value") * lit(1000.0)).cast("long")
+      Fixture.events(s, dir)
+        .groupBy("stream")
+        .agg(count(lit(1)).as("n"),
+          sum(v).as("sum_x1000"), min(v).as("min_x1000"), max(v).as("max_x1000"))
+        .orderBy("stream")
+    },
     // per-stream top-3 event types (frequency leaders): partial-agg
     // shuffle on (stream, type), then a per-stream window — partitioned
     // by the stream key, no global sort
@@ -231,6 +243,13 @@ object LogQueries {
          |JOIN customer ON CAST(substr(stream, 6) AS BIGINT) = c_custkey
          |JOIN nation ON c_nationkey = n_nationkey
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // DuckDB sum(BIGINT) is HUGEINT — CAST back for schema parity
+    "agg_value_stats" ->
+      s"""$EV SELECT stream, count(*) AS n,
+         |  CAST(sum(CAST(floor(value * 1000.0) AS BIGINT)) AS BIGINT) AS sum_x1000,
+         |  min(CAST(floor(value * 1000.0) AS BIGINT)) AS min_x1000,
+         |  max(CAST(floor(value * 1000.0) AS BIGINT)) AS max_x1000
+         |FROM ev GROUP BY stream ORDER BY stream""".stripMargin,
     "top_types_per_stream" ->
       s"""$EV, c AS (
          |  SELECT stream, event_type, count(*) AS n FROM ev GROUP BY 1, 2
