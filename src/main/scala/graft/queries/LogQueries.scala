@@ -132,6 +132,17 @@ object LogQueries {
         .select(col("window.start").cast("long").as("bucket_start"), col("stream"), col("n"))
         .orderBy("bucket_start", "stream")
     },
+    // sliding event-time windows (2-minute windows every minute): each
+    // event covers two windows; the explosion is map-side, the aggregate
+    // shuffles pre-combined (window, stream) rows
+    "agg_sliding_buckets" -> { (s: SparkSession, dir: String) =>
+      import graft.streaming.EventTimeStats
+      EventTimeStats
+        .eventsPerSlidingWindow(Fixture.events(s, dir),
+          EventTimeStats.eventTimeFromNanos(col("ts")), "2 minutes", "1 minute", "0 seconds")
+        .select(col("window.start").cast("long").as("bucket_start"), col("stream"), col("n"))
+        .orderBy("bucket_start", "stream")
+    },
     // gap-based sessionization (graft.streaming.Sessionize): per-stream
     // sessions split on a 4h inactivity gap. Exact integer µs arithmetic
     // on both engines (µs is the finest resolution DuckDB can read from
@@ -259,6 +270,17 @@ object LogQueries {
          |         row_number() OVER (PARTITION BY stream ORDER BY n DESC, event_type ASC) AS rk
          |  FROM c
          |) WHERE rk <= 3 ORDER BY stream, rk""".stripMargin,
+    // sliding windows: an event in minute m covers the 2-minute windows
+    // starting at minutes m-1 and m (slide-aligned starts); same exact
+    // ns→bucket integer arithmetic as agg_time_buckets
+    "agg_sliding_buckets" ->
+      s"""$EV, x AS (
+         |  SELECT stream, epoch_ns(ts) // 60000000000 AS m FROM ev
+         |), w AS (
+         |  SELECT stream, unnest([(m - 1) * 60, m * 60]) AS bucket_start FROM x
+         |)
+         |SELECT CAST(bucket_start AS BIGINT) AS bucket_start, stream, count(*) AS n
+         |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // sessionization: same lag → gap-flag → running-sum derivation as
     // Sessionize.sessions, on exact epoch-µs BIGINTs. DuckDB sums of
     // INTEGER are HUGEINT — CAST back to BIGINT for schema parity.

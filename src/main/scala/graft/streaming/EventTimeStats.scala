@@ -40,4 +40,19 @@ object EventTimeStats {
       .withWatermark("event_time", watermark)
       .groupBy(window(col("event_time"), windowDur), col("stream"))
       .agg(count(lit(1)).as("n"))
+
+  /**
+   * Sliding-window variant: each event lands in `windowDur / slideDur`
+   * overlapping windows (starts aligned to the slide). Same state/
+   * watermark behaviour as the tumbling form — state rows per open
+   * (window, stream), expired by the watermark; the window explosion is
+   * map-side (one row per covering window before the shuffle).
+   */
+  def eventsPerSlidingWindow(src: DataFrame, eventTime: Column, windowDur: String,
+                             slideDur: String, watermark: String): DataFrame =
+    src
+      .withColumn("event_time", eventTime)
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), windowDur, slideDur), col("stream"))
+      .agg(count(lit(1)).as("n"))
 }

@@ -19,6 +19,9 @@ case class TsRow(stream: String, event_time: java.sql.Timestamp)
 /** Ingest row for streaming-dedup tests. */
 case class InRow(stream: String, uuid: String, ts: java.sql.Timestamp)
 
+/** Right-side row for stream-stream join tests. */
+case class ViewRow(v_stream: String, view_id: String, v_ts: java.sql.Timestamp)
+
 case class SCount(count: Long)
 
 /**
@@ -126,6 +129,33 @@ class StreamingSpec extends SparkSpec {
       val got = spark.sql("select stream, uuid from ingest_dedup").collect()
         .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
       assert(got == Seq(("s", "u1"), ("s", "u2"), ("s", "u3"), ("s2", "u1")))
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join: matches within the horizon on the same stream, state bounded") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val clicks = MemoryStream[InRow]
+    val views = MemoryStream[ViewRow]
+    val joined = StreamJoin.within(
+      clicks.toDF(), col("ts"), "stream",
+      views.toDF(), col("v_ts"), "v_stream",
+      horizon = "10 seconds", lateness = "1 minute")
+    val q = joined.select("uuid", "view_id").writeStream
+      .format("memory").queryName("sj_test").outputMode(OutputMode.Append()).start()
+    try {
+      clicks.addData(InRow("s", "c1", ts(10)), InRow("s", "c2", ts(100)), InRow("s2", "c3", ts(10)))
+      views.addData(
+        ViewRow("s", "v1", ts(15)),   // within 10s of c1 → match
+        ViewRow("s", "v2", ts(60)),   // no click within horizon
+        ViewRow("s2", "v3", ts(19)),  // within 10s of c3 (other stream key)
+        ViewRow("s", "v4", ts(105)))  // within 10s of c2
+      q.processAllAvailable()
+      val got = spark.sql("select uuid, view_id from sj_test").collect()
+        .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+      assert(got == Seq(("c1", "v1"), ("c2", "v4"), ("c3", "v3")))
     } finally q.stop()
   }
 
