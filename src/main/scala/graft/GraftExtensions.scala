@@ -12,6 +12,7 @@ import graft.plans._
  *
  *  - `graft_polyhash(text)` — polynomial document hash ([[PolyHash]]);
  *  - `graft_shingle_hashes(text)` — distinct 3-gram shingle hashes;
+ *  - `graft_winnow(text)` — winnowing fingerprint set (window minima);
  *  - `graft_minhash(shingles)` — MinHash signature;
  *  - `graft_simhash16(text)` — 16-bit SimHash;
  *  - `graft_dot(a, b)` / `graft_norm(v)` — left-fold vector algebra;
@@ -35,6 +36,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(unary("graft_polyhash", PolyHash))
     ext.injectFunction(unary("graft_shingle_hashes", ShingleHashes))
+    ext.injectFunction(unary("graft_winnow", WinnowFps))
     ext.injectFunction(unary("graft_minhash", MinhashSig))
     ext.injectFunction(unary("graft_simhash16", Simhash16))
     ext.injectFunction(unary("graft_norm", NormL2))

@@ -49,7 +49,13 @@ object Hashing {
    * Distinct (set semantics for Jaccard). Documents with fewer than n
    * tokens yield an empty set.
    */
-  def shingleHashes(text: Column, n: Int = 3): Column = {
+  def shingleHashes(text: Column, n: Int = 3): Column =
+    array_distinct(shingleHashesOrdered(text, n))
+
+  /** Positional (non-distinct, in-order) n-gram shingle hashes — the
+    * winnowing input ([[Winnow]]): window selection needs every shingle at
+    * its original offset, so no set collapse. */
+  def shingleHashesOrdered(text: Column, n: Int = 3): Column = {
     val th = tokenHashes(text)
     val m = size(th) - lit(n - 1)
     val raw = transform(
@@ -61,7 +67,7 @@ object Hashing {
         }
       }
     )
-    when(m >= 1, array_distinct(raw)).otherwise(array().cast("array<bigint>"))
+    when(m >= 1, raw).otherwise(array().cast("array<bigint>"))
   }
 
   /** MinHash signature (array of k minima) over the shingle-hash set.

@@ -43,8 +43,9 @@ object Fast {
     if (t.isEmpty) Array("") else t.split("\\s+")
   }
 
-  /** Distinct 3-gram shingle hashes — identical to [[Hashing.shingleHashes]]. */
-  def shingleHashesJvm(text: String, n: Int): Array[Long] = {
+  /** Positional (non-distinct) n-gram shingle hashes — identical to
+    * [[Hashing.shingleHashesOrdered]]. */
+  def shingleHashesOrderedJvm(text: String, n: Int): Array[Long] = {
     val toks = toksJvm(text)
     val th = toks.map(strHashJvm)
     val m = th.length - (n - 1)
@@ -59,11 +60,42 @@ object Fast {
         out(i) = acc
         i += 1
       }
-      // array_distinct preserves first-occurrence order
-      val seen = new java.util.LinkedHashSet[java.lang.Long]()
-      out.foreach(seen.add(_))
-      val res = new Array[Long](seen.size)
-      val it = seen.iterator()
+      out
+    }
+  }
+
+  /** Distinct 3-gram shingle hashes — identical to [[Hashing.shingleHashes]]. */
+  def shingleHashesJvm(text: String, n: Int): Array[Long] = {
+    val out = shingleHashesOrderedJvm(text, n)
+    // array_distinct preserves first-occurrence order
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    out.foreach(seen.add(_))
+    val res = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { res(k) = it.next(); k += 1 }
+    res
+  }
+
+  /** Winnowing fingerprint set (sorted distinct window minima) — identical
+    * to [[graft.dedup.Winnow.fingerprints]]. */
+  def winnowJvm(text: String, n: Int, w: Int): Array[Long] = {
+    val h = shingleHashesOrderedJvm(text, n)
+    if (h.isEmpty) Array.empty[Long]
+    else {
+      val nw = math.max(h.length - (w - 1), 1)
+      val set = new java.util.TreeSet[java.lang.Long]()
+      var j = 0
+      while (j < nw) {
+        var m = h(j)
+        var i = j + 1
+        val end = math.min(j + w, h.length)
+        while (i < end) { if (h(i) < m) m = h(i); i += 1 }
+        set.add(m)
+        j += 1
+      }
+      val res = new Array[Long](set.size)
+      val it = set.iterator()
       var k = 0
       while (it.hasNext) { res(k) = it.next(); k += 1 }
       res
@@ -167,6 +199,10 @@ object Fast {
   def shingleHashesUtf8(s: UTF8String): ArrayData =
     UnsafeArrayData.fromPrimitiveArray(shingleHashesJvm(s.toString, 3))
 
+  def winnowUtf8(s: UTF8String): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(
+      winnowJvm(s.toString, graft.dedup.Winnow.defaultN, graft.dedup.Winnow.defaultW))
+
   def minhashArr(sh: ArrayData): ArrayData =
     UnsafeArrayData.fromPrimitiveArray(minhashJvm(sh.toLongArray()))
 
@@ -191,6 +227,8 @@ object Fast {
 
   val fingerprintUdf = udf((s: String) => strHashJvm(s.trim.toLowerCase))
   val shingleHashesUdf = udf((text: String) => shingleHashesJvm(text, 3))
+  val winnowUdf = udf((text: String) =>
+    winnowJvm(text, graft.dedup.Winnow.defaultN, graft.dedup.Winnow.defaultW))
   val minhashUdf = udf((sh: Seq[Long]) => minhashJvm(sh.toArray))
   val simhash16Udf = udf((text: String) => simhash16Jvm(text))
   val dotUdf = udf((a: Seq[Float], b: Seq[Float]) => dotJvm(a.toArray, b.toArray))
@@ -200,6 +238,7 @@ object Fast {
   /** Identical to [[TextFunctions.fingerprint]]. */
   def fingerprintFast(text: Column): Column = call_function("graft_polyhash", text)
   def shingleHashesFast(text: Column): Column = call_function("graft_shingle_hashes", text)
+  def winnowFast(text: Column): Column = call_function("graft_winnow", text)
   def minhashFast(sh: Column): Column = call_function("graft_minhash", sh)
   def simhash16Fast(text: Column): Column = call_function("graft_simhash16", text)
   def dotFast(a: Column, b: Column): Column = call_function("graft_dot", a, b)

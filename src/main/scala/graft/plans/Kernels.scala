@@ -34,6 +34,23 @@ case class ShingleHashes(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `graft_winnow(text)` — winnowing fingerprint set (sorted distinct
+  * window minima of the positional 3-gram hashes, w = 4). */
+case class WinnowFps(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_winnow"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_winnow expects STRING, got ${child.dataType.catalogString}")
+  override def nullSafeEval(input: Any): Any =
+    graft.functions.Fast.winnowUtf8(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Fast.winnowUtf8($c)")
+  override protected def withNewChildInternal(newChild: Expression): WinnowFps =
+    copy(child = newChild)
+}
+
 /** `graft_minhash(shingles)` — MinHash signature of a shingle-hash array. */
 case class MinhashSig(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

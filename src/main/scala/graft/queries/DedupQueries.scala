@@ -42,6 +42,19 @@ object DedupQueries {
       Dedup.duplicateClusters(
         Dedup.minhashLshPairsFromSets(Tables.shingleSets(s, dir), thresholdX1000 = 300))
         .orderBy("id")
+    },
+    // winnowing (MOSS) passage fingerprints: sorted distinct window-of-4
+    // minima over the positional 3-gram hashes — local-overlap detection
+    // at a ~2/(w+1) storage budget (map-only graft_winnow kernel)
+    "dedup_winnow_fps" -> { (s: SparkSession, dir: String) =>
+      Tables.winnowPostings(s, dir).orderBy("doc_id", "fp")
+    },
+    // shared-passage candidates: pairs sharing >= 5 winnow fingerprints
+    // (inverted-index equality join on the fingerprint key — the same
+    // posting-join family as dedup_ngram_jaccard, documents never move)
+    "dedup_winnow_pairs" -> { (s: SparkSession, dir: String) =>
+      graft.dedup.Winnow.sharedPairsFromPostings(Tables.winnowPostings(s, dir), minShared = 5)
+        .orderBy("a", "b")
     }
   )
 
@@ -69,6 +82,34 @@ object DedupQueries {
        |)""".stripMargin
 
   private val SH = s"WITH $SHB"
+
+  /** CTEs ending in `post(doc_id, fp)` — winnowing fingerprint postings:
+    * positional (non-distinct) 3-gram hashes, window-of-4 minima, sorted
+    * distinct per doc (mirrors Winnow.fingerprints exactly; docs with no
+    * shingles contribute no postings on either engine). */
+  private val WN =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents
+       |), thc AS (
+       |  SELECT doc_id, list_transform(toks, tk ->
+       |    list_reduce(
+       |      list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(string_split(tk, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |      (h, c) -> (h * 31 + c) % $P)) AS th
+       |  FROM t
+       |), osh AS (
+       |  SELECT doc_id,
+       |    list_transform(range(1, greatest(len(th) - 2, 0) + 1),
+       |      i -> ((th[i] * 31 + th[i+1]) % $P * 31 + th[i+2]) % $P) AS h
+       |  FROM thc
+       |), wf AS (
+       |  SELECT doc_id,
+       |    list_sort(list_distinct(list_transform(range(1, greatest(len(h) - 3, 1) + 1),
+       |      j -> list_min(h[j:j+3])))) AS fps
+       |  FROM osh WHERE len(h) >= 1
+       |), post AS (
+       |  SELECT doc_id, unnest(fps) AS fp FROM wf
+       |)""".stripMargin
 
   private val sigExprs: String =
     Hashing.minhashA.zip(Hashing.minhashB)
@@ -153,6 +194,13 @@ object DedupQueries {
          |)
          |SELECT src AS id, least(src, min(dst)) AS keeper
          |FROM reach GROUP BY src ORDER BY id""".stripMargin,
+    "dedup_winnow_fps" ->
+      s"""$WN SELECT doc_id, fp FROM post ORDER BY doc_id, fp""",
+    "dedup_winnow_pairs" ->
+      s"""$WN
+         |SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS n_shared
+         |FROM post l JOIN post r ON l.fp = r.fp AND l.doc_id < r.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 5 ORDER BY a, b""".stripMargin,
     "dedup_simhash" ->
       s"""$SH, sim AS (
          |  SELECT doc_id, $simhashExpr AS simhash FROM thc

@@ -40,6 +40,13 @@ object Tables {
   def simhashSigs(s: SparkSession, dir: String): DataFrame =
     memo(s, dir, "simhashSigs")(Dedup.simhashSigs(docs(s, dir)))
 
+  /** Materialized winnowing fingerprint postings `(doc_id, fp)` of
+    * `documents` (see [[graft.dedup.Winnow.postings]]) — shared by the
+    * fingerprint dump and the shared-passage pair join. */
+  def winnowPostings(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "winnowPostings")(
+      graft.dedup.Winnow.postings(docs(s, dir)).localCheckpoint())
+
   /** Materialized normed embedding corpus (see [[Similarity.normed]]). */
   def normedEmb(s: SparkSession, dir: String): DataFrame =
     memo(s, dir, "normedEmb")(Similarity.normed(emb(s, dir)))

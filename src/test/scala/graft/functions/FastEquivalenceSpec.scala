@@ -47,6 +47,18 @@ class FastEquivalenceSpec extends SparkSpec {
     got.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"mismatch on $r"))
   }
 
+  test("winnow fingerprints: JVM == Column incl. short docs and repeats") {
+    import spark.implicits._
+    val samples = Seq("one two", "one two three", "a b c d e f g",
+      "x y z x y z x y z x y z", "") ++ (1 to 30).flatMap(_ => text.sample)
+    val df = samples.toDF("text")
+    val got = df.select(
+      graft.dedup.Winnow.fingerprints(col("text")).as("colv"),
+      Fast.winnowFast(col("text")).as("jvm")
+    ).collect()
+    got.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"mismatch on $r"))
+  }
+
   test("minhash signature: JVM == Column") {
     import spark.implicits._
     val samples = (1 to 30).flatMap(_ => text.sample).filter(_.split("\\s+").length >= 3)
