@@ -30,6 +30,7 @@ object SparkEntry {
       graft.queries.TextQueries.queries ++
       graft.queries.DedupQueries.queries ++
       graft.queries.SimQueries.queries ++
+      graft.queries.CorpusQueries.queries ++
       graft.queries.MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -40,5 +41,6 @@ object SparkEntry {
       graft.queries.TextQueries.oracles ++
       graft.queries.DedupQueries.oracles ++
       graft.queries.SimQueries.oracles ++
+      graft.queries.CorpusQueries.oracles ++
       graft.queries.MultimodalQueries.oracles
 }

@@ -1,0 +1,129 @@
+package graft.corpus
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Hashing
+
+/**
+ * Corpus-preparation operators a large-scale training-data pipeline runs
+ * between "raw documents" and "tokenized shards": deterministic stratified
+ * sampling, context-window chunking, and greedy sequence packing.
+ *
+ * Everything is *deterministic and engine-mirrorable* (no RNG state): a
+ * sampling decision is a pure function of `(doc_id, salt)`, so reruns,
+ * retries and audits reproduce the same subcorpus bit-for-bit — the same
+ * reproducibility contract as the dedup hashing ([[graft.dedup.Hashing]]).
+ */
+object Sampling {
+
+  /** Deterministic permille bucket of a document id: the rolling polynomial
+    * hash ([[graft.plans.PolyHash]], codegen'd) of `"<id>#<salt>"` mod 1000.
+    * Changing the salt draws an independent sample; the same salt always
+    * draws the same one. Map-only — no shuffle, no RNG. */
+  def bucket1000(id: Column, salt: String): Column =
+    pmod(call_function("graft_polyhash", concat(id.cast("string"), lit("#" + salt))), lit(1000L))
+
+  /** Per-stratum rate as a Column: chained `when` over the (small, fixed)
+    * rate map; unknown strata fall back to `defaultPermille`. */
+  def rateFor(stratum: Column, rates: Map[String, Int], defaultPermille: Int): Column =
+    rates.toSeq.sortBy(_._1).foldLeft(lit(defaultPermille.toLong)) {
+      case (acc, (k, v)) => when(stratum === k, lit(v.toLong)).otherwise(acc)
+    }
+
+  /** Stratified subsample: keep a row iff its deterministic bucket falls
+    * below its stratum's permille rate. Scale: a map-only filter pushed
+    * into the scan's projection — sampling 100 TB reads 100 TB once but
+    * shuffles nothing and keeps only the sampled fraction downstream. */
+  def stratified(docs: DataFrame, stratumCol: String, rates: Map[String, Int],
+                 salt: String, defaultPermille: Int = 0): DataFrame =
+    docs
+      .withColumn("bucket", bucket1000(col("doc_id"), salt))
+      .filter(col("bucket") < rateFor(col(stratumCol), rates, defaultPermille))
+}
+
+/**
+ * Context-window chunking: split each document's token stream into
+ * consecutive windows of `chunkSize` tokens (the RAG / embedding-input
+ * shape). Pure Column algebra — map-only, codegen'd, one row in → n/size
+ * rows out, no shuffle.
+ */
+object Chunking {
+
+  val defaultChunkSize = 32
+
+  /** `array<struct<chunk_idx, chunk_text, n_tokens>>` of `text`'s token
+    * windows. The token array is expected as a *bound column* (not an
+    * expression) — lambda bodies re-evaluate captured subtrees per element,
+    * so splitting inside the lambda would re-tokenize per chunk. */
+  def chunksOf(toks: Column, chunkSize: Int): Column = {
+    val n = size(toks)
+    val nChunks = floor((n.cast("double") + lit(chunkSize - 1)) / lit(chunkSize)).cast("int")
+    transform(sequence(lit(0), nChunks - 1), i => {
+      val piece = slice(toks, i * chunkSize + 1, lit(chunkSize))
+      struct(
+        i.cast("long").as("chunk_idx"),
+        array_join(piece, " ").as("chunk_text"),
+        size(piece).cast("long").as("n_tokens"))
+    })
+  }
+
+  /** Exploded `(doc_id, chunk_idx, n_tokens, fp_chunk)` chunk table of
+    * `documents` — fingerprints via the codegen'd polyhash kernel. */
+  def chunkTable(docs: DataFrame, chunkSize: Int = defaultChunkSize): DataFrame =
+    docs
+      .select(col("doc_id"), Hashing.toks(col("text")).as("toks"))
+      .select(col("doc_id"), explode(chunksOf(col("toks"), chunkSize)).as("c"))
+      .select(
+        col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
+        col("c.n_tokens").as("n_tokens"),
+        call_function("graft_polyhash", col("c.chunk_text")).as("fp_chunk"))
+}
+
+/**
+ * Greedy sequence packing: assign documents to fixed-token-budget bins
+ * (training context windows), first-come order within each source. A
+ * document that would overflow the current bin starts the next one; a
+ * document larger than the whole budget gets a bin of its own.
+ *
+ * Packing is inherently a *sequential fold* per source (bin state carries
+ * across documents), so it cannot be a window function; it runs as a
+ * per-partition primitive loop after co-locating and ordering each source
+ * — the same secondary-sort-fold shape as the projection batch runner
+ * ([[graft.proj.ProjectionBatch]]).
+ *
+ * Scale: one shuffle (repartition by source) + a streaming per-partition
+ * pass; state is O(1) per task. A single giant source serializes into one
+ * task by construction — shard it first (pack within `(source, shard)`
+ * where `shard = doc_id / k`) when a stratum outgrows a task, which
+ * changes bin numbering but not the packing invariant.
+ */
+object Packing {
+
+  val defaultBudget = 256L
+
+  /** `(source, doc_id, n_tokens, bin)` — bins numbered from 0 per source,
+    * documents visited in `doc_id` order. */
+  def packGreedy(docs: DataFrame, budget: Long = defaultBudget): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("source"), col("doc_id"),
+        size(Hashing.toks(col("text"))).cast("long").as("n_tokens"))
+      .repartition(col("source"))
+      .sortWithinPartitions("source", "doc_id")
+      .as[(String, Long, Long)]
+      .mapPartitions { it =>
+        var curSource: String = null
+        var bin = 0L
+        var fill = 0L
+        it.map { case (src, id, nt) =>
+          if (src != curSource) { curSource = src; bin = 0L; fill = nt }
+          else if (fill + nt <= budget) fill += nt
+          else { bin += 1L; fill = nt }
+          (src, id, nt, bin)
+        }
+      }
+      .toDF("source", "doc_id", "n_tokens", "bin")
+  }
+}

@@ -1,0 +1,184 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.corpus.{Chunking, Packing, Sampling}
+import graft.dedup.Hashing
+
+/**
+ * Verify-gate queries for the corpus-preparation operators
+ * ([[graft.corpus]]): deterministic stratified sampling, mixture
+ * planning, context-window chunking, greedy sequence packing, and
+ * benchmark decontamination (winnowing-fingerprint overlap against a
+ * held-out eval subset).
+ */
+object CorpusQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** Fixture sampling rates: permille per source, varied deterministically
+    * across the 20 fixture strata (47‰ … 893‰). */
+  val sampleRates: Map[String, Int] =
+    (0 until 20).map(i => s"src$i" -> 47 * (1 + i % 19)).toMap
+
+  /** Fixture mixture weights (relative, need not sum to 1000). */
+  val mixWeights: Map[String, Int] =
+    (0 until 20).map(i => s"src$i" -> (10 + 3 * i)).toMap
+
+  private def weightFor(source: org.apache.spark.sql.Column) =
+    mixWeights.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
+      case (acc, (k, v)) => when(source === k, lit(v.toLong)).otherwise(acc)
+    }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // deterministic stratified subsample: keep iff polyhash(doc_id#salt)
+    // mod 1000 falls under the stratum's permille rate. Map-only filter —
+    // reproducible across engines/retries (no RNG state), no shuffle
+    "corpus_sample" -> { (s: SparkSession, dir: String) =>
+      Sampling.stratified(docs(s, dir), "source", sampleRates, salt = "sample")
+        .select(col("doc_id"), col("source"), col("bucket"))
+        .orderBy("doc_id")
+    },
+    // mixture planning: per-source token budgets from relative domain
+    // weights (target = weight/Σweights of the corpus tokens) + the epoch
+    // factor each source needs to meet its budget. One partial-aggregated
+    // shuffle on source + a broadcast 1-row totals join
+    "corpus_mix" -> { (s: SparkSession, dir: String) =>
+      val perSrc = docs(s, dir)
+        .select(col("source"), size(Hashing.toks(col("text"))).cast("long").as("nt"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"))
+        .withColumn("weight", weightFor(col("source")))
+      val totals = perSrc.agg(
+        sum("n_tokens").as("total_toks"), sum("weight").as("sum_w"))
+      perSrc.crossJoin(broadcast(totals))
+        .withColumn("target_tokens",
+          floor(lit(1.0) * col("weight") * col("total_toks") / col("sum_w")).cast("long"))
+        .select(
+          col("source"), col("n_docs"), col("n_tokens"), col("weight"),
+          col("target_tokens"),
+          floor(lit(1000.0) * col("target_tokens") / col("n_tokens")).cast("long")
+            .as("epochs_x1000"))
+        .orderBy("source")
+    },
+    // context-window chunking: consecutive 32-token windows per document,
+    // fingerprinted (map-only flatMap, codegen'd polyhash kernel)
+    "text_chunks" -> { (s: SparkSession, dir: String) =>
+      Chunking.chunkTable(docs(s, dir), chunkSize = 32)
+        .orderBy("doc_id", "chunk_idx")
+    },
+    // greedy sequence packing into 256-token bins per source: sequential
+    // fold over (source, doc_id) order — one shuffle + per-partition loop
+    "corpus_pack" -> { (s: SparkSession, dir: String) =>
+      Packing.packGreedy(docs(s, dir), budget = 256L)
+        .orderBy("source", "doc_id")
+    },
+    // benchmark decontamination: corpus docs sharing >= 2 winnowing
+    // fingerprints with any held-out eval doc (doc_id % 50 = 0 plays the
+    // benchmark suite). The eval side is tiny by nature (a benchmark, not
+    // a corpus) -> broadcast; the corpus side never shuffles
+    "text_decontam" -> { (s: SparkSession, dir: String) =>
+      val posts = Tables.winnowPostings(s, dir)
+      val bench = posts.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("bench_id"), col("fp"))
+      posts.filter(col("doc_id") % 50 =!= 0)
+        .join(broadcast(bench), "fp")
+        .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bench_hits"), max("n_shared").as("max_shared"))
+        .orderBy("doc_id")
+    }
+  )
+
+  /** Rolling polynomial hash of lower(trim(expr)) — graft_polyhash. */
+  private def fpSql(expr: String): String =
+    s"""list_reduce(
+       |    list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(lower(trim($expr)), ''), c -> CAST(ascii(c) AS BIGINT))),
+       |    (h, c) -> (h * 31 + c) % ${Hashing.P})""".stripMargin
+
+  private def caseOver(col: String, m: Map[String, Int]): String =
+    m.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"WHEN '$k' THEN $v" }
+      .mkString(s"CASE $col ", " ", " ELSE 0 END")
+
+  private val NT = """CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT)"""
+
+  val oracles: Map[String, String] = Map(
+    "corpus_sample" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, source,
+         |    ${fpSql("doc_id::VARCHAR || '#sample'")} % 1000 AS bucket
+         |  FROM documents
+         |)
+         |SELECT doc_id, source, bucket FROM b
+         |WHERE bucket < ${caseOver("source", sampleRates)}
+         |ORDER BY doc_id""".stripMargin,
+    "corpus_mix" ->
+      s"""WITH s AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum($NT) AS BIGINT) AS n_tokens,
+         |         CAST(${caseOver("source", mixWeights)} AS BIGINT) AS weight
+         |  FROM documents GROUP BY source
+         |), tot AS (
+         |  SELECT CAST(sum(n_tokens) AS BIGINT) AS total_toks,
+         |         CAST(sum(weight) AS BIGINT) AS sum_w
+         |  FROM s
+         |), sel AS (
+         |  SELECT source, n_docs, n_tokens, weight,
+         |    CAST(floor(1.0 * weight * total_toks / sum_w) AS BIGINT) AS target_tokens
+         |  FROM s CROSS JOIN tot
+         |)
+         |SELECT source, n_docs, n_tokens, weight, target_tokens,
+         |  CAST(floor(1000.0 * target_tokens / n_tokens) AS BIGINT) AS epochs_x1000
+         |FROM sel ORDER BY source""".stripMargin,
+    "text_chunks" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+         |  FROM documents
+         |), e AS (
+         |  SELECT doc_id, toks,
+         |    unnest(range(0, CAST(ceil(len(toks) / 32.0) AS BIGINT))) AS i
+         |  FROM d
+         |), c AS (
+         |  SELECT doc_id, i AS chunk_idx,
+         |    toks[(i*32+1):least((i+1)*32, len(toks))] AS piece
+         |  FROM e
+         |)
+         |SELECT doc_id, chunk_idx, CAST(len(piece) AS BIGINT) AS n_tokens,
+         |  ${fpSql("array_to_string(piece, ' ')")} AS fp_chunk
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "corpus_pack" ->
+      s"""WITH RECURSIVE d AS (
+         |  SELECT source, doc_id, $NT AS nt,
+         |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+         |  FROM documents
+         |), r AS (
+         |  SELECT source, doc_id, nt, rn, CAST(0 AS BIGINT) AS bin, nt AS fill
+         |  FROM d WHERE rn = 1
+         |  UNION ALL
+         |  SELECT d.source, d.doc_id, d.nt, d.rn,
+         |    CASE WHEN r.fill + d.nt <= 256 THEN r.bin ELSE r.bin + 1 END,
+         |    CASE WHEN r.fill + d.nt <= 256 THEN r.fill + d.nt ELSE d.nt END
+         |  FROM r JOIN d ON d.source = r.source AND d.rn = r.rn + 1
+         |)
+         |SELECT source, doc_id, nt AS n_tokens, bin FROM r
+         |ORDER BY source, doc_id""".stripMargin,
+    "text_decontam" ->
+      s"""WITH ${DedupQueries.winnowCtes}, bench AS (
+         |  SELECT doc_id AS bench_id, fp FROM post WHERE doc_id % 50 = 0
+         |), corp AS (
+         |  SELECT doc_id, fp FROM post WHERE doc_id % 50 <> 0
+         |), hits AS (
+         |  SELECT c.doc_id, b.bench_id, count(*) AS n_shared
+         |  FROM corp c JOIN bench b USING (fp)
+         |  GROUP BY 1, 2 HAVING count(*) >= 2
+         |)
+         |SELECT doc_id, count(*) AS n_bench_hits,
+         |       CAST(max(n_shared) AS BIGINT) AS max_shared
+         |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  )
+}

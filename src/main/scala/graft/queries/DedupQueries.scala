@@ -86,9 +86,10 @@ object DedupQueries {
   /** CTEs ending in `post(doc_id, fp)` — winnowing fingerprint postings:
     * positional (non-distinct) 3-gram hashes, window-of-4 minima, sorted
     * distinct per doc (mirrors Winnow.fingerprints exactly; docs with no
-    * shingles contribute no postings on either engine). */
-  private val WN =
-    s"""WITH t AS (
+    * shingles contribute no postings on either engine). Public so the
+    * decontamination oracle (CorpusQueries) can compose with it. */
+  val winnowCtes =
+    s"""t AS (
        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents
        |), thc AS (
        |  SELECT doc_id, list_transform(toks, tk ->
@@ -110,6 +111,8 @@ object DedupQueries {
        |), post AS (
        |  SELECT doc_id, unnest(fps) AS fp FROM wf
        |)""".stripMargin
+
+  private val WN = s"WITH $winnowCtes"
 
   private val sigExprs: String =
     Hashing.minhashA.zip(Hashing.minhashB)
