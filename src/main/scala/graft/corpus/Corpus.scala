@@ -40,6 +40,24 @@ object Sampling {
     docs
       .withColumn("bucket", bucket1000(col("doc_id"), salt))
       .filter(col("bucket") < rateFor(col(stratumCol), rates, defaultPermille))
+
+  /** Exactly-k-per-stratum deterministic sample: rank documents within
+    * each stratum by the full salt hash (doc_id tiebreak) and keep the
+    * first `k` — the reproducible way to draw a fixed-size eval/holdout
+    * set per domain. Scale: one shuffle on the stratum key + a window
+    * top-k; for huge strata, pre-filter with [[stratified]] at a rate
+    * comfortably above k/|stratum| so the window's sort input is small. */
+  def fixedSizePerStratum(docs: DataFrame, stratumCol: String, k: Int,
+                          salt: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = call_function("graft_polyhash",
+      concat(col("doc_id").cast("string"), lit("#" + salt)))
+    val w = Window.partitionBy(col(stratumCol)).orderBy(col("h"), col("doc_id"))
+    docs
+      .withColumn("h", h)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
 }
 
 /**

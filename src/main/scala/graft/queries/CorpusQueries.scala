@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.corpus.{Chunking, Packing, Sampling}
+import graft.corpus.{Chunking, LmScore, Packing, Sampling}
 import graft.dedup.Hashing
 
 /**
@@ -74,6 +74,20 @@ object CorpusQueries {
     "corpus_pack" -> { (s: SparkSession, dir: String) =>
       Packing.packGreedy(docs(s, dir), budget = 256L)
         .orderBy("source", "doc_id")
+    },
+    // exactly-5-per-source deterministic holdout draw: rank by the full
+    // salt hash within each stratum, keep the first 5 (one stratum-key
+    // shuffle + window top-k)
+    "corpus_sample_k" -> { (s: SparkSession, dir: String) =>
+      Sampling.fixedSizePerStratum(docs(s, dir), "source", k = 5, salt = "holdout")
+        .select(col("doc_id"), col("source"), col("rk"))
+        .orderBy("source", "rk")
+    },
+    // corpus-trained bigram-LM quality score (perplexity proxy): mean
+    // scaled conditional bigram frequency per doc; floor-scaled integers
+    // before summing keep it engine-exact
+    "text_lm_score" -> { (s: SparkSession, dir: String) =>
+      LmScore.bigramLmScores(docs(s, dir)).orderBy("doc_id")
     },
     // benchmark decontamination: corpus docs sharing >= 2 winnowing
     // fingerprints with any held-out eval doc (doc_id % 50 = 0 plays the
@@ -167,6 +181,44 @@ object CorpusQueries {
          |)
          |SELECT source, doc_id, nt AS n_tokens, bin FROM r
          |ORDER BY source, doc_id""".stripMargin,
+    "corpus_sample_k" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, source,
+         |    ${fpSql("doc_id::VARCHAR || '#holdout'")} AS h
+         |  FROM documents
+         |), rk AS (
+         |  SELECT doc_id, source,
+         |    CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS rk
+         |  FROM b
+         |)
+         |SELECT doc_id, source, rk FROM rk WHERE rk <= 5
+         |ORDER BY source, rk""".stripMargin,
+    "text_lm_score" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+         |  FROM documents
+         |), p AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, len(toks)), i -> {'w1': toks[i], 'w2': toks[i+1]})) AS pr
+         |  FROM d WHERE len(toks) >= 2
+         |), pp AS (
+         |  SELECT doc_id, pr.w1 AS w1, pr.w2 AS w2 FROM p
+         |), big AS (
+         |  SELECT w1, w2, count(*) AS c_big FROM pp GROUP BY 1, 2
+         |), ctx AS (
+         |  SELECT w1, CAST(sum(c_big) AS BIGINT) AS c_ctx FROM big GROUP BY 1
+         |), terms AS (
+         |  SELECT pp.doc_id,
+         |    CAST(floor(1000000.0 * c_big / c_ctx) AS BIGINT) AS t
+         |  FROM pp JOIN big USING (w1, w2) JOIN ctx USING (w1)
+         |), agg AS (
+         |  SELECT doc_id, count(*) AS n_bigrams, CAST(sum(t) AS BIGINT) AS s
+         |  FROM terms GROUP BY 1
+         |)
+         |SELECT d.doc_id,
+         |  coalesce(n_bigrams, 0) AS n_bigrams,
+         |  coalesce(CAST(floor(1.0 * s / n_bigrams) AS BIGINT), 0) AS lm_x1e6
+         |FROM d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
     "text_decontam" ->
       s"""WITH ${DedupQueries.winnowCtes}, bench AS (
          |  SELECT doc_id AS bench_id, fp FROM post WHERE doc_id % 50 = 0
