@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.sim.{Ivf, Similarity}
+import graft.sim.{Ivf, Pq, Similarity}
 import graft.sim.Similarity._
 
 /**
@@ -32,6 +32,12 @@ object SimQueries {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Ivf.IvfIndex]
   private def ivf(s: SparkSession, dir: String): Ivf.IvfIndex =
     ivfCache.getOrElseUpdate((s, dir), Ivf.buildSampled(Tables.emb(s, dir), NLIST))
+
+  // sampled-codebook PQ code table, built once per (session, dir)
+  private val pqCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Pq.PqIndex]
+  private def pq(s: SparkSession, dir: String): Pq.PqIndex =
+    pqCache.getOrElseUpdate((s, dir), Pq.buildSampled(Tables.emb(s, dir)))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> { (s: SparkSession, dir: String) =>
@@ -67,6 +73,18 @@ object SimQueries {
         Similarity.bruteForcePairsBlocked(Tables.emb(s, dir), 0.45)
           .select(col("a"), col("b")))
         .orderBy("id")
+    },
+    // product-quantization code table: 64-dim floats -> 8 subspace codes
+    // (8 B/vector — the memory-resident index; encode is one map-only
+    // pass with a broadcast codebook)
+    "sim_pq_codes" -> { (s: SparkSession, dir: String) =>
+      pq(s, dir).codesFlat.orderBy("vec_id", "sub")
+    },
+    // PQ ADC top-k: broadcast integer lookup table + map-only code scan
+    // fused into TakeOrderedAndProject; per-subspace LUT entries floored
+    // to x1e6 integers so the distance sum is order-independent
+    "sim_topk_pq" -> { (s: SparkSession, dir: String) =>
+      pq(s, dir).topKAdc(queryRow(Tables.emb(s, dir)), K)
     },
     // corpus clustering stats over the same stored assignment: per-cell
     // membership histogram (the index-health / balance view an ANN
@@ -107,6 +125,35 @@ object SimQueries {
        |        i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))
        |           * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))),
        |      (s, p) -> s + p)""".stripMargin
+
+  /** Left-fold squared L2 between subspace `s` (8 dims) of two vector
+    * expressions — mirrors Pq's encode arithmetic. `s` may be a column. */
+  private def l2SubSql(a: String, b: String, s: String): String =
+    s"""list_reduce(list_prepend(0.0,
+       |      list_transform(range(1, 9),
+       |        i -> (CAST($a[$s*8+i] AS DOUBLE) - CAST($b[$s*8+i] AS DOUBLE))
+       |           * (CAST($a[$s*8+i] AS DOUBLE) - CAST($b[$s*8+i] AS DOUBLE)))),
+       |      (x, p) -> x + p)""".stripMargin
+
+  /** CTEs ending in `codes(vec_id, s, code)` — the sampled-codebook PQ
+    * encoding (same stride/centroid sample as the IVF oracle; argmin per
+    * (vector, subspace), ties to the lowest code). */
+  private val pqCodesCtes: String =
+    s"""mx AS (SELECT max(vec_id) // $NLIST + 1 AS stride FROM embeddings),
+       |cent AS (
+       |  SELECT CAST(vec_id // stride AS INT) AS cid, embedding AS cv
+       |  FROM embeddings, mx WHERE vec_id % stride = 0
+       |), subs AS (SELECT unnest(range(0, 8)) AS s),
+       |dsub AS (
+       |  SELECT e.vec_id, u.s, c.cid, ${l2SubSql("e.embedding", "c.cv", "u.s")} AS dist
+       |  FROM embeddings e CROSS JOIN subs u CROSS JOIN cent c
+       |), codes AS (
+       |  SELECT vec_id, s, cid AS code FROM (
+       |    SELECT vec_id, s, cid,
+       |      row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cid) AS rk
+       |    FROM dsub
+       |  ) WHERE rk = 1
+       |)""".stripMargin
 
   private def hpList(t: Int, b: Int): String =
     Similarity.hyperplane(t, b, DIM).map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
@@ -199,6 +246,25 @@ object SimQueries {
          |WHERE vec_id IN (SELECT a.vec_id FROM assign a JOIN probe p ON a.cid = p.cid)
          |ORDER BY (${dotSql("embedding", "qv")} / (nrm * qn)) DESC, vec_id ASC
          |LIMIT $K""".stripMargin,
+    "sim_pq_codes" ->
+      s"""WITH $pqCodesCtes
+         |SELECT vec_id, CAST(s AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
+         |FROM codes ORDER BY vec_id, sub""".stripMargin,
+    // same encoding; the query's LUT entries are floored to x1e6 integers
+    // before the sum, so the ADC ranking key is addition-order-exact
+    "sim_topk_pq" ->
+      s"""WITH $pqCodesCtes, qlut AS (
+         |  SELECT u.s, c.cid,
+         |    CAST(floor(1000000.0 * ${l2SubSql("q.embedding", "c.cv", "u.s")}) AS BIGINT) AS d_x1e6
+         |  FROM embeddings q CROSS JOIN subs u CROSS JOIN cent c
+         |  WHERE q.vec_id = 0
+         |), adc AS (
+         |  SELECT k.vec_id, CAST(sum(l.d_x1e6) AS BIGINT) AS adc_x1e6
+         |  FROM codes k JOIN qlut l ON l.s = k.s AND l.cid = k.code
+         |  GROUP BY 1
+         |)
+         |SELECT vec_id, adc_x1e6 FROM adc
+         |ORDER BY adc_x1e6 ASC, vec_id ASC LIMIT $K""".stripMargin,
     // transitive closure over the same exact pair set as
     // dedup_embedding_cosine — min reachable id per member
     "sim_dup_clusters" ->
