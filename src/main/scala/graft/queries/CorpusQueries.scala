@@ -89,6 +89,28 @@ object CorpusQueries {
     "text_lm_score" -> { (s: SparkSession, dir: String) =>
       LmScore.bigramLmScores(docs(s, dir)).orderBy("doc_id")
     },
+    // Deequ-style data-validation checks as data: one aggregation pass
+    // computes every violation count, stack() pivots to one row per check.
+    // At 100 TB this is the pre-training corpus gate a pipeline runs
+    // before spending compute — a single partial-aggregated scan
+    "corpus_checks" -> { (s: SparkSession, dir: String) =>
+      docs(s, dir)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("doc_id")).as("n_ids"),
+          sum(when(col("text").isNull, 1L).otherwise(0L)).as("n_null_text"),
+          sum(when(col("n_chars") =!= length(col("text")), 1L).otherwise(0L)).as("n_chars_bad"),
+          sum(when(col("lang").isNull || col("lang") === "", 1L).otherwise(0L)).as("n_null_lang"))
+        .selectExpr(
+          """stack(4,
+            |  'doc_id_unique', n_rows - n_ids,
+            |  'lang_nonempty', n_null_lang,
+            |  'n_chars_consistent', n_chars_bad,
+            |  'text_nonnull', n_null_text
+            |) as (check, violations)""".stripMargin)
+        .withColumn("passed", when(col("violations") === 0L, 1L).otherwise(0L))
+        .orderBy("check")
+    },
     // benchmark decontamination: corpus docs sharing >= 2 winnowing
     // fingerprints with any held-out eval doc (doc_id % 50 = 0 plays the
     // benchmark suite). The eval side is tiny by nature (a benchmark, not
@@ -219,6 +241,23 @@ object CorpusQueries {
          |  coalesce(n_bigrams, 0) AS n_bigrams,
          |  coalesce(CAST(floor(1.0 * s / n_bigrams) AS BIGINT), 0) AS lm_x1e6
          |FROM d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "corpus_checks" ->
+      s"""WITH m AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_ids,
+         |         CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_text,
+         |         CAST(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS BIGINT) AS n_chars_bad,
+         |         CAST(sum(CASE WHEN lang IS NULL OR lang = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_null_lang
+         |  FROM documents
+         |), checks AS (
+         |  SELECT 'doc_id_unique' AS "check", n_rows - n_ids AS violations FROM m
+         |  UNION ALL SELECT 'lang_nonempty', n_null_lang FROM m
+         |  UNION ALL SELECT 'n_chars_consistent', n_chars_bad FROM m
+         |  UNION ALL SELECT 'text_nonnull', n_null_text FROM m
+         |)
+         |SELECT "check", violations,
+         |  CASE WHEN violations = 0 THEN CAST(1 AS BIGINT) ELSE 0 END AS passed
+         |FROM checks ORDER BY "check"""".stripMargin,
     "text_decontam" ->
       s"""WITH ${DedupQueries.winnowCtes}, bench AS (
          |  SELECT doc_id AS bench_id, fp FROM post WHERE doc_id % 50 = 0

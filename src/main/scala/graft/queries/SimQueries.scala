@@ -86,6 +86,17 @@ object SimQueries {
     "sim_topk_pq" -> { (s: SparkSession, dir: String) =>
       pq(s, dir).topKAdc(queryRow(Tables.emb(s, dir)), K)
     },
+    // IVF-PQ — the composed deployment shape: route to the NPROBE nearest
+    // cells (driver-side routing table), then ADC-scan only those cells'
+    // codes (stored partitioned by cell at scale -> pruned scan)
+    "sim_topk_ivfpq" -> { (s: SparkSession, dir: String) =>
+      val ivfIdx = ivf(s, dir)
+      val qdf = queryRow(Tables.emb(s, dir))
+      val qArr = qdf.select(col("embedding")).head().getSeq[Float](0).toArray
+      val cells = ivfIdx.probeCells(qArr, NPROBE)
+      val member = ivfIdx.assigned.filter(col("ivf_cell").isin(cells: _*)).select(col("id"))
+      pq(s, dir).topKAdcAmong(qdf, K, member)
+    },
     // corpus clustering stats over the same stored assignment: per-cell
     // membership histogram (the index-health / balance view an ANN
     // deployment monitors; skewed cells → re-train the quantizer). One
@@ -261,6 +272,35 @@ object SimQueries {
          |), adc AS (
          |  SELECT k.vec_id, CAST(sum(l.d_x1e6) AS BIGINT) AS adc_x1e6
          |  FROM codes k JOIN qlut l ON l.s = k.s AND l.cid = k.code
+         |  GROUP BY 1
+         |)
+         |SELECT vec_id, adc_x1e6 FROM adc
+         |ORDER BY adc_x1e6 ASC, vec_id ASC LIMIT $K""".stripMargin,
+    // same cells as the IVF oracle (cent is the same sample), same codes
+    // and LUT as the PQ oracle, ADC restricted to the probed cells
+    "sim_topk_ivfpq" ->
+      s"""WITH $pqCodesCtes, dfull AS (
+         |  SELECT e.vec_id, c.cid, ${l2Sql("e.embedding", "c.cv")} AS dist
+         |  FROM embeddings e CROSS JOIN cent c
+         |), assign AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+         |    FROM dfull
+         |  ) WHERE rk = 1
+         |), probe AS (
+         |  SELECT cid FROM dfull WHERE vec_id = 0 ORDER BY dist, cid LIMIT $NPROBE
+         |), member AS (
+         |  SELECT a.vec_id FROM assign a JOIN probe p USING (cid)
+         |), qlut AS (
+         |  SELECT u.s, c.cid,
+         |    CAST(floor(1000000.0 * ${l2SubSql("q.embedding", "c.cv", "u.s")}) AS BIGINT) AS d_x1e6
+         |  FROM embeddings q CROSS JOIN subs u CROSS JOIN cent c
+         |  WHERE q.vec_id = 0
+         |), adc AS (
+         |  SELECT k.vec_id, CAST(sum(l.d_x1e6) AS BIGINT) AS adc_x1e6
+         |  FROM codes k JOIN qlut l ON l.s = k.s AND l.cid = k.code
+         |  WHERE k.vec_id IN (SELECT vec_id FROM member)
          |  GROUP BY 1
          |)
          |SELECT vec_id, adc_x1e6 FROM adc

@@ -109,7 +109,18 @@ object Pq {
     /** ADC top-k: approximate distance = Σ_s lut(s)(code_s) (integer sum),
       * ascending, ties to the lowest id. Map-only scan over the code table
       * + TakeOrderedAndProject. */
-    def topKAdc(query: DataFrame, k: Int, vecCol: String = "embedding"): DataFrame = {
+    def topKAdc(query: DataFrame, k: Int, vecCol: String = "embedding"): DataFrame =
+      topKAdcScan(encoded, query, k, vecCol)
+
+    /** IVF-PQ: ADC top-k over only the ids in `member` (the IVF-probed
+      * cells' members). In a deployment the code table is stored
+      * partitioned BY cell, so this is a pruned scan, not a join. */
+    def topKAdcAmong(query: DataFrame, k: Int, member: DataFrame,
+                     vecCol: String = "embedding"): DataFrame =
+      topKAdcScan(encoded.join(member, Seq("id"), "left_semi"), query, k, vecCol)
+
+    private def topKAdcScan(codeTable: DataFrame, query: DataFrame, k: Int,
+                            vecCol: String): DataFrame = {
       val qArr = query.select(col(vecCol)).head().getSeq[Float](0).toArray
       val bcLut = encoded.sparkSession.sparkContext.broadcast(lut(qArr))
       val adcUdf = udf { (codes: scala.collection.Seq[Int]) =>
@@ -119,7 +130,7 @@ object Pq {
         while (s < codes.length) { acc += t(s)(codes(s)); s += 1 }
         acc
       }
-      encoded
+      codeTable
         .select(col("id").as("vec_id"), adcUdf(col("codes")).as("adc_x1e6"))
         .orderBy(col("adc_x1e6").asc, col("vec_id").asc)
         .limit(k)

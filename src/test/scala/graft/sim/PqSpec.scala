@@ -30,6 +30,15 @@ class PqSpec extends SparkSpec {
     assert(adcs.sameElements(adcs.sorted), "ascending distance order")
   }
 
+  test("ADC among all members degenerates to the unrestricted scan") {
+    val idx = Pq.buildSampled(emb)
+    val q = emb.filter(col("vec_id") === 0)
+    val all = emb.select(col("vec_id").as("id"))
+    val a = idx.topKAdc(q, k = 10).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val b = idx.topKAdcAmong(q, k = 10, all).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(a == b, "probe-all IVF-PQ must equal plain PQ (the IvfSpec invariant, one level up)")
+  }
+
   test("code table is m codes per vector, all within the codebook") {
     val idx = Pq.buildSampled(emb)
     val n = emb.count()
