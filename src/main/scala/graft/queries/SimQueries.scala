@@ -39,6 +39,16 @@ object SimQueries {
   private def pq(s: SparkSession, dir: String): Pq.PqIndex =
     pqCache.getOrElseUpdate((s, dir), Pq.buildSampled(Tables.emb(s, dir)))
 
+  /** IVF-routed PQ ADC top-k (shared by `sim_topk_ivfpq` and `sim_recall`). */
+  private def ivfPqTopK(s: SparkSession, dir: String): DataFrame = {
+    val ivfIdx = ivf(s, dir)
+    val qdf = queryRow(Tables.emb(s, dir))
+    val qArr = qdf.select(col("embedding")).head().getSeq[Float](0).toArray
+    val cells = ivfIdx.probeCells(qArr, NPROBE)
+    val member = ivfIdx.assigned.filter(col("ivf_cell").isin(cells: _*)).select(col("id"))
+    pq(s, dir).topKAdcAmong(qdf, K, member)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> { (s: SparkSession, dir: String) =>
       x1e6(Similarity.topKBruteForceFromNormed(
@@ -89,13 +99,26 @@ object SimQueries {
     // IVF-PQ — the composed deployment shape: route to the NPROBE nearest
     // cells (driver-side routing table), then ADC-scan only those cells'
     // codes (stored partitioned by cell at scale -> pruned scan)
-    "sim_topk_ivfpq" -> { (s: SparkSession, dir: String) =>
-      val ivfIdx = ivf(s, dir)
-      val qdf = queryRow(Tables.emb(s, dir))
-      val qArr = qdf.select(col("embedding")).head().getSeq[Float](0).toArray
-      val cells = ivfIdx.probeCells(qArr, NPROBE)
-      val member = ivfIdx.assigned.filter(col("ivf_cell").isin(cells: _*)).select(col("id"))
-      pq(s, dir).topKAdcAmong(qdf, K, member)
+    "sim_topk_ivfpq" -> { (s: SparkSession, dir: String) => ivfPqTopK(s, dir) },
+    // index-quality monitoring: recall@k of each ANN path against the
+    // exact scan — the number an ANN deployment alerts on ("measure,
+    // don't guess"; a quantizer drifts as the corpus grows). Four tiny
+    // id-set joins; integer outputs
+    "sim_recall" -> { (s: SparkSession, dir: String) =>
+      val q = queryRow(Tables.emb(s, dir))
+      val exact = Similarity
+        .topKBruteForceFromNormed(Tables.normedEmb(s, dir), q, K)
+        .select(col("vec_id"))
+      def hitRow(method: String, topk: DataFrame): DataFrame =
+        topk.select(col("vec_id")).join(exact, "vec_id")
+          .agg(count(lit(1)).as("n_hits"))
+          .select(lit(method).as("method"), lit(K.toLong).as("k"), col("n_hits"))
+      Seq(
+        hitRow("lsh", Similarity.topKLshFromNormed(Tables.normedEmb(s, dir), q, K, DIM)),
+        hitRow("ivf", ivf(s, dir).topK(q, K, NPROBE)),
+        hitRow("pq", pq(s, dir).topKAdc(q, K)),
+        hitRow("ivfpq", ivfPqTopK(s, dir))
+      ).reduce(_ unionAll _).orderBy("method")
     },
     // corpus clustering stats over the same stored assignment: per-cell
     // membership histogram (the index-health / balance view an ANN
@@ -305,6 +328,67 @@ object SimQueries {
          |)
          |SELECT vec_id, adc_x1e6 FROM adc
          |ORDER BY adc_x1e6 ASC, vec_id ASC LIMIT $K""".stripMargin,
+    // one assembly of all four index oracles + the exact scan; recall =
+    // |topk ∩ exact topk| per method (integer set arithmetic)
+    "sim_recall" ->
+      s"""WITH $NB, $pqCodesCtes,
+         |q AS (SELECT embedding AS qv, nrm AS qn FROM n WHERE vec_id = 0),
+         |exact AS (
+         |  SELECT vec_id FROM n, q
+         |  ORDER BY (${dotSql("embedding", "qv")} / (nrm * qn)) DESC, vec_id ASC
+         |  LIMIT $K
+         |), bk AS (
+         |  SELECT vec_id, embedding, nrm, ${bucketsSql("embedding")} AS bks FROM n
+         |), ql AS (SELECT bks AS qbks FROM bk WHERE vec_id = 0),
+         |lshk AS (
+         |  SELECT vec_id FROM bk, ql, q
+         |  WHERE bks[1] = qbks[1] OR bks[2] = qbks[2] OR bks[3] = qbks[3] OR bks[4] = qbks[4]
+         |  ORDER BY (${dotSql("embedding", "qv")} / (nrm * qn)) DESC, vec_id ASC
+         |  LIMIT $K
+         |), dfull AS (
+         |  SELECT e.vec_id, c.cid, ${l2Sql("e.embedding", "c.cv")} AS dist
+         |  FROM embeddings e CROSS JOIN cent c
+         |), assign AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+         |    FROM dfull
+         |  ) WHERE rk = 1
+         |), probe AS (
+         |  SELECT cid FROM dfull WHERE vec_id = 0 ORDER BY dist, cid LIMIT $NPROBE
+         |), member AS (
+         |  SELECT a.vec_id FROM assign a JOIN probe p USING (cid)
+         |), ivfk AS (
+         |  SELECT vec_id FROM n, q
+         |  WHERE vec_id IN (SELECT vec_id FROM member)
+         |  ORDER BY (${dotSql("embedding", "qv")} / (nrm * qn)) DESC, vec_id ASC
+         |  LIMIT $K
+         |), qlut AS (
+         |  SELECT u.s, c.cid,
+         |    CAST(floor(1000000.0 * ${l2SubSql("qq.embedding", "c.cv", "u.s")}) AS BIGINT) AS d_x1e6
+         |  FROM embeddings qq CROSS JOIN subs u CROSS JOIN cent c
+         |  WHERE qq.vec_id = 0
+         |), adc AS (
+         |  SELECT k.vec_id, CAST(sum(l.d_x1e6) AS BIGINT) AS adc_x1e6
+         |  FROM codes k JOIN qlut l ON l.s = k.s AND l.cid = k.code
+         |  GROUP BY 1
+         |), pqk AS (
+         |  SELECT vec_id FROM adc ORDER BY adc_x1e6 ASC, vec_id ASC LIMIT $K
+         |), ivfpqk AS (
+         |  SELECT vec_id FROM adc
+         |  WHERE vec_id IN (SELECT vec_id FROM member)
+         |  ORDER BY adc_x1e6 ASC, vec_id ASC LIMIT $K
+         |), res AS (
+         |  SELECT 'ivf' AS method, CAST($K AS BIGINT) AS k,
+         |    CAST((SELECT count(*) FROM ivfk JOIN exact USING (vec_id)) AS BIGINT) AS n_hits
+         |  UNION ALL SELECT 'ivfpq', $K,
+         |    CAST((SELECT count(*) FROM ivfpqk JOIN exact USING (vec_id)) AS BIGINT)
+         |  UNION ALL SELECT 'lsh', $K,
+         |    CAST((SELECT count(*) FROM lshk JOIN exact USING (vec_id)) AS BIGINT)
+         |  UNION ALL SELECT 'pq', $K,
+         |    CAST((SELECT count(*) FROM pqk JOIN exact USING (vec_id)) AS BIGINT)
+         |)
+         |SELECT method, k, n_hits FROM res ORDER BY method""".stripMargin,
     // transitive closure over the same exact pair set as
     // dedup_embedding_cosine — min reachable id per member
     "sim_dup_clusters" ->

@@ -28,4 +28,16 @@ object IngestDedup {
       .withColumn("event_time", eventTime)
       .withWatermark("event_time", withinWatermark)
       .dropDuplicatesWithinWatermark("stream", "uuid")
+
+  /** Content-based variant: deduplicate on the codegen'd polynomial hash
+    * of a payload column — catches *re-submitted identical content* under
+    * fresh uuids (the streaming analogue of [[graft.dedup.Dedup.exact]]).
+    * State is one 8-byte key per distinct document within the horizon. */
+  def dedupByContent(src: DataFrame, payload: Column, eventTime: Column,
+                     withinWatermark: String): DataFrame =
+    src
+      .withColumn("content_fp", call_function("graft_polyhash", payload))
+      .withColumn("event_time", eventTime)
+      .withWatermark("event_time", withinWatermark)
+      .dropDuplicatesWithinWatermark("content_fp")
 }

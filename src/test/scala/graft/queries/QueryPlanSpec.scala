@@ -65,6 +65,21 @@ class QueryPlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"corpus side must not shuffle for the join:\n$plan")
   }
 
+  test("sim_topk_pq: map-only ADC scan fused into TakeOrderedAndProject") {
+    val plan = SimQueries.queries("sim_topk_pq")(spark, dir)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("TakeOrderedAndProject"), s"expected fused top-k in:\n$plan")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges == 0, s"ADC must not shuffle the code table:\n$plan")
+  }
+
+  test("text_lm_score: no cartesian/nested-loop joins in the count joins") {
+    val plan = CorpusQueries.queries("text_lm_score")(spark, dir)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("CartesianProduct"), s"unexpected cartesian in:\n$plan")
+    assert(plan.contains("partial_count"), s"expected map-side combine in:\n$plan")
+  }
+
   test("corpus_pack: exactly one shuffle (the source co-location)") {
     val plan = CorpusQueries.queries("corpus_pack")(spark, dir)
       .queryExecution.executedPlan.toString()

@@ -132,6 +132,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ingest dedup by content: identical payloads under fresh uuids dropped") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val mem = MemoryStream[InRow]
+    // uuid doubles as the payload here: a re-submission carries a fresh
+    // "stream" id but the same content
+    val q = IngestDedup.dedupByContent(mem.toDF(), col("uuid"), col("ts"), "10 seconds")
+      .writeStream.format("memory").queryName("ingest_dedup_content")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(InRow("a", "same doc", ts(10)), InRow("b", "same doc", ts(11)),
+        InRow("c", "other doc", ts(12)))
+      q.processAllAvailable()
+      mem.addData(InRow("d", "same doc", ts(13)), InRow("e", "third doc", ts(14)))
+      q.processAllAvailable()
+      val got = spark.sql("select stream from ingest_dedup_content").collect()
+        .map(_.getString(0)).sorted.toSeq
+      assert(got == Seq("a", "c", "e"), "only first copy of each content survives")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: matches within the horizon on the same stream, state bounded") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
