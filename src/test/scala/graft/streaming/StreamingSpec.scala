@@ -19,6 +19,9 @@ case class TsRow(stream: String, event_time: java.sql.Timestamp)
 /** Ingest row for streaming-dedup tests. */
 case class InRow(stream: String, uuid: String, ts: java.sql.Timestamp)
 
+/** Proposed-event row for the LogSink spec. */
+case class SinkRow(stream: String, uuid: String, event_type: String, data: String, ord: Long)
+
 /** Right-side row for stream-stream join tests. */
 case class ViewRow(v_stream: String, view_id: String, v_ts: java.sql.Timestamp)
 
@@ -130,6 +133,36 @@ class StreamingSpec extends SparkSpec {
         .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
       assert(got == Seq(("s", "u1"), ("s", "u2"), ("s", "u3"), ("s2", "u1")))
     } finally q.stop()
+  }
+
+  test("log sink: streaming appends get dense revisions; replayed batch is a no-op") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val logDir = Files.createTempDirectory("sinklog").toString
+    val ckpt = Files.createTempDirectory("sinkckpt").toString
+    val mem = MemoryStream[SinkRow]
+    val q = LogSink.start(spark, mem.toDF(), logDir, ckpt, orderCol = "ord")
+    try {
+      mem.addData(SinkRow("a", "u1", "t", "d1", 1), SinkRow("a", "u2", "t", "d2", 2),
+        SinkRow("b", "u3", "t", "d3", 1))
+      q.processAllAvailable()
+      mem.addData(SinkRow("a", "u4", "t", "d4", 3))
+      q.processAllAvailable()
+    } finally q.stop()
+    val log = graft.append.Appender.readLog(spark, logDir)
+    val got = log.select("stream", "uuid", "revision", "position")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(r => (r._1, r._3)).toSeq
+    assert(got.map(r => (r._1, r._2, r._3)) ==
+      Seq(("a", "u1", 1L), ("a", "u2", 2L), ("a", "u4", 3L), ("b", "u3", 1L)),
+      s"dense per-stream revisions across micro-batches, got $got")
+    assert(got.map(_._4).sorted == Seq(1L, 2L, 3L, 4L), "dense global positions")
+    // redelivery of an applied batch (restart semantics): uuid conflict -> skipped
+    val replay = Seq(SinkRow("a", "u1", "t", "d1", 1), SinkRow("a", "u2", "t", "d2", 2),
+      SinkRow("b", "u3", "t", "d3", 1)).toDF()
+    LogSink.applyBatch(spark, logDir, replay, "ord")
+    assert(graft.append.Appender.readLog(spark, logDir).count() == 4L,
+      "replayed micro-batch must not double-append")
   }
 
   test("ingest dedup by content: identical payloads under fresh uuids dropped") {
