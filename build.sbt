@@ -36,5 +36,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // Forked `run` output goes straight to stdout (no `[info] ` log prefix):
 // the Bench JSON line must be machine-parseable from stdout.
 run / outputStrategy := Some(StdoutOutput)
+// ... and nothing may trail it: sbt's "[success] Total time" line lands on
+// stdout AFTER the forked main exits, so a parser that reads the last line
+// (or a bounded tail) of stdout would see sbt chatter instead of the JSON.
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command layer, not a task — exclude it
+// from the unused-key lint so the warning doesn't land on stdout.
+Global / excludeLintKeys += showSuccess
 // Dev diagnosis: SPARK_GRAFT_GC_LOG=/tmp/gc.log turns on GC logging.
 javaOptions ++= sys.env.get("SPARK_GRAFT_GC_LOG").map(p => s"-Xlog:gc*:file=$p").toSeq

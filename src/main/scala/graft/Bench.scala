@@ -48,16 +48,28 @@ object Bench {
     val t1 = pass(record = true)
     val t2 = pass(record = true)
     val results = t1.map { case (k, v) => k -> math.min(v, t2.getOrElse(k, v)) }
-    val qs = results.map { case (k, v) => q(k) + ":" + v }.mkString("{", ",", "}")
-    val cqs = cold.map { case (k, v) => q(k) + ":" + v }.mkString("{", ",", "}")
+    // The driver keeps only a bounded TAIL of stdout and parses the JSON
+    // from it (BENCH_r02: a ~5 KB line with full-precision doubles + the
+    // cold_queries map started before the tail window → "parsed": null).
+    // Keep the stdout line SHORT: 3-decimal seconds, no per-query cold map
+    // (full precision + cold detail go to bench_detail.json on disk).
+    def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => q(k) + ":" + r3(v) }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => q(k) + ":" + q(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val coldTotal = if (cold.nonEmpty) cold.values.sum else 0.0
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_errors":${errors.size},"sf":${q(sfDir)},"cold_total":$coldTotal,"cold_queries":$cqs}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errs,"n_errors":${errors.size},"sf":${q(sfDir)},"cold_total":${r3(coldTotal)}}"""
+    val cqs = cold.map { case (k, v) => q(k) + ":" + v }.mkString("{", ",", "}")
+    val detail =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${results.map { case (k, v) => q(k) + ":" + v }.mkString("{", ",", "}")},"errors":$errs,"n_errors":${errors.size},"sf":${q(sfDir)},"cold_total":$coldTotal,"cold_queries":$cqs}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
+      (detail + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () } // detail dump is best-effort
     spark.stop()
     // last line on stdout, after Spark's shutdown chatter (which goes to
-    // stderr) — the driver parses this line
+    // stderr) — the driver parses this line (showSuccess := false keeps
+    // sbt from printing "[success] ..." after it)
     System.out.println(json)
     System.out.flush()
   }

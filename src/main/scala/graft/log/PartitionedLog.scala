@@ -28,13 +28,22 @@ object PartitionedLog {
   def bucketOf(stream: String, nBuckets: Int): Int =
     math.floorMod(graft.functions.Fast.strHashJvm(stream.trim.toLowerCase), nBuckets.toLong).toInt
 
-  /** Write a canonical log hash-bucketed by stream. One shuffle-free pass:
-    * the bucket is a map-side column and parquet splits directories. */
+  /** Write a canonical log hash-bucketed by stream. One shuffle on the
+    * bucket key so each bucket directory gets ONE file per write: a
+    * shuffle-free partitionBy would have every input task fan out a file
+    * into every bucket it touches (tasks × buckets small files — at
+    * local[32] × 64 buckets that is ~2k files and the write is dominated
+    * by file open/close; at cluster scale it is a small-files explosion
+    * the compactor then has to undo). Within a bucket, `sortWithinPartitions
+    * (position)` preserves position-ordered row groups so parquet min/max
+    * pruning on position/revision stacks on the directory pruning. */
   def write(log: DataFrame, dir: String, nBuckets: Int = 64,
             mode: String = "overwrite"): Unit =
     log
       .withColumn("bucket",
         pmod(call_function("graft_polyhash", col("stream")), lit(nBuckets.toLong)))
+      .repartition(nBuckets, col("bucket"))
+      .sortWithinPartitions("position")
       .write.mode(mode).partitionBy("bucket").parquet(dir)
 
   /** The partitioned log as a DataFrame (bucket column included). */

@@ -48,7 +48,10 @@ object LogSink {
         .groupBy(_.getString(0)).toSeq.sortBy(_._1)
         .map { case (stream, rs) =>
           (stream,
-            rs.toSeq.map(r => ProposedEvent(r.getString(1), r.getString(2), r.getString(3))),
+            // stamp the required system metadata from the proposal fields,
+            // exactly as the reference's ingress does (streams.go:191-203)
+            rs.toSeq.map(r => ProposedEvent(r.getString(1), r.getString(2), r.getString(3),
+              Map("type" -> r.getString(2), "content-type" -> "application/json"))),
             AnyRevision: graft.model.ExpectedRevision)
         }
       try Appender.batchAppend(spark, logDir, batches)

@@ -153,8 +153,10 @@ class StreamingSpec extends SparkSpec {
     val got = log.select("stream", "uuid", "revision", "position")
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
       .sortBy(r => (r._1, r._3)).toSeq
+    // revisions are 0-based: current = -1 for a new stream, assigned
+    // current + 1 + i (streams.go:150; Fixture's row_number() - 1)
     assert(got.map(r => (r._1, r._2, r._3)) ==
-      Seq(("a", "u1", 1L), ("a", "u2", 2L), ("a", "u4", 3L), ("b", "u3", 1L)),
+      Seq(("a", "u1", 0L), ("a", "u2", 1L), ("a", "u4", 2L), ("b", "u3", 0L)),
       s"dense per-stream revisions across micro-batches, got $got")
     assert(got.map(_._4).sorted == Seq(1L, 2L, 3L, 4L), "dense global positions")
     // redelivery of an applied batch (restart semantics): uuid conflict -> skipped
