@@ -26,6 +26,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.LogQueries.queries ++
+      graft.queries.RelationalQueries.queries ++
       graft.queries.ProjectionQueries.queries ++
       graft.queries.TextQueries.queries ++
       graft.queries.DedupQueries.queries ++
@@ -37,6 +38,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.LogQueries.oracles ++
+      graft.queries.RelationalQueries.oracles ++
       graft.queries.ProjectionQueries.oracles ++
       graft.queries.TextQueries.oracles ++
       graft.queries.DedupQueries.oracles ++

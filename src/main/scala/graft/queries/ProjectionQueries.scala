@@ -84,6 +84,20 @@ object ProjectionQueries {
         .build
       flat(ProjectionBatch.finalStates(p, Fixture.events(s, dir)))
     },
+    // Time-travel replay: the projection's state AS OF global position
+    // 5000 — rebuild-at-a-point, the defining event-sourcing read
+    // (replay events [1..P] through the fold). The position bound is a
+    // pushable range predicate: the scan prunes to row groups below P,
+    // so replay cost scales with P, not the log size.
+    "proj_replay_at_position" -> { (s: SparkSession, dir: String) =>
+      import s.implicits._
+      val p = Projection.named("replay").fromAll().foreachStream()
+        .when[CountState](CountState(0),
+          Map("$any" -> ((st: CountState, _: ProjEvent) => st.copy(count = st.count + 1))))
+        .build
+      flat(ProjectionBatch.finalStates(p,
+        Fixture.events(s, dir).filter(col("position") <= 5000)))
+    },
     // S7 + §2.10: the stored-projection lifecycle — a JSON descriptor is
     // saved to the Catalog, fetched back, compiled by ProjectionScript and
     // executed distributed (the reference's create→store→run round-trip,
@@ -130,6 +144,9 @@ object ProjectionQueries {
     "proj_from_streams_global" ->
       s"""$EV SELECT '' AS partition, count(*) AS count FROM ev
          |WHERE stream IN ('user-3', 'user-7')""".stripMargin,
+    "proj_replay_at_position" ->
+      s"""$EV SELECT stream AS partition, count(*) AS count FROM ev
+         |WHERE position <= 5000 GROUP BY stream ORDER BY stream""".stripMargin,
     // specific handler WINS over $any (dispatch precedence), so 'others'
     // counts only non-click events
     "proj_catalog_roundtrip" ->

@@ -1,0 +1,264 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.log.Fixture
+import graft.streaming.Sessionize
+
+/**
+ * Relational breadth over the canonical event log: the join / OLAP shapes
+ * the reference delegates entirely to PostgreSQL (SURVEY.md §2.7 documents
+ * the absences — no joins, no set ops, no window functions) but that any
+ * analytics engine over an event log must own. Each query is Spark-first
+ * (broadcast the dimension, pre-aggregate the fact, window instead of
+ * self-join where order makes it possible) with a full DuckDB value oracle.
+ *
+ * Scale notes are per query; the common rule: the event log is the only
+ * input that is large, so no plan here ever shuffles the full log more
+ * than once, and dimension tables ride broadcast joins.
+ */
+object RelationalQueries {
+
+  private def ev(s: SparkSession, dir: String): DataFrame = Fixture.events(s, dir)
+
+  private def micros: org.apache.spark.sql.Column = Sessionize.microsFromNanos(col("ts"))
+
+  /** stream "user-<id>" → entity key (the reverse of Fixture's mapping). */
+  private def uid = substring(col("stream"), 6, 1000000).cast("long")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // AS-OF JOIN, window form: each purchase event picks up the same
+    // stream's most recent PRIOR click. Because `position` is monotone
+    // within the frame, max(position-of-click) over an unbounded-preceding
+    // frame IS the as-of match — no join at all for the matching step, one
+    // shuffle on the stream key. The payload fetch is then a self
+    // equi-join on the matched position — exactly the link-resolution
+    // self-join the reference declares but never implements
+    // (`resolve_links`, transport/grpc/streams/extensions.go:24).
+    "join_asof" -> { (s: SparkSession, dir: String) =>
+      val w = Window.partitionBy("stream").orderBy("position")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val matched = ev(s, dir)
+        .withColumn("last_click_pos",
+          max(when(col("event_type") === "click", col("position"))).over(w))
+        .filter(col("event_type") === "purchase" && col("last_click_pos").isNotNull)
+        .select(col("position"), col("stream"), col("last_click_pos"))
+      val clicked = ev(s, dir).select(
+        col("position").as("last_click_pos"),
+        floor(col("value") * lit(1000.0)).cast("long").as("click_value_x1000"))
+      matched.join(clicked, "last_click_pos")
+        .select(col("position"), col("stream"), col("last_click_pos"), col("click_value_x1000"))
+        .orderBy("position")
+    },
+    // INTERVAL (range) self-join: for each purchase, how many clicks the
+    // same stream produced in the preceding 10 minutes. Logically a band
+    // join (the oracle states it that way); executed as a SWEEP — one
+    // sliding RANGE-frame window per stream. The band join materializes
+    // every (purchase × in-band click) pair before aggregating (M×N per
+    // stream); the sweep is one shuffle + one ordered pass with an O(1)
+    // sliding frame, the plan that survives dense streams at 100 TB.
+    // Exact integer µs on both engines; purchases with zero clicks kept.
+    "join_interval" -> { (s: SparkSession, dir: String) =>
+      val w = Window.partitionBy("stream").orderBy("tus")
+        .rangeBetween(-600000000L, -1L)
+      ev(s, dir)
+        .select(col("stream"), col("position"), col("event_type"), micros.as("tus"))
+        .withColumn("n_clicks_10m",
+          count(when(col("event_type") === "click", lit(1))).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("position"), col("stream"), col("n_clicks_10m"))
+        .orderBy("position")
+    },
+    // ANTI JOIN (data-quality: dimension rows never referenced by the
+    // fact): customers with zero events. The log is first reduced to its
+    // DISTINCT key set (a partial-aggregated shuffle of keys only — the
+    // fact's payload never moves), and that small set is broadcast as the
+    // anti-join probe; the dimension never shuffles either.
+    "join_anti_customers" -> { (s: SparkSession, dir: String) =>
+      val users = ev(s, dir).select(uid.as("uid")).distinct()
+      s.read.parquet(s"$dir/customer.parquet")
+        .join(broadcast(users), col("c_custkey") === col("uid"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")
+    },
+    // SEMI JOIN: activity of one customer segment. The segment's key set
+    // is a filtered dimension scan (tiny) broadcast to a map-side
+    // left-semi over the log; the only shuffle is the pre-combined
+    // per-type aggregate.
+    "join_semi_segment" -> { (s: SparkSession, dir: String) =>
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      ev(s, dir).withColumn("uid", uid)
+        .join(broadcast(cust), col("uid") === col("c_custkey"), "left_semi")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type")
+    },
+    // ROLLUP (hierarchical totals in one pass): per-(stream, type) counts,
+    // per-stream subtotals, grand total. Spark expands each row into its
+    // grouping sets map-side and partial-aggregates before the single
+    // shuffle. NULL grouping keys are coalesced to a sentinel so the
+    // output is total-order sortable on both engines.
+    "agg_rollup" -> { (s: SparkSession, dir: String) =>
+      ev(s, dir)
+        .rollup(col("stream"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(
+          coalesce(col("stream"), lit("(all)")).as("stream"),
+          coalesce(col("event_type"), lit("(all)")).as("event_type"),
+          col("n"))
+        .orderBy("stream", "event_type")
+    },
+    // Inter-event gap statistics per stream (lag window → integer µs
+    // gaps → partial-aggregated stats): the latency/cadence profile of
+    // each stream. One shuffle on the stream key shared by the window and
+    // the aggregate (same partitioning, no exchange between them).
+    "agg_interevent" -> { (s: SparkSession, dir: String) =>
+      val w = Window.partitionBy("stream").orderBy(col("tus"), col("position"))
+      ev(s, dir)
+        .select(col("stream"), col("position"), micros.as("tus"))
+        .withColumn("prev", lag(col("tus"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .withColumn("gap", col("tus") - col("prev"))
+        .groupBy(col("stream"))
+        .agg(count(lit(1)).as("n_gaps"), sum(col("gap")).as("sum_gap_us"),
+          min(col("gap")).as("min_gap_us"), max(col("gap")).as("max_gap_us"))
+        .orderBy("stream")
+    },
+    // Latest-state snapshot (read-model compaction): the newest event per
+    // stream via max(struct(position, ...)) — a PARTIAL-aggregated
+    // max_by, one combiner pass + one shuffle of 1 row per stream; no
+    // window, no per-partition full sort. position is unique so the
+    // struct comparison is decided by its first field.
+    "snapshot_latest" -> { (s: SparkSession, dir: String) =>
+      ev(s, dir)
+        .groupBy(col("stream"))
+        .agg(max(struct(col("position"), col("revision"), col("event_type"),
+          floor(col("value") * lit(1000.0)).cast("long").as("value_x1000"))).as("s"))
+        .select(col("stream"), col("s.position").as("position"),
+          col("s.revision").as("revision"), col("s.event_type").as("event_type"),
+          col("s.value_x1000").as("value_x1000"))
+        .orderBy("stream")
+    },
+    // SET OPERATIONS over stream key sets (SURVEY §2.7 absence owned):
+    // streams that click but never purchase, and streams that do both.
+    // Each branch reduces the log to a distinct key set FIRST (partial-agg
+    // shuffles of keys only), so the set op itself touches #streams rows,
+    // not #events.
+    "set_ops_streams" -> { (s: SparkSession, dir: String) =>
+      val clicks = ev(s, dir).filter(col("event_type") === "click")
+        .select(col("stream")).distinct()
+      val purchases = ev(s, dir).filter(col("event_type") === "purchase")
+        .select(col("stream")).distinct()
+      clicks.except(purchases).select(lit("clicks_minus_purchases").as("op"), col("stream"))
+        .unionAll(clicks.intersect(purchases)
+          .select(lit("clicks_and_purchases").as("op"), col("stream")))
+        .orderBy("op", "stream")
+    },
+    // Exact per-stream median of the payload value (milli-units). The
+    // doubled median (a+b for the even-n midpoint interpolation) is an
+    // exact integer on both engines — float-interpolation-order-proof.
+    // Exact `percentile` sorts per group; at 100 TB the same query rides
+    // approx_percentile with a stated error bound — the exact form is the
+    // verification baseline.
+    "agg_median" -> { (s: SparkSession, dir: String) =>
+      ev(s, dir)
+        .select(col("stream"), floor(col("value") * lit(1000.0)).cast("long").as("v"))
+        .groupBy(col("stream"))
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(2 * percentile(v, 0.5) AS BIGINT)").as("median_2x_1000"))
+        .orderBy("stream")
+    },
+    // Daily-active aggregation: exact distinct streams + event volume per
+    // UTC day (integer day index from µs — exact on both engines). The
+    // distinct agg partial-aggregates (day, stream) pairs before the
+    // shuffle; at 100 TB the same query rides approx_count_distinct.
+    "agg_daily_active" -> { (s: SparkSession, dir: String) =>
+      ev(s, dir)
+        .select(micros.as("tus"), col("stream"))
+        .select(expr("tus div 86400000000").as("day"), col("stream")) // exact integer division
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_events"), countDistinct(col("stream")).as("n_streams"))
+        .orderBy("day")
+    }
+  )
+
+  private def EV = LogQueries.evCte
+
+  val oracles: Map[String, String] = Map(
+    "join_asof" ->
+      s"""$EV, a AS (
+         |  SELECT position, stream, event_type,
+         |         max(CASE WHEN event_type = 'click' THEN position END)
+         |           OVER (PARTITION BY stream ORDER BY position
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_pos
+         |  FROM ev
+         |)
+         |SELECT a.position, a.stream, a.last_click_pos,
+         |       CAST(floor(e.value * 1000.0) AS BIGINT) AS click_value_x1000
+         |FROM a JOIN ev e ON a.last_click_pos = e.position
+         |WHERE a.event_type = 'purchase'
+         |ORDER BY a.position""".stripMargin,
+    "join_interval" ->
+      s"""$EV SELECT p.position, p.stream, count(c.position) AS n_clicks_10m
+         |FROM ev p LEFT JOIN ev c
+         |  ON c.stream = p.stream AND c.event_type = 'click'
+         | AND epoch_us(c.ts) < epoch_us(p.ts)
+         | AND epoch_us(c.ts) >= epoch_us(p.ts) - 600000000
+         |WHERE p.event_type = 'purchase'
+         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "join_anti_customers" ->
+      s"""$EV SELECT c_custkey, c_name FROM customer
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM ev WHERE CAST(substr(stream, 6) AS BIGINT) = c_custkey
+         |) ORDER BY c_custkey""".stripMargin,
+    "join_semi_segment" ->
+      s"""$EV SELECT event_type, count(*) AS n FROM ev
+         |WHERE EXISTS (
+         |  SELECT 1 FROM customer
+         |  WHERE c_custkey = CAST(substr(stream, 6) AS BIGINT)
+         |    AND c_mktsegment = 'BUILDING'
+         |) GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_rollup" ->
+      s"""$EV SELECT coalesce(stream, '(all)') AS stream,
+         |  coalesce(event_type, '(all)') AS event_type, count(*) AS n
+         |FROM ev GROUP BY ROLLUP(stream, event_type) ORDER BY 1, 2""".stripMargin,
+    // DuckDB sum(BIGINT) is HUGEINT — CAST back for schema parity
+    "agg_interevent" ->
+      s"""$EV, x AS (
+         |  SELECT stream, position, epoch_us(ts) AS tus,
+         |         lag(epoch_us(ts)) OVER (PARTITION BY stream ORDER BY epoch_us(ts), position) AS prev
+         |  FROM ev
+         |)
+         |SELECT stream, count(*) AS n_gaps,
+         |       CAST(sum(tus - prev) AS BIGINT) AS sum_gap_us,
+         |       min(tus - prev) AS min_gap_us, max(tus - prev) AS max_gap_us
+         |FROM x WHERE prev IS NOT NULL
+         |GROUP BY stream ORDER BY stream""".stripMargin,
+    "snapshot_latest" ->
+      s"""$EV SELECT stream, position, revision, event_type,
+         |  CAST(floor(value * 1000.0) AS BIGINT) AS value_x1000
+         |FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY stream ORDER BY position DESC) AS rk
+         |  FROM ev
+         |) WHERE rk = 1 ORDER BY stream""".stripMargin,
+    "set_ops_streams" ->
+      s"""$EV, c AS (SELECT DISTINCT stream FROM ev WHERE event_type = 'click'),
+         |p AS (SELECT DISTINCT stream FROM ev WHERE event_type = 'purchase')
+         |SELECT 'clicks_minus_purchases' AS op, stream FROM (SELECT stream FROM c EXCEPT SELECT stream FROM p)
+         |UNION ALL
+         |SELECT 'clicks_and_purchases' AS op, stream FROM (SELECT stream FROM c INTERSECT SELECT stream FROM p)
+         |ORDER BY op, stream""".stripMargin,
+    "agg_median" ->
+      s"""$EV SELECT stream, count(*) AS n,
+         |  CAST(2 * quantile_cont(CAST(floor(value * 1000.0) AS BIGINT), 0.5) AS BIGINT) AS median_2x_1000
+         |FROM ev GROUP BY stream ORDER BY stream""".stripMargin,
+    "agg_daily_active" ->
+      s"""$EV SELECT epoch_us(ts) // 86400000000 AS day,
+         |  count(*) AS n_events, count(DISTINCT stream) AS n_streams
+         |FROM ev GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

@@ -84,6 +84,25 @@ object SimQueries {
           .select(col("a"), col("b")))
         .orderBy("id")
     },
+    // SemDeDup-style semantic dedup: a vector is dropped iff a
+    // lower-id vector in the SAME quantizer cell sits at cosine >= tau.
+    // The pair join is within-cell only — the cell id bounds the join
+    // group, so the cost is sum(cell_size^2) instead of the corpus's n^2
+    // (the whole point of running dedup through the clustering index).
+    // Deterministic sampled codebook -> fully DuckDB-reproducible.
+    "dedup_semantic" -> { (s: SparkSession, dir: String) =>
+      val a = ivf(s, dir).assigned
+      val l = a.select(col("ivf_cell").as("cell"), col("id").as("a"),
+        col("v").as("va"), col("nrm").as("na"))
+      val r = a.select(col("ivf_cell").as("cell_b"), col("id").as("b"),
+        col("v").as("vb"), col("nrm").as("nb"))
+      l.join(r, col("cell") === col("cell_b") && col("a") < col("b"))
+        .filter(graft.functions.Fast.dotFast(col("va"), col("vb")) / (col("na") * col("nb")) >= 0.4)
+        .groupBy(col("b"))
+        .agg(min(col("a")).as("first_keeper"), count(lit(1)).as("n_witnesses"))
+        .select(col("b").as("vec_id"), col("first_keeper"), col("n_witnesses"))
+        .orderBy("vec_id")
+    },
     // product-quantization code table: 64-dim floats -> 8 subspace codes
     // (8 B/vector — the memory-resident index; encode is one map-only
     // pass with a broadcast codebook)
@@ -280,6 +299,31 @@ object SimQueries {
          |WHERE vec_id IN (SELECT a.vec_id FROM assign a JOIN probe p ON a.cid = p.cid)
          |ORDER BY (${dotSql("embedding", "qv")} / (nrm * qn)) DESC, vec_id ASC
          |LIMIT $K""".stripMargin,
+    // same sampled-codebook assignment as sim_cluster_hist; candidate
+    // pairs restricted to a shared cell, exact cosine, dropped = any id
+    // with a lower-id in-cell witness at cos >= 0.4
+    "dedup_semantic" ->
+      s"""$N, mx AS (SELECT max(vec_id) // $NLIST + 1 AS stride FROM embeddings),
+         |cent AS (
+         |  SELECT CAST(vec_id // stride AS INT) AS cid, embedding AS cv
+         |  FROM embeddings, mx WHERE vec_id % stride = 0
+         |), d AS (
+         |  SELECT e.vec_id, c.cid, ${l2Sql("e.embedding", "c.cv")} AS dist
+         |  FROM embeddings e CROSS JOIN cent c
+         |), assign AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+         |    FROM d
+         |  ) WHERE rk = 1
+         |), p AS (
+         |  SELECT ax.vec_id AS a, ay.vec_id AS b
+         |  FROM assign ax JOIN assign ay ON ax.cid = ay.cid AND ax.vec_id < ay.vec_id
+         |  JOIN n x ON ax.vec_id = x.vec_id JOIN n y ON ay.vec_id = y.vec_id
+         |  WHERE ${dotSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm) >= 0.4
+         |)
+         |SELECT b AS vec_id, min(a) AS first_keeper, count(*) AS n_witnesses
+         |FROM p GROUP BY b ORDER BY vec_id""".stripMargin,
     "sim_pq_codes" ->
       s"""WITH $pqCodesCtes
          |SELECT vec_id, CAST(s AS BIGINT) AS sub, CAST(code AS BIGINT) AS code

@@ -88,4 +88,54 @@ class QueryPlanSpec extends SparkSpec {
     assert(hashExchanges == 1,
       s"expected the single repartition-by-source, found $hashExchanges in:\n$plan")
   }
+
+  // ---- round-3 relational breadth ----
+
+  test("join_anti_customers: distinct key set broadcast, dimension never shuffles") {
+    val plan = RelationalQueries.queries("join_anti_customers")(spark, dir)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"expected broadcast anti-join in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"dimension must not shuffle for the join:\n$plan")
+  }
+
+  test("join_semi_segment: segment key set broadcast, log never shuffles pre-agg") {
+    val plan = RelationalQueries.queries("join_semi_segment")(spark, dir)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"expected broadcast semi-join in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"log must not shuffle for the join:\n$plan")
+  }
+
+  test("snapshot_latest: partial max_by, no window sort") {
+    val plan = RelationalQueries.queries("snapshot_latest")(spark, dir)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("partial_max"), s"expected map-side combine in:\n$plan")
+    // scope to the query's own pipeline — the cached fixture's
+    // InMemoryRelation build plan (which legitimately has the revision
+    // window) is embedded in toString
+    val own = plan.split("InMemoryTableScan")(0)
+    assert(!own.contains("Window"), s"compaction must not use a window sort:\n$plan")
+  }
+
+  test("agg_rollup: grouping-set expand with partial aggregation") {
+    val plan = RelationalQueries.queries("agg_rollup")(spark, dir)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("Expand"), s"expected grouping-set expand in:\n$plan")
+    assert(plan.contains("partial_count"), s"expected map-side combine in:\n$plan")
+  }
+
+  test("join_interval: stream-key equality join, never a cartesian") {
+    val plan = RelationalQueries.queries("join_interval")(spark, dir)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"range join must ride the stream-key equality:\n$plan")
+  }
+
+  test("dedup_semantic: within-cell equality join, never a cartesian") {
+    val plan = SimQueries.queries("dedup_semantic")(spark, dir)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"pair join must ride the cell-id equality:\n$plan")
+  }
 }
