@@ -55,6 +55,26 @@ object DedupQueries {
     "dedup_winnow_pairs" -> { (s: SparkSession, dir: String) =>
       graft.dedup.Winnow.sharedPairsFromPostings(Tables.winnowPostings(s, dir), minShared = 5)
         .orderBy("a", "b")
+    },
+    // fuzzy (edit-distance) near-dup: per-language, blocked on the
+    // 8-char text prefix, exact Levenshtein over the 32-char head of the
+    // candidates. The blocking join touches only same-prefix pairs (the
+    // classic cheap-key → expensive-verify ladder: prefix equality →
+    // DP edit distance); restricted to one language partition — dedup
+    // runs per language in a real corpus, and it keeps the distance
+    // ASCII-only (engines differ on multi-byte grapheme handling).
+    "dedup_editdist" -> { (s: SparkSession, dir: String) =>
+      import org.apache.spark.sql.functions.{col, levenshtein, substring}
+      val t = Tables.docs(s, dir).filter(col("lang") === "en")
+        .select(col("doc_id"), substring(col("text"), 1, 32).as("t32"),
+          substring(col("text"), 1, 8).as("blk"))
+      val l = t.select(col("blk"), col("doc_id").as("a"), col("t32").as("ta"))
+      val r = t.select(col("blk").as("blk_b"), col("doc_id").as("b"), col("t32").as("tb"))
+      l.join(r, col("blk") === col("blk_b") && col("a") < col("b"))
+        .withColumn("dist", levenshtein(col("ta"), col("tb")).cast("long"))
+        .filter(col("dist") <= 12)
+        .select(col("a"), col("b"), col("dist"))
+        .orderBy("a", "b")
     }
   )
 
@@ -204,6 +224,15 @@ object DedupQueries {
          |SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS n_shared
          |FROM post l JOIN post r ON l.fp = r.fp AND l.doc_id < r.doc_id
          |GROUP BY 1, 2 HAVING count(*) >= 5 ORDER BY a, b""".stripMargin,
+    "dedup_editdist" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, substr(text, 1, 32) AS t32, substr(text, 1, 8) AS blk
+         |  FROM documents WHERE lang = 'en'
+         |)
+         |SELECT x.doc_id AS a, y.doc_id AS b,
+         |       CAST(levenshtein(x.t32, y.t32) AS BIGINT) AS dist
+         |FROM t x JOIN t y ON x.blk = y.blk AND x.doc_id < y.doc_id
+         |WHERE levenshtein(x.t32, y.t32) <= 12 ORDER BY a, b""".stripMargin,
     "dedup_simhash" ->
       s"""$SH, sim AS (
          |  SELECT doc_id, $simhashExpr AS simhash FROM thc

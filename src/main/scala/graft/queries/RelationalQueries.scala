@@ -143,6 +143,30 @@ object RelationalQueries {
           col("s.value_x1000").as("value_x1000"))
         .orderBy("stream")
     },
+    // Incremental view maintenance: the snapshot is NOT rebuilt from the
+    // full log — the stored snapshot-as-of-position-P (here: compacted
+    // from events <= P) merges with only the delta (events > P) through
+    // the same partial max_by. At scale the snapshot side is 1 row per
+    // stream and the delta is the tail since the last checkpoint, so
+    // maintenance cost tracks update volume, not log size. Result is
+    // pinned equal to the full rebuild (same oracle as snapshot_latest).
+    "snapshot_incremental" -> { (s: SparkSession, dir: String) =>
+      // value is integer-scaled ONCE up front; both compaction passes
+      // fold the already-exact rows (no float round-trips between passes)
+      def compact(df: DataFrame): DataFrame =
+        df.groupBy(col("stream"))
+          .agg(max(struct(col("position"), col("revision"), col("event_type"),
+            col("value_x1000"))).as("s"))
+          .select(col("stream"), col("s.position").as("position"),
+            col("s.revision").as("revision"), col("s.event_type").as("event_type"),
+            col("s.value_x1000").as("value_x1000"))
+      val p = 5000L
+      val rows = ev(s, dir).select(col("stream"), col("position"), col("revision"),
+        col("event_type"), floor(col("value") * lit(1000.0)).cast("long").as("value_x1000"))
+      val snapshot = compact(rows.filter(col("position") <= p))
+      val delta = rows.filter(col("position") > p)
+      compact(snapshot.unionByName(delta)).orderBy("stream")
+    },
     // SET OPERATIONS over stream key sets (SURVEY §2.7 absence owned):
     // streams that click but never purchase, and streams that do both.
     // Each branch reduces the log to a distinct key set FIRST (partial-agg
@@ -183,6 +207,56 @@ object RelationalQueries {
         .groupBy(col("day"))
         .agg(count(lit(1)).as("n_events"), countDistinct(col("stream")).as("n_streams"))
         .orderBy("day")
+    },
+    // General OLAP over the star schema, pricing-summary shape: one
+    // filtered scan of the big fact, map-side partial aggregation into 6
+    // groups, one tiny shuffle. Money/quantity are floor-scaled to
+    // integer centi-units PER ROW before summing (double sums are
+    // addition-order-dependent; BIGINT sums are shuffle-order-proof).
+    // The discounted amount is a fixed left-assoc double product — one
+    // IEEE rounding per row, identical on any engine — floored before
+    // the sum.
+    "olap_pricing_summary" -> { (s: SparkSession, dir: String) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("count_order"),
+          sum(floor(col("l_quantity") * lit(100.0)).cast("long")).as("sum_qty_x100"),
+          sum(floor(col("l_extendedprice") * lit(100.0)).cast("long")).as("sum_base_x100"),
+          sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * lit(100.0))
+            .cast("long")).as("sum_disc_x100"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    // General OLAP, shipping-priority shape (3-way join + top-k): the
+    // segment-filtered customer key set BROADCASTS into the orders scan
+    // (the only shuffle joins the two big tables on the order key), and
+    // the final top-10 fuses into TakeOrderedAndProject — no global sort.
+    "olap_top_orders" -> { (s: SparkSession, dir: String) =>
+      val cut = lit("1998-01-01").cast("timestamp")
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderdate") < cut)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_orderpriority"))
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_shipdate") > cut)
+        .select(col("l_orderkey"),
+          floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * lit(100.0))
+            .cast("long").as("rev_x100"))
+      ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(col("rev_x100")).as("revenue_x100"))
+        // date as integer days since epoch — TZ-free on both engines
+        // (the parquet column is TIMESTAMP_NTZ; epoch-seconds casts would
+        // drag the session timezone in)
+        .select(col("o_orderkey"),
+          datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+            .cast("long").as("odate_d"),
+          col("o_orderpriority"), col("revenue_x100"))
+        .orderBy(col("revenue_x100").desc, col("o_orderkey").asc)
+        .limit(10)
     }
   )
 
@@ -245,6 +319,15 @@ object RelationalQueries {
          |  SELECT *, row_number() OVER (PARTITION BY stream ORDER BY position DESC) AS rk
          |  FROM ev
          |) WHERE rk = 1 ORDER BY stream""".stripMargin,
+    // identical to the full rebuild by construction — that IS the pinned
+    // invariant of incremental maintenance
+    "snapshot_incremental" ->
+      s"""$EV SELECT stream, position, revision, event_type,
+         |  CAST(floor(value * 1000.0) AS BIGINT) AS value_x1000
+         |FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY stream ORDER BY position DESC) AS rk
+         |  FROM ev
+         |) WHERE rk = 1 ORDER BY stream""".stripMargin,
     "set_ops_streams" ->
       s"""$EV, c AS (SELECT DISTINCT stream FROM ev WHERE event_type = 'click'),
          |p AS (SELECT DISTINCT stream FROM ev WHERE event_type = 'purchase')
@@ -259,6 +342,24 @@ object RelationalQueries {
     "agg_daily_active" ->
       s"""$EV SELECT epoch_us(ts) // 86400000000 AS day,
          |  count(*) AS n_events, count(DISTINCT stream) AS n_streams
-         |FROM ev GROUP BY 1 ORDER BY 1""".stripMargin
+         |FROM ev GROUP BY 1 ORDER BY 1""".stripMargin,
+    // DuckDB sum(BIGINT) is HUGEINT — CAST back for schema parity
+    "olap_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS count_order,
+         |  CAST(sum(CAST(floor(l_quantity * 100.0) AS BIGINT)) AS BIGINT) AS sum_qty_x100,
+         |  CAST(sum(CAST(floor(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS sum_base_x100,
+         |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)) AS BIGINT) AS sum_disc_x100
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "olap_top_orders" ->
+      s"""SELECT o_orderkey, CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS odate_d, o_orderpriority,
+         |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)) AS BIGINT) AS revenue_x100
+         |FROM customer JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |  AND l_shipdate > TIMESTAMP '1998-01-01'
+         |GROUP BY 1, 2, 3
+         |ORDER BY revenue_x100 DESC, o_orderkey ASC LIMIT 10""".stripMargin
   )
 }

@@ -149,6 +149,27 @@ object SimQueries {
         .agg(count(lit(1)).as("n_vectors"),
           min(col("id")).as("min_vec"), max(col("id")).as("max_vec"))
         .orderBy("cid")
+    },
+    // quantization-error profile: per-cell sum of squared distance to the
+    // own centroid (floored to x1e6 integers per vector — engine-exact).
+    // The other index-health number next to the membership histogram: a
+    // cell whose SSE grows while its population doesn't is drifting away
+    // from its centroid → retrain. Broadcast centroid table (tiny),
+    // map-only distance, one pre-combined shuffle.
+    "sim_cell_sse" -> { (s: SparkSession, dir: String) =>
+      import s.implicits._
+      val idx = ivf(s, dir)
+      val cents = broadcast(idx.centroids.toSeq.toDF("cid", "cv"))
+      // same per-element arithmetic as the assignment fold (l2Sql)
+      val dist = aggregate(
+        zip_with(col("v"), col("cv"),
+          (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+        lit(0.0), (acc, p) => acc + p)
+      idx.assigned.join(cents, col("ivf_cell") === col("cid"))
+        .select(col("cid"), floor(lit(1000000.0) * dist).cast("long").as("d6"))
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_vectors"), sum(col("d6")).as("sse_x1e6"))
+        .orderBy("cid")
     }
   )
 
@@ -452,6 +473,28 @@ object SimQueries {
          |)
          |SELECT src AS id, least(src, min(dst)) AS keeper
          |FROM reach GROUP BY src ORDER BY id""".stripMargin,
+    // same assignment CTEs; SSE = per-cell sum of the x1e6-floored own-
+    // centroid distances (d already holds every (vector, cell) distance —
+    // the join picks each vector's assigned one)
+    "sim_cell_sse" ->
+      s"""WITH mx AS (SELECT max(vec_id) // $NLIST + 1 AS stride FROM embeddings),
+         |cent AS (
+         |  SELECT CAST(vec_id // stride AS INT) AS cid, embedding AS cv
+         |  FROM embeddings, mx WHERE vec_id % stride = 0
+         |), d AS (
+         |  SELECT e.vec_id, c.cid, ${l2Sql("e.embedding", "c.cv")} AS dist
+         |  FROM embeddings e CROSS JOIN cent c
+         |), assign AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+         |    FROM d
+         |  ) WHERE rk = 1
+         |)
+         |SELECT a.cid, count(*) AS n_vectors,
+         |  CAST(sum(CAST(floor(1000000.0 * d.dist) AS BIGINT)) AS BIGINT) AS sse_x1e6
+         |FROM assign a JOIN d ON a.vec_id = d.vec_id AND a.cid = d.cid
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // same sampled-codebook assignment as sim_topk_ivf, aggregated to the
     // per-cell histogram
     "sim_cluster_hist" ->

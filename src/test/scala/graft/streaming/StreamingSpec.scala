@@ -327,4 +327,31 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(finals == Map("s-0" -> 10L, "s-1" -> 10L))
   }
+
+  test("materialized snapshot: latest-per-stream upserts across batches, stale replays no-op") {
+    import spark.implicits._
+    val input = MemoryStream[EvRow](spark)
+    val q = Materialize.latestByStream(input.toDF())
+      .writeStream.format("memory").queryName("mat_snap")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      input.addData(ev("a", "t1", 0, 1), ev("b", "t1", 0, 2), ev("a", "t2", 1, 3))
+      q.processAllAvailable()
+      def latest(): Map[String, (Long, String)] = spark.sql(
+        "select stream, position, event_type from mat_snap").collect()
+        .groupBy(_.getString(0))
+        .map { case (s, rs) =>
+          val m = rs.maxBy(_.getLong(1)); s -> (m.getLong(1), m.getString(2)) }
+      // batch 1: a advanced twice in one batch -> single emission at pos 3
+      assert(latest() == Map("a" -> (3L, "t2"), "b" -> (2L, "t1")))
+      val afterBatch1 = spark.sql("select * from mat_snap").count()
+      assert(afterBatch1 == 2) // one changelog row per stream, not per event
+      // batch 2: b advances; a gets a STALE replay (position 1 again) -> no emission
+      input.addData(ev("b", "t3", 1, 4), ev("a", "t1", 0, 1))
+      q.processAllAvailable()
+      assert(latest() == Map("a" -> (3L, "t2"), "b" -> (4L, "t3")))
+      assert(spark.sql("select * from mat_snap").count() == afterBatch1 + 1)
+    } finally q.stop()
+  }
 }
