@@ -138,4 +138,11 @@ class QueryPlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"pair join must ride the cell-id equality:\n$plan")
   }
+
+  test("olap_top_orders: segment keys broadcast, top-10 fused, no global sort") {
+    val plan = RelationalQueries.queries("olap_top_orders")(spark, dir)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast dim join in:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"expected fused top-k in:\n$plan")
+  }
 }

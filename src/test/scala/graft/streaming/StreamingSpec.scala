@@ -328,6 +328,26 @@ class StreamingSpec extends SparkSpec {
     assert(finals == Map("s-0" -> 10L, "s-1" -> 10L))
   }
 
+  test("stream-static enrichment: static dimension broadcast-joined in flight") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.broadcast
+    val input = MemoryStream[EvRow](spark)
+    val dim = Seq(("a", "gold"), ("b", "basic")).toDF("stream", "tier")
+    // the classic enrich-in-flight shape: per micro-batch map-side hash
+    // join against the broadcast dimension — no stream-side shuffle, no
+    // state (the dimension is not a stream; nothing to watermark)
+    val joined = input.toDF().join(broadcast(dim), Seq("stream"), "left")
+    val q = joined.writeStream.format("memory").queryName("enrich")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(ev("a", "t", 0, 1), ev("b", "t", 0, 2), ev("c", "t", 0, 3))
+      q.processAllAvailable()
+      val rows = spark.sql("select stream, tier from enrich").collect()
+        .map(r => (r.getString(0), Option(r.getString(1)))).toSet
+      assert(rows == Set(("a", Some("gold")), ("b", Some("basic")), ("c", None)))
+    } finally q.stop()
+  }
+
   test("materialized snapshot: latest-per-stream upserts across batches, stale replays no-op") {
     import spark.implicits._
     val input = MemoryStream[EvRow](spark)
