@@ -150,6 +150,18 @@ object SimQueries {
           min(col("id")).as("min_vec"), max(col("id")).as("max_vec"))
         .orderBy("cid")
     },
+    // retrieval end-to-end: ANN hit list (10 ids) joined back to the
+    // document payloads — the index→payload fetch every vector search
+    // serves. The hit set broadcasts into the payload scan (map-side
+    // join; the corpus never shuffles for a lookup).
+    "sim_search_docs" -> { (s: SparkSession, dir: String) =>
+      val hits = x1e6(ivf(s, dir).topK(queryRow(Tables.emb(s, dir)), K, NPROBE))
+      broadcast(hits)
+        .join(Tables.docs(s, dir).select(col("doc_id"), col("source"), col("n_chars")),
+          col("vec_id") === col("doc_id"))
+        .select(col("vec_id"), col("cos_x1e6"), col("source"), col("n_chars"))
+        .orderBy(col("cos_x1e6").desc, col("vec_id").asc)
+    },
     // quantization-error profile: per-cell sum of squared distance to the
     // own centroid (floored to x1e6 integers per vector — engine-exact).
     // The other index-health number next to the membership histogram: a
@@ -473,6 +485,35 @@ object SimQueries {
          |)
          |SELECT src AS id, least(src, min(dst)) AS keeper
          |FROM reach GROUP BY src ORDER BY id""".stripMargin,
+    // the sim_topk_ivf result joined to the document payload row
+    "sim_search_docs" ->
+      s"""$N, mx AS (SELECT max(vec_id) // $NLIST + 1 AS stride FROM embeddings),
+         |cent AS (
+         |  SELECT CAST(vec_id // stride AS INT) AS cid, embedding AS cv
+         |  FROM embeddings, mx WHERE vec_id % stride = 0
+         |), d AS (
+         |  SELECT e.vec_id, c.cid, ${l2Sql("e.embedding", "c.cv")} AS dist
+         |  FROM embeddings e CROSS JOIN cent c
+         |), assign AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+         |    FROM d
+         |  ) WHERE rk = 1
+         |), probe AS (
+         |  SELECT cid FROM d WHERE vec_id = 0 ORDER BY dist, cid LIMIT $NPROBE
+         |), q AS (SELECT embedding AS qv, nrm AS qn FROM n WHERE vec_id = 0),
+         |topk AS (
+         |  SELECT vec_id,
+         |    CAST(floor((${dotSql("embedding", "qv")} / (nrm * qn)) * 1000000.0) AS BIGINT) AS cos_x1e6
+         |  FROM n, q
+         |  WHERE vec_id IN (SELECT a.vec_id FROM assign a JOIN probe p ON a.cid = p.cid)
+         |  ORDER BY (${dotSql("embedding", "qv")} / (nrm * qn)) DESC, vec_id ASC
+         |  LIMIT $K
+         |)
+         |SELECT t.vec_id, t.cos_x1e6, doc.source, doc.n_chars
+         |FROM topk t JOIN documents doc ON t.vec_id = doc.doc_id
+         |ORDER BY t.cos_x1e6 DESC, t.vec_id ASC""".stripMargin,
     // same assignment CTEs; SSE = per-cell sum of the x1e6-floored own-
     // centroid distances (d already holds every (vector, cell) distance —
     // the join picks each vector's assigned one)

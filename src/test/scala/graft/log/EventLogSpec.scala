@@ -110,4 +110,23 @@ class EventLogSpec extends SparkSpec {
     val pruned = q2.select("position", "revision").queryExecution.executedPlan.toString()
     assert(!pruned.contains("uuid"), s"scan schema not pruned in:\n$pruned")
   }
+
+  test("format independence: same read semantics over a JSON-lines log") {
+    // the read path takes any DataFrame with the canonical columns — the
+    // storage format is the caller's choice (parquet is the deployment
+    // default; JSON here proves nothing in the operator stack assumes it)
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-jsonlog").toString
+    (1L to 100L).map(p => (s"s-${p % 4}", s"u$p", s"t-${p % 3}", (p - 1) / 4, p))
+      .toDF("stream", "uuid", "event_type", "revision", "position")
+      .write.mode("overwrite").json(dir)
+    val log = spark.read.schema(
+      "stream string, uuid string, event_type string, revision long, position long").json(dir)
+    val fwd = EventLog.read(log, ReadOptions(OneStream("s-1"), Forwards, From(3), Some(5)))
+    assert(revs(fwd) == (3L to 7L))
+    val filtered = EventLog.read(log,
+      ReadOptions(AllStreams, Forwards, FromStart, Some(1000),
+        filter = Some(PrefixFilter(OnEventType, Seq("t-1")))))
+    assert(filtered.count() == 34) // p%3==1 for p in 1..100
+  }
 }
