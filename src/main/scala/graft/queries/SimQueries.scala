@@ -150,6 +150,26 @@ object SimQueries {
           min(col("id")).as("min_vec"), max(col("id")).as("max_vec"))
         .orderBy("cid")
     },
+    // two-stage (matryoshka-style) retrieval: stage 1 ranks by dot over
+    // only the FIRST 16 dims (at scale the stored head-dims column — 4x
+    // less IO than full vectors) and keeps 50 candidates; stage 2
+    // re-ranks those exactly on all 64 dims. Both stages are map-only
+    // scans fused into TakeOrderedAndProject; the re-rank touches 50
+    // rows regardless of corpus size.
+    "sim_topk_twostage" -> { (s: SparkSession, dir: String) =>
+      import graft.functions.Fast
+      val q = broadcast(queryRow(Tables.emb(s, dir)).select(col("embedding").as("q"))
+        .withColumn("qn", Fast.normFast(col("q"))))
+      val cands = Tables.normedEmb(s, dir).join(q)
+        .withColumn("tdot", Fast.dotFast(slice(col("v"), 1, 16), slice(col("q"), 1, 16)))
+        .orderBy(col("tdot").desc, col("id").asc)
+        .limit(50)
+      x1e6(cands
+        .select(col("id").as("vec_id"),
+          (Fast.dotFast(col("v"), col("q")) / (col("nrm") * col("qn"))).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+        .limit(K))
+    },
     // retrieval end-to-end: ANN hit list (10 ids) joined back to the
     // document payloads — the index→payload fetch every vector search
     // serves. The hit set broadcasts into the payload scan (map-side
@@ -202,6 +222,14 @@ object SimQueries {
        |  FROM embeddings
        |)""".stripMargin
   private val N = s"WITH $NB"
+
+  /** Left-fold dot over only the first `d` elements (the stage-1 ranking
+    * key of the two-stage retrieval). */
+  private def dotHeadSql(a: String, b: String, d: Int): String =
+    s"""list_reduce(list_prepend(0.0,
+       |      list_transform(range(1, ${d + 1}),
+       |        i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
+       |      (s, p) -> s + p)""".stripMargin
 
   /** Left-fold squared L2 distance between two vector expressions
     * (float→double per element — mirrors Ivf's assignment arithmetic). */
@@ -485,6 +513,19 @@ object SimQueries {
          |)
          |SELECT src AS id, least(src, min(dst)) AS keeper
          |FROM reach GROUP BY src ORDER BY id""".stripMargin,
+    // stage-1 candidates by head-dims dot, exact re-rank within them
+    "sim_topk_twostage" ->
+      s"""$N, q AS (SELECT embedding AS qv, nrm AS qn FROM n WHERE vec_id = 0),
+         |cand AS (
+         |  SELECT vec_id, embedding, nrm FROM n, q
+         |  ORDER BY ${dotHeadSql("embedding", "qv", 16)} DESC, vec_id ASC
+         |  LIMIT 50
+         |)
+         |SELECT vec_id,
+         |  CAST(floor((${dotSql("embedding", "qv")} / (nrm * qn)) * 1000000.0) AS BIGINT) AS cos_x1e6
+         |FROM cand, q
+         |ORDER BY (${dotSql("embedding", "qv")} / (nrm * qn)) DESC, vec_id ASC
+         |LIMIT $K""".stripMargin,
     // the sim_topk_ivf result joined to the document payload row
     "sim_search_docs" ->
       s"""$N, mx AS (SELECT max(vec_id) // $NLIST + 1 AS stride FROM embeddings),

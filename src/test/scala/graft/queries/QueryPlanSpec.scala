@@ -139,6 +139,15 @@ class QueryPlanSpec extends SparkSpec {
       s"pair join must ride the cell-id equality:\n$plan")
   }
 
+  test("sim_topk_twostage: both stages fuse to top-k, corpus never shuffles") {
+    val plan = SimQueries.queries("sim_topk_twostage")(spark, dir)
+      .queryExecution.executedPlan.toString()
+    val topks = "TakeOrderedAndProject".r.findAllIn(plan).length
+    assert(topks >= 2, s"expected two fused top-k stages, found $topks in:\n$plan")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges == 0, s"retrieval must not shuffle the corpus:\n$plan")
+  }
+
   test("olap_top_orders: segment keys broadcast, top-10 fused, no global sort") {
     val plan = RelationalQueries.queries("olap_top_orders")(spark, dir)
       .queryExecution.executedPlan.toString()
