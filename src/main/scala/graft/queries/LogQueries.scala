@@ -163,6 +163,20 @@ object LogQueries {
         .select(col("position"), col("stream"), col("k"))
         .orderBy("position")
     },
+    // same semantics through Spark 4's VARIANT type — the modern
+    // schema-on-read path: parse once to the binary variant encoding,
+    // then typed field extraction (no per-access string re-parse; at
+    // scale the variant column is stored shredded, so `$.k` access prunes
+    // like a real column)
+    "read_json_variant" -> { (s: SparkSession, dir: String) =>
+      Fixture
+        .events(s, dir)
+        .withColumn("var", parse_json(col("props")))
+        .withColumn("k", try_variant_get(col("var"), "$.k", "long"))
+        .filter(col("k") >= 80)
+        .select(col("position"), col("stream"), col("k"))
+        .orderBy("position")
+    },
     // dimension enrichment: events joined to customer → nation (stream id
     // encodes the entity key). Both dims BROADCAST — the event log is the
     // only large input, so the join is map-side with zero shuffle of the
@@ -245,6 +259,10 @@ object LogQueries {
       s"""$EV SELECT stream, max(revision) AS max_revision FROM ev
          |GROUP BY stream ORDER BY stream""".stripMargin,
     "read_json_payload" ->
+      s"""$EV SELECT position, stream, CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+         |FROM ev WHERE CAST(json_extract_string(props, '$$.k') AS BIGINT) >= 80
+         |ORDER BY position""".stripMargin,
+    "read_json_variant" ->
       s"""$EV SELECT position, stream, CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
          |FROM ev WHERE CAST(json_extract_string(props, '$$.k') AS BIGINT) >= 80
          |ORDER BY position""".stripMargin,
