@@ -208,6 +208,41 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_events"), countDistinct(col("stream")).as("n_streams"))
         .orderBy("day")
     },
+    // Approximation-quality gate (the "measure, don't guess" complement
+    // of agg_daily_active / agg_median): at 100 TB those queries ride
+    // approx_count_distinct and approx_percentile — this query runs the
+    // approximate AND exact forms side by side and counts how many
+    // groups the approximation lands within tolerance (HLL++: 10% of
+    // exact; approx-percentile: exact below its accuracy threshold).
+    // The oracle pins n_ok == n_groups, so approximation drift fails the
+    // gate — the same monitoring pattern as sim_recall for ANN indexes.
+    "agg_approx_quality" -> { (s: SparkSession, dir: String) =>
+      val daily = ev(s, dir)
+        .select(micros.as("tus"), col("stream"))
+        .select(expr("tus div 86400000000").as("day"), col("stream"))
+        .groupBy(col("day"))
+        .agg(countDistinct(col("stream")).as("exact"),
+          approx_count_distinct(col("stream")).as("approx"))
+        .select(when(abs(col("approx") - col("exact")) <= col("exact") * lit(0.10), 1L)
+          .otherwise(0L).as("ok"))
+        .agg(count(lit(1)).as("n_groups"), sum(col("ok")).as("n_ok"))
+        .select(lit("daily_distinct_hll").as("check"), col("n_groups"), col("n_ok"))
+      val med = ev(s, dir)
+        .select(col("stream"), floor(col("value") * lit(1000.0)).cast("long").as("v"))
+        .groupBy(col("stream"))
+        .agg(expr("percentile(v, 0.4)").as("q40"),
+          expr("percentile(v, 0.6)").as("q60"),
+          expr("approx_percentile(v, 0.5, 10000)").as("approx"))
+        // the sketch returns an actual element; within its accuracy
+        // guarantee that element's rank sits at the median, so it must
+        // land inside the exact q40..q60 band (rank-based tolerance —
+        // robust to wide gaps between adjacent order statistics)
+        .select(when(col("approx") >= col("q40") && col("approx") <= col("q60"), 1L)
+          .otherwise(0L).as("ok"))
+        .agg(count(lit(1)).as("n_groups"), sum(col("ok")).as("n_ok"))
+        .select(lit("median_approx").as("check"), col("n_groups"), col("n_ok"))
+      daily.unionAll(med).orderBy("check")
+    },
     // General OLAP over the star schema, pricing-summary shape: one
     // filtered scan of the big fact, map-side partial aggregation into 6
     // groups, one tiny shuffle. Money/quantity are floor-scaled to
@@ -343,6 +378,16 @@ object RelationalQueries {
       s"""$EV SELECT epoch_us(ts) // 86400000000 AS day,
          |  count(*) AS n_events, count(DISTINCT stream) AS n_streams
          |FROM ev GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the oracle states the invariant: every group within tolerance
+    // (n_ok == n_groups); a drifting approximation breaks the hash match
+    "agg_approx_quality" ->
+      s"""$EV, d AS (SELECT count(DISTINCT epoch_us(ts) // 86400000000) AS n FROM ev),
+         |s AS (SELECT count(DISTINCT stream) AS n FROM ev)
+         |SELECT 'daily_distinct_hll' AS check, CAST(d.n AS BIGINT) AS n_groups,
+         |       CAST(d.n AS BIGINT) AS n_ok FROM d
+         |UNION ALL
+         |SELECT 'median_approx', CAST(s.n AS BIGINT), CAST(s.n AS BIGINT) FROM s
+         |ORDER BY 1""".stripMargin,
     // DuckDB sum(BIGINT) is HUGEINT — CAST back for schema parity
     "olap_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus, count(*) AS count_order,

@@ -21,6 +21,7 @@ object Profile {
       if (name == "entry") (s, _) => graft.SparkEntry.entry(s)
       else graft.SparkEntry.queries(name)
     if (args.contains("explain")) fn(spark, sfDir).explain("formatted")
+    if (args.contains("show")) fn(spark, sfDir).show(100, false)
     for (i <- 1 to 2) {
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
