@@ -167,6 +167,47 @@ object RelationalQueries {
       val delta = rows.filter(col("position") > p)
       compact(snapshot.unionByName(delta)).orderBy("stream")
     },
+    // CDC between snapshots: which streams changed between position P1
+    // and P2, each with its new latest state and whether the stream is
+    // NEW (born after P1) or UPDATED. The changed-set filter
+    // (position > P1 on the compacted view) keeps the output
+    // proportional to the delta's activity; the P1-membership probe is
+    // a broadcast of distinct keys. This is the changelog a downstream
+    // read model consumes to catch up from P1 to P2.
+    "snapshot_delta" -> { (s: SparkSession, dir: String) =>
+      val p1 = 200L
+      val p2 = 10000L
+      val rows = ev(s, dir)
+        .filter(col("position") <= p2)
+        .select(col("stream"), col("position"), col("revision"), col("event_type"))
+      val at2 = rows.groupBy(col("stream"))
+        .agg(max(struct(col("position"), col("revision"), col("event_type"))).as("s"))
+        .select(col("stream"), col("s.position").as("position"),
+          col("s.revision").as("revision"), col("s.event_type").as("event_type"))
+      val seen1 = rows.filter(col("position") <= p1)
+        .select(col("stream")).distinct().withColumn("existed", lit(1))
+      at2.filter(col("position") > p1)
+        .join(broadcast(seen1), Seq("stream"), "left")
+        .select(col("stream"), col("position"), col("revision"), col("event_type"),
+          when(col("existed").isNull, lit("new")).otherwise(lit("updated")).as("change"))
+        .orderBy("stream")
+    },
+    // Retention-policy scan (EventStoreDB's $maxAge concept, absent in
+    // the reference): per stream, how many events have aged past the
+    // cutoff and the highest expired position — the truncation plan a
+    // retention job executes. One partial-aggregated pass; exact
+    // integer µs.
+    "retention_candidates" -> { (s: SparkSession, dir: String) =>
+      val cutoffUs = 1705276800000000L // 2024-01-15T00:00:00Z
+      ev(s, dir)
+        .select(col("stream"), col("position"), micros.as("tus"))
+        .groupBy(col("stream"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("tus") < cutoffUs, 1L).otherwise(0L)).as("n_expired"),
+          coalesce(max(when(col("tus") < cutoffUs, col("position"))), lit(-1L))
+            .as("last_expired_position"))
+        .orderBy("stream")
+    },
     // SET OPERATIONS over stream key sets (SURVEY §2.7 absence owned):
     // streams that click but never purchase, and streams that do both.
     // Each branch reduces the log to a distinct key set FIRST (partial-agg
@@ -363,6 +404,24 @@ object RelationalQueries {
          |  SELECT *, row_number() OVER (PARTITION BY stream ORDER BY position DESC) AS rk
          |  FROM ev
          |) WHERE rk = 1 ORDER BY stream""".stripMargin,
+    "snapshot_delta" ->
+      s"""$EV, r AS (
+         |  SELECT stream, position, revision, event_type FROM ev WHERE position <= 10000
+         |), a2 AS (
+         |  SELECT stream, position, revision, event_type FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY stream ORDER BY position DESC) AS rk
+         |    FROM r
+         |  ) WHERE rk = 1
+         |), s1 AS (SELECT DISTINCT stream FROM r WHERE position <= 200)
+         |SELECT a2.stream, a2.position, a2.revision, a2.event_type,
+         |  CASE WHEN a2.stream IN (SELECT stream FROM s1) THEN 'updated' ELSE 'new' END AS change
+         |FROM a2 WHERE a2.position > 200 ORDER BY a2.stream""".stripMargin,
+    // DuckDB sum(BIGINT) is HUGEINT — CAST back for schema parity
+    "retention_candidates" ->
+      s"""$EV SELECT stream, count(*) AS n_events,
+         |  CAST(sum(CASE WHEN epoch_us(ts) < 1705276800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_expired,
+         |  coalesce(max(CASE WHEN epoch_us(ts) < 1705276800000000 THEN position END), -1) AS last_expired_position
+         |FROM ev GROUP BY stream ORDER BY stream""".stripMargin,
     "set_ops_streams" ->
       s"""$EV, c AS (SELECT DISTINCT stream FROM ev WHERE event_type = 'click'),
          |p AS (SELECT DISTINCT stream FROM ev WHERE event_type = 'purchase')
