@@ -27,6 +27,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.LogQueries.queries ++
       graft.queries.RelationalQueries.queries ++
+      graft.queries.AnalyticsQueries.queries ++
       graft.queries.ProjectionQueries.queries ++
       graft.queries.TextQueries.queries ++
       graft.queries.DedupQueries.queries ++
@@ -39,6 +40,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.LogQueries.oracles ++
       graft.queries.RelationalQueries.oracles ++
+      graft.queries.AnalyticsQueries.oracles ++
       graft.queries.ProjectionQueries.oracles ++
       graft.queries.TextQueries.oracles ++
       graft.queries.DedupQueries.oracles ++

@@ -119,17 +119,18 @@ object Dedup {
                       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     minhashLshPairsFromSets(shingleSets(docs, idCol, textCol), thresholdX1000)
 
-  /** Same, over a precomputed [[shingleSets]] table (share it across ops). */
-  def minhashLshPairsFromSets(sets: DataFrame, thresholdX1000: Long): DataFrame = {
-    // materialize signatures ONCE: the banding join must see plain long
-    // key columns, not live expressions — struct/expression keys degrade
-    // the self-join to a nested-loop with per-pair recomputation of the
-    // whole minhash pipeline
+  /** One row per (id, band, r0, r1) from a [[shingleSets]] table — the
+    * LSH banding shared by the self-join and batch-vs-corpus variants.
+    * Signatures are materialized ONCE (localCheckpoint): the banding join
+    * must see plain long key columns, not live expressions — struct/
+    * expression keys degrade the join to a nested-loop with per-pair
+    * recomputation of the whole minhash pipeline. */
+  private def bandedSignatures(sets: DataFrame): DataFrame = {
     val sig = sets.withColumn("sig", graft.functions.Fast.minhashFast(col("sh")))
       .select(col("id"), col("sig")).localCheckpoint()
-    // one row per band: (id, band, r0, r1) — compact long keys only, the
-    // shingle arrays do NOT ride the candidate join
-    val banded = sig.select(
+    // compact long keys only — the shingle arrays do NOT ride the
+    // candidate join
+    sig.select(
       col("id"),
       posexplode(
         array((0 until bands).map { bnd =>
@@ -140,6 +141,11 @@ object Dedup {
         }: _*)
       ).as(Seq("band", "bk"))
     ).select(col("id"), col("band"), col("bk.r0").as("r0"), col("bk.r1").as("r1"))
+  }
+
+  /** Same, over a precomputed [[shingleSets]] table (share it across ops). */
+  def minhashLshPairsFromSets(sets: DataFrame, thresholdX1000: Long): DataFrame = {
+    val banded = bandedSignatures(sets)
     val l = banded.select(col("id").as("a"), col("band"), col("r0"), col("r1"))
     val r = banded.select(col("id").as("b"), col("band").as("band_r"),
       col("r0").as("r0_r"), col("r1").as("r1_r"))
@@ -152,6 +158,38 @@ object Dedup {
     cands
       .join(sets.select(col("id").as("a"), col("sh").as("sha"), col("n_sh").as("na")), "a")
       .join(sets.select(col("id").as("b"), col("sh").as("shb"), col("n_sh").as("nb")), "b")
+      .withColumn("c", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard_x1000",
+        floor(lit(1000.0) * col("c") / (col("na") + col("nb") - col("c"))).cast("long"))
+      .filter(col("jaccard_x1000") >= thresholdX1000)
+      .select(col("a"), col("b"), col("jaccard_x1000"))
+  }
+
+  /**
+   * Incremental (batch-vs-corpus) MinHash dedup: near-dup matches of each
+   * NEW document against the EXISTING corpus — the nightly-ingest shape at
+   * 100 TB, where the arriving batch is tiny relative to the corpus and
+   * re-running the all-corpus self-join would be absurd. Both sides band
+   * exactly as in [[minhashLshPairsFromSets]], but the join is new×corpus
+   * (no self pairing and no ordering constraint): corpus postings are
+   * touched only where a band collides, and the batch side is the small
+   * probe of the shuffle (broadcast-able when the batch fits). Returns
+   * (a = new id, b = corpus id, jaccard_x1000) verified by exact Jaccard.
+   */
+  def minhashLshPairsBetween(newSets: DataFrame, corpusSets: DataFrame,
+                             thresholdX1000: Long): DataFrame = {
+    val l = bandedSignatures(newSets)
+      .select(col("id").as("a"), col("band"), col("r0"), col("r1"))
+    val r = bandedSignatures(corpusSets)
+      .select(col("id").as("b"), col("band").as("band_r"),
+        col("r0").as("r0_r"), col("r1").as("r1_r"))
+    val cands = l
+      .join(r, l("band") === r("band_r") && l("r0") === r("r0_r") && l("r1") === r("r1_r"))
+      .select(col("a"), col("b"))
+      .dropDuplicates("a", "b")
+    cands
+      .join(newSets.select(col("id").as("a"), col("sh").as("sha"), col("n_sh").as("na")), "a")
+      .join(corpusSets.select(col("id").as("b"), col("sh").as("shb"), col("n_sh").as("nb")), "b")
       .withColumn("c", size(array_intersect(col("sha"), col("shb"))))
       .withColumn("jaccard_x1000",
         floor(lit(1000.0) * col("c") / (col("na") + col("nb") - col("c"))).cast("long"))

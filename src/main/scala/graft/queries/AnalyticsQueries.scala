@@ -1,0 +1,377 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.log.Fixture
+import graft.streaming.Sessionize
+
+/**
+ * Event-analytics breadth over the canonical log: the product-analytics
+ * shapes (funnels, cohort retention, Markov transitions, pivots) plus the
+ * scale-infrastructure shapes (salted skew aggregation, mergeable-sketch
+ * rollups, z-order layout keys, sequential decay folds, robust outlier
+ * flagging). The reference has none of these (SURVEY.md §2.7 — it
+ * delegates all analytics to Postgres); an analytics engine over an event
+ * log must own them, and each comes with a full DuckDB value oracle.
+ *
+ * Common scale rule (same as RelationalQueries): the event log is the
+ * only large input — no plan shuffles the full log more than once, window
+ * partitionings are reused by the downstream aggregation, and per-stream
+ * scalars ride broadcast joins.
+ */
+object AnalyticsQueries {
+
+  private def ev(s: SparkSession, dir: String): DataFrame = Fixture.events(s, dir)
+
+  private def micros: Column = Sessionize.microsFromNanos(col("ts"))
+
+  /** stream "user-<id>" → entity key (reverse of Fixture's mapping). */
+  private def uid = substring(col("stream"), 6, 1000000).cast("long")
+
+  /** Z-order bit-interleave of two 4-bit bucket columns, as a SQL
+    * expression string shared verbatim with the DuckDB oracle (same
+    * operators, same arithmetic — the layout key must be engine-exact). */
+  private[queries] def zExpr(ub: String, tb: String): String =
+    (0 until 4)
+      .flatMap(k => Seq(s"((($ub >> $k) & 1) << ${2 * k})", s"((($tb >> $k) & 1) << ${2 * k + 1})"))
+      .mkString("(", " | ", ")")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // FUNNEL, per stream: earliest completion position of each step of
+    // signup → view → click → purchase, every step strictly after the
+    // previous step's completing event. One pass of CHAINED windows, all
+    // on the same (stream × position) partitioning: c1 = earliest signup
+    // strictly before the current row; a view row with c1 set completes
+    // step 2; its running min (c2) gates step 3; and so on. The final
+    // groupBy reuses the window's hash partitioning — ONE shuffle total,
+    // no self-joins (the naive formulation is 3 self-joins of the log).
+    "funnel_steps" -> { (s: SparkSession, dir: String) =>
+      val wPrev = Window.partitionBy("stream").orderBy("position")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val d = ev(s, dir)
+        .select(col("stream"), col("position"), col("event_type"))
+        .withColumn("c1", min(when(col("event_type") === "signup", col("position"))).over(wPrev))
+        .withColumn("v2", when(col("event_type") === "view" && col("c1").isNotNull, col("position")))
+        .withColumn("c2", min(col("v2")).over(wPrev))
+        .withColumn("v3", when(col("event_type") === "click" && col("c2").isNotNull, col("position")))
+        .withColumn("c3", min(col("v3")).over(wPrev))
+        .withColumn("v4", when(col("event_type") === "purchase" && col("c3").isNotNull, col("position")))
+      d.groupBy(col("stream"))
+        .agg(
+          min(when(col("event_type") === "signup", col("position"))).as("p1"),
+          min(col("v2")).as("p2"), min(col("v3")).as("p3"), min(col("v4")).as("p4"))
+        .select(col("stream"),
+          coalesce(col("p1"), lit(-1L)).as("p1"), coalesce(col("p2"), lit(-1L)).as("p2"),
+          coalesce(col("p3"), lit(-1L)).as("p3"), coalesce(col("p4"), lit(-1L)).as("p4"),
+          when(col("p4").isNotNull, 4L).when(col("p3").isNotNull, 3L)
+            .when(col("p2").isNotNull, 2L).when(col("p1").isNotNull, 1L)
+            .otherwise(0L).as("steps_completed"))
+        .orderBy("stream")
+    },
+    // FUNNEL DROP-OFF: how many streams complete each step, with the
+    // step-over-step conversion as exact integer permille ((1000*n) div
+    // prev — engine-exact integer division, no float quotients). Derived
+    // from the same chained-window pass, collapsed to ONE row then
+    // stacked to a row per step: the whole funnel report is one job.
+    "funnel_conversion" -> { (s: SparkSession, dir: String) =>
+      val wPrev = Window.partitionBy("stream").orderBy("position")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val d = ev(s, dir)
+        .select(col("stream"), col("position"), col("event_type"))
+        .withColumn("c1", min(when(col("event_type") === "signup", col("position"))).over(wPrev))
+        .withColumn("v2", when(col("event_type") === "view" && col("c1").isNotNull, col("position")))
+        .withColumn("c2", min(col("v2")).over(wPrev))
+        .withColumn("v3", when(col("event_type") === "click" && col("c2").isNotNull, col("position")))
+        .withColumn("c3", min(col("v3")).over(wPrev))
+        .withColumn("v4", when(col("event_type") === "purchase" && col("c3").isNotNull, col("position")))
+      val per = d.groupBy(col("stream"))
+        .agg(
+          min(when(col("event_type") === "signup", col("position"))).as("p1"),
+          min(col("v2")).as("p2"), min(col("v3")).as("p3"), min(col("v4")).as("p4"))
+      per.agg(
+        count(lit(1)).as("n0"),
+        count(col("p1")).as("n1"), count(col("p2")).as("n2"),
+        count(col("p3")).as("n3"), count(col("p4")).as("n4"))
+        .select(expr(
+          """stack(4,
+            |  1L, 'signup',   n1, nvl((1000 * n1) div n0, -1L),
+            |  2L, 'view',     n2, nvl((1000 * n2) div n1, -1L),
+            |  3L, 'click',    n3, nvl((1000 * n3) div n2, -1L),
+            |  4L, 'purchase', n4, nvl((1000 * n4) div n3, -1L)
+            |) AS (step, step_name, n_streams, conv_permille)""".stripMargin))
+        .orderBy("step")
+    },
+    // MARKOV TRANSITIONS: consecutive-event (from → to) counts per
+    // stream order, with the per-from-type transition probability as
+    // exact integer permille. One lag window + one aggregation sharing
+    // the stream partitioning; the permille window runs over the
+    // 25-row aggregate, not the log.
+    "markov_transitions" -> { (s: SparkSession, dir: String) =>
+      val w = Window.partitionBy("stream").orderBy("position")
+      val wf = Window.partitionBy("from_type")
+      ev(s, dir)
+        .select(col("stream"), col("position"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("tot", sum(col("n")).over(wf))
+        .withColumn("permille", expr("(1000 * n) div tot"))
+        .select(col("from_type"), col("to_type"), col("n"), col("permille"))
+        .orderBy("from_type", "to_type")
+    },
+    // PIVOT (wide activity matrix): per-stream counts of each event type
+    // as columns. The type list is declared (no discovery pass), so this
+    // is ONE map-side partially-aggregated shuffle — the pivot expands
+    // to count(CASE) columns, never a row explosion.
+    "agg_pivot" -> { (s: SparkSession, dir: String) =>
+      ev(s, dir)
+        .groupBy(col("stream"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .select(col("stream"),
+          col("click").as("n_click"), col("error").as("n_error"),
+          col("purchase").as("n_purchase"), col("signup").as("n_signup"),
+          col("view").as("n_view"),
+          (col("click") + col("error") + col("purchase") + col("signup") + col("view")).as("n_total"))
+        .orderBy("stream")
+    },
+    // COHORT RETENTION: streams grouped by first-active week (the
+    // cohort), counted per week-offset of later activity. The log first
+    // collapses to DISTINCT (stream, week) — a keys-only partial-agg
+    // shuffle; the cohort assignment is a min-window over that already
+    // small activity table; the final count touches activity rows, not
+    // events. Integer week index from exact µs division.
+    "retention_cohorts" -> { (s: SparkSession, dir: String) =>
+      val act = ev(s, dir)
+        .select(col("stream"), micros.as("tus"))
+        .select(col("stream"), expr("tus div 604800000000").as("wk"))
+        .distinct()
+      val w = Window.partitionBy("stream")
+      act.withColumn("cohort_wk", min(col("wk")).over(w))
+        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+        .agg(count(lit(1)).as("n_active")) // rows are distinct (stream, wk)
+        .orderBy("cohort_wk", "week_offset")
+    },
+    // EWMA (decayed engagement), alpha = 1/2: e_0 = v_0;
+    // e_i = floor((e_{i-1} + v_i) / 2) over the stream's events in
+    // position order — an inherently SEQUENTIAL per-stream fold, executed
+    // as ONE shuffle into per-stream sorted arrays folded by the
+    // `aggregate` higher-order function (the same bounded-stream contract
+    // as the projection fold engine; alpha = 1/2 keeps every step an
+    // exact integer halving, so the fold is engine- and order-exact).
+    "agg_ewma" -> { (s: SparkSession, dir: String) =>
+      ev(s, dir)
+        .select(col("stream"), col("position"),
+          floor(col("value") * lit(1000.0)).cast("long").as("v"))
+        .groupBy(col("stream"))
+        .agg(sort_array(collect_list(struct(col("position"), col("v")))).as("seq"))
+        .select(col("stream"), size(col("seq")).cast("long").as("n"),
+          expr("""aggregate(seq, CAST(NULL AS BIGINT),
+                 |  (acc, x) -> CASE WHEN acc IS NULL THEN x.v
+                 |              ELSE CAST(floor((acc + x.v) / 2.0) AS BIGINT) END)""".stripMargin)
+            .as("ewma_x1000"))
+        .orderBy("stream")
+    },
+    // ROBUST OUTLIERS (median/MAD): per-stream events whose payload
+    // deviates from the stream median by more than 3 MADs. All
+    // arithmetic in doubled integers (d2 = 2·|dev|, mad4 = 4·MAD), so
+    // the even-n midpoint interpolation stays exact on both engines.
+    // Two grouped median passes + two joins, every one keyed on the
+    // stream (the median tables are 1 row/stream — broadcast-size).
+    "anomaly_mad" -> { (s: SparkSession, dir: String) =>
+      val v = ev(s, dir).select(col("stream"), col("position"),
+        floor(col("value") * lit(1000.0)).cast("long").as("v"))
+      val med = v.groupBy(col("stream"))
+        .agg(expr("CAST(2 * percentile(v, 0.5) AS BIGINT)").as("m2"))
+      val d = v.join(broadcast(med), "stream")
+        .withColumn("d2", abs(col("v") * 2 - col("m2")))
+      val mad = d.groupBy(col("stream"))
+        .agg(expr("CAST(2 * percentile(d2, 0.5) AS BIGINT)").as("mad4"))
+      d.join(broadcast(mad), "stream")
+        .groupBy(col("stream"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("d2") * 2 > col("mad4") * 3, 1L).otherwise(0L)).as("n_outliers"),
+          max(col("d2")).as("max_d2"))
+        .orderBy("stream")
+    },
+    // SALTED SKEW AGGREGATION: the two-stage (salt → partial → merge)
+    // rewrite that survives a hot grouping key at 100 TB. Stage 1 groups
+    // on (key, salt) — a hot key's rows spread over 16 reducers instead
+    // of one; stage 2 merges the 16 partials per key. Results are pinned
+    // equal to the direct single-stage aggregation (the oracle IS the
+    // direct form). Integer milli-unit sums are shuffle-order-proof.
+    "agg_salted_skew" -> { (s: SparkSession, dir: String) =>
+      ev(s, dir)
+        .select(col("event_type"), col("position"),
+          floor(col("value") * lit(1000.0)).cast("long").as("vx"))
+        .withColumn("salt", pmod(col("position"), lit(16L)))
+        .groupBy(col("event_type"), col("salt"))
+        .agg(count(lit(1)).as("pn"), sum(col("vx")).as("pv"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("pn")).as("n"), sum(col("pv")).as("sum_value_x1000"))
+        .orderBy("event_type")
+    },
+    // Z-ORDER LAYOUT KEYS: interleave the entity bucket and time bucket
+    // into one space-filling-curve key — the layout column a 100 TB
+    // table is range-partitioned/sorted by so that BOTH per-user and
+    // per-time-range scans prune files (single-column sorts prune only
+    // one dimension). Map-side bucketing + one tiny aggregation; the
+    // interleave arithmetic is the same SQL text on both engines.
+    "zorder_keys" -> { (s: SparkSession, dir: String) =>
+      ev(s, dir)
+        .select(uid.as("u"), micros.as("tus"))
+        .select(pmod(col("u"), lit(16L)).as("ubucket"),
+          pmod(expr("tus div 86400000000"), lit(16L)).as("tbucket"))
+        .withColumn("z", expr(zExpr("ubucket", "tbucket")))
+        .groupBy(col("z"), col("ubucket"), col("tbucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("z")
+    },
+    // MERGEABLE-SKETCH ROLLUP: per-day HLL sketches of distinct streams,
+    // unioned into the overall estimate — the re-aggregation pattern
+    // that makes distinct counts pre-computable at 100 TB (exact
+    // distincts cannot roll up; sketches union losslessly). The gate
+    // pins the unioned estimate within 10% of the exact distinct, same
+    // contract as agg_approx_quality.
+    "agg_sketch_union" -> { (s: SparkSession, dir: String) =>
+      val daily = ev(s, dir)
+        .select(micros.as("tus"), col("stream"))
+        .select(expr("tus div 86400000000").as("day"), col("stream"))
+        .groupBy(col("day"))
+        .agg(hll_sketch_agg(col("stream")).as("sk"))
+      val merged = daily.agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx"),
+        count(lit(1)).as("n_days"))
+      val exact = ev(s, dir).agg(countDistinct(col("stream")).as("exact"))
+      merged.crossJoin(exact)
+        .select(lit("hll_daily_union").as("check"), lit(1L).as("n_groups"),
+          when(abs(col("approx") - col("exact")) <= col("exact") * lit(0.10), 1L)
+            .otherwise(0L).as("n_ok"))
+    }
+  )
+
+  private def EV = LogQueries.evCte
+
+  val oracles: Map[String, String] = Map(
+    "funnel_steps" ->
+      s"""$EV, s0 AS (SELECT DISTINCT stream FROM ev),
+         |s1 AS (SELECT stream, min(position) AS p1 FROM ev WHERE event_type = 'signup' GROUP BY 1),
+         |s2 AS (SELECT e.stream, min(e.position) AS p2 FROM ev e JOIN s1 ON e.stream = s1.stream
+         |       WHERE e.event_type = 'view' AND e.position > s1.p1 GROUP BY 1),
+         |s3 AS (SELECT e.stream, min(e.position) AS p3 FROM ev e JOIN s2 ON e.stream = s2.stream
+         |       WHERE e.event_type = 'click' AND e.position > s2.p2 GROUP BY 1),
+         |s4 AS (SELECT e.stream, min(e.position) AS p4 FROM ev e JOIN s3 ON e.stream = s3.stream
+         |       WHERE e.event_type = 'purchase' AND e.position > s3.p3 GROUP BY 1)
+         |SELECT s0.stream,
+         |  coalesce(p1, -1) AS p1, coalesce(p2, -1) AS p2,
+         |  coalesce(p3, -1) AS p3, coalesce(p4, -1) AS p4,
+         |  CAST(CASE WHEN p4 IS NOT NULL THEN 4 WHEN p3 IS NOT NULL THEN 3
+         |       WHEN p2 IS NOT NULL THEN 2 WHEN p1 IS NOT NULL THEN 1
+         |       ELSE 0 END AS BIGINT) AS steps_completed
+         |FROM s0 LEFT JOIN s1 USING (stream) LEFT JOIN s2 USING (stream)
+         |  LEFT JOIN s3 USING (stream) LEFT JOIN s4 USING (stream)
+         |ORDER BY s0.stream""".stripMargin,
+    "funnel_conversion" ->
+      s"""$EV, s1 AS (SELECT stream, min(position) AS p1 FROM ev WHERE event_type = 'signup' GROUP BY 1),
+         |s2 AS (SELECT e.stream, min(e.position) AS p2 FROM ev e JOIN s1 ON e.stream = s1.stream
+         |       WHERE e.event_type = 'view' AND e.position > s1.p1 GROUP BY 1),
+         |s3 AS (SELECT e.stream, min(e.position) AS p3 FROM ev e JOIN s2 ON e.stream = s2.stream
+         |       WHERE e.event_type = 'click' AND e.position > s2.p2 GROUP BY 1),
+         |s4 AS (SELECT e.stream, min(e.position) AS p4 FROM ev e JOIN s3 ON e.stream = s3.stream
+         |       WHERE e.event_type = 'purchase' AND e.position > s3.p3 GROUP BY 1),
+         |n AS (SELECT (SELECT count(DISTINCT stream) FROM ev) AS n0,
+         |             (SELECT count(*) FROM s1) AS n1, (SELECT count(*) FROM s2) AS n2,
+         |             (SELECT count(*) FROM s3) AS n3, (SELECT count(*) FROM s4) AS n4)
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS BIGINT) AS step, 'signup' AS step_name, CAST(n1 AS BIGINT) AS n_streams,
+         |         CAST(CASE WHEN n0 = 0 THEN -1 ELSE (1000 * n1) // n0 END AS BIGINT) AS conv_permille FROM n
+         |  UNION ALL SELECT 2, 'view', CAST(n2 AS BIGINT),
+         |         CAST(CASE WHEN n1 = 0 THEN -1 ELSE (1000 * n2) // n1 END AS BIGINT) FROM n
+         |  UNION ALL SELECT 3, 'click', CAST(n3 AS BIGINT),
+         |         CAST(CASE WHEN n2 = 0 THEN -1 ELSE (1000 * n3) // n2 END AS BIGINT) FROM n
+         |  UNION ALL SELECT 4, 'purchase', CAST(n4 AS BIGINT),
+         |         CAST(CASE WHEN n3 = 0 THEN -1 ELSE (1000 * n4) // n3 END AS BIGINT) FROM n
+         |) ORDER BY step""".stripMargin,
+    "markov_transitions" ->
+      s"""$EV, t AS (
+         |  SELECT event_type AS from_type,
+         |         lead(event_type) OVER (PARTITION BY stream ORDER BY position) AS to_type
+         |  FROM ev
+         |), g AS (
+         |  SELECT from_type, to_type, count(*) AS n FROM t
+         |  WHERE to_type IS NOT NULL GROUP BY 1, 2
+         |)
+         |SELECT from_type, to_type, n,
+         |  CAST((1000 * n) // (sum(n) OVER (PARTITION BY from_type)) AS BIGINT) AS permille
+         |FROM g ORDER BY from_type, to_type""".stripMargin,
+    "agg_pivot" ->
+      s"""$EV SELECT stream,
+         |  count(*) FILTER (WHERE event_type = 'click') AS n_click,
+         |  count(*) FILTER (WHERE event_type = 'error') AS n_error,
+         |  count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+         |  count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+         |  count(*) FILTER (WHERE event_type = 'view') AS n_view,
+         |  count(*) AS n_total
+         |FROM ev GROUP BY stream ORDER BY stream""".stripMargin,
+    "retention_cohorts" ->
+      s"""$EV, act AS (
+         |  SELECT DISTINCT stream, epoch_us(ts) // 604800000000 AS wk FROM ev
+         |), c AS (
+         |  SELECT stream, wk, min(wk) OVER (PARTITION BY stream) AS cohort_wk FROM act
+         |)
+         |SELECT cohort_wk, wk - cohort_wk AS week_offset, count(*) AS n_active
+         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // sequential per-stream halving fold, stated sequentially (recursive
+    // CTE over the dense revision chain — revision i+1 consumes i's fold)
+    "agg_ewma" ->
+      s"""${EV.replaceFirst("WITH ", "WITH RECURSIVE ")}, r AS (
+         |  SELECT stream, revision, CAST(floor(value * 1000.0) AS BIGINT) AS v FROM ev
+         |), f AS (
+         |  SELECT stream, revision, v AS e FROM r WHERE revision = 0
+         |  UNION ALL
+         |  SELECT r.stream, r.revision, CAST(floor((f.e + r.v) / 2.0) AS BIGINT)
+         |  FROM f JOIN r ON r.stream = f.stream AND r.revision = f.revision + 1
+         |)
+         |SELECT stream, CAST(max(revision) + 1 AS BIGINT) AS n,
+         |       arg_max(e, revision) AS ewma_x1000
+         |FROM f GROUP BY stream ORDER BY stream""".stripMargin,
+    "anomaly_mad" ->
+      s"""$EV, v AS (
+         |  SELECT stream, CAST(floor(value * 1000.0) AS BIGINT) AS v FROM ev
+         |), med AS (
+         |  SELECT stream, CAST(2 * quantile_cont(v, 0.5) AS BIGINT) AS m2 FROM v GROUP BY 1
+         |), d AS (
+         |  SELECT v.stream, abs(v.v * 2 - med.m2) AS d2 FROM v JOIN med ON v.stream = med.stream
+         |), mad AS (
+         |  SELECT stream, CAST(2 * quantile_cont(d2, 0.5) AS BIGINT) AS mad4 FROM d GROUP BY 1
+         |)
+         |SELECT d.stream, count(*) AS n,
+         |  CAST(sum(CASE WHEN d.d2 * 2 > mad.mad4 * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+         |  max(d.d2) AS max_d2
+         |FROM d JOIN mad ON d.stream = mad.stream
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the oracle IS the direct (unsalted) aggregation — pinning the
+    // two-stage rewrite's exact equivalence
+    "agg_salted_skew" ->
+      s"""$EV SELECT event_type, count(*) AS n,
+         |  CAST(sum(CAST(floor(value * 1000.0) AS BIGINT)) AS BIGINT) AS sum_value_x1000
+         |FROM ev GROUP BY 1 ORDER BY 1""".stripMargin,
+    "zorder_keys" ->
+      s"""$EV, b AS (
+         |  SELECT CAST(substr(stream, 6) AS BIGINT) % 16 AS ubucket,
+         |         (epoch_us(ts) // 86400000000) % 16 AS tbucket
+         |  FROM ev
+         |)
+         |SELECT ${zExpr("ubucket", "tbucket")} AS z, ubucket, tbucket, count(*) AS n
+         |FROM b GROUP BY 1, 2, 3 ORDER BY z""".stripMargin,
+    // the invariant, not the sketch internals: the unioned estimate
+    // lands within tolerance (n_ok == n_groups) — drift fails the gate
+    "agg_sketch_union" ->
+      """SELECT 'hll_daily_union' AS check, CAST(1 AS BIGINT) AS n_groups,
+        |       CAST(1 AS BIGINT) AS n_ok""".stripMargin
+  )
+}

@@ -63,6 +63,24 @@ object DedupQueries {
     // DP edit distance); restricted to one language partition — dedup
     // runs per language in a real corpus, and it keeps the distance
     // ASCII-only (engines differ on multi-byte grapheme handling).
+    // incremental ingest dedup: the arriving batch (doc_id % 10 == 0 —
+    // a deterministic 10% stand-in for the nightly delta) deduped
+    // AGAINST the standing corpus via the banded new×corpus join; per
+    // new doc, how many corpus near-dups it has and the best match. At
+    // scale the corpus banding is a stored index — only the batch side
+    // is computed per ingest.
+    "dedup_incremental" -> { (s: SparkSession, dir: String) =>
+      val sets = Tables.shingleSets(s, dir)
+      val fresh = sets.filter(col("id") % 10 === 0)
+      val corpus = sets.filter(col("id") % 10 =!= 0)
+      Dedup.minhashLshPairsBetween(fresh, corpus, thresholdX1000 = 300)
+        .groupBy(col("a"))
+        .agg(count(lit(1)).as("n_matches"), min(col("b")).as("first_match"),
+          max(col("jaccard_x1000")).as("best_jaccard_x1000"))
+        .select(col("a").as("doc_id"), col("n_matches"), col("first_match"),
+          col("best_jaccard_x1000"))
+        .orderBy("doc_id")
+    },
     "dedup_editdist" -> { (s: SparkSession, dir: String) =>
       import org.apache.spark.sql.functions.{col, levenshtein, substring}
       val t = Tables.docs(s, dir).filter(col("lang") === "en")
@@ -224,6 +242,28 @@ object DedupQueries {
          |SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS n_shared
          |FROM post l JOIN post r ON l.fp = r.fp AND l.doc_id < r.doc_id
          |GROUP BY 1, 2 HAVING count(*) >= 5 ORDER BY a, b""".stripMargin,
+    "dedup_incremental" ->
+      s"""$SH, sig AS (
+         |  SELECT doc_id, sh, len(sh) AS n,
+         |    $sigExprs AS sig
+         |  FROM shs WHERE len(sh) > 0
+         |), band AS (
+         |  SELECT doc_id, u.band, sig[u.band * 2 + 1] AS r0, sig[u.band * 2 + 2] AS r1
+         |  FROM sig, unnest([0, 1, 2, 3]) AS u(band)
+         |), cand AS (
+         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |  FROM band l JOIN band r
+         |    ON l.band = r.band AND l.r0 = r.r0 AND l.r1 = r.r1
+         |   AND l.doc_id % 10 = 0 AND r.doc_id % 10 <> 0
+         |), p AS (
+         |  SELECT c.a, c.b,
+         |    CAST(floor(1000.0 * len(list_intersect(x.sh, y.sh))
+         |         / (x.n + y.n - len(list_intersect(x.sh, y.sh)))) AS BIGINT) AS j
+         |  FROM cand c JOIN sig x ON c.a = x.doc_id JOIN sig y ON c.b = y.doc_id
+         |)
+         |SELECT a AS doc_id, count(*) AS n_matches, min(b) AS first_match,
+         |       max(j) AS best_jaccard_x1000
+         |FROM p WHERE j >= 300 GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_editdist" ->
       s"""WITH t AS (
          |  SELECT doc_id, substr(text, 1, 32) AS t32, substr(text, 1, 8) AS blk

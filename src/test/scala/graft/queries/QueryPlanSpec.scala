@@ -154,4 +154,59 @@ class QueryPlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast dim join in:\n$plan")
     assert(plan.contains("TakeOrderedAndProject"), s"expected fused top-k in:\n$plan")
   }
+
+  // ---- round-4 analytics pack ----
+
+  test("funnel_steps: chained windows + groupBy ride one stream-key shuffle, no self-joins") {
+    val plan = AnalyticsQueries.queries("funnel_steps")(spark, dir)
+      .queryExecution.executedPlan.toString()
+    val own = plan.split("InMemoryTableScan")(0)
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(own).length
+    assert(hashExchanges <= 1,
+      s"expected at most one stream-key shuffle, found $hashExchanges in:\n$plan")
+    assert(!plan.contains("Join"), s"funnel must not self-join the log:\n$plan")
+  }
+
+  test("agg_salted_skew: exactly two aggregation stages (salt, then merge)") {
+    val plan = AnalyticsQueries.queries("agg_salted_skew")(spark, dir)
+      .queryExecution.executedPlan.toString()
+    val own = plan.split("InMemoryTableScan")(0)
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(own).length
+    assert(hashExchanges == 2,
+      s"expected the (key,salt) + key exchanges, found $hashExchanges in:\n$plan")
+    assert(plan.contains("partial_count"), s"expected map-side combine in:\n$plan")
+  }
+
+  test("agg_pivot: declared type list expands to one partially-aggregated shuffle") {
+    val plan = AnalyticsQueries.queries("agg_pivot")(spark, dir)
+      .queryExecution.executedPlan.toString()
+    val own = plan.split("InMemoryTableScan")(0)
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(own).length
+    assert(hashExchanges <= 1, s"pivot must be one grouped pass, found $hashExchanges in:\n$plan")
+    assert(plan.contains("partial_"), s"expected map-side combine in:\n$plan")
+    assert(!plan.contains("Join"), s"pivot must not join:\n$plan")
+  }
+
+  test("zorder_keys: map-side bucketing, no join, no window") {
+    val plan = AnalyticsQueries.queries("zorder_keys")(spark, dir)
+      .queryExecution.executedPlan.toString()
+    val own = plan.split("InMemoryTableScan")(0)
+    assert(!own.contains("Join") && !own.contains("Window"),
+      s"z-value derivation is map-only:\n$plan")
+    assert(plan.contains("partial_count"), s"expected map-side combine in:\n$plan")
+  }
+
+  test("anomaly_mad: per-stream median tables broadcast, log never sort-merge-joins") {
+    val plan = AnalyticsQueries.queries("anomaly_mad")(spark, dir)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast median joins in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"log must not shuffle for the joins:\n$plan")
+  }
+
+  test("dedup_incremental: banded equality join, never a cartesian") {
+    val plan = DedupQueries.queries("dedup_incremental")(spark, dir)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"batch-vs-corpus candidates must ride the band-key equality:\n$plan")
+  }
 }
