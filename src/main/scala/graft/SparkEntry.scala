@@ -28,6 +28,7 @@ object SparkEntry {
     graft.queries.LogQueries.queries ++
       graft.queries.RelationalQueries.queries ++
       graft.queries.AnalyticsQueries.queries ++
+      graft.queries.SeriesQueries.queries ++
       graft.queries.ProjectionQueries.queries ++
       graft.queries.TextQueries.queries ++
       graft.queries.DedupQueries.queries ++
@@ -41,6 +42,7 @@ object SparkEntry {
     graft.queries.LogQueries.oracles ++
       graft.queries.RelationalQueries.oracles ++
       graft.queries.AnalyticsQueries.oracles ++
+      graft.queries.SeriesQueries.oracles ++
       graft.queries.ProjectionQueries.oracles ++
       graft.queries.TextQueries.oracles ++
       graft.queries.DedupQueries.oracles ++

@@ -333,6 +333,58 @@ object RelationalQueries {
           col("o_orderpriority"), col("revenue_x100"))
         .orderBy(col("revenue_x100").desc, col("o_orderkey").asc)
         .limit(10)
+    },
+    // General OLAP, order-priority shape (EXISTS over the big fact): how
+    // many Q1-1996 orders per priority contain at least one returned
+    // line. The EXISTS side never carries payload: lineitem collapses to
+    // DISTINCT order keys FIRST (a keys-only partial-agg shuffle —
+    // dedup before the join, not after), then left-semi joins the
+    // date-filtered orders on the order key. The count aggregation
+    // reuses nothing heavy — it runs over the filtered-order slice.
+    "olap_order_priority" -> { (s: SparkSession, dir: String) =>
+      val lo = lit("1996-01-01").cast("timestamp")
+      val hi = lit("1996-04-01").cast("timestamp")
+      val returned = s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey")).distinct()
+      s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        .join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    },
+    // General OLAP, returned-item-customer shape (aggregate-before-join):
+    // 1996 revenue lost to returns, by customer, top 10. The fact is
+    // aggregated to the customer grain BEFORE any dimension join — the
+    // two big tables join once on the order key, collapse to custkey,
+    // and only then do the (shrunken) per-customer rows meet customer ⋈
+    // nation, both broadcast. Joining dims first would carry their
+    // columns through the big shuffle for nothing.
+    "olap_returned_customers" -> { (s: SparkSession, dir: String) =>
+      val lo = lit("1996-01-01").cast("timestamp")
+      val hi = lit("1997-01-01").cast("timestamp")
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * lit(100.0))
+            .cast("long").as("rev_x100"))
+      val perCust = ord.join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("rev_x100")).as("lost_x100"), count(lit(1)).as("n_lines"))
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      val nat = s.read.parquet(s"$dir/nation.parquet")
+        .select(col("n_nationkey"), col("n_name"))
+      perCust.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("n_name"),
+          col("lost_x100"), col("n_lines"))
+        .orderBy(col("lost_x100").desc, col("c_custkey").asc)
+        .limit(10)
     }
   )
 
@@ -464,6 +516,24 @@ object RelationalQueries {
          |  AND o_orderdate < TIMESTAMP '1998-01-01'
          |  AND l_shipdate > TIMESTAMP '1998-01-01'
          |GROUP BY 1, 2, 3
-         |ORDER BY revenue_x100 DESC, o_orderkey ASC LIMIT 10""".stripMargin
+         |ORDER BY revenue_x100 DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "olap_order_priority" ->
+      s"""SELECT o_orderpriority, count(*) AS n_orders
+         |FROM orders
+         |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+         |  AND EXISTS (SELECT 1 FROM lineitem
+         |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "olap_returned_customers" ->
+      s"""SELECT c_custkey, c_name, n_name,
+         |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)) AS BIGINT) AS lost_x100,
+         |  count(*) AS n_lines
+         |FROM customer JOIN nation ON c_nationkey = n_nationkey
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+         |  AND l_returnflag = 'R'
+         |GROUP BY 1, 2, 3
+         |ORDER BY lost_x100 DESC, c_custkey ASC LIMIT 10""".stripMargin
   )
 }

@@ -1,0 +1,258 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.log.Fixture
+import graft.streaming.Sessionize
+
+/**
+ * Time-series and planning breadth over the canonical log: calendar
+ * resampling with gap-fill (the feature-store shape), the balanced
+ * range-shard planner a 100 TB backfill is driven by, value-distribution
+ * summaries (fixed-bin histogram, activity deciles), and an iterative
+ * graph computation (PageRank over the event-type transition graph) —
+ * the join-agg iteration pattern Pregel-style engines specialize, shown
+ * here as plain declarative Spark.
+ *
+ * Scale rules shared with the other packs: the event log is aggregated
+ * to a coarse grain FIRST (one partial-aggregated shuffle); everything
+ * downstream — grids, windows, rank iterations — runs on tables whose
+ * size is bounded by cardinality (streams, days, event types), not by
+ * log length. All emitted values are exact integers, so every query has
+ * a full DuckDB value oracle.
+ */
+object SeriesQueries {
+
+  private def ev(s: SparkSession, dir: String): DataFrame = Fixture.events(s, dir)
+
+  private def micros: Column = Sessionize.microsFromNanos(col("ts"))
+
+  /** One PageRank step, shared by the 3 unrolled iterations: integer
+    * arithmetic only ((rank·weight) div out-weight per edge, damping as
+    * (85·x) div 100), so the fixpoint trajectory is engine-exact. */
+  private def prStep(nodes: DataFrame, edges: DataFrame, r: DataFrame): DataFrame = {
+    val contrib = edges
+      .join(r, edges("from_type") === r("node"))
+      .select(col("to_type").as("node"), expr("(rank * n) div outw").as("c"))
+      .groupBy(col("node"))
+      .agg(sum(col("c")).as("cs"))
+    nodes
+      .join(contrib, Seq("node"), "left")
+      .select(col("node"),
+        (lit(150000L) + expr("(85 * nvl(cs, 0L)) div 100")).as("rank"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // CALENDAR RESAMPLE + GAP-FILL (LOCF): each stream's value series
+    // re-gridded to one row per day between its first and last active
+    // day, missing days carried forward from the last observation — the
+    // feature-store/training-matrix shape. The log collapses to the
+    // (stream, day) grain in ONE partial-aggregated shuffle (last obs of
+    // a day = max_by(position) without a window sort); the calendar grid
+    // (sequence + explode), the fill join, and the LOCF window all share
+    // the stream partitioning, and every table after the first shuffle
+    // is bounded by streams × days, not events.
+    "ts_gapfill" -> { (s: SparkSession, dir: String) =>
+      val obs = ev(s, dir)
+        .select(col("stream"), micros.as("tus"), col("position"),
+          floor(col("value") * lit(1000.0)).cast("long").as("vx"))
+        .select(col("stream"), expr("tus div 86400000000").as("day"),
+          struct(col("position"), col("vx")).as("pv"))
+        .groupBy(col("stream"), col("day"))
+        .agg(max(col("pv")).getField("vx").as("vx"))
+      val grid = obs.groupBy(col("stream"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("stream"), explode(sequence(col("d0"), col("d1"))).as("day"))
+      val w = Window.partitionBy("stream").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      grid.join(obs, Seq("stream", "day"), "left")
+        .select(col("stream"), col("day"),
+          last(col("vx"), ignoreNulls = true).over(w).as("v_x1000"),
+          when(col("vx").isNotNull, 1L).otherwise(0L).as("observed"))
+        .orderBy("stream", "day")
+    },
+    // BACKFILL SHARD PLANNER: split the global position range into 8
+    // count-balanced shards — how a 100 TB backfill/re-index job is
+    // parallelized. The naive form is ntile over a GLOBAL sort (one
+    // reducer owns the whole log); this form computes the 7 interior
+    // boundaries with percentile in one tiny aggregation, broadcasts the
+    // single boundary row back, and assigns shards map-side — no global
+    // sort anywhere. Boundary arithmetic (linear-interpolated quantile,
+    // floored to BIGINT) is identical on both engines.
+    "backfill_shards" -> { (s: SparkSession, dir: String) =>
+      val pos = ev(s, dir).select(col("position"))
+      val qs = (1 to 7).map(i => i / 8.0)
+      val bounds = pos.agg(
+        expr(s"CAST(floor(percentile(position, ${qs(0)})) AS BIGINT)").as("b1"),
+        expr(s"CAST(floor(percentile(position, ${qs(1)})) AS BIGINT)").as("b2"),
+        expr(s"CAST(floor(percentile(position, ${qs(2)})) AS BIGINT)").as("b3"),
+        expr(s"CAST(floor(percentile(position, ${qs(3)})) AS BIGINT)").as("b4"),
+        expr(s"CAST(floor(percentile(position, ${qs(4)})) AS BIGINT)").as("b5"),
+        expr(s"CAST(floor(percentile(position, ${qs(5)})) AS BIGINT)").as("b6"),
+        expr(s"CAST(floor(percentile(position, ${qs(6)})) AS BIGINT)").as("b7"))
+      val shardExpr = (1 to 7)
+        .map(i => s"(CASE WHEN position > b$i THEN 1 ELSE 0 END)")
+        .mkString("CAST(", " + ", " AS BIGINT)")
+      pos.join(broadcast(bounds))
+        .select(col("position"), expr(shardExpr).as("shard"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n"), min(col("position")).as("min_pos"),
+          max(col("position")).as("max_pos"))
+        .orderBy("shard")
+    },
+    // FIXED-BIN HISTOGRAM: per-event-type distribution of the payload
+    // value over 10 equal-width bins of the GLOBAL range. The global
+    // min/max is one tiny aggregation broadcast back into a map-side
+    // bin assignment; one partial-aggregated shuffle on (type, bin).
+    // Bin arithmetic is pure integer ((vx-mn)*10 div span) — engine-exact
+    // including the max-value edge pinned into the top bin.
+    "agg_histogram" -> { (s: SparkSession, dir: String) =>
+      val v = ev(s, dir).select(col("event_type"),
+        floor(col("value") * lit(1000.0)).cast("long").as("vx"))
+      val rng = v.agg(min(col("vx")).as("mn"), max(col("vx")).as("mx"))
+      v.join(broadcast(rng))
+        .select(col("event_type"),
+          least(lit(9L), expr("((vx - mn) * 10) div (mx - mn + 1)")).as("bin"))
+        .groupBy(col("event_type"), col("bin"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type", "bin")
+    },
+    // ACTIVITY DECILES: streams ranked into 10 equal-count buckets by
+    // event volume (the engagement-distribution report). The log first
+    // collapses to one row per stream (partial-agg shuffle); the ntile
+    // window then sorts only #streams rows — a deliberate contrast with
+    // ntile-over-the-log, which would global-sort 100 TB. Deterministic
+    // tie-break: ntile ordering includes the stream key.
+    "agg_activity_deciles" -> { (s: SparkSession, dir: String) =>
+      val per = ev(s, dir).groupBy(col("stream"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * lit(1000.0)).cast("long")).as("sv"))
+      val w = Window.orderBy(col("n"), col("stream"))
+      per.withColumn("decile", ntile(10).over(w).cast("long"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_streams"), min(col("n")).as("min_n"),
+          max(col("n")).as("max_n"), sum(col("sv")).as("sum_value_x1000"))
+        .orderBy("decile")
+    },
+    // PAGERANK over the event-type transition graph (3 damped
+    // iterations, d = 0.85): the iterative join-aggregate pattern of
+    // graph engines, as plain DataFrame ops. The log is touched ONCE
+    // (the lag-window transition extraction — same shape as
+    // markov_transitions); every iteration joins rank ⋈ edges and
+    // re-aggregates tables bounded by the type-graph size, not the log.
+    // All rank arithmetic is scaled-integer (x1e6) with explicit div, so
+    // the trajectory — not just the limit — is engine-exact.
+    "graph_pagerank" -> { (s: SparkSession, dir: String) =>
+      val w = Window.partitionBy("stream").orderBy("position")
+      val trans = ev(s, dir)
+        .select(col("stream"), col("position"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val nodes = trans.select(col("from_type").as("node"))
+        .union(trans.select(col("to_type").as("node"))).distinct()
+      val outw = trans.groupBy(col("from_type")).agg(sum(col("n")).as("outw"))
+      val edges = trans.join(outw, "from_type")
+      val nNodes = 5L // the declared event-type vocabulary (see agg_pivot)
+      val r0 = nodes.select(col("node"), (lit(1000000L) / lit(nNodes)).cast("long").as("rank"))
+      val r3 = prStep(nodes, edges, prStep(nodes, edges, prStep(nodes, edges, r0)))
+      r3.orderBy("node")
+    }
+  )
+
+  private def EV = LogQueries.evCte
+
+  /** Oracle-side mirror of one PageRank step (same integer expressions). */
+  private def prStepSql(prev: String, out: String): String =
+    s"""$out AS (
+       |  SELECT nd.node,
+       |         150000 + (85 * coalesce(c.cs, 0)) // 100 AS rank
+       |  FROM nodes nd LEFT JOIN (
+       |    SELECT e.to_type AS node, sum((p.rank * e.n) // e.outw) AS cs
+       |    FROM edges e JOIN $prev p ON e.from_type = p.node
+       |    GROUP BY 1
+       |  ) c ON nd.node = c.node
+       |)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "ts_gapfill" ->
+      s"""$EV, o AS (
+         |  SELECT stream, epoch_us(ts) // 86400000000 AS day,
+         |         arg_max(CAST(floor(value * 1000.0) AS BIGINT), position) AS vx
+         |  FROM ev GROUP BY 1, 2
+         |), b AS (
+         |  SELECT stream, min(day) AS d0, max(day) AS d1 FROM o GROUP BY 1
+         |), g AS (
+         |  SELECT stream, unnest(generate_series(d0, d1)) AS day FROM b
+         |), f AS (
+         |  SELECT g.stream, g.day, o.vx,
+         |         CASE WHEN o.vx IS NOT NULL THEN 1 ELSE 0 END AS obs
+         |  FROM g LEFT JOIN o ON g.stream = o.stream AND g.day = o.day
+         |)
+         |SELECT stream, day,
+         |  last_value(vx IGNORE NULLS) OVER (PARTITION BY stream ORDER BY day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_x1000,
+         |  CAST(obs AS BIGINT) AS observed
+         |FROM f ORDER BY stream, day""".stripMargin,
+    "backfill_shards" ->
+      s"""$EV, b AS (
+         |  SELECT CAST(floor(quantile_cont(position, 0.125)) AS BIGINT) AS b1,
+         |         CAST(floor(quantile_cont(position, 0.250)) AS BIGINT) AS b2,
+         |         CAST(floor(quantile_cont(position, 0.375)) AS BIGINT) AS b3,
+         |         CAST(floor(quantile_cont(position, 0.500)) AS BIGINT) AS b4,
+         |         CAST(floor(quantile_cont(position, 0.625)) AS BIGINT) AS b5,
+         |         CAST(floor(quantile_cont(position, 0.750)) AS BIGINT) AS b6,
+         |         CAST(floor(quantile_cont(position, 0.875)) AS BIGINT) AS b7
+         |  FROM ev
+         |)
+         |SELECT CAST((CASE WHEN position > b1 THEN 1 ELSE 0 END)
+         |     + (CASE WHEN position > b2 THEN 1 ELSE 0 END)
+         |     + (CASE WHEN position > b3 THEN 1 ELSE 0 END)
+         |     + (CASE WHEN position > b4 THEN 1 ELSE 0 END)
+         |     + (CASE WHEN position > b5 THEN 1 ELSE 0 END)
+         |     + (CASE WHEN position > b6 THEN 1 ELSE 0 END)
+         |     + (CASE WHEN position > b7 THEN 1 ELSE 0 END) AS BIGINT) AS shard,
+         |  count(*) AS n, min(position) AS min_pos, max(position) AS max_pos
+         |FROM ev, b GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_histogram" ->
+      s"""$EV, v AS (
+         |  SELECT event_type, CAST(floor(value * 1000.0) AS BIGINT) AS vx FROM ev
+         |), r AS (SELECT min(vx) AS mn, max(vx) AS mx FROM v)
+         |SELECT event_type,
+         |  least(9, ((vx - mn) * 10) // (mx - mn + 1)) AS bin, count(*) AS n
+         |FROM v, r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "agg_activity_deciles" ->
+      s"""$EV, per AS (
+         |  SELECT stream, count(*) AS n,
+         |         CAST(sum(CAST(floor(value * 1000.0) AS BIGINT)) AS BIGINT) AS sv
+         |  FROM ev GROUP BY 1
+         |), d AS (
+         |  SELECT n, sv, CAST(ntile(10) OVER (ORDER BY n, stream) AS BIGINT) AS decile FROM per
+         |)
+         |SELECT decile, count(*) AS n_streams, min(n) AS min_n, max(n) AS max_n,
+         |       CAST(sum(sv) AS BIGINT) AS sum_value_x1000
+         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    "graph_pagerank" ->
+      s"""$EV, t AS (
+         |  SELECT event_type AS from_type,
+         |         lead(event_type) OVER (PARTITION BY stream ORDER BY position) AS to_type
+         |  FROM ev
+         |), tr AS (
+         |  SELECT from_type, to_type, count(*) AS n FROM t
+         |  WHERE to_type IS NOT NULL GROUP BY 1, 2
+         |), nodes AS (
+         |  SELECT from_type AS node FROM tr UNION SELECT to_type FROM tr
+         |), ow AS (
+         |  SELECT from_type, sum(n) AS outw FROM tr GROUP BY 1
+         |), edges AS (
+         |  SELECT tr.from_type, tr.to_type, tr.n, ow.outw
+         |  FROM tr JOIN ow ON tr.from_type = ow.from_type
+         |), r0 AS (
+         |  SELECT node, 1000000 // 5 AS rank FROM nodes
+         |), ${prStepSql("r0", "r1")}, ${prStepSql("r1", "r2")}, ${prStepSql("r2", "r3")}
+         |SELECT node, CAST(rank AS BIGINT) AS rank FROM r3 ORDER BY node""".stripMargin
+  )
+}

@@ -202,6 +202,28 @@ object SimQueries {
         .groupBy(col("cid"))
         .agg(count(lit(1)).as("n_vectors"), sum(col("d6")).as("sse_x1e6"))
         .orderBy("cid")
+    },
+    // BATCHED ANN: many queries answered in ONE corpus pass — the
+    // retrieval-serving shape (embed a request batch, search once). The
+    // query batch broadcasts (it is KBs); each corpus partition scores
+    // all queries locally, and only (qid, id, cos) triples — never
+    // embeddings — reach the per-query top-k window. At index scale the
+    // same shape rides the IVF/PQ candidate path; this is the exact
+    // form, value-oracled.
+    "sim_topk_batch" -> { (s: SparkSession, dir: String) =>
+      val c = Tables.normedEmb(s, dir)
+      val qs = broadcast(c.filter(col("id").isin(0L, 1L, 2L))
+        .select(col("id").as("qid"), col("v").as("q"), col("nrm").as("qn")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+      c.join(qs)
+        .select(col("qid"), col("id").as("vec_id"),
+          (graft.functions.Fast.dotFast(col("v"), col("q")) / (col("nrm") * col("qn"))).as("cos"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 5)
+        .select(col("qid"), col("rk"), col("vec_id"),
+          floor(col("cos") * lit(1000000.0)).cast("long").as("cos_x1e6"))
+        .orderBy("qid", "rk")
     }
   )
 
@@ -595,6 +617,19 @@ object SimQueries {
          |  ) WHERE rk = 1
          |)
          |SELECT cid, count(*) AS n_vectors, min(vec_id) AS min_vec, max(vec_id) AS max_vec
-         |FROM assign GROUP BY cid ORDER BY cid""".stripMargin
+         |FROM assign GROUP BY cid ORDER BY cid""".stripMargin,
+    "sim_topk_batch" ->
+      s"""$N, q AS (
+         |  SELECT vec_id AS qid, embedding AS qv, nrm AS qn FROM n WHERE vec_id IN (0, 1, 2)
+         |), sc AS (
+         |  SELECT qid, vec_id,
+         |    ${dotSql("embedding", "qv")} / (nrm * qn) AS cos,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY (${dotSql("embedding", "qv")} / (nrm * qn)) DESC, vec_id ASC) AS rk
+         |  FROM n, q
+         |)
+         |SELECT qid, CAST(rk AS BIGINT) AS rk, vec_id,
+         |  CAST(floor(cos * 1000000.0) AS BIGINT) AS cos_x1e6
+         |FROM sc WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
   )
 }
