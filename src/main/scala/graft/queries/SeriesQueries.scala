@@ -31,7 +31,10 @@ object SeriesQueries {
 
   /** One PageRank step, shared by the 3 unrolled iterations: integer
     * arithmetic only ((rank·weight) div out-weight per edge, damping as
-    * (85·x) div 100), so the fixpoint trajectory is engine-exact. */
+    * (85·x) div 100), so the fixpoint trajectory is engine-exact. Ranks
+    * are normalized to sum 1e6, so the teleport term is (1-d)/N·1e6 =
+    * 30000 and total mass is conserved up to integer-division leakage —
+    * an invariant the spec pins. */
   private def prStep(nodes: DataFrame, edges: DataFrame, r: DataFrame): DataFrame = {
     val contrib = edges
       .join(r, edges("from_type") === r("node"))
@@ -41,7 +44,7 @@ object SeriesQueries {
     nodes
       .join(contrib, Seq("node"), "left")
       .select(col("node"),
-        (lit(150000L) + expr("(85 * nvl(cs, 0L)) div 100")).as("rank"))
+        (lit(30000L) + expr("(85 * nvl(cs, 0L)) div 100")).as("rank"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -152,6 +155,7 @@ object SeriesQueries {
         .filter(col("next_type").isNotNull)
         .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
         .agg(count(lit(1)).as("n"))
+        .localCheckpoint() // materialize the (tiny) type graph — the log is scanned ONCE
       val nodes = trans.select(col("from_type").as("node"))
         .union(trans.select(col("to_type").as("node"))).distinct()
       val outw = trans.groupBy(col("from_type")).agg(sum(col("n")).as("outw"))
@@ -169,7 +173,7 @@ object SeriesQueries {
   private def prStepSql(prev: String, out: String): String =
     s"""$out AS (
        |  SELECT nd.node,
-       |         150000 + (85 * coalesce(c.cs, 0)) // 100 AS rank
+       |         30000 + (85 * coalesce(c.cs, 0)) // 100 AS rank
        |  FROM nodes nd LEFT JOIN (
        |    SELECT e.to_type AS node, sum((p.rank * e.n) // e.outw) AS cs
        |    FROM edges e JOIN $prev p ON e.from_type = p.node

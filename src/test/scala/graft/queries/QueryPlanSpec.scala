@@ -209,4 +209,69 @@ class QueryPlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"batch-vs-corpus candidates must ride the band-key equality:\n$plan")
   }
+
+  // ---- round-4 series / planner pack ----
+
+  test("backfill_shards: boundary row broadcast, no ntile window, no global sort") {
+    val plan = SeriesQueries.queries("backfill_shards")(spark, dir)
+      .queryExecution.executedPlan.toString()
+    val own = plan.split("InMemoryTableScan")(0)
+    assert(!own.contains("Window"),
+      s"shard assignment must not ride a global ntile window:\n$plan")
+    assert(plan.contains("partial_"), s"expected map-side combine in:\n$plan")
+  }
+
+  test("ts_gapfill: log collapses to (stream, day) with map-side combine first") {
+    val plan = SeriesQueries.queries("ts_gapfill")(spark, dir)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("partial_max"), s"expected partial max_by combine in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"grid join must ride the stream key:\n$plan")
+  }
+
+  test("agg_activity_deciles: ntile sorts the per-stream aggregate, not the log") {
+    val plan = SeriesQueries.queries("agg_activity_deciles")(spark, dir)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("partial_count"),
+      s"log must collapse per-stream before the window:\n$plan")
+    // the only hash shuffle is the per-stream aggregation; the ntile
+    // window's exchange carries #streams rows (SinglePartition), so the
+    // log itself is never globally sorted
+    val own = plan.split("InMemoryTableScan")(0)
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(own).length
+    assert(hashExchanges <= 1,
+      s"only the per-stream agg may hash-shuffle, found $hashExchanges in:\n$plan")
+  }
+
+  test("graph_pagerank: iterations run on the checkpointed type graph, log scanned once") {
+    val plan = SeriesQueries.queries("graph_pagerank")(spark, dir)
+      .queryExecution.executedPlan.toString()
+    // the lag-window transition extraction is materialized behind the
+    // localCheckpoint — the iteration plan itself must not re-window
+    assert(!plan.contains("Window"), s"iterations must not re-scan the log:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"rank joins ride the node key:\n$plan")
+  }
+
+  test("olap_order_priority: EXISTS as a left-semi join on the order key") {
+    val plan = RelationalQueries.queries("olap_order_priority")(spark, dir)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("LeftSemi"), s"expected semi-join in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"semi-join must ride the key:\n$plan")
+  }
+
+  test("olap_returned_customers: dims broadcast, top-10 fused") {
+    val plan = RelationalQueries.queries("olap_returned_customers")(spark, dir)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast dim joins in:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"expected fused top-k in:\n$plan")
+  }
+
+  test("sim_topk_batch: query batch broadcast, one shuffle for the per-query top-k") {
+    val plan = SimQueries.queries("sim_topk_batch")(spark, dir)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus must not shuffle for the query join:\n$plan")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges <= 1,
+      s"only the (qid) top-k window may shuffle, found $hashExchanges in:\n$plan")
+  }
 }
