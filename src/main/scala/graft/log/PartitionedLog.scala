@@ -51,6 +51,29 @@ object PartitionedLog {
     spark.read.parquet(dir)
 
   /**
+   * Small-file compaction — the maintenance job every append-heavy
+   * bucketed layout needs. Each incremental [[write]] (mode=append) adds
+   * one file per bucket, so after B batches every bucket directory holds
+   * B small files and scan cost is dominated by file open/footer reads.
+   * Compaction rewrites each bucket as a single position-sorted file
+   * into a SHADOW directory (`dstDir`) which the caller swaps in — never
+   * in place, so concurrent readers of the live directory are unharmed
+   * (same swap discipline as the reference's Postgres vacuum analogue —
+   * it inherits compaction from its backend; here we own it).
+   *
+   * Plan shape: one shuffle on the (already materialized) bucket column
+   * — rows move only between files of the SAME bucket, the bucket
+   * assignment is never recomputed, and the per-bucket sort restores the
+   * position-ordered row groups that parquet min/max pruning rides.
+   */
+  def compact(spark: SparkSession, srcDir: String, dstDir: String,
+              nBuckets: Int = 64): Unit =
+    open(spark, srcDir)
+      .repartition(nBuckets, col("bucket"))
+      .sortWithinPartitions("position")
+      .write.mode("overwrite").partitionBy("bucket").parquet(dstDir)
+
+  /**
    * Bounded read over the partitioned layout: single-stream reads get the
    * bucket-equality predicate (directory pruning); `$all` reads scan all
    * buckets. Semantics are [[EventLog.read]] exactly; the bucket column is

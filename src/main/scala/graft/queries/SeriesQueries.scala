@@ -87,14 +87,12 @@ object SeriesQueries {
     "backfill_shards" -> { (s: SparkSession, dir: String) =>
       val pos = ev(s, dir).select(col("position"))
       val qs = (1 to 7).map(i => i / 8.0)
-      val bounds = pos.agg(
-        expr(s"CAST(floor(percentile(position, ${qs(0)})) AS BIGINT)").as("b1"),
-        expr(s"CAST(floor(percentile(position, ${qs(1)})) AS BIGINT)").as("b2"),
-        expr(s"CAST(floor(percentile(position, ${qs(2)})) AS BIGINT)").as("b3"),
-        expr(s"CAST(floor(percentile(position, ${qs(3)})) AS BIGINT)").as("b4"),
-        expr(s"CAST(floor(percentile(position, ${qs(4)})) AS BIGINT)").as("b5"),
-        expr(s"CAST(floor(percentile(position, ${qs(5)})) AS BIGINT)").as("b6"),
-        expr(s"CAST(floor(percentile(position, ${qs(6)})) AS BIGINT)").as("b7"))
+      // ONE percentile aggregate for all 7 boundaries (one sort buffer,
+      // not seven), unpacked to scalar columns for the map-side CASE
+      val bounds = pos
+        .agg(expr(s"percentile(position, array(${qs.mkString(", ")}))").as("bs"))
+        .select((1 to 7).map(i =>
+          expr(s"CAST(floor(bs[${i - 1}]) AS BIGINT)").as(s"b$i")): _*)
       val shardExpr = (1 to 7)
         .map(i => s"(CASE WHEN position > b$i THEN 1 ELSE 0 END)")
         .mkString("CAST(", " + ", " AS BIGINT)")

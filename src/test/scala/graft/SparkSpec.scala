@@ -21,6 +21,9 @@ object SparkSpec {
       // fixture ts is timestamp[ns] (see .claude/skills/verify/SKILL.md)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // managed (bucketed) test tables land in a throwaway warehouse
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

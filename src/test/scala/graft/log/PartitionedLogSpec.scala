@@ -50,4 +50,38 @@ class PartitionedLogSpec extends SparkSpec {
       .filter(col("nb") =!= 1)
     assert(multi.count() == 0)
   }
+
+  private def dataFiles(root: String): Seq[java.io.File] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+      else if (f.getName.endsWith(".parquet")) Seq(f) else Seq.empty
+    walk(new java.io.File(root))
+  }
+
+  test("compaction: B append batches collapse to one file per bucket, content identical") {
+    val ev = Fixture.events(spark, "/root/testdata/sf0.001")
+    val live = Files.createTempDirectory("graft-plog-live").toString
+    // three incremental append batches — each leaves one file per bucket
+    for (b <- 0 until 3)
+      PartitionedLog.write(ev.filter(pmod(col("position"), lit(3)) === b), live,
+        nBuckets = N, mode = "append")
+    val before = dataFiles(live)
+    assert(before.size > N, s"expected >$N small files pre-compaction, got ${before.size}")
+
+    val shadow = Files.createTempDirectory("graft-plog-shadow").toString
+    PartitionedLog.compact(spark, live, shadow, nBuckets = N)
+    val after = dataFiles(shadow)
+    assert(after.size == N, s"expected exactly $N compacted files, got ${after.size}")
+
+    // content identical, and the compacted layout still serves pruned reads
+    val a = PartitionedLog.open(spark, live)
+      .select("position", "stream", "revision").orderBy("position").collect().toSeq
+    val b = PartitionedLog.open(spark, shadow)
+      .select("position", "stream", "revision").orderBy("position").collect().toSeq
+    assert(a == b)
+    val q = PartitionedLog.read(spark, shadow,
+      ReadOptions(OneStream("user-3"), Forwards, From(0)), nBuckets = N)
+    assert(q.queryExecution.executedPlan.toString().contains("PartitionFilters"))
+    assert(q.count() > 0)
+  }
 }
