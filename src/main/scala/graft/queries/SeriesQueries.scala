@@ -137,6 +137,29 @@ object SeriesQueries {
           max(col("n")).as("max_n"), sum(col("sv")).as("sum_value_x1000"))
         .orderBy("decile")
     },
+    // DAILY PERCENTILE BANDS (p50/p95 of the payload value per day ×
+    // type) — the observability dashboard query. Percentiles are
+    // DISCRETE order statistics (value at rank ceil(p·n)) — integer rank
+    // arithmetic, no interpolation, so the result is engine-exact where
+    // interpolated quantiles would drag IEEE evaluation order in. One
+    // window pass (rank + count share the (day, type) partitioning) and
+    // a groupBy that reuses the same keys — the log shuffles ONCE.
+    "agg_latency_bands" -> { (s: SparkSession, dir: String) =>
+      val base = ev(s, dir)
+        .select(micros.as("tus"), col("event_type"),
+          floor(col("value") * lit(1000.0)).cast("long").as("vx"))
+        .select(expr("tus div 86400000000").as("day"), col("event_type"), col("vx"))
+      val wo = Window.partitionBy("day", "event_type").orderBy("vx")
+      val wc = Window.partitionBy("day", "event_type")
+      base
+        .withColumn("rn", row_number().over(wo).cast("long"))
+        .withColumn("cnt", count(lit(1)).over(wc))
+        .groupBy(col("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          max(when(col("rn") === expr("(cnt + 1) div 2"), col("vx"))).as("p50_x1000"),
+          max(when(col("rn") === expr("(19 * cnt + 19) div 20"), col("vx"))).as("p95_x1000"))
+        .orderBy("day", "event_type")
+    },
     // PAGERANK over the event-type transition graph (3 damped
     // iterations, d = 0.85): the iterative join-aggregate pattern of
     // graph engines, as plain DataFrame ops. The log is touched ONCE
@@ -237,6 +260,21 @@ object SeriesQueries {
          |SELECT decile, count(*) AS n_streams, min(n) AS min_n, max(n) AS max_n,
          |       CAST(sum(sv) AS BIGINT) AS sum_value_x1000
          |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_latency_bands" ->
+      s"""$EV, v AS (
+         |  SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+         |         CAST(floor(value * 1000.0) AS BIGINT) AS vx
+         |  FROM ev
+         |), r AS (
+         |  SELECT day, event_type, vx,
+         |    CAST(row_number() OVER (PARTITION BY day, event_type ORDER BY vx) AS BIGINT) AS rn,
+         |    count(*) OVER (PARTITION BY day, event_type) AS cnt
+         |  FROM v
+         |)
+         |SELECT day, event_type, count(*) AS n,
+         |  max(CASE WHEN rn = (cnt + 1) // 2 THEN vx END) AS p50_x1000,
+         |  max(CASE WHEN rn = (19 * cnt + 19) // 20 THEN vx END) AS p95_x1000
+         |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "graph_pagerank" ->
       s"""$EV, t AS (
          |  SELECT event_type AS from_type,

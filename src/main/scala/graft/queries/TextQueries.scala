@@ -26,7 +26,34 @@ object TextQueries {
 
   private val stopList = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** Query terms for `text_search_rank` (see the vocabulary the fixture
+    * generator draws from — these are mid-frequency content words). */
+  private val searchTerms = Seq("vector", "join", "spark")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // KEYWORD SEARCH (the serving-side complement of text_tfidf): rank
+    // documents for a term query by summed rational tf-idf, integer
+    // arithmetic only ((1000·tf·N) div df per term, summed per doc).
+    // Scale story: the term filter lands BEFORE any aggregation — only
+    // the query terms' postings are ever grouped or joined (at 100 TB
+    // this reads a stored inverted index's posting lists for 3 terms,
+    // not the corpus); df and N are tiny broadcast sides; top-20 fuses
+    // to TakeOrderedAndProject.
+    "text_search_rank" -> { (s: SparkSession, dir: String) =>
+      val d = docs(s, dir)
+      val t = d.select(col("doc_id"), explode(graft.dedup.Hashing.toks(col("text"))).as("tok"))
+        .filter(col("tok").isin(searchTerms: _*))
+      val tf = t.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val dfq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val n = d.agg(count(lit(1)).as("n_docs"))
+      tf.join(broadcast(dfq), "tok")
+        .join(broadcast(n))
+        .withColumn("s", expr("(1000 * tf * n_docs) div df"))
+        .groupBy("doc_id")
+        .agg(sum(col("s")).as("score_x1000"), count(lit(1)).as("n_terms"))
+        .orderBy(col("score_x1000").desc, col("doc_id").asc)
+        .limit(20)
+    },
     // corpus-level vocabulary statistics per source: exact distinct tokens
     // + token volume. Scale: explode → partial-aggregated groupBy on
     // (source, token) — map-side combine, one shuffle, no driver state
@@ -186,6 +213,21 @@ object TextQueries {
        |  )) AS BIGINT)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "text_search_rank" ->
+      s"""$D, t AS (
+         |  SELECT doc_id, unnest(toks) AS tok FROM d
+         |), tq AS (
+         |  SELECT doc_id, tok, count(*) AS tf FROM t
+         |  WHERE tok IN (${searchTerms.map(t => s"'$t'").mkString(", ")})
+         |  GROUP BY 1, 2
+         |), dfq AS (SELECT tok, count(*) AS df FROM tq GROUP BY 1),
+         |nn AS (SELECT count(*) AS n_docs FROM documents)
+         |SELECT doc_id,
+         |  CAST(sum((1000 * tf * n_docs) // df) AS BIGINT) AS score_x1000,
+         |  count(*) AS n_terms
+         |FROM tq JOIN dfq USING (tok) CROSS JOIN nn
+         |GROUP BY 1
+         |ORDER BY score_x1000 DESC, doc_id ASC LIMIT 20""".stripMargin,
     "text_top_bigrams" ->
       """WITH t AS (
         |  SELECT string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents
