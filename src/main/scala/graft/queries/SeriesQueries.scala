@@ -137,6 +137,24 @@ object SeriesQueries {
           max(col("n")).as("max_n"), sum(col("sv")).as("sum_value_x1000"))
         .orderBy("decile")
     },
+    // SESSION-PATH SIGNATURE: each stream's first 10 events as an
+    // ordered "a->b->c" path string — the navigation-path report that
+    // feeds funnel design (and the string form of markov_transitions'
+    // edge list). The revision predicate (< 10) prunes BEFORE the
+    // shuffle — a pushable range filter, so the grouped fold sees 10
+    // rows/stream regardless of log size; the in-group order is made
+    // explicit by sorting (position, type) structs inside the aggregate
+    // (shuffle-order-proof, same contract as the projection fold).
+    "agg_path_signature" -> { (s: SparkSession, dir: String) =>
+      ev(s, dir)
+        .filter(col("revision") < 10)
+        .select(col("stream"), struct(col("position"), col("event_type")).as("pe"))
+        .groupBy(col("stream"))
+        .agg(sort_array(collect_list(col("pe"))).as("seq"))
+        .select(col("stream"), size(col("seq")).cast("long").as("n"),
+          array_join(expr("transform(seq, x -> x.event_type)"), "->").as("path"))
+        .orderBy("stream")
+    },
     // DAILY PERCENTILE BANDS (p50/p95 of the payload value per day ×
     // type) — the observability dashboard query. Percentiles are
     // DISCRETE order statistics (value at rank ceil(p·n)) — integer rank
@@ -260,6 +278,11 @@ object SeriesQueries {
          |SELECT decile, count(*) AS n_streams, min(n) AS min_n, max(n) AS max_n,
          |       CAST(sum(sv) AS BIGINT) AS sum_value_x1000
          |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_path_signature" ->
+      s"""$EV SELECT stream, count(*) AS n,
+         |  string_agg(event_type, '->' ORDER BY position) AS path
+         |FROM ev WHERE revision < 10
+         |GROUP BY stream ORDER BY stream""".stripMargin,
     "agg_latency_bands" ->
       s"""$EV, v AS (
          |  SELECT epoch_us(ts) // 86400000000 AS day, event_type,

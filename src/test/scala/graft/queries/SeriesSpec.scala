@@ -69,6 +69,20 @@ class SeriesSpec extends SparkSpec {
     }
   }
 
+  test("agg_path_signature: path order equals the per-stream position order") {
+    val rows = SeriesQueries.queries("agg_path_signature")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val ev = graft.log.Fixture.events(spark, dir)
+      .filter(col("revision") < 10)
+      .select("stream", "position", "event_type")
+      .collect().groupBy(_.getString(0))
+    rows.foreach { r =>
+      val want = ev(r.getString(0)).sortBy(_.getLong(1)).map(_.getString(2)).mkString("->")
+      assert(r.getAs[String]("path") == want, s"path mismatch for ${r.getString(0)}")
+      assert(r.getAs[Long]("n") == ev(r.getString(0)).length)
+    }
+  }
+
   test("graph_pagerank: one rank per node, mass bounded by damping") {
     val rows = SeriesQueries.queries("graph_pagerank")(spark, dir).collect()
     assert(rows.map(_.getAs[String]("node")).distinct.length == rows.length)
