@@ -121,6 +121,25 @@ object LogQueries {
         .agg(max("revision").as("max_revision"))
         .orderBy("stream")
     },
+    // BUCKET MANIFEST: the per-bucket stats table of the 100 TB layout
+    // (graft.log.PartitionedLog) — row counts, position ranges, stream
+    // cardinality per hash bucket. This is the manifest a scan planner
+    // consults for file skipping and the compactor for balance checks.
+    // The bucket key is the engine's own graft_polyhash mod N — a PUBLIC
+    // function with an exact SQL mirror, so the oracle recomputes the
+    // layout independently. One partial-aggregated shuffle.
+    "log_bucket_stats" -> { (s: SparkSession, dir: String) =>
+      Fixture
+        .events(s, dir)
+        .select(
+          pmod(call_function("graft_polyhash", col("stream")), lit(16L)).as("bucket"),
+          col("position"), col("stream"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), min(col("position")).as("min_pos"),
+          max(col("position")).as("max_pos"),
+          countDistinct(col("stream")).as("n_streams"))
+        .orderBy("bucket")
+    },
     // event-time windowed aggregation (batch/backfill path of
     // graft.streaming.EventTimeStats; same expression tree as the
     // watermarked streaming variant)
@@ -258,6 +277,21 @@ object LogQueries {
     "max_revision" ->
       s"""$EV SELECT stream, max(revision) AS max_revision FROM ev
          |GROUP BY stream ORDER BY stream""".stripMargin,
+    // exact SQL mirror of graft_polyhash (base-31 rolling hash mod
+    // 2^31-1 of lower(trim(s))) — the oracle recomputes the bucket
+    // layout independently
+    "log_bucket_stats" ->
+      s"""$EV, b AS (
+         |  SELECT position, stream,
+         |    list_reduce(
+         |      list_prepend(CAST(0 AS BIGINT),
+         |        list_transform(string_split(lower(trim(stream)), ''), c -> CAST(ascii(c) AS BIGINT))),
+         |      (h, c) -> (h * 31 + c) % 2147483647) % 16 AS bucket
+         |  FROM ev
+         |)
+         |SELECT bucket, count(*) AS n, min(position) AS min_pos,
+         |       max(position) AS max_pos, count(DISTINCT stream) AS n_streams
+         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     "read_json_payload" ->
       s"""$EV SELECT position, stream, CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
          |FROM ev WHERE CAST(json_extract_string(props, '$$.k') AS BIGINT) >= 80

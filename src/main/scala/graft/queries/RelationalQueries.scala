@@ -354,6 +354,43 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_orders"))
         .orderBy("o_orderpriority")
     },
+    // General OLAP, local-supplier-revenue shape (5-way star join): 1996
+    // revenue per nation where supplier and customer share the nation,
+    // within one region. Join DAG for scale: region→nation→supplier
+    // collapse to ONE broadcast side (dims filter dims, smallest first);
+    // the single big-big shuffle joins orders ⋈ lineitem on the order
+    // key; customer is broadcast and the same-nation condition is
+    // applied as a join predicate, never a post-filter on a wider
+    // product. Money in floored centi-units per row before the sum.
+    "olap_region_revenue" -> { (s: SparkSession, dir: String) =>
+      val lo = lit("1996-01-01").cast("timestamp")
+      val hi = lit("1997-01-01").cast("timestamp")
+      val natAsia = s.read.parquet(s"$dir/nation.parquet")
+        .join(s.read.parquet(s"$dir/region.parquet")
+          .filter(col("r_name") === "ASIA").select(col("r_regionkey")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val supp = s.read.parquet(s"$dir/supplier.parquet")
+        .join(broadcast(natAsia), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * lit(100.0))
+            .cast("long").as("rev_x100"))
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_nationkey"))
+      ord.join(li, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(cust),
+          col("o_custkey") === col("c_custkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("rev_x100")).as("revenue_x100"), count(lit(1)).as("n_lines"))
+        .orderBy(col("revenue_x100").desc, col("n_name").asc)
+    },
     // General OLAP, returned-item-customer shape (aggregate-before-join):
     // 1996 revenue lost to returns, by customer, top 10. The fact is
     // aggregated to the customer grain BEFORE any dimension join — the
@@ -524,6 +561,17 @@ object RelationalQueries {
          |  AND EXISTS (SELECT 1 FROM lineitem
          |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "olap_region_revenue" ->
+      s"""SELECT n_name,
+         |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)) AS BIGINT) AS revenue_x100,
+         |  count(*) AS n_lines
+         |FROM customer, orders, lineitem, supplier, nation, region
+         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         |  AND r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+         |GROUP BY 1 ORDER BY revenue_x100 DESC, n_name ASC""".stripMargin,
     "olap_returned_customers" ->
       s"""SELECT c_custkey, c_name, n_name,
          |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)) AS BIGINT) AS lost_x100,

@@ -295,6 +295,24 @@ class QueryPlanSpec extends SparkSpec {
       s"windows + groupBy must ride one shuffle, found $hashExchanges in:\n$plan")
   }
 
+  test("olap_region_revenue: one big-big join, every dim side broadcast") {
+    val plan = RelationalQueries.queries("olap_region_revenue")(spark, dir)
+      .queryExecution.executedPlan.toString()
+    val smj = "SortMergeJoin".r.findAllIn(plan).length
+    val shuffled = "ShuffledHashJoin".r.findAllIn(plan).length
+    assert(smj + shuffled <= 1,
+      s"only orders ⋈ lineitem may shuffle, found ${smj + shuffled} shuffled joins in:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"dims must broadcast in:\n$plan")
+  }
+
+  test("log_bucket_stats: map-side bucket derivation, one grouped pass, no join") {
+    val plan = LogQueries.queries("log_bucket_stats")(spark, dir)
+      .queryExecution.executedPlan.toString()
+    val own = plan.split("InMemoryTableScan")(0)
+    assert(!own.contains("Join"), s"manifest derivation must not join:\n$plan")
+    assert(plan.contains("partial_"), s"expected map-side combine in:\n$plan")
+  }
+
   test("sim_topk_batch: query batch broadcast, one shuffle for the per-query top-k") {
     val plan = SimQueries.queries("sim_topk_batch")(spark, dir)
       .queryExecution.executedPlan.toString()
