@@ -17,6 +17,8 @@ final case class Frame(asset_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
 final case class AssetFeatures(asset_id: Long, features: Array[Float])
 
 /** A resized asset (STUB resize — see [[Multimodal.resize]]). */
+final case class AudioWindow(asset_id: Long, window_idx: Int, n_samples: Int,
+                             energy: Long, peak: Long)
 final case class Resized(asset_id: Long, kind: String, out_w: Int, out_h: Int,
                          n_out: Long, resized_bytes: Array[Byte])
 
@@ -47,6 +49,7 @@ object Multimodal {
   implicit val frameEnc: Encoder[Frame] = Encoders.product[Frame]
   implicit val featEnc: Encoder[AssetFeatures] = Encoders.product[AssetFeatures]
   implicit val resizedEnc: Encoder[Resized] = Encoders.product[Resized]
+  implicit val audioWinEnc: Encoder[AudioWindow] = Encoders.product[AudioWindow]
 
   /** Batch size a real vectorized decoder would process per call. */
   val decodeBatchSize = 64
@@ -149,6 +152,31 @@ object Multimodal {
           }
           AssetFeatures(a.asset_id, fs)
         }
+      }
+    }
+
+  /** Fixed-length OVERLAPPING analysis windows over audio payloads (the
+    * STFT/feature-frame shape: len-sample windows every hop samples) with
+    * per-window integer energy and peak. The kind filter is a Column
+    * predicate (pushes into the scan); windowing is a map-side explode —
+    * rows multiply ~n/hop per asset with no shuffle. STUB sample decode:
+    * the code points of the UTF-8 payload stand in for PCM samples (a
+    * real implementation decodes `a.bytes` with the audio codec here and
+    * ONLY here); energy/peak are exact integers, so the whole operator is
+    * value-oracled. */
+  def audioWindows(assets: Dataset[Asset], len: Int = 64, hop: Int = 32): Dataset[AudioWindow] =
+    assets.filter(col("kind") === "audio").flatMap { a =>
+      val text = new String(a.bytes, java.nio.charset.StandardCharsets.UTF_8)
+      val cps = text.codePoints().toArray
+      val n = cps.length
+      val offs = if (n == 0) Seq.empty[Int] else (0 until n by hop)
+      offs.map { off =>
+        val end = math.min(off + len, n)
+        var e = 0L
+        var p = 0L
+        var i = off
+        while (i < end) { e += cps(i); if (cps(i) > p) p = cps(i); i += 1 }
+        AudioWindow(a.asset_id, off / hop, end - off, e, p)
       }
     }
 

@@ -29,6 +29,14 @@ object MultimodalQueries {
         .toDF().select(col("asset_id"), col("kind"), col("out_w"), col("out_h"), col("n_out"))
         .orderBy("asset_id")
     },
+    // overlapping analysis windows over audio payloads (64-sample
+    // windows, hop 32): per-window integer energy/peak, fully oracled
+    "mm_audio_windows" -> { (s: SparkSession, dir: String) =>
+      Multimodal.audioWindows(Multimodal.documentsAsAssets(s, dir))
+        .toDF().select(col("asset_id"), col("window_idx"), col("n_samples"),
+          col("energy"), col("peak"))
+        .orderBy("asset_id", "window_idx")
+    },
     // feature stub = per-dim seeded code-point hash folds → fully oracled;
     // emitted as per-dim integer columns (features[i]*1000 is an exact
     // integer by construction, and a raw array<float> column would be
@@ -77,6 +85,22 @@ object MultimodalQueries {
          |  $dims
          |FROM documents ORDER BY asset_id""".stripMargin
     },
+    // code points as stub PCM samples; window w covers [w·32, w·32+64)
+    "mm_audio_windows" ->
+      """WITH c AS (
+        |  SELECT doc_id AS asset_id,
+        |    list_transform(string_split(text, ''), ch -> CAST(ascii(ch) AS BIGINT)) AS cps
+        |  FROM documents WHERE doc_id % 3 = 1
+        |), w AS (
+        |  SELECT asset_id, cps, len(cps) AS n,
+        |         unnest(range(0, len(cps), 32)) AS off
+        |  FROM c WHERE len(cps) > 0
+        |)
+        |SELECT asset_id, CAST(off // 32 AS INT) AS window_idx,
+        |  CAST(least(off + 64, n) - off AS INT) AS n_samples,
+        |  CAST(list_aggregate(list_slice(cps, off + 1, least(off + 64, n)), 'sum') AS BIGINT) AS energy,
+        |  CAST(list_aggregate(list_slice(cps, off + 1, least(off + 64, n)), 'max') AS BIGINT) AS peak
+        |FROM w ORDER BY asset_id, window_idx""".stripMargin,
     "mm_resize" ->
       s"""$A SELECT asset_id, kind,
          |  CAST(LEAST(16 + n % 113, 32) AS INT) AS out_w,

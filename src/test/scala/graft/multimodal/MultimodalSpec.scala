@@ -66,6 +66,32 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("audio windows: 50% overlap tiling covers every sample exactly") {
+    val ws = Multimodal.audioWindows(assets, len = 16, hop = 8).collect()
+      .groupBy(_.asset_id)
+    assert(ws.nonEmpty)
+    // recompute from the same stub decode (code points of the UTF-8
+    // payload — binary fixture bytes land on U+FFFD, which is fine: the
+    // contract is over the decoded sample stream, whatever it is)
+    val samples = assets.collect().filter(_.kind == "audio").map { a =>
+      a.asset_id ->
+        new String(a.bytes, java.nio.charset.StandardCharsets.UTF_8).codePoints().toArray
+    }.toMap
+    assert(ws.keySet == samples.filter(_._2.nonEmpty).keySet)
+    ws.foreach { case (id, rows) =>
+      val cps = samples(id)
+      val sorted = rows.sortBy(_.window_idx)
+      assert(sorted.map(_.window_idx).toSeq == sorted.indices.toSeq)
+      assert(sorted.length == math.ceil(cps.length / 8.0).toInt)
+      sorted.foreach { w =>
+        val slice = cps.slice(w.window_idx * 8, w.window_idx * 8 + 16)
+        assert(w.n_samples == slice.length)
+        assert(w.energy == slice.map(_.toLong).sum)
+        assert(w.peak == slice.max.toLong)
+      }
+    }
+  }
+
   test("feature extraction: fixed dim, deterministic, [0,1) range") {
     val f1 = Multimodal.extractFeatures(assets, dim = 8).collect().sortBy(_.asset_id)
     val f2 = Multimodal.extractFeatures(assets, dim = 8).collect().sortBy(_.asset_id)
