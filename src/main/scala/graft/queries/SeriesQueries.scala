@@ -137,6 +137,32 @@ object SeriesQueries {
           max(col("n")).as("max_n"), sum(col("sv")).as("sum_value_x1000"))
         .orderBy("decile")
     },
+    // ROLLING ACTIVE USERS (DAU + 7-day WAU per day) — the engagement
+    // report every product dashboard leads with. The log collapses to
+    // the DISTINCT (stream, day) grain first (keys-only partial-agg
+    // shuffle); each activity row then fans out map-side to the ≤7
+    // report days it covers (explode on the SMALL activity table, never
+    // the log), and the windowed distinct count runs per report day.
+    // At 100 TB the same shape rides per-day HLL sketches unioned over
+    // the trailing window (see agg_sketch_union); this is the exact
+    // form, value-oracled.
+    "agg_rolling_wau" -> { (s: SparkSession, dir: String) =>
+      val act = ev(s, dir)
+        .select(col("stream"), micros.as("tus"))
+        .select(col("stream"), expr("tus div 86400000000").as("day"))
+        .distinct()
+      val bounds = act.agg(max(col("day")).as("d1"))
+      val wau = act
+        .select(col("stream"), explode(sequence(col("day"), col("day") + 6)).as("day"))
+        .join(broadcast(bounds))
+        .filter(col("day") <= col("d1"))
+        .groupBy(col("day"))
+        .agg(countDistinct(col("stream")).as("wau"))
+      val dau = act.groupBy(col("day")).agg(countDistinct(col("stream")).as("dau"))
+      wau.join(dau, Seq("day"), "left")
+        .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"), col("wau"))
+        .orderBy("day")
+    },
     // SESSION-PATH SIGNATURE: each stream's first 10 events as an
     // ordered "a->b->c" path string — the navigation-path report that
     // feeds funnel design (and the string form of markov_transitions'
@@ -278,6 +304,20 @@ object SeriesQueries {
          |SELECT decile, count(*) AS n_streams, min(n) AS min_n, max(n) AS max_n,
          |       CAST(sum(sv) AS BIGINT) AS sum_value_x1000
          |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_rolling_wau" ->
+      s"""$EV, act AS (
+         |  SELECT DISTINCT stream, epoch_us(ts) // 86400000000 AS day FROM ev
+         |), b AS (SELECT max(day) AS d1 FROM act),
+         |x AS (
+         |  SELECT stream, unnest(generate_series(day, day + 6)) AS day FROM act
+         |), wau AS (
+         |  SELECT day, count(DISTINCT stream) AS wau FROM x, b
+         |  WHERE day <= d1 GROUP BY 1
+         |), dau AS (
+         |  SELECT day, count(DISTINCT stream) AS dau FROM act GROUP BY 1
+         |)
+         |SELECT day, coalesce(dau, 0) AS dau, wau
+         |FROM wau LEFT JOIN dau USING (day) ORDER BY day""".stripMargin,
     "agg_path_signature" ->
       s"""$EV SELECT stream, count(*) AS n,
          |  string_agg(event_type, '->' ORDER BY position) AS path

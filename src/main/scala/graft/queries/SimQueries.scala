@@ -203,6 +203,15 @@ object SimQueries {
         .agg(count(lit(1)).as("n_vectors"), sum(col("d6")).as("sse_x1e6"))
         .orderBy("cid")
     },
+    // k-NN GRAPH: top-3 LSH-candidate neighbors of EVERY vector — the
+    // all-vectors batch build (graph clustering / index-construction
+    // precursor); value-oracled end to end including the tie-broken rank
+    "sim_knn_graph" -> { (s: SparkSession, dir: String) =>
+      x1e6(Similarity.knnGraphFromNormed(Tables.normedEmb(s, dir), 3)
+        .select(col("a"), col("rk"), col("b"), col("cos")))
+        .select(col("a"), col("rk"), col("b"), col("cos_x1e6"))
+        .orderBy("a", "rk")
+    },
     // BATCHED ANN: many queries answered in ONE corpus pass — the
     // retrieval-serving shape (embed a request batch, search once). The
     // query batch broadcasts (it is KBs); each corpus partition scores
@@ -618,6 +627,25 @@ object SimQueries {
          |)
          |SELECT cid, count(*) AS n_vectors, min(vec_id) AS min_vec, max(vec_id) AS max_vec
          |FROM assign GROUP BY cid ORDER BY cid""".stripMargin,
+    "sim_knn_graph" ->
+      s"""$N, bk AS (
+         |  SELECT vec_id, embedding, nrm, ${bucketsSql("embedding")} AS bks FROM n
+         |), bkx AS (
+         |  SELECT vec_id, u.t, bks[u.t + 1] AS bucket
+         |  FROM bk, unnest([0, 1, 2, 3]) AS u(t)
+         |), cand AS (
+         |  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+         |  FROM bkx l JOIN bkx r ON l.t = r.t AND l.bucket = r.bucket AND l.vec_id <> r.vec_id
+         |), sc AS (
+         |  SELECT a, b,
+         |    ${dotSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm) AS cos,
+         |    row_number() OVER (PARTITION BY a
+         |      ORDER BY (${dotSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm)) DESC, b ASC) AS rk
+         |  FROM cand JOIN n x ON cand.a = x.vec_id JOIN n y ON cand.b = y.vec_id
+         |)
+         |SELECT a, CAST(rk AS BIGINT) AS rk, b,
+         |  CAST(floor(cos * 1000000.0) AS BIGINT) AS cos_x1e6
+         |FROM sc WHERE rk <= 3 ORDER BY a, rk""".stripMargin,
     "sim_topk_batch" ->
       s"""$N, q AS (
          |  SELECT vec_id AS qid, embedding AS qv, nrm AS qn FROM n WHERE vec_id IN (0, 1, 2)

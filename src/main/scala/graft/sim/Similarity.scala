@@ -214,6 +214,39 @@ object Similarity {
                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     lshPairsFromNormed(normed(corpus, idCol, vecCol), threshold, dim)
 
+  /**
+   * Approximate k-NN GRAPH: every vector's top-k neighbors among its LSH
+   * candidates (≥1 shared table bucket) — the precursor structure of
+   * graph clustering, SemDeDup and HNSW-style index builds. Unlike
+   * [[lshPairsFromNormed]] the candidate set is DIRECTED (a ≠ b, both
+   * orientations) because neighborhood is asymmetric under top-k.
+   * Scale: the bucket self-join carries only (id, table, bucket) triples;
+   * one exact cosine per surviving candidate; the per-vector top-k window
+   * partitions on the source id — the same key the candidate join just
+   * shuffled on. Recall is bounded by the LSH tables exactly as in
+   * `sim_recall`.
+   */
+  def knnGraphFromNormed(c: DataFrame, k: Int): DataFrame = {
+    val withBuckets = c.select(col("id"),
+      posexplode(graft.functions.Fast.bucketsFast(col("v"))).as(Seq("t", "bk")))
+    val l = withBuckets.select(col("id").as("a"), col("t"), col("bk"))
+    val r = withBuckets.select(col("id").as("b"), col("t").as("t_r"), col("bk").as("bk_r"))
+    val cands = l
+      .join(r, l("t") === r("t_r") && l("bk") === r("bk_r") && l("a") =!= r("b"))
+      .select(col("a"), col("b"))
+      .dropDuplicates("a", "b")
+    val scored = cands
+      .join(c.select(col("id").as("a"), col("v").as("va"), col("nrm").as("na")), "a")
+      .join(c.select(col("id").as("b"), col("v").as("vb"), col("nrm").as("nb")), "b")
+      .select(col("a"), col("b"),
+        (graft.functions.Fast.dotFast(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("a").orderBy(col("cos").desc, col("b").asc)
+    scored
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
   /** Same, over a precomputed [[normed]] corpus. */
   def lshPairsFromNormed(c: DataFrame, threshold: Double, dim: Int): DataFrame = {
     val withBuckets = c.select(col("id"), posexplode(graft.functions.Fast.bucketsFast(col("v"))).as(Seq("t", "bk")))

@@ -295,6 +295,25 @@ class QueryPlanSpec extends SparkSpec {
       s"windows + groupBy must ride one shuffle, found $hashExchanges in:\n$plan")
   }
 
+  test("sim_knn_graph: candidate join rides the bucket equality, never a cartesian") {
+    val plan = SimQueries.queries("sim_knn_graph")(spark, dir)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"knn candidates must ride the (table, bucket) equality:\n$plan")
+  }
+
+  test("agg_rolling_wau: the log collapses to distinct (stream, day) before the fan-out") {
+    val plan = SeriesQueries.queries("agg_rolling_wau")(spark, dir)
+      .queryExecution.executedPlan.toString()
+    val own = plan.split("InMemoryTableScan")(0)
+    // the explode must sit ABOVE an aggregate (the distinct), not on the scan
+    val lines = own.linesIterator.toSeq
+    val genIdx = lines.indexWhere(_.contains("Generate explode"))
+    assert(genIdx >= 0, s"expected the 7-day fan-out in:\n$plan")
+    assert(lines.drop(genIdx).exists(_.contains("HashAggregate")),
+      s"fan-out must run over the distinct activity table, not the log:\n$plan")
+  }
+
   test("olap_region_revenue: one big-big join, every dim side broadcast") {
     val plan = RelationalQueries.queries("olap_region_revenue")(spark, dir)
       .queryExecution.executedPlan.toString()
