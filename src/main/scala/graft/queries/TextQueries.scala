@@ -54,6 +54,26 @@ object TextQueries {
         .orderBy(col("score_x1000").desc, col("doc_id").asc)
         .limit(20)
     },
+    // QUALITY-WEIGHTED SAMPLING (CCNet-style): each document is kept
+    // with probability proportional to its quality score — acceptance is
+    // a DETERMINISTIC hash test (polyhash(doc_id#salt) mod 1000 <
+    // quality_x1000), so the sample is reproducible across engines,
+    // retries and partitionings with zero RNG state, and the keep rate
+    // per source tracks source quality. Map-only scoring + one
+    // partial-aggregated rollup.
+    "corpus_sample_weighted" -> { (s: SparkSession, dir: String) =>
+      val q = qualityScoreX1000(col("text"))
+      val keep = pmod(
+        call_function("graft_polyhash", concat(col("doc_id").cast("string"), lit("#wq"))),
+        lit(1000L)) < q
+      docs(s, dir)
+        .select(col("source"), q.as("qx"), keep.cast("long").as("kept"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_total"), sum(col("kept")).as("n_kept"),
+          expr("(1000 * sum(kept)) div count(1)").as("keep_permille"),
+          sum(when(col("kept") === 1L, col("qx")).otherwise(0L)).as("sum_q_kept"))
+        .orderBy("source")
+    },
     // corpus-level vocabulary statistics per source: exact distinct tokens
     // + token volume. Scale: explode → partial-aggregated groupBy on
     // (source, token) — map-side combine, one shuffle, no driver state
@@ -213,6 +233,32 @@ object TextQueries {
        |  )) AS BIGINT)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same quality formula as text_quality; acceptance = polyhash mirror
+    // of lower(trim(doc_id || '#wq')) mod 1000 < quality_x1000
+    "corpus_sample_weighted" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source, text,
+         |         string_split_regex(trim(lower(text)), '\\s+') AS toks
+         |  FROM documents
+         |), q AS (
+         |  SELECT doc_id, source,
+         |    CAST(floor(1000.0 * (
+         |       0.4 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+         |     + 0.3 * least(3.0 * ${sc(stopwords)} / greatest(len(toks), 1), 1.0)
+         |     + 0.3 * (1.0 - least(5.0 * len(regexp_extract_all(text, '[.,!?;:]')) / greatest(length(text), 1), 1.0))
+         |    )) AS BIGINT) AS qx,
+         |    list_reduce(
+         |      list_prepend(CAST(0 AS BIGINT),
+         |        list_transform(string_split(lower(trim(CAST(doc_id AS VARCHAR) || '#wq')), ''),
+         |          c -> CAST(ascii(c) AS BIGINT))),
+         |      (h, c) -> (h * 31 + c) % 2147483647) % 1000 AS hb
+         |  FROM d
+         |)
+         |SELECT source, count(*) AS n_total,
+         |  CAST(sum(CASE WHEN hb < qx THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST((1000 * sum(CASE WHEN hb < qx THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS keep_permille,
+         |  CAST(sum(CASE WHEN hb < qx THEN qx ELSE 0 END) AS BIGINT) AS sum_q_kept
+         |FROM q GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_search_rank" ->
       s"""$D, t AS (
          |  SELECT doc_id, unnest(toks) AS tok FROM d
