@@ -7,6 +7,7 @@ import graft.log.Fixture
 import graft.proj._
 
 // State types must be top-level for Spark product encoders.
+final case class FunnelState(stage: Long)
 final case class CountState(count: Long)
 final case class DispatchState(clicks: Long, views: Long, others: Long)
 final case class SumKState(sum_k: Long)
@@ -41,6 +42,26 @@ object ProjectionQueries {
         .when[CountState](CountState(0),
           Map("$any" -> ((st: CountState, _: ProjEvent) => st.copy(count = st.count + 1))))
         .outputState().build
+      flat(ProjectionBatch.finalStates(p, Fixture.events(s, dir)))
+    },
+    // The funnel AS a projection fold: the same sequential automaton the
+    // analytics pack computes with chained windows (funnel_steps) runs
+    // here as per-stream stateful fold — greedy first-match stage
+    // advance, so the two formulations are provably the same function
+    // and the oracle is funnel_steps' own CTE chain. The fold form is
+    // what the STREAMING pump executes incrementally (StreamingSpec pins
+    // batch == pump for this projection); the window form is the batch
+    // backfill plan.
+    "proj_funnel_stage" -> { (s: SparkSession, dir: String) =>
+      import s.implicits._
+      val order = IndexedSeq("signup", "view", "click", "purchase")
+      val p = Projection.named("funnel-stage").fromAll().foreachStream()
+        .when[FunnelState](FunnelState(0),
+          Map("$any" -> ((st: FunnelState, e: ProjEvent) =>
+            if (st.stage < 4 && e.eventType == order(st.stage.toInt))
+              FunnelState(st.stage + 1)
+            else st)))
+        .build
       flat(ProjectionBatch.finalStates(p, Fixture.events(s, dir)))
     },
     // A1 handler dispatch: specific handlers win over $any
@@ -128,6 +149,23 @@ object ProjectionQueries {
     "proj_count_by_stream" ->
       s"""$EV SELECT stream AS partition, count(*) AS count FROM ev
          |GROUP BY stream ORDER BY stream""".stripMargin,
+    // funnel_steps' own CTE chain, collapsed to the automaton stage
+    "proj_funnel_stage" ->
+      s"""$EV, s0 AS (SELECT DISTINCT stream FROM ev),
+         |s1 AS (SELECT stream, min(position) AS p1 FROM ev WHERE event_type = 'signup' GROUP BY 1),
+         |s2 AS (SELECT e.stream, min(e.position) AS p2 FROM ev e JOIN s1 ON e.stream = s1.stream
+         |       WHERE e.event_type = 'view' AND e.position > s1.p1 GROUP BY 1),
+         |s3 AS (SELECT e.stream, min(e.position) AS p3 FROM ev e JOIN s2 ON e.stream = s2.stream
+         |       WHERE e.event_type = 'click' AND e.position > s2.p2 GROUP BY 1),
+         |s4 AS (SELECT e.stream, min(e.position) AS p4 FROM ev e JOIN s3 ON e.stream = s3.stream
+         |       WHERE e.event_type = 'purchase' AND e.position > s3.p3 GROUP BY 1)
+         |SELECT s0.stream AS partition,
+         |  CAST(CASE WHEN p4 IS NOT NULL THEN 4 WHEN p3 IS NOT NULL THEN 3
+         |       WHEN p2 IS NOT NULL THEN 2 WHEN p1 IS NOT NULL THEN 1
+         |       ELSE 0 END AS BIGINT) AS stage
+         |FROM s0 LEFT JOIN s1 USING (stream) LEFT JOIN s2 USING (stream)
+         |  LEFT JOIN s3 USING (stream) LEFT JOIN s4 USING (stream)
+         |ORDER BY s0.stream""".stripMargin,
     "proj_dispatch" ->
       s"""$EV SELECT stream AS partition,
          |  count(*) FILTER (WHERE event_type = 'click') AS clicks,

@@ -271,6 +271,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnel projection: incremental pump state == batch fold, mid-funnel across batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val order = IndexedSeq("signup", "view", "click", "purchase")
+    def funnel = Projection.named("funnel-stream").fromAll().foreachStream()
+      .when[graft.queries.FunnelState](graft.queries.FunnelState(0),
+        Map("$any" -> ((st: graft.queries.FunnelState, e: ProjEvent) =>
+          if (st.stage < 4 && e.eventType == order(st.stage.toInt))
+            graft.queries.FunnelState(st.stage + 1)
+          else st)))
+      .build
+    // s-a converts fully but SPLIT ACROSS BATCHES (signup+view, then
+    // click+purchase); s-b stalls mid-funnel; s-c's view precedes its
+    // signup (order matters — stage must stay 1)
+    val b1 = Seq(ev("s-a", "signup", 0, 1), ev("s-b", "signup", 0, 2),
+      ev("s-a", "view", 1, 3), ev("s-c", "view", 0, 4))
+    val b2 = Seq(ev("s-a", "click", 2, 5), ev("s-c", "signup", 1, 6),
+      ev("s-a", "purchase", 3, 7), ev("s-b", "error", 1, 8))
+    val mem = MemoryStream[EvRow]
+    val out = ProjectionPump.emissions(funnel, mem.toDF()).toDF("partition", "st")
+    val q = out.writeStream.format("memory").queryName("funnel_pump")
+      .outputMode(OutputMode.Update()).start()
+    val got =
+      try {
+        mem.addData(b1: _*); q.processAllAvailable()
+        mem.addData(b2: _*); q.processAllAvailable()
+        // last emission per stream == final state
+        spark.sql(
+          """select partition, st.stage from (
+            |  select partition, st, row_number() over (partition by partition order by rn desc) as rk
+            |  from (select partition, st, monotonically_increasing_id() as rn from funnel_pump)
+            |) where rk = 1""".stripMargin)
+          .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      } finally q.stop()
+    val batch = ProjectionBatch.finalStates(funnel, (b1 ++ b2).toDF())
+      .collect().map { case (k, s) => (k, s.stage) }.toMap
+    assert(batch == Map("s-a" -> 4L, "s-b" -> 1L, "s-c" -> 1L))
+    assert(got == batch, s"pump $got != batch $batch")
+  }
+
   test("event-time windows with watermark: counts by window, late rows dropped") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
