@@ -137,6 +137,37 @@ object SeriesQueries {
           max(col("n")).as("max_n"), sum(col("sv")).as("sum_value_x1000"))
         .orderBy("decile")
     },
+    // FUNNEL TIME-TO-CONVERT: for streams completing the full
+    // signup→view→click→purchase funnel (greedy first-match positions,
+    // same semantics as funnel_steps/proj_funnel_stage), the elapsed µs
+    // from first signup to converting purchase. Same chained-window
+    // pass; the two timestamp lookups are joins on the UNIQUE position
+    // (1 row/stream each side). Median is doubled (a+b — the only
+    // interpolation-free exact form); all outputs integer µs.
+    "agg_funnel_time" -> { (s: SparkSession, dir: String) =>
+      val wPrev = Window.partitionBy("stream").orderBy("position")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val d = ev(s, dir)
+        .select(col("stream"), col("position"), col("event_type"))
+        .withColumn("c1", min(when(col("event_type") === "signup", col("position"))).over(wPrev))
+        .withColumn("v2", when(col("event_type") === "view" && col("c1").isNotNull, col("position")))
+        .withColumn("c2", min(col("v2")).over(wPrev))
+        .withColumn("v3", when(col("event_type") === "click" && col("c2").isNotNull, col("position")))
+        .withColumn("c3", min(col("v3")).over(wPrev))
+        .withColumn("v4", when(col("event_type") === "purchase" && col("c3").isNotNull, col("position")))
+      val per = d.groupBy(col("stream"))
+        .agg(min(when(col("event_type") === "signup", col("position"))).as("p1"),
+          min(col("v4")).as("p4"))
+        .filter(col("p4").isNotNull)
+      val ts = ev(s, dir).select(col("position"), micros.as("tus"))
+      per
+        .join(ts.select(col("position").as("p1j"), col("tus").as("t1")), col("p1") === col("p1j"))
+        .join(ts.select(col("position").as("p4j"), col("tus").as("t4")), col("p4") === col("p4j"))
+        .select((col("t4") - col("t1")).as("dt"))
+        .agg(count(lit(1)).as("n_converted"),
+          expr("CAST(2 * percentile(dt, 0.5) AS BIGINT)").as("med2_us"),
+          min(col("dt")).as("min_us"), max(col("dt")).as("max_us"))
+    },
     // ROLLING ACTIVE USERS (DAU + 7-day WAU per day) — the engagement
     // report every product dashboard leads with. The log collapses to
     // the DISTINCT (stream, day) grain first (keys-only partial-agg
@@ -304,6 +335,24 @@ object SeriesQueries {
          |SELECT decile, count(*) AS n_streams, min(n) AS min_n, max(n) AS max_n,
          |       CAST(sum(sv) AS BIGINT) AS sum_value_x1000
          |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_funnel_time" ->
+      s"""$EV, s1 AS (SELECT stream, min(position) AS p1 FROM ev WHERE event_type = 'signup' GROUP BY 1),
+         |s2 AS (SELECT e.stream, min(e.position) AS p2 FROM ev e JOIN s1 ON e.stream = s1.stream
+         |       WHERE e.event_type = 'view' AND e.position > s1.p1 GROUP BY 1),
+         |s3 AS (SELECT e.stream, min(e.position) AS p3 FROM ev e JOIN s2 ON e.stream = s2.stream
+         |       WHERE e.event_type = 'click' AND e.position > s2.p2 GROUP BY 1),
+         |s4 AS (SELECT e.stream, min(e.position) AS p4 FROM ev e JOIN s3 ON e.stream = s3.stream
+         |       WHERE e.event_type = 'purchase' AND e.position > s3.p3 GROUP BY 1),
+         |dt AS (
+         |  SELECT epoch_us(e4.ts) - epoch_us(e1.ts) AS dt
+         |  FROM s1 JOIN s4 USING (stream)
+         |  JOIN ev e1 ON e1.position = s1.p1
+         |  JOIN ev e4 ON e4.position = s4.p4
+         |)
+         |SELECT count(*) AS n_converted,
+         |  CAST(2 * quantile_cont(dt, 0.5) AS BIGINT) AS med2_us,
+         |  min(dt) AS min_us, max(dt) AS max_us
+         |FROM dt""".stripMargin,
     "agg_rolling_wau" ->
       s"""$EV, act AS (
          |  SELECT DISTINCT stream, epoch_us(ts) // 86400000000 AS day FROM ev
