@@ -56,6 +56,28 @@ class BucketedLogSpec extends SparkSpec {
       direct.orderBy("stream").collect().toSeq)
   }
 
+  test("incremental append preserves bucketing: joins stay exchange-free, content complete") {
+    tables
+    val ev = Fixture.events(spark, "/root/testdata/sf0.001")
+    BucketedLog.save(ev.filter(col("position") % 2 === 0), "ev_incr", "stream", N)
+    // append the second half through the bucketed-insert path — each
+    // batch shuffles into the SAME bucket layout, so the catalog's
+    // distribution claim stays true as the table grows
+    ev.filter(col("position") % 2 === 1)
+      .write.mode("append").format("parquet").insertInto("ev_incr")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = BucketedLog.open(spark, "ev_incr")
+        .join(BucketedLog.open(spark, "snap_bucketed"), "stream")
+        .filter(col("revision") >= col("max_rev"))
+      val plan = j.queryExecution.executedPlan.toString()
+      assert(!plan.contains("Exchange"),
+        s"appended bucketed table must still join shuffle-free:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert(BucketedLog.open(spark, "ev_incr").count() == ev.count())
+  }
+
   test("bucketed content is bit-identical to the source log") {
     tables
     val a = BucketedLog.open(spark, "ev_bucketed")
