@@ -6,6 +6,9 @@ import org.apache.spark.sql.functions._
 /** A projection event tagged with its routing key (the shuffle unit). */
 final case class KeyedEvent(key: String, event: ProjEvent)
 
+/** An event routed to one projection's fold (the multiplexed shuffle unit). */
+final case class TaggedEvent(proj: String, key: String, event: ProjEvent)
+
 /**
  * Distributed batch execution of a [[Projection]] fold.
  *
@@ -110,6 +113,62 @@ object ProjectionBatch {
         }
       }
     }
+  }
+
+  /**
+   * Run MANY projections in ONE pass of the log — scan sharing the
+   * reference cannot do (it folds each projection in its own
+   * subscription, re-reading the log per projection;
+   * `projections/service.go` starts one runner each). Here each event
+   * fans out map-side to the projections whose selector matches, tagged
+   * with that projection's OWN fold key, and a single shuffle on
+   * (projection, key) delivers every fold's sorted run: at 100 TB, N
+   * catalog projections cost one log read + one shuffle of the matched
+   * events instead of N of each. Global-state projections ride the same
+   * shuffle (constant key → one reducer group — exactly their
+   * sequential-fold contract). Equivalence with the per-projection
+   * runner is spec-pinned.
+   */
+  def finalStatesAll[S](ps: Seq[(String, Projection[S])], events: DataFrame)(
+      implicit enc: Encoder[S]): Dataset[(String, String, S)] = {
+    implicit val te: Encoder[TaggedEvent] = Encoders.product[TaggedEvent]
+    implicit val outEnc: Encoder[(String, String, S)] =
+      Encoders.tuple(Encoders.STRING, Encoders.STRING, enc)
+    val local = ps.toVector
+    val tagged = toProjEvents(events).flatMap { e =>
+      local.iterator
+        .filter { case (_, p) =>
+          p.selector match {
+            case SelectAll         => true
+            case SelectStreams(ss) => ss.contains(e.streamId)
+          }
+        }
+        .map { case (n, p) => TaggedEvent(n, p.partitionOf(e), e) }
+    }
+    val byName = local.toMap
+    tagged
+      .repartition(col("proj"), col("key"))
+      .sortWithinPartitions(col("proj"), col("key"), col("event.position"))
+      .mapPartitions { it =>
+        var curProj: String = null
+        var curKey: String = null
+        var curState: Option[S] = None
+        var open = false
+        def closed(): Iterator[(String, String, S)] =
+          if (open && curState.isDefined) Iterator.single((curProj, curKey, curState.get))
+          else Iterator.empty
+        val main = it.flatMap { tev =>
+          val out =
+            if (open && (tev.proj != curProj || tev.key != curKey)) closed()
+            else Iterator.empty
+          if (!open || tev.proj != curProj || tev.key != curKey) {
+            curProj = tev.proj; curKey = tev.key; curState = None; open = true
+          }
+          curState = Some(byName(tev.proj).step(curState, tev.event)._1)
+          out
+        }
+        main ++ closed()
+      }
   }
 
   /**

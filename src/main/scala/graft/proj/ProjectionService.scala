@@ -151,6 +151,27 @@ object ProjectionService {
     ProjectionBatch.finalStates(p, events).toDF("partition", "state")
   }
 
+  /** Names of all live (not deleted) projections, latest status row wins. */
+  def listNames(spark: SparkSession, dir: String): Seq[String] = {
+    val w = Window.partitionBy("name").orderBy(col("updated_at").desc)
+    readStatus(spark, dir)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .filter(!col("deleted"))
+      .select("name").collect().map(_.getString(0)).toSeq.sorted
+  }
+
+  /** `State` for EVERY enabled projection in ONE pass of the log
+    * ([[ProjectionBatch.finalStatesAll]] — scan sharing the reference
+    * cannot do: it re-reads the log per projection runner). Returns
+    * (projection, partition, state). */
+  def stateAll(spark: SparkSession, dir: String, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val ps = listNames(spark, dir)
+      .filter(n => status(spark, dir, n).exists(_._1)) // enabled only
+      .map(n => n -> compiled(spark, dir, n))
+    ProjectionBatch.finalStatesAll(ps, events).toDF("projection", "partition", "state")
+  }
+
   /** proto `Result`: the emitted result-stream content (filterBy-gated). */
   def result(spark: SparkSession, dir: String, name: String, events: DataFrame): DataFrame = {
     import spark.implicits._

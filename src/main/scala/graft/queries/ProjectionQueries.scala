@@ -34,6 +34,29 @@ object ProjectionQueries {
   private def flat[S](ds: org.apache.spark.sql.Dataset[(String, S)]): DataFrame =
     ds.toDF("partition", "state").select(col("partition"), col("state.*")).orderBy("partition")
 
+  /** A stored-projection service dir with three enabled projections of
+    * DIFFERENT keying (per-stream, per-stream clicks, global), created
+    * once per (session, fixture dir) — the catalog is a stored artifact
+    * in a real deployment. */
+  private val svcCache = scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def svcDir(s: SparkSession, dir: String): String =
+    svcCache.getOrElseUpdate((s, dir), {
+      val d = java.nio.file.Files.createTempDirectory("graft-svc-gate").toString
+      ProjectionService.create(s, d, "per_stream",
+        """{"name":"per_stream","from":["$all"],"partitionBy":"stream",
+          |"state":["n"],"when":{"$any":[{"op":"inc","field":"n"}]},
+          |"outputState":true}""".stripMargin, nowNanos = 1L)
+      ProjectionService.create(s, d, "clicks",
+        """{"name":"clicks","from":["$all"],"partitionBy":"stream",
+          |"state":["n"],"when":{"click":[{"op":"inc","field":"n"}]},
+          |"outputState":true}""".stripMargin, nowNanos = 2L)
+      ProjectionService.create(s, d, "total",
+        """{"name":"total","from":["$all"],
+          |"state":["n"],"when":{"$any":[{"op":"inc","field":"n"}]},
+          |"outputState":true}""".stripMargin, nowNanos = 3L)
+      d
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1+A3 ($any handler, foreachStream): events per stream
     "proj_count_by_stream" -> { (s: SparkSession, dir: String) =>
@@ -63,6 +86,18 @@ object ProjectionQueries {
             else st)))
         .build
       flat(ProjectionBatch.finalStates(p, Fixture.events(s, dir)))
+    },
+    // EVERY stored catalog projection folded in ONE log pass
+    // (ProjectionBatch.finalStatesAll): the reference runs one
+    // subscription per projection and re-reads the log N times; here N
+    // folds share one scan + one (projection, key) shuffle. Three
+    // differently-keyed stored projections, one integer state field →
+    // fully oracled as a UNION of the equivalent SQL aggregations.
+    "proj_state_all" -> { (s: SparkSession, dir: String) =>
+      ProjectionService.stateAll(s, svcDir(s, dir), Fixture.events(s, dir))
+        .select(col("projection"), col("partition"),
+          element_at(col("state"), "n").as("n"))
+        .orderBy("projection", "partition")
     },
     // A1 handler dispatch: specific handlers win over $any
     "proj_dispatch" -> { (s: SparkSession, dir: String) =>
@@ -149,6 +184,16 @@ object ProjectionQueries {
     "proj_count_by_stream" ->
       s"""$EV SELECT stream AS partition, count(*) AS count FROM ev
          |GROUP BY stream ORDER BY stream""".stripMargin,
+    "proj_state_all" ->
+      s"""$EV SELECT * FROM (
+         |  SELECT 'clicks' AS projection, stream AS partition,
+         |         CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n
+         |  FROM ev GROUP BY 2
+         |  UNION ALL
+         |  SELECT 'per_stream', stream, count(*) FROM ev GROUP BY 2
+         |  UNION ALL
+         |  SELECT 'total', '', count(*) FROM ev
+         |) ORDER BY projection, partition""".stripMargin,
     // funnel_steps' own CTE chain, collapsed to the automaton stage
     "proj_funnel_stage" ->
       s"""$EV, s0 AS (SELECT DISTINCT stream FROM ev),

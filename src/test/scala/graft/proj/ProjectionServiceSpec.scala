@@ -60,6 +60,41 @@ class ProjectionServiceSpec extends SparkSpec {
     assert(stats.getString(4) == "$projections-svc-result")
   }
 
+  test("stateAll: every enabled projection folds in ONE pass, equal to per-projection runs") {
+    val dir = Files.createTempDirectory("graft-svc-all").toString
+    // three stored projections with DIFFERENT keying: per-stream count,
+    // click count (selector-equivalent via handler dispatch), global total
+    ProjectionService.create(spark, dir, "per-stream", script, nowNanos = 1L)
+    ProjectionService.create(spark, dir, "clicks",
+      script.replace("\"svc\"", "\"clicks\"").replace("\"$any\"", "\"click\""), nowNanos = 2L)
+    ProjectionService.create(spark, dir, "total",
+      """{"name":"total","from":["$all"],
+        |"state":["n"],
+        |"when":{"$any":[{"op":"inc","field":"n"}]},
+        |"outputState":true}""".stripMargin, nowNanos = 3L)
+    // one disabled projection must NOT appear
+    ProjectionService.create(spark, dir, "off", script.replace("\"svc\"", "\"off\""), nowNanos = 4L)
+    ProjectionService.disable(spark, dir, "off", nowNanos = 5L)
+
+    val ev = events(10).withColumn("event_type",
+      org.apache.spark.sql.functions.expr("CASE WHEN position % 3 = 0 THEN 'click' ELSE 't' END"))
+    val all = ProjectionService.stateAll(spark, dir, ev)
+    // ONE shuffle for all three folds (the repartition on (proj, key))
+    val own = all.queryExecution.executedPlan.toString().split("InMemoryTableScan")(0)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(own).length
+    assert(exchanges == 1, s"multiplexed fold must shuffle once, found $exchanges")
+
+    val got = all.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getMap[String, Long](2).toMap))
+      .toSet
+    assert(!got.exists(_._1 == "off"))
+    val want = Seq("per-stream", "clicks", "total").flatMap { n =>
+      ProjectionService.state(spark, dir, n, ev).collect()
+        .map(r => (n, r.getString(0), r.getMap[String, Long](1).toMap))
+    }.toSet
+    assert(got == want, s"multiplexed $got != individual $want")
+  }
+
   test("startPump runs the stored projection live end-to-end (catch-up)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-svc-pump").toString
