@@ -55,6 +55,53 @@ object ProjectionPump {
   }
 
   /**
+   * MULTIPLEXED pump: every projection's fold in ONE streaming query —
+   * the live counterpart of [[ProjectionBatch.finalStatesAll]]. Each
+   * event fans out map-side to the matching projections tagged with
+   * that projection's own fold key; one `groupByKey((proj, key))` keeps
+   * one state-store entry per (projection, partition) and dispatches
+   * [[Projection.step]] by tag. N stored read models cost one
+   * subscription + one stateful shuffle instead of N streaming queries
+   * over N re-reads of the log (the reference runs one subscription per
+   * projection). Emissions carry the projection name for sink routing.
+   */
+  def emissionsAll[S](ps: Seq[(String, Projection[S])], src: DataFrame)(
+      implicit enc: Encoder[S]): Dataset[(String, String, S)] = {
+    implicit val taggedEnc: Encoder[TaggedEvent] = Encoders.product[TaggedEvent]
+    implicit val keyEnc: Encoder[(String, String)] = Encoders.tuple(Encoders.STRING, Encoders.STRING)
+    implicit val outEnc: Encoder[(String, String, S)] =
+      Encoders.tuple(Encoders.STRING, Encoders.STRING, enc)
+    val local = ps.toVector
+    val byName = local.toMap
+    val tagged = ProjectionBatch.toProjEvents(src).flatMap { e =>
+      local.iterator
+        .filter { case (_, p) =>
+          p.selector match {
+            case SelectAll         => true
+            case SelectStreams(ss) => ss.contains(e.streamId)
+          }
+        }
+        .map { case (n, p) => TaggedEvent(n, p.partitionOf(e), e) }
+    }
+    tagged
+      .groupByKey(t => (t.proj, t.key))
+      .flatMapGroupsWithState[S, (String, String, S)](OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (pk: (String, String), events: Iterator[TaggedEvent], state: GroupState[S]) =>
+          val p = byName(pk._1)
+          val ordered = events.toArray.sortBy(_.event.position)
+          var cur = state.getOption
+          val out = Vector.newBuilder[(String, String, S)]
+          ordered.foreach { te =>
+            val (s, fwd) = p.step(cur, te.event)
+            cur = Some(s)
+            if (fwd) out += ((pk._1, pk._2, s))
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  /**
    * Start the pump end-to-end: subscription source on `logDir` → fold →
    * result-stream parquet sink at `outDir/$projections-{name}-result`.
    * `availableNow = true` processes the backlog and stops (catch-up);

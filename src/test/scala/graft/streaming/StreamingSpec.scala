@@ -311,6 +311,38 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch, s"pump $got != batch $batch")
   }
 
+  test("multiplexed pump: N projections in one streaming query, states independent across batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def count(name: String) = Projection.named(name).fromAll().foreachStream()
+      .when[SCount](SCount(0), Map("$any" -> ((s: SCount, _: ProjEvent) => s.copy(count = s.count + 1))))
+      .build
+    def clicks(name: String) = Projection.named(name).fromAll().foreachStream()
+      .when[SCount](SCount(0), Map("click" -> ((s: SCount, _: ProjEvent) => s.copy(count = s.count + 1))))
+      .build
+    val ps = Seq("all" -> count("all"), "clicks" -> clicks("clicks"))
+    val mem = MemoryStream[EvRow]
+    val out = ProjectionPump.emissionsAll(ps, mem.toDF()).toDF("proj", "partition", "st")
+    val q = out.writeStream.format("memory").queryName("multi_pump")
+      .outputMode(OutputMode.Update()).start()
+    val got =
+      try {
+        mem.addData(ev("s-0", "click", 0, 1), ev("s-0", "view", 1, 2))
+        q.processAllAvailable()
+        mem.addData(ev("s-0", "click", 2, 3), ev("s-1", "view", 0, 4))
+        q.processAllAvailable()
+        spark.sql(
+          """select proj, partition, max(st.count) as c
+            |from multi_pump group by 1, 2""".stripMargin)
+          .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      } finally q.stop()
+    // "all" counted every event per stream; "clicks" only the clicks —
+    // state persisted across the two micro-batches, per (proj, key)
+    assert(got == Map(
+      ("all", "s-0") -> 3L, ("all", "s-1") -> 1L,
+      ("clicks", "s-0") -> 2L, ("clicks", "s-1") -> 0L))
+  }
+
   test("event-time windows with watermark: counts by window, late rows dropped") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
