@@ -391,6 +391,30 @@ object RelationalQueries {
         .agg(sum(col("rev_x100")).as("revenue_x100"), count(lit(1)).as("n_lines"))
         .orderBy(col("revenue_x100").desc, col("n_name").asc)
     },
+    // General OLAP, promo-revenue-share shape (conditional share over a
+    // dimension attribute): what fraction of one quarter's revenue came
+    // from PROMO parts. The part dimension broadcasts into the single
+    // filtered fact scan; both the conditional and total sums come out
+    // of ONE aggregation (no second pass); the share is exact integer
+    // permille of the two centi-unit sums.
+    "olap_promo_share" -> { (s: SparkSession, dir: String) =>
+      val lo = lit("1996-01-01").cast("timestamp")
+      val hi = lit("1996-04-01").cast("timestamp")
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .select(col("l_partkey"),
+          floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * lit(100.0))
+            .cast("long").as("rev_x100"))
+      val part = s.read.parquet(s"$dir/part.parquet")
+        .select(col("p_partkey"), col("p_type"))
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", col("rev_x100")).otherwise(0L)).as("promo_x100"),
+          sum(col("rev_x100")).as("total_x100"),
+          count(lit(1)).as("n_lines"))
+        .select(col("promo_x100"), col("total_x100"), col("n_lines"),
+          expr("(1000 * promo_x100) div total_x100").as("promo_permille"))
+    },
     // General OLAP, returned-item-customer shape (aggregate-before-join):
     // 1996 revenue lost to returns, by customer, top 10. The fact is
     // aggregated to the customer grain BEFORE any dimension join — the
@@ -572,6 +596,19 @@ object RelationalQueries {
          |  AND r_name = 'ASIA'
          |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
          |GROUP BY 1 ORDER BY revenue_x100 DESC, n_name ASC""".stripMargin,
+    "olap_promo_share" ->
+      s"""WITH j AS (
+         |  SELECT p_type,
+         |    CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT) AS rev_x100
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+         |)
+         |SELECT
+         |  CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_x100 ELSE 0 END) AS BIGINT) AS promo_x100,
+         |  CAST(sum(rev_x100) AS BIGINT) AS total_x100,
+         |  count(*) AS n_lines,
+         |  CAST((1000 * sum(CASE WHEN p_type = 'PROMO' THEN rev_x100 ELSE 0 END)) // sum(rev_x100) AS BIGINT) AS promo_permille
+         |FROM j""".stripMargin,
     "olap_returned_customers" ->
       s"""SELECT c_custkey, c_name, n_name,
          |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)) AS BIGINT) AS lost_x100,

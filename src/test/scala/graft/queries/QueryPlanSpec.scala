@@ -262,6 +262,14 @@ class QueryPlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"semi-join must ride the key:\n$plan")
   }
 
+  test("olap_promo_share: part dimension broadcast, one aggregation pass") {
+    val plan = RelationalQueries.queries("olap_promo_share")(spark, dir)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"), s"part dim must broadcast in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"fact must not shuffle for the join:\n$plan")
+    assert(plan.contains("partial_sum"), s"expected one combined agg pass in:\n$plan")
+  }
+
   test("olap_returned_customers: dims broadcast, top-10 fused") {
     val plan = RelationalQueries.queries("olap_returned_customers")(spark, dir)
       .queryExecution.executedPlan.toString()
