@@ -43,6 +43,23 @@ object DedupQueries {
         Dedup.minhashLshPairsFromSets(Tables.shingleSets(s, dir), thresholdX1000 = 300))
         .orderBy("id")
     },
+    // DEDUP-RATE REPORT by source: what fraction of each source's docs
+    // are near-dup cluster LOSERS (member ≠ keeper) — the per-source
+    // quality dashboard a curation run publishes. The cluster table is
+    // tiny (only docs that appear in a pair); documents join it by key
+    // (broadcastable side), one rollup shuffle on source.
+    "dedup_rate_by_source" -> { (s: SparkSession, dir: String) =>
+      val losers = Dedup.duplicateClusters(
+        Dedup.minhashLshPairsFromSets(Tables.shingleSets(s, dir), thresholdX1000 = 300))
+        .filter(col("id") =!= col("keeper"))
+        .select(col("id"))
+      Tables.docs(s, dir)
+        .join(broadcast(losers), col("doc_id") === col("id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), count(col("id")).as("n_dupes"),
+          expr("(1000 * count(id)) div count(1)").as("dup_permille"))
+        .orderBy("source")
+    },
     // winnowing (MOSS) passage fingerprints: sorted distinct window-of-4
     // minima over the positional 3-gram hashes — local-overlap detection
     // at a ~2/(w+1) storage budget (map-only graft_winnow kernel)
@@ -235,6 +252,23 @@ object DedupQueries {
          |)
          |SELECT src AS id, least(src, min(dst)) AS keeper
          |FROM reach GROUP BY src ORDER BY id""".stripMargin,
+    "dedup_rate_by_source" ->
+      s"""WITH RECURSIVE $minhashPairCtes, edges AS (
+         |  SELECT a AS src, b AS dst FROM pairs
+         |  UNION SELECT b, a FROM pairs
+         |), reach AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |), losers AS (
+         |  SELECT src AS id FROM reach GROUP BY src
+         |  HAVING src <> least(src, min(dst))
+         |)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(count(l.id) AS BIGINT) AS n_dupes,
+         |  CAST((1000 * count(l.id)) // count(*) AS BIGINT) AS dup_permille
+         |FROM documents d LEFT JOIN losers l ON d.doc_id = l.id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_winnow_fps" ->
       s"""$WN SELECT doc_id, fp FROM post ORDER BY doc_id, fp""",
     "dedup_winnow_pairs" ->

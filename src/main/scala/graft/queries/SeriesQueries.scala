@@ -137,6 +137,24 @@ object SeriesQueries {
           max(col("n")).as("max_n"), sum(col("sv")).as("sum_value_x1000"))
         .orderBy("decile")
     },
+    // DAY-OVER-DAY TRENDING: per-type daily volumes with the delta vs
+    // the previous active day — the trend panel next to the histogram
+    // and bands. One partial-aggregated shuffle collapses the log to
+    // (day, type); the lag window runs over that tiny aggregate, keyed
+    // by type (days per type, not events).
+    "agg_trending" -> { (s: SparkSession, dir: String) =>
+      val daily = ev(s, dir)
+        .select(micros.as("tus"), col("event_type"))
+        .select(expr("tus div 86400000000").as("day"), col("event_type"))
+        .groupBy(col("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      daily
+        .withColumn("prev", coalesce(lag(col("n"), 1).over(w), lit(0L)))
+        .select(col("day"), col("event_type"), col("n"),
+          (col("n") - col("prev")).as("delta"))
+        .orderBy("day", "event_type")
+    },
     // FUNNEL TIME-TO-CONVERT: for streams completing the full
     // signup→view→click→purchase funnel (greedy first-match positions,
     // same semantics as funnel_steps/proj_funnel_stage), the elapsed µs
@@ -335,6 +353,14 @@ object SeriesQueries {
          |SELECT decile, count(*) AS n_streams, min(n) AS min_n, max(n) AS max_n,
          |       CAST(sum(sv) AS BIGINT) AS sum_value_x1000
          |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_trending" ->
+      s"""$EV, daily AS (
+         |  SELECT epoch_us(ts) // 86400000000 AS day, event_type, count(*) AS n
+         |  FROM ev GROUP BY 1, 2
+         |)
+         |SELECT day, event_type, n,
+         |  CAST(n - coalesce(lag(n) OVER (PARTITION BY event_type ORDER BY day), 0) AS BIGINT) AS delta
+         |FROM daily ORDER BY day, event_type""".stripMargin,
     "agg_funnel_time" ->
       s"""$EV, s1 AS (SELECT stream, min(position) AS p1 FROM ev WHERE event_type = 'signup' GROUP BY 1),
          |s2 AS (SELECT e.stream, min(e.position) AS p2 FROM ev e JOIN s1 ON e.stream = s1.stream
