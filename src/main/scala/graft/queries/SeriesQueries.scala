@@ -137,6 +137,20 @@ object SeriesQueries {
           max(col("n")).as("max_n"), sum(col("sv")).as("sum_value_x1000"))
         .orderBy("decile")
     },
+    // DAILY ERROR RATE: errors per day as exact integer permille of the
+    // day's volume — the SLO panel. Both counts come out of ONE
+    // partial-aggregated pass (conditional sum, no second scan).
+    "agg_error_rate" -> { (s: SparkSession, dir: String) =>
+      ev(s, dir)
+        .select(micros.as("tus"), col("event_type"))
+        .select(expr("tus div 86400000000").as("day"), col("event_type"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_errors"))
+        .select(col("day"), col("n"), col("n_errors"),
+          expr("(1000 * n_errors) div n").as("error_permille"))
+        .orderBy("day")
+    },
     // DAY-OVER-DAY TRENDING: per-type daily volumes with the delta vs
     // the previous active day — the trend panel next to the histogram
     // and bands. One partial-aggregated shuffle collapses the log to
@@ -353,6 +367,11 @@ object SeriesQueries {
          |SELECT decile, count(*) AS n_streams, min(n) AS min_n, max(n) AS max_n,
          |       CAST(sum(sv) AS BIGINT) AS sum_value_x1000
          |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_error_rate" ->
+      s"""$EV SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS n,
+         |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+         |  CAST((1000 * sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS error_permille
+         |FROM ev GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_trending" ->
       s"""$EV, daily AS (
          |  SELECT epoch_us(ts) // 86400000000 AS day, event_type, count(*) AS n
