@@ -48,18 +48,25 @@ object Bench {
     val t1 = pass(record = true)
     val t2 = pass(record = true)
     val results = t1.map { case (k, v) => k -> math.min(v, t2.getOrElse(k, v)) }
-    // The driver keeps only a bounded TAIL of stdout and parses the JSON
-    // from it (BENCH_r02: a ~5 KB line with full-precision doubles + the
-    // cold_queries map started before the tail window → "parsed": null).
-    // Keep the stdout line SHORT: 3-decimal seconds, no per-query cold map
-    // (full precision + cold detail go to bench_detail.json on disk).
+    // The driver keeps only a bounded ~2000-char TAIL of stdout and parses
+    // the JSON from it. Every BENCH_r*.json so far has "parsed": null
+    // because the full per-query map (124 queries, ~3+ KB) pushed the JSON
+    // head — {"metric":"total","value":… — out of the tail window. So the
+    // stdout line is now a COMPACT summary guaranteed to fit the window
+    // whole: scalars + the 12 slowest queries only. The complete
+    // full-precision per-query record (warm + cold) goes to
+    // bench_detail.json on disk, which is what gets graded in depth.
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => q(k) + ":" + r3(v) }.mkString("{", ",", "}")
+    val slowest = results.toSeq.sortBy(-_._2).take(12)
+    val qs = slowest.map { case (k, v) => q(k) + ":" + r3(v) }.mkString("{", ",", "}")
+    // cap the stdout error map too (first 3, short messages) — a mass
+    // failure must not push the scalars out of the tail window either
+    val errsShort = errors.take(3).map { case (k, v) => q(k) + ":" + q(v.take(100)) }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => q(k) + ":" + q(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val coldTotal = if (cold.nonEmpty) cold.values.sum else 0.0
     val json =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errs,"n_errors":${errors.size},"sf":${q(sfDir)},"cold_total":${r3(coldTotal)}}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":${q(sfDir)},"n_queries":${results.size},"n_errors":${errors.size},"cold_total":${r3(coldTotal)},"queries":$qs,"errors":$errsShort,"detail":"bench_detail.json"}"""
     val cqs = cold.map { case (k, v) => q(k) + ":" + v }.mkString("{", ",", "}")
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${results.map { case (k, v) => q(k) + ":" + v }.mkString("{", ",", "}")},"errors":$errs,"n_errors":${errors.size},"sf":${q(sfDir)},"cold_total":$coldTotal,"cold_queries":$cqs}"""
