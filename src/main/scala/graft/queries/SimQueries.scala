@@ -58,12 +58,11 @@ object SimQueries {
       x1e6(Similarity.topKLshFromNormed(
         Tables.normedEmb(s, dir), queryRow(Tables.emb(s, dir)), K, DIM))
     },
+    // distributed-exact all-pairs: block-partitioned, bounded per-task
+    // memory, NO driver collect. The broadcast-collect baseline
+    // (Similarity.bruteForcePairs) is spec-only — SimilaritySpec pins the
+    // two bit-identical.
     "dedup_embedding_cosine" -> { (s: SparkSession, dir: String) =>
-      x1e6(Similarity.bruteForcePairs(Tables.emb(s, dir), 0.45)).orderBy("a", "b")
-    },
-    // the distributed-exact path: block-partitioned all-pairs (no driver
-    // collect, bounded per-task memory) — same result set, same oracle
-    "dedup_embedding_cosine_blocked" -> { (s: SparkSession, dir: String) =>
       x1e6(Similarity.bruteForcePairsBlocked(Tables.emb(s, dir), 0.45)).orderBy("a", "b")
     },
     "sim_lsh_pairs" -> { (s: SparkSession, dir: String) =>
@@ -346,8 +345,6 @@ object SimQueries {
          |ORDER BY (${dotSql("embedding", "qv")} / (nrm * qn)) DESC, vec_id ASC
          |LIMIT $K""".stripMargin,
     "dedup_embedding_cosine" -> allPairsSql,
-    // exact-blocked variant computes the identical pair set
-    "dedup_embedding_cosine_blocked" -> allPairsSql,
     "sim_lsh_pairs" ->
       s"""$N, bk AS (
          |  SELECT vec_id, embedding, nrm, ${bucketsSql("embedding")} AS bks FROM n
