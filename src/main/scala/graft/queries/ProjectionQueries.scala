@@ -11,6 +11,7 @@ final case class FunnelState(stage: Long)
 final case class CountState(count: Long)
 final case class DispatchState(clicks: Long, views: Long, others: Long)
 final case class SumKState(sum_k: Long)
+final case class CusumState(position: Long, cusum: Long)
 
 /**
  * Verify-gate queries exercising the projection fold engine (SURVEY.md §2.4
@@ -154,6 +155,69 @@ object ProjectionQueries {
       flat(ProjectionBatch.finalStates(p,
         Fixture.events(s, dir).filter(col("position") <= 5000)))
     },
+    // CUSUM change-point detection AS a per-stream fold: one-sided upper
+    // CUSUM on the payload's k (target+slack = 55), s = max(0, s + (k-55)),
+    // drift alarm while s > h = 150. Sequential-fold semantics ride the
+    // same secondary-sort engine as every projection (and hence run
+    // incrementally on the streaming pump); the oracle uses the exact
+    // prefix-sum identity s_i = P_i - min(0, min_{j<=i} P_j), which a
+    // window engine can evaluate without recursion — the fold and the
+    // window form are provably the same function (pinned by spec too).
+    "anomaly_cusum" -> { (s: SparkSession, dir: String) =>
+      import s.implicits._
+      val p = Projection.named("cusum").fromAll().foreachStream()
+        .when[CusumState](CusumState(0L, 0L),
+          Map("$any" -> ((st: CusumState, e: ProjEvent) =>
+            CusumState(e.position, math.max(0L, st.cusum + parseK(e.bodyRaw) - 55L)))))
+        .filterBy(_.cusum > 150L)
+        .build
+      ProjectionBatch.emittedStates(p, Fixture.events(s, dir))
+        .toDF("stream", "state")
+        .select(col("stream"), col("state.position").as("position"),
+          col("state.cusum").as("cusum"))
+        .orderBy("stream", "position")
+    },
+    // §2.8 JS-source compatibility: a projection stored as the reference's
+    // JavaScript source string (the goja DSL, projection.go:363-373) is
+    // ingested AS-IS by JsProjection.compile and executed as a distributed
+    // fold — partitionBy fn, $any handler with a JSON body read, filterBy
+    // emit-gate, transformBy state rewrite, all from the source text.
+    "proj_js_source" -> { (s: SparkSession, dir: String) =>
+      import s.implicits._
+      val src =
+        """
+        fromAll()
+          .partitionBy(function(e) {
+            return e.eventType
+          })
+          .when({
+            $init: function() {
+              return { count: 0, sum_k: 0 }
+            },
+            $any: function(state, event) {
+              state.count += 1
+              state.sum_k += event.body.k
+            }
+          })
+          .filterBy(function(state) {
+            return state.count > 10
+          })
+          .transformBy(function(state) {
+            return {...state, kind: 'js'}
+          })
+          .outputState()
+        """
+      val p = JsProjection.compile(src, "js-gate").projection
+      implicit val enc: org.apache.spark.sql.Encoder[JsProjection.JsVal] =
+        org.apache.spark.sql.Encoders.javaSerialization[JsProjection.JsVal]
+      ProjectionBatch.lastEmitted(p, Fixture.events(s, dir))
+        .map { case (k, st) =>
+          (k, JsProjection.JsVal.long(st, "count"),
+            JsProjection.JsVal.long(st, "sum_k"), JsProjection.JsVal.str(st, "kind"))
+        }
+        .toDF("partition", "count", "sum_k", "kind")
+        .orderBy("partition")
+    },
     // S7 + §2.10: the stored-projection lifecycle — a JSON descriptor is
     // saved to the Catalog, fetched back, compiled by ProjectionScript and
     // executed distributed (the reference's create→store→run round-trip,
@@ -230,6 +294,34 @@ object ProjectionQueries {
     "proj_replay_at_position" ->
       s"""$EV SELECT stream AS partition, count(*) AS count FROM ev
          |WHERE position <= 5000 GROUP BY stream ORDER BY stream""".stripMargin,
+    // fold == window: s_i = max(0, s_{i-1}+d_i) equals
+    // P_i - min(0, min_{j<=i} P_j) over prefix sums P (running-max identity)
+    "anomaly_cusum" ->
+      s"""$EV, dd AS (
+         |  SELECT stream, position,
+         |    CAST(json_extract_string(props, '$$.k') AS BIGINT) - 55 AS d
+         |  FROM ev
+         |), pf AS (
+         |  SELECT stream, position,
+         |    sum(d) OVER (PARTITION BY stream ORDER BY position ROWS UNBOUNDED PRECEDING) AS p
+         |  FROM dd
+         |), c AS (
+         |  SELECT stream, position,
+         |    p - least(CAST(0 AS BIGINT),
+         |          min(p) OVER (PARTITION BY stream ORDER BY position ROWS UNBOUNDED PRECEDING)) AS cusum
+         |  FROM pf
+         |)
+         |SELECT stream, position, CAST(cusum AS BIGINT) AS cusum
+         |FROM c WHERE cusum > 150
+         |ORDER BY stream, position""".stripMargin,
+    // the JS fold is count + sum(k) per event type, emitted only past the
+    // count>10 gate, with the transform's constant field
+    "proj_js_source" ->
+      s"""$EV SELECT event_type AS partition, count(*) AS count,
+         |  CAST(sum(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+         |  'js' AS kind
+         |FROM ev GROUP BY event_type HAVING count(*) > 10
+         |ORDER BY event_type""".stripMargin,
     // specific handler WINS over $any (dispatch precedence), so 'others'
     // counts only non-click events
     "proj_catalog_roundtrip" ->

@@ -30,6 +30,27 @@ class SeriesSpec extends SparkSpec {
     }
   }
 
+  test("anomaly_cusum: sequential fold equals the prefix-min window identity") {
+    import org.apache.spark.sql.expressions.Window
+    // the fold: s_i = max(0, s_{i-1} + d_i), emitted while s > 150
+    val fold = ProjectionQueries.queries("anomaly_cusum")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fold.nonEmpty, "fixture must contain drift excursions")
+    // the window identity: s_i = P_i - min(0, min_{j<=i} P_j)
+    val w = Window.partitionBy("stream").orderBy("position")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val win = graft.log.Fixture.events(spark, dir)
+      .withColumn("d",
+        coalesce(regexp_extract(col("props").cast("string"),
+          "\"k\"\\s*:\\s*(-?\\d+)", 1).cast("long"), lit(0L)) - 55L)
+      .withColumn("pf", sum(col("d")).over(w))
+      .withColumn("cusum", col("pf") - least(lit(0L), min(col("pf")).over(w)))
+      .filter(col("cusum") > 150L)
+      .select(col("stream"), col("position").cast("long"), col("cusum"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fold == win, "fold and window forms must agree row-for-row")
+  }
+
   test("backfill_shards: shards partition the log into balanced disjoint ranges") {
     val rows = SeriesQueries.queries("backfill_shards")(spark, dir).collect()
     val total = graft.log.Fixture.events(spark, dir).count()
