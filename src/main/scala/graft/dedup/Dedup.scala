@@ -238,6 +238,75 @@ object Dedup {
     labels.select(col("id"), col("lbl").as("keeper"))
   }
 
+  /**
+   * Line-level boilerplate detection (CCNet-style, Wenzek et al. 2019
+   * "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+   * Data"): chunk each document into fixed token spans ("lines" — the
+   * corpus here has no natural newlines, so the line grain is a
+   * `wordsPerLine`-token window), key every line by its md5, count each
+   * line's document frequency across the corpus, and flag lines at
+   * `df >= minDf` as boilerplate. Returns per-doc
+   * (doc_id, n_lines, n_boiler, boiler_permille).
+   *
+   * Scale shape: the chunking is array-native (`transform`/`slice` inside
+   * the row — no shuffle, no per-group collection); the DF pass shuffles
+   * 32-byte line keys, never text; the hot set is small by construction
+   * (boilerplate = high-DF, few distinct values) and broadcasts back for
+   * the per-doc roll-up — documents themselves never shuffle.
+   */
+  def lineBoilerplate(docs: DataFrame, wordsPerLine: Int = 4, minDf: Long = 3,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val lines = docLines(docs, wordsPerLine, idCol, textCol)
+      .select(col("id"), md5(col("line")).as("lh"))
+    val hot = lines.groupBy("lh").agg(countDistinct(col("id")).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("lh"), lit(1L).as("is_hot"))
+    lines
+      .join(broadcast(hot), Seq("lh"), "left")
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(coalesce(col("is_hot"), lit(0L))).as("n_boiler"))
+      .withColumn("boiler_permille", expr("(1000 * n_boiler) div n_lines"))
+  }
+
+  /**
+   * The cleaning half of CCNet line dedup: every document with its
+   * boilerplate lines (df >= minDf) removed, remaining lines rejoined in
+   * order. Documents whose every line is boilerplate drop out (nothing
+   * left to keep). Same plan shape as [[lineBoilerplate]] plus one
+   * order-preserving per-doc fold (array_sort on (line_no, line) structs —
+   * no cross-row state).
+   */
+  def stripBoilerplate(docs: DataFrame, wordsPerLine: Int = 4, minDf: Long = 3,
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val lines = docLines(docs, wordsPerLine, idCol, textCol)
+      .withColumn("lh", md5(col("line")))
+    val hot = lines.groupBy("lh").agg(countDistinct(col("id")).as("df"))
+      .filter(col("df") >= minDf)
+      .select("lh")
+    lines
+      .join(broadcast(hot), Seq("lh"), "left_anti")
+      .groupBy(col("id").as(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("line_no"), col("line")))),
+          s => s.getField("line")),
+        " ").as("clean_text"))
+  }
+
+  /** (id, line_no, line): fixed `wordsPerLine`-token spans per document —
+    * array-native (zero-shuffle) chunking shared by the two ops above. */
+  private def docLines(docs: DataFrame, wordsPerLine: Int,
+                       idCol: String, textCol: String): DataFrame = {
+    val k = wordsPerLine
+    val ws = split(col(textCol), " ")
+    val nChunks = ceil(size(ws).cast("double") / k).cast("int")
+    docs
+      .filter(length(col(textCol)) > 0)
+      .select(col(idCol).as("id"),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => array_join(slice(ws, i * k + 1, lit(k)), " "))).as(Seq("line_no", "line")))
+  }
+
   /** Per-doc 16-bit SimHash: (id, simhash). */
   def simhashes(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.select(col(idCol).as("id"), graft.functions.Fast.simhash16Fast(col(textCol)).as("simhash"))

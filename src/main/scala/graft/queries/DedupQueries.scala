@@ -98,6 +98,19 @@ object DedupQueries {
           col("best_jaccard_x1000"))
         .orderBy("doc_id")
     },
+    // CCNet-style line-grain boilerplate: per-doc line counts + how many
+    // of its 4-token lines are corpus-frequent (df >= 3). The detection
+    // report (the removal decision input).
+    "dedup_lines" -> { (s: SparkSession, dir: String) =>
+      Dedup.lineBoilerplate(Tables.docs(s, dir), wordsPerLine = 4, minDf = 3)
+        .orderBy("doc_id")
+    },
+    // ... and the cleaning itself: documents with boilerplate lines
+    // stripped, survivors rejoined in order
+    "dedup_lines_strip" -> { (s: SparkSession, dir: String) =>
+      Dedup.stripBoilerplate(Tables.docs(s, dir), wordsPerLine = 4, minDf = 3)
+        .orderBy("doc_id")
+    },
     "dedup_editdist" -> { (s: SparkSession, dir: String) =>
       import org.apache.spark.sql.functions.{col, levenshtein, substring}
       val t = Tables.docs(s, dir).filter(col("lang") === "en")
@@ -196,6 +209,23 @@ object DedupQueries {
        |    FROM cand c JOIN sig x ON c.a = x.doc_id JOIN sig y ON c.b = y.doc_id
        |  ) WHERE jaccard_x1000 >= 300
        |)""".stripMargin
+
+  /** CTEs ending in lines(doc_id, line_no, line, lh) + hot(lh) — the
+    * CCNet line grain: 4-token spans, md5 keys, df >= 3 hot set (mirrors
+    * Dedup.docLines/lineBoilerplate; 64 spans cover the fixture's ≤100-word
+    * docs). */
+  private val LINES =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE length(text) > 0
+      |), lines AS (
+      |  SELECT doc_id, i AS line_no,
+      |    array_to_string(ws[(i*4+1):((i+1)*4)], ' ') AS line,
+      |    md5(array_to_string(ws[(i*4+1):((i+1)*4)], ' ')) AS lh
+      |  FROM w, (SELECT unnest(generate_series(0, 63)) AS i) g
+      |  WHERE i*4 < len(ws)
+      |), hot AS (
+      |  SELECT lh FROM lines GROUP BY lh HAVING count(DISTINCT doc_id) >= 3
+      |)""".stripMargin
 
   private val simhashExpr: String =
     (0 until 16)
@@ -298,6 +328,19 @@ object DedupQueries {
          |SELECT a AS doc_id, count(*) AS n_matches, min(b) AS first_match,
          |       max(j) AS best_jaccard_x1000
          |FROM p WHERE j >= 300 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dedup_lines" ->
+      s"""$LINES
+         |SELECT l.doc_id, count(*) AS n_lines,
+         |  CAST(sum(CASE WHEN h.lh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+         |  CAST((1000 * sum(CASE WHEN h.lh IS NOT NULL THEN 1 ELSE 0 END)) // count(*) AS BIGINT)
+         |    AS boiler_permille
+         |FROM lines l LEFT JOIN hot h USING (lh)
+         |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin,
+    "dedup_lines_strip" ->
+      s"""$LINES
+         |SELECT doc_id, string_agg(line, ' ' ORDER BY line_no) AS clean_text
+         |FROM lines WHERE lh NOT IN (SELECT lh FROM hot)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dedup_editdist" ->
       s"""WITH t AS (
          |  SELECT doc_id, substr(text, 1, 32) AS t32, substr(text, 1, 8) AS blk

@@ -24,6 +24,31 @@ class DedupSpec extends SparkSpec {
     assert(!cutoff.exists(r => r.getLong(0) < 20L && r.getLong(1) < 20L))
   }
 
+  test("line boilerplate: corpus-frequent spans flagged and stripped, rare text kept") {
+    import spark.implicits._
+    // 3 docs share the same 4-token license span; each has unique tail text
+    val boiler = "provided as is without"
+    val docs = Seq(
+      (1L, s"$boiler warranty alpha bravo charlie delta"),
+      (2L, s"$boiler warranty echo foxtrot golf hotel"),
+      (3L, s"$boiler warranty india juliet kilo lima"),
+      (4L, "entirely original words here nothing shared at all")
+    ).toDF("doc_id", "text")
+
+    // lines are 4-token spans: doc 1 = [boiler, "warranty alpha bravo charlie", "delta"]
+    val rep = Dedup.lineBoilerplate(docs, wordsPerLine = 4, minDf = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rep(1L) == ((3L, 1L))) // 3 lines, 1 boilerplate
+    assert(rep(2L) == ((3L, 1L)))
+    assert(rep(4L) == ((2L, 0L)))
+
+    val clean = Dedup.stripBoilerplate(docs, wordsPerLine = 4, minDf = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(clean(1L) == "warranty alpha bravo charlie delta") // order preserved
+    assert(clean(4L) == "entirely original words here nothing shared at all")
+    assert(!clean.values.exists(_.contains(boiler)))
+  }
+
   test("duplicateClusters: transitive groups resolve to the min-id keeper") {
     import spark.implicits._
     // components: {1,2,3} via chain 1-2, 2-3; {10,11}; singletons absent
