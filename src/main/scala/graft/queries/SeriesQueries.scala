@@ -226,6 +226,31 @@ object SeriesQueries {
         .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"), col("wau"))
         .orderBy("day")
     },
+    // ... and the SKETCHED rolling WAU — the 100 TB form the comment
+    // above promises: one HLL sketch per report day (RollingWau), fed by
+    // the same map-side fan-out, servable incrementally (the streaming
+    // path shares the fold — StreamingSpec pins incremental == batch).
+    // The gate pins every day's estimate within 10% of the exact
+    // distinct count (integer-arithmetic check, same contract as
+    // agg_sketch_union).
+    "agg_rolling_wau_sketch" -> { (s: SparkSession, dir: String) =>
+      import s.implicits._
+      val base = ev(s, dir).select(col("stream"), micros.as("tus"))
+      val act = base.select(col("stream"), expr("tus div 86400000000").as("day")).distinct()
+      val bounds = act.agg(max(col("day")).as("d1"))
+      val exact = act
+        .select(col("stream"), explode(sequence(col("day"), col("day") + 6)).as("day"))
+        .groupBy(col("day")).agg(countDistinct(col("stream")).as("exact_wau"))
+      val est = graft.streaming.RollingWau.estimatesBatch(
+        graft.streaming.RollingWau.updates(base)).toDF()
+      est.join(exact, Seq("day"))
+        .join(broadcast(bounds))
+        .filter(col("day") <= col("d1"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(when(abs(col("wau") - col("exact_wau")) * 10 <= col("exact_wau"), 1L)
+            .otherwise(0L)).as("n_ok"))
+        .select(lit("rolling_wau_hll").as("check"), col("n_days"), col("n_ok"))
+    },
     // SESSION-PATH SIGNATURE: each stream's first 10 events as an
     // ordered "a->b->c" path string — the navigation-path report that
     // feeds funnel design (and the string form of markov_transitions'
@@ -412,6 +437,20 @@ object SeriesQueries {
          |)
          |SELECT day, coalesce(dau, 0) AS dau, wau
          |FROM wau LEFT JOIN dau USING (day) ORDER BY day""".stripMargin,
+    // the invariant, not the sketch internals: every report day's HLL
+    // estimate lands within tolerance (n_ok == n_days)
+    "agg_rolling_wau_sketch" ->
+      s"""$EV, act AS (
+         |  SELECT DISTINCT stream, epoch_us(ts) // 86400000000 AS day FROM ev
+         |), b AS (SELECT max(day) AS d1 FROM act),
+         |fan AS (
+         |  SELECT DISTINCT unnest(generate_series(day, day + 6)) AS day FROM act
+         |), n AS (
+         |  SELECT count(*) AS n_days FROM fan, b WHERE day <= d1
+         |)
+         |SELECT 'rolling_wau_hll' AS check,
+         |  CAST(n_days AS BIGINT) AS n_days, CAST(n_days AS BIGINT) AS n_ok
+         |FROM n""".stripMargin,
     "agg_path_signature" ->
       s"""$EV SELECT stream, count(*) AS n,
          |  string_agg(event_type, '->' ORDER BY position) AS path

@@ -3,6 +3,7 @@ package graft.streaming
 import java.nio.file.Files
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, countDistinct, explode, expr, sequence}
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.SparkSpec
@@ -24,6 +25,9 @@ case class SinkRow(stream: String, uuid: String, event_type: String, data: Strin
 
 /** Right-side row for stream-stream join tests. */
 case class ViewRow(v_stream: String, view_id: String, v_ts: java.sql.Timestamp)
+
+/** Activity row (stream, event-time micros) for rolling-WAU tests. */
+case class ActRow(stream: String, tus: Long)
 
 case class SCount(count: Long)
 
@@ -444,6 +448,41 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       assert(latest() == Map("a" -> (3L, "t2"), "b" -> (4L, "t3")))
       assert(spark.sql("select * from mat_snap").count() == afterBatch1 + 1)
+    } finally q.stop()
+  }
+
+  test("rolling WAU sketches: incremental micro-batches == batch fold, within 10% of exact") {
+    import spark.implicits._
+    val DayUs = 86400000000L
+    val input = MemoryStream[ActRow](spark)
+    val q = RollingWau.estimatesStreaming(
+      RollingWau.updates(input.toDF()))
+      .writeStream.format("memory").queryName("wau_stream")
+      .outputMode(OutputMode.Update())
+      .start()
+    // 3 micro-batches, overlapping users and days (days 0..10, 25 users)
+    def rows(b: Int): Seq[ActRow] =
+      (0 until 40).map(i => ActRow(s"u-${(i * 7 + b * 13) % 25}",
+        (b * 3L + i % 5) * DayUs + i))
+    try {
+      (0 until 3).foreach { b => input.addData(rows(b): _*); q.processAllAvailable() }
+      // estimates only grow, so the final value per day is the max emission
+      val streamed = spark.sql("select day, max(wau) from wau_stream group by day")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val all = (0 until 3).flatMap(rows).toDF()
+      val batch = RollingWau.estimatesBatch(RollingWau.updates(all))
+        .collect().map(e => e.day -> e.wau).toMap
+      assert(streamed == batch, "incremental sketches must equal the one-pass batch fold")
+      // ... and every day within 10% of the exact rolling distinct
+      val exact = all
+        .select(col("stream"), expr("tus div 86400000000").as("d")).distinct()
+        .select(col("stream"), explode(sequence(col("d"), col("d") + 6)).as("day"))
+        .groupBy("day").agg(countDistinct("stream").as("x"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(exact.keySet == streamed.keySet)
+      exact.foreach { case (d, x) =>
+        assert(math.abs(streamed(d) - x) * 10 <= x, s"day $d: est ${streamed(d)} vs exact $x")
+      }
     } finally q.stop()
   }
 }
