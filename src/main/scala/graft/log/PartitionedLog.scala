@@ -73,6 +73,48 @@ object PartitionedLog {
       .sortWithinPartitions("position")
       .write.mode("overwrite").partitionBy("bucket").parquet(dstDir)
 
+  /** Bit-interleave of two `bits`-wide bucket columns — the space-filling
+    * z-curve key (same arithmetic as the `zorder_keys` gate query, kept
+    * engine-exact). */
+  private def zInterleave(ub: org.apache.spark.sql.Column,
+                          tb: org.apache.spark.sql.Column, bits: Int): org.apache.spark.sql.Column =
+    (0 until bits)
+      .map(k =>
+        shiftleft(shiftright(ub, k).bitwiseAND(lit(1L)), 2 * k)
+          .bitwiseOR(shiftleft(shiftright(tb, k).bitwiseAND(lit(1L)), 2 * k + 1)))
+      .reduce(_ bitwiseOR _)
+
+  /**
+   * Z-order compaction: rewrite the log range-clustered by the interleaved
+   * (stream-bucket, time-bucket) key, so BOTH per-entity and per-time-range
+   * predicates prune row groups — a single-column sort clusters only one
+   * dimension; the z-curve keeps each file's min/max tight in both.
+   * `zorder_keys` computes the key; this writes the layout it promises.
+   *
+   * Plan shape: one range shuffle on `z` (each output file covers a
+   * disjoint z interval), per-file sort, and the bucket columns
+   * (`ubucket`/`tbucket`) are STORED so parquet footer min/max stats over
+   * them drive row-group skipping under the original 2-column predicates
+   * (pruning asserted by PartitionedLogSpec against the position-sorted
+   * layout on the same data).
+   */
+  def zorderCompact(log: DataFrame, dstDir: String,
+                    nFiles: Int = 8, bits: Int = 4): Unit =
+    withZ(log, bits)
+      .repartitionByRange(nFiles, col("z"))
+      .sortWithinPartitions("z")
+      .write.mode("overwrite").parquet(dstDir)
+
+  /** The log with its z-layout key and bucket columns materialized. */
+  def withZ(log: DataFrame, bits: Int = 4): DataFrame = {
+    val m = lit(1L << bits)
+    val micros = graft.streaming.Sessionize.microsFromNanos(col("ts"))
+    log
+      .withColumn("ubucket", pmod(call_function("graft_polyhash", col("stream")), m))
+      .withColumn("tbucket", pmod(floor(micros / lit(86400000000L)).cast("long"), m))
+      .withColumn("z", zInterleave(col("ubucket"), col("tbucket"), bits))
+  }
+
   /**
    * Bounded read over the partitioned layout: single-stream reads get the
    * bucket-equality predicate (directory pruning); `$all` reads scan all

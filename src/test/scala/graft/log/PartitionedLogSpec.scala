@@ -84,4 +84,38 @@ class PartitionedLogSpec extends SparkSpec {
     assert(q.queryExecution.executedPlan.toString().contains("PartitionFilters"))
     assert(q.count() > 0)
   }
+
+  test("zorderCompact: 2-column range predicate reads fewer rows than a position-sorted layout") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val ev = Fixture.events(spark, "/root/testdata/sf0.001")
+    val zDir = Files.createTempDirectory("graft-zorder").toString
+    val pDir = Files.createTempDirectory("graft-posorder").toString
+    PartitionedLog.zorderCompact(ev, zDir, nFiles = 8)
+    // baseline: SAME columns, same file count, clustered by position only
+    PartitionedLog.withZ(ev)
+      .repartitionByRange(8, col("position"))
+      .sortWithinPartitions("position")
+      .write.mode("overwrite").parquet(pDir)
+
+    // the 2-D predicate both per-entity and per-time dashboards issue
+    def pred(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("ubucket") === 3L && col("tbucket").between(0L, 7L))
+    def scannedRows(dir: String): (Long, Seq[Long]) = {
+      val q = pred(spark.read.parquet(dir)).select("position")
+      val rows = q.collect().map(_.getLong(0)).sorted.toSeq
+      val scanned = q.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s.metrics("numOutputRows").value
+      }.sum
+      (scanned, rows)
+    }
+    val (zScanned, zRows) = scannedRows(zDir)
+    val (pScanned, pRows) = scannedRows(pDir)
+    assert(zRows == pRows, "layouts must serve identical results")
+    assert(zRows.nonEmpty)
+    // row-group stats on the stored bucket columns prune the z-clustered
+    // files; the position-sorted layout has every file straddling all
+    // bucket values, so nothing prunes
+    assert(zScanned < pScanned,
+      s"z-order must read fewer rows: z=$zScanned vs position=$pScanned")
+  }
 }
