@@ -65,11 +65,56 @@ object Bench {
     val errs = errors.map { case (k, v) => q(k) + ":" + q(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val coldTotal = if (cold.nonEmpty) cold.values.sum else 0.0
+    // per-query regression tracking: bench_history.json keeps the best
+    // (MIN) warm time ever observed per query at this sf; a query at
+    // >2x its historical best is flagged loudly so hypervisor noise on
+    // the TOTAL stops masking real per-query regressions. History only
+    // ratchets down, so a noisy slow run never poisons the baseline.
+    val histPath = java.nio.file.Paths.get("bench_history.json")
+    val histRe = """"([^"]+)":([0-9.eE+-]+)""".r
+    val hist: Map[String, Double] =
+      if (java.nio.file.Files.exists(histPath)) {
+        val txt = new String(java.nio.file.Files.readAllBytes(histPath), "UTF-8")
+        val key = "\"" + sfDir + "\":{"
+        val i = txt.indexOf(key)
+        if (i < 0) Map.empty
+        else {
+          val body = txt.substring(i + key.length, txt.indexOf('}', i + key.length))
+          histRe.findAllMatchIn(body).map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+      } else Map.empty
+    val regressions = results.collect {
+      case (k, v) if hist.get(k).exists(h => v > 2 * h && v - h > 0.25) =>
+        k -> (v, hist(k))
+    }
+    regressions.foreach { case (k, (now, best)) =>
+      System.err.println(f"[bench] REGRESSION $k: $now%.3fs vs historical best $best%.3fs (>2x)")
+    }
+    val newHist = (hist.keySet ++ results.keySet).map { k =>
+      val best = (hist.get(k).toSeq ++ results.get(k).toSeq).min
+      k -> best
+    }.toMap
+    try {
+      // merge this sf's section back into the (possibly multi-sf) file
+      val others =
+        if (java.nio.file.Files.exists(histPath)) {
+          val txt = new String(java.nio.file.Files.readAllBytes(histPath), "UTF-8")
+          """"(/[^"]+)":\{([^}]*)\}""".r.findAllMatchIn(txt)
+            .map(m => m.group(1) -> m.group(2)).filterNot(_._1 == sfDir).toMap
+        } else Map.empty[String, String]
+      val mine = newHist.toSeq.sortBy(_._1)
+        .map { case (k, v) => q(k) + ":" + r3(v) }.mkString(",")
+      val full = (others.toSeq :+ (sfDir -> mine)).sortBy(_._1)
+        .map { case (sf, body) => q(sf) + ":{" + body + "}" }.mkString("{", ",", "}")
+      java.nio.file.Files.write(histPath, (full + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () } // history is best-effort
+    val regs = regressions.map { case (k, (now, best)) =>
+      q(k) + ":" + s"""{"now":${r3(now)},"best":${r3(best)}}""" }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":${q(sfDir)},"n_queries":${results.size},"n_errors":${errors.size},"cold_total":${r3(coldTotal)},"queries":$qs,"errors":$errsShort,"detail":"bench_detail.json"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":${q(sfDir)},"n_queries":${results.size},"n_errors":${errors.size},"n_regressions":${regressions.size},"cold_total":${r3(coldTotal)},"queries":$qs,"errors":$errsShort,"detail":"bench_detail.json"}"""
     val cqs = cold.map { case (k, v) => q(k) + ":" + v }.mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${results.map { case (k, v) => q(k) + ":" + v }.mkString("{", ",", "}")},"errors":$errs,"n_errors":${errors.size},"sf":${q(sfDir)},"cold_total":$coldTotal,"cold_queries":$cqs}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${results.map { case (k, v) => q(k) + ":" + v }.mkString("{", ",", "}")},"errors":$errs,"n_errors":${errors.size},"sf":${q(sfDir)},"cold_total":$coldTotal,"n_regressions":${regressions.size},"regressions":$regs,"cold_queries":$cqs}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
       (detail + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () } // detail dump is best-effort

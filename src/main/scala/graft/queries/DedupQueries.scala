@@ -13,6 +13,11 @@ import graft.dedup.{Dedup, Hashing}
  */
 object DedupQueries {
 
+  /** The deterministic 25% validation subset (signature tables key docs by
+    * `id`); per-doc signatures are unchanged by the filter, so subset
+    * results equal the parent pipeline restricted to subset docs. */
+  private def sub4(sets: DataFrame): DataFrame = sets.filter(col("id") % 4 === 0)
+
   // the shingle-set / simhash signature passes are shared across the pair
   // queries via Tables' per-(session, dir) memo — computed once per corpus
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -110,6 +115,29 @@ object DedupQueries {
     "dedup_lines_strip" -> { (s: SparkSession, dir: String) =>
       Dedup.stripBoilerplate(Tables.docs(s, dir), wordsPerLine = 4, minDf = 3)
         .orderBy("doc_id")
+    },
+    // ---- deterministic 25% subset (doc_id % 4 == 0) scale-validation
+    // forms: the parent pair/cluster oracles are quadratic DuckDB CTEs
+    // that cannot finish at sf0.1; these keep candidate generation +
+    // verification arithmetic IDENTICAL while shrinking the oracle's
+    // join ~16x, so the family gets full value comparison at 10x scale
+    // too (sf0.1 run record in STATUS.md), not just the sf0.01 gate.
+    "dedup_ngram_jaccard_sub" -> { (s: SparkSession, dir: String) =>
+      Dedup.ngramJaccardPairsFromSets(sub4(Tables.shingleSets(s, dir)), thresholdX1000 = 300)
+        .orderBy("a", "b")
+    },
+    "dedup_minhash_lsh_sub" -> { (s: SparkSession, dir: String) =>
+      Dedup.minhashLshPairsFromSets(sub4(Tables.shingleSets(s, dir)), thresholdX1000 = 300)
+        .orderBy("a", "b")
+    },
+    "dedup_clusters_sub" -> { (s: SparkSession, dir: String) =>
+      Dedup.duplicateClusters(
+        Dedup.minhashLshPairsFromSets(sub4(Tables.shingleSets(s, dir)), thresholdX1000 = 300))
+        .orderBy("id")
+    },
+    "dedup_simhash_sub" -> { (s: SparkSession, dir: String) =>
+      Dedup.simhashPairsFromSigs(sub4(Tables.simhashSigs(s, dir)), maxHamming = 1)
+        .orderBy("a", "b")
     },
     "dedup_editdist" -> { (s: SparkSession, dir: String) =>
       import org.apache.spark.sql.functions.{col, levenshtein, substring}
@@ -233,7 +261,7 @@ object DedupQueries {
         s"(CASE WHEN list_sum(list_transform(th, h -> 2 * ((h >> $i) & 1) - 1)) > 0 THEN ${1L << i} ELSE 0 END)")
       .mkString(" + ")
 
-  val oracles: Map[String, String] = Map(
+  private val baseOracles: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT md5(text) AS content_md5, min(doc_id) AS keeper, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -363,4 +391,14 @@ object DedupQueries {
          |FROM sb l JOIN sb r ON l.band = r.band AND l.bk = r.bk AND l.doc_id < r.doc_id
          |WHERE bit_count(xor(l.simhash, r.simhash)) <= 1 ORDER BY a, b""".stripMargin
   )
+
+  /** Subset oracle = parent oracle with the corpus source filtered — the
+    * only `FROM documents` in these chains is the tokenization CTE, so the
+    * whole pipeline downstream is textually identical. */
+  private def docs20(sql: String): String =
+    sql.replace("FROM documents", "FROM documents WHERE doc_id % 4 = 0")
+
+  val oracles: Map[String, String] = baseOracles ++
+    Seq("dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_clusters", "dedup_simhash")
+      .map(n => s"${n}_sub" -> docs20(baseOracles(n)))
 }

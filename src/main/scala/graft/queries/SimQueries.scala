@@ -68,6 +68,26 @@ object SimQueries {
     "sim_lsh_pairs" -> { (s: SparkSession, dir: String) =>
       x1e6(Similarity.lshPairsFromNormed(Tables.normedEmb(s, dir), 0.4, DIM)).orderBy("a", "b")
     },
+    // ---- deterministic 25% subset (vec_id % 4 == 0) scale-validation
+    // forms: the all-pairs/recursive oracles cannot finish at sf0.1; the
+    // subset keeps the per-vector arithmetic (norms, buckets, cosine)
+    // identical while shrinking the oracle join ~16x, so the pair/cluster
+    // family is value-compared at 10x scale too (record in STATUS.md).
+    "dedup_embedding_cosine_sub" -> { (s: SparkSession, dir: String) =>
+      x1e6(Similarity.bruteForcePairsBlocked(
+        Tables.emb(s, dir).filter(col("vec_id") % 4 === 0), 0.45)).orderBy("a", "b")
+    },
+    "sim_lsh_pairs_sub" -> { (s: SparkSession, dir: String) =>
+      x1e6(Similarity.lshPairsFromNormed(
+        Tables.normedEmb(s, dir).filter(col("id") % 4 === 0), 0.4, DIM)).orderBy("a", "b")
+    },
+    "sim_dup_clusters_sub" -> { (s: SparkSession, dir: String) =>
+      graft.dedup.Dedup.duplicateClusters(
+        Similarity.bruteForcePairsBlocked(
+          Tables.emb(s, dir).filter(col("vec_id") % 4 === 0), 0.45)
+          .select(col("a"), col("b")))
+        .orderBy("id")
+    },
     // IVF scale path: deterministic sampled codebook → SQL-reproducible,
     // full DuckDB oracle below (k-means build exactness pinned by IvfSpec)
     "sim_topk_ivf" -> { (s: SparkSession, dir: String) =>
@@ -326,7 +346,7 @@ object SimQueries {
        |  FROM n x JOIN n y ON x.vec_id < y.vec_id
        |) WHERE cos >= 0.45 ORDER BY a, b""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  private val baseOracles: Map[String, String] = Map(
     "sim_topk_bruteforce" ->
       s"""$N, q AS (SELECT embedding AS qv, nrm AS qn FROM n WHERE vec_id = 0)
          |SELECT vec_id,
@@ -657,4 +677,14 @@ object SimQueries {
          |  CAST(floor(cos * 1000000.0) AS BIGINT) AS cos_x1e6
          |FROM sc WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
   )
+
+  /** Subset oracle = parent oracle with the corpus source filtered — these
+    * three chains read `FROM embeddings` only in the norms CTE, so the
+    * pipeline downstream is textually identical. */
+  private def emb20(sql: String): String =
+    sql.replace("FROM embeddings", "FROM embeddings WHERE vec_id % 4 = 0")
+
+  val oracles: Map[String, String] = baseOracles ++
+    Seq("dedup_embedding_cosine", "sim_lsh_pairs", "sim_dup_clusters")
+      .map(n => s"${n}_sub" -> emb20(baseOracles(n)))
 }
