@@ -60,25 +60,39 @@ object ProjectionService {
   def status(spark: SparkSession, dir: String, name: String): Option[(Boolean, Long)] =
     rawStatus(spark, dir, name).collect { case (en, ep, false) => (en, ep) }
 
-  /** proto `Create`: validate + store the descriptor, enabled. A name
-    * recreated after delete starts at the NEXT epoch — the pump's
-    * checkpoint/result dirs are epoch-namespaced, so the new incarnation
-    * never resumes the deleted one's streaming state or mixes into its
-    * result parquet. Fails if the name exists undeleted. */
+  /** A stored source is either the JSON descriptor dialect or a raw
+    * reference-style JavaScript projection source (the reference stores
+    * only JS source strings, `projections/service.go:20-28`). */
+  private def isJsSource(script: String): Boolean = !script.trim.startsWith("{")
+
+  /** Kind-dispatched validation: both dialects must compile to be stored
+    * (the reference's Create runs goja over the source for the same
+    * reason, `projection.go:363-373`). Returns the script unchanged. */
+  private def validatedSource(name: String, script: String): String =
+    if (isJsSource(script)) { JsProjection.compile(script, name); script }
+    else ProjectionScript.validated(script)
+
+  /** proto `Create`: validate + store the descriptor, enabled. Accepts
+    * BOTH source dialects: the JSON descriptor and a raw reference JS
+    * projection source — an eventstorm user's stored sources ingest
+    * as-is. A name recreated after delete starts at the NEXT epoch — the
+    * pump's checkpoint/result dirs are epoch-namespaced, so the new
+    * incarnation never resumes the deleted one's streaming state or
+    * mixes into its result parquet. Fails if the name exists undeleted. */
   def create(spark: SparkSession, dir: String, name: String, script: String,
              nowNanos: Long = System.nanoTime()): Unit = {
     require(status(spark, dir, name).isEmpty, s"projection '$name' already exists")
     val epoch = rawStatus(spark, dir, name).map(_._2 + 1L).getOrElse(0L)
-    Catalog.save(spark, catalogDir(dir), name, ProjectionScript.validated(script), nowNanos)
+    Catalog.save(spark, catalogDir(dir), name, validatedSource(name, script), nowNanos)
     writeStatus(spark, dir, name, enabled = true, epoch = epoch, deleted = false, nowNanos)
   }
 
   /** proto `Update`: store a new descriptor version (no-op in the
-    * reference, service.go:30-32 — real here). */
+    * reference, service.go:30-32 — real here). Either dialect. */
   def update(spark: SparkSession, dir: String, name: String, script: String,
              nowNanos: Long = System.nanoTime()): Unit = {
     require(status(spark, dir, name).nonEmpty, s"no such projection '$name'")
-    Catalog.save(spark, catalogDir(dir), name, ProjectionScript.validated(script), nowNanos)
+    Catalog.save(spark, catalogDir(dir), name, validatedSource(name, script), nowNanos)
   }
 
   /** proto `Delete`. The tombstone carries the deleted incarnation's
@@ -113,13 +127,48 @@ object ProjectionService {
     writeStatus(spark, dir, name, enabled = enabled, epoch = epoch + 1L, deleted = false, nowNanos)
   }
 
-  /** Compile the stored descriptor (latest version). */
-  def compiled(spark: SparkSession, dir: String, name: String): Projection[ProjectionScript.Bag] = {
+  /** Latest stored source text for `name` (either dialect). */
+  private def source(spark: SparkSession, dir: String, name: String): String = {
     if (status(spark, dir, name).isEmpty)
       throw new NoSuchElementException(s"no such projection '$name'")
-    val src = Catalog.get(spark, catalogDir(dir), name)
+    Catalog.get(spark, catalogDir(dir), name)
       .getOrElse(throw new NoSuchElementException(s"no descriptor for '$name'"))
+  }
+
+  /** Compile the stored descriptor (latest version). JSON dialect only —
+    * JS-source projections run via [[compiledJs]] / [[stateJson]]. */
+  def compiled(spark: SparkSession, dir: String, name: String): Projection[ProjectionScript.Bag] = {
+    val src = source(spark, dir, name)
+    require(!isJsSource(src), s"'$name' is a JS-source projection — use stateJson/compiledJs")
     ProjectionScript.compile(src)
+  }
+
+  /** Compile a stored JS-source projection (latest version). */
+  def compiledJs(spark: SparkSession, dir: String, name: String): Projection[JsProjection.JsVal] = {
+    val src = source(spark, dir, name)
+    require(isJsSource(src), s"'$name' is a JSON-descriptor projection — use compiled")
+    JsProjection.compile(src, name).projection
+  }
+
+  /** `State` for EITHER dialect, state rendered as canonical JSON —
+    * the dialect-agnostic serving surface (a JS projection's state is an
+    * arbitrary object, not a counter bag). */
+  def stateJson(spark: SparkSession, dir: String, name: String, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    if (isJsSource(source(spark, dir, name))) {
+      implicit val enc: org.apache.spark.sql.Encoder[JsProjection.JsVal] =
+        org.apache.spark.sql.Encoders.javaSerialization[JsProjection.JsVal]
+      ProjectionBatch.finalStates(compiledJs(spark, dir, name), events)
+        .map { case (k, st) => (k, JsProjection.JsVal.toJson(st)) }
+        .toDF("partition", "state_json")
+    } else {
+      ProjectionBatch.finalStates(compiled(spark, dir, name), events)
+        .map { case (k, bag) =>
+          (k, bag.toSeq.sortBy(_._1)
+            .map { case (f, v) => "\"" + f + "\":" + v }.mkString("{", ",", "}"))
+        }
+        .toDF("partition", "state_json")
+    }
   }
 
   /** Epoch-namespaced (checkpoint, result) dirs for the live pump; refuses
@@ -131,16 +180,25 @@ object ProjectionService {
     (s"$dir/pump/$name/epoch-$epoch/checkpoint", s"$dir/pump/$name/epoch-$epoch/result")
   }
 
-  /** Run the stored projection LIVE: compile the latest descriptor and
-    * start the [[graft.streaming.ProjectionPump]] against `logDir`, with
-    * checkpoint/result dirs namespaced by the current epoch (so `reset`
-    * + restart refolds from scratch). Refuses when disabled. */
+  /** Run the stored projection LIVE: compile the latest source (either
+    * dialect) and start the [[graft.streaming.ProjectionPump]] against
+    * `logDir`, with checkpoint/result dirs namespaced by the current
+    * epoch (so `reset` + restart refolds from scratch). JS-source
+    * projections emit their state JSON-rendered (arbitrary object state).
+    * Refuses when disabled. */
   def startPump(spark: SparkSession, dir: String, name: String, logDir: String,
                 availableNow: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery = {
     import spark.implicits._
-    val p = compiled(spark, dir, name)
     val (ckpt, out) = pumpDirs(spark, dir, name)
-    graft.streaming.ProjectionPump.start(spark, p, logDir, out, ckpt, availableNow)
+    if (isJsSource(source(spark, dir, name))) {
+      implicit val enc: org.apache.spark.sql.Encoder[JsProjection.JsVal] =
+        org.apache.spark.sql.Encoders.javaSerialization[JsProjection.JsVal]
+      graft.streaming.ProjectionPump.startRendered(
+        spark, compiledJs(spark, dir, name), logDir, out, ckpt, availableNow)(
+        JsProjection.JsVal.toJson)
+    } else
+      graft.streaming.ProjectionPump.start(
+        spark, compiled(spark, dir, name), logDir, out, ckpt, availableNow)
   }
 
   /** proto `State`: the current fold state per partition (batch recompute
@@ -168,11 +226,13 @@ object ProjectionService {
     import spark.implicits._
     val ps = listNames(spark, dir)
       .filter(n => status(spark, dir, n).exists(_._1)) // enabled only
+      .filter(n => !isJsSource(source(spark, dir, n))) // bag-typed multiplexed fold
       .map(n => n -> compiled(spark, dir, n))
     ProjectionBatch.finalStatesAll(ps, events).toDF("projection", "partition", "state")
   }
 
-  /** proto `Result`: the emitted result-stream content (filterBy-gated). */
+  /** proto `Result`: the emitted result-stream content (filterBy-gated).
+    * JSON dialect; JS-source projections use [[resultJson]]. */
   def result(spark: SparkSession, dir: String, name: String, events: DataFrame): DataFrame = {
     import spark.implicits._
     val p = compiled(spark, dir, name)
@@ -180,10 +240,31 @@ object ProjectionService {
       .withColumn("result_stream", lit(p.resultStream))
   }
 
-  /** proto `Statistics`: per-projection processing counters. */
+  /** `Result` for a stored JS-source projection, states JSON-rendered. */
+  def resultJson(spark: SparkSession, dir: String, name: String, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    implicit val enc: org.apache.spark.sql.Encoder[JsProjection.JsVal] =
+      org.apache.spark.sql.Encoders.javaSerialization[JsProjection.JsVal]
+    val p = compiledJs(spark, dir, name)
+    ProjectionBatch.emittedStates(p, events)
+      .map { case (k, st) => (k, JsProjection.JsVal.toJson(st)) }
+      .toDF("partition", "state_json")
+      .withColumn("result_stream", lit(p.resultStream))
+  }
+
+  /** proto `Statistics`: per-projection processing counters (either
+    * dialect — only the selector and result-stream name are needed). */
   def statistics(spark: SparkSession, dir: String, name: String, events: DataFrame): DataFrame = {
-    val p = compiled(spark, dir, name)
-    val selectedEvents = p.selector match {
+    val src0 = source(spark, dir, name)
+    val (selector, resultStream) =
+      if (isJsSource(src0)) {
+        val c = JsProjection.compile(src0, name)
+        (c.selector, c.resultStream)
+      } else {
+        val p = ProjectionScript.compile(src0)
+        (p.selector, p.resultStream)
+      }
+    val selectedEvents = selector match {
       case SelectAll         => events
       case SelectStreams(ss) => events.filter(col("stream").isin(ss: _*))
     }
@@ -192,7 +273,7 @@ object ProjectionService {
       .withColumn("name", lit(name))
       .withColumn("enabled", lit(enabled))
       .withColumn("epoch", lit(epoch))
-      .withColumn("result_stream", lit(p.resultStream))
+      .withColumn("result_stream", lit(resultStream))
       .select("name", "enabled", "epoch", "events_processed", "result_stream")
   }
 }

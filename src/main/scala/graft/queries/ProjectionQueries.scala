@@ -218,6 +218,32 @@ object ProjectionQueries {
         .toDF("partition", "count", "sum_k", "kind")
         .orderBy("partition")
     },
+    // ... and the same through the SERVICE: a raw reference JS source is
+    // stored by ProjectionService.create (validated by compile, like the
+    // reference's goja run on Create), fetched back and executed
+    // distributed, with the arbitrary-object state served as canonical
+    // JSON (stateJson — the dialect-agnostic serving surface)
+    "proj_js_service" -> { (s: SparkSession, dir: String) =>
+      val svc = java.nio.file.Files.createTempDirectory("graft-js-svc").toString
+      ProjectionService.create(s, svc, "clicks-js",
+        """
+        fromAll()
+          .foreachStream()
+          .when({
+            $init: function() { return { n: 0, sum_k: 0 } },
+            click: function(state, event) {
+              state.n += 1
+              state.sum_k += event.body.k
+            }
+          })
+          .outputState()
+        """, nowNanos = 1L)
+      ProjectionService.stateJson(s, svc, "clicks-js", Fixture.events(s, dir))
+        .select(col("partition"),
+          get_json_object(col("state_json"), "$.n").cast("long").as("n"),
+          get_json_object(col("state_json"), "$.sum_k").cast("long").as("sum_k"))
+        .orderBy("partition")
+    },
     // S7 + §2.10: the stored-projection lifecycle — a JSON descriptor is
     // saved to the Catalog, fetched back, compiled by ProjectionScript and
     // executed distributed (the reference's create→store→run round-trip,
@@ -314,6 +340,14 @@ object ProjectionQueries {
          |SELECT stream, position, CAST(cusum AS BIGINT) AS cusum
          |FROM c WHERE cusum > 150
          |ORDER BY stream, position""".stripMargin,
+    // $init runs on the first event of ANY type, so every stream appears;
+    // the typed handler counts/sums only clicks
+    "proj_js_service" ->
+      s"""$EV SELECT stream AS partition,
+         |  count(*) FILTER (WHERE event_type = 'click') AS n,
+         |  CAST(coalesce(sum(CAST(json_extract_string(props, '$$.k') AS BIGINT))
+         |       FILTER (WHERE event_type = 'click'), 0) AS BIGINT) AS sum_k
+         |FROM ev GROUP BY stream ORDER BY stream""".stripMargin,
     // the JS fold is count + sum(k) per event type, emitted only past the
     // count>10 gate, with the transform's constant field
     "proj_js_source" ->

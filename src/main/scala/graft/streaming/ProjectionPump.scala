@@ -119,4 +119,28 @@ object ProjectionPump {
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
   }
+
+  /**
+   * [[start]] with the emitted state passed through `render` into a plain
+   * string column — the sink shape for folds whose state has no parquet-
+   * friendly product encoding (a JS-source projection's state is an
+   * arbitrary object; the service renders it as canonical JSON).
+   */
+  def startRendered[S](spark: SparkSession, p: Projection[S], logDir: String, outDir: String,
+                       checkpointDir: String, availableNow: Boolean = false)(render: S => String)(
+      implicit enc: Encoder[S]): StreamingQuery = {
+    implicit val outEnc: Encoder[(String, String)] =
+      Encoders.tuple(Encoders.STRING, Encoders.STRING)
+    val src = Subscriptions.subscribe(spark, logDir, graft.model.ReadOptions(graft.model.AllStreams))
+    val sink = s"$outDir/${p.resultStream}"
+    val writer = emissions(p, src)
+      .map { case (k, s) => (k, render(s)) }
+      .toDF("partition", "state_json").writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(sink)
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
 }

@@ -128,4 +128,77 @@ class ProjectionServiceSpec extends SparkSpec {
     val (ck1, res1) = ProjectionService.pumpDirs(spark, dir, "svc")
     assert(ck1.contains("epoch-1") && res1.contains("epoch-1")) // fresh fold namespace
   }
+
+  private val jsSource =
+    """
+    fromAll()
+      .foreachStream()
+      .when({
+        $init: function() { return { n: 0, last: '' } },
+        $any: function(state, event) {
+          state.n += 1
+          state.last = event.eventType
+        }
+      })
+      .outputState()
+    """
+
+  test("JS-source projections store, serve and multiplex through the service") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-svc-js").toString
+    // a bad JS source is rejected at create (like goja compile on Create)
+    intercept[JsProjection.JsParseException](
+      ProjectionService.create(spark, dir, "bad", "fromAll().nope()", nowNanos = 1L))
+    ProjectionService.create(spark, dir, "js", jsSource, nowNanos = 2L)
+    ProjectionService.create(spark, dir, "svc", script, nowNanos = 3L)
+
+    // dialect routing: typed verbs refuse the wrong dialect
+    intercept[IllegalArgumentException](ProjectionService.compiled(spark, dir, "js"))
+    intercept[IllegalArgumentException](ProjectionService.compiledJs(spark, dir, "svc"))
+
+    // stateJson serves BOTH dialects
+    val evs = (1 to 6).map(p => (s"s-${p % 2}", if (p == 6) "click" else "view", "{}", p.toLong))
+      .toDF("stream", "event_type", "data", "position")
+    val js = ProjectionService.stateJson(spark, dir, "js", evs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(js == Map(
+      "s-0" -> """{"last":"click","n":3}""",
+      "s-1" -> """{"last":"view","n":3}"""))
+    val bag = ProjectionService.stateJson(spark, dir, "svc", evs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(bag == Map("s-0" -> """{"n":3}""", "s-1" -> """{"n":3}"""))
+
+    // the bag-typed multiplexed fold keeps working, skipping the JS entry
+    val all = ProjectionService.stateAll(spark, dir, evs)
+      .select("projection").distinct().collect().map(_.getString(0)).toSet
+    assert(all == Set("svc"))
+    // statistics is dialect-agnostic
+    assert(ProjectionService.statistics(spark, dir, "js", evs).head().getLong(3) == 6L)
+  }
+
+  test("a stored JS source runs LIVE through the pump, state JSON-rendered") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-svc-js-pump").toString
+    val logDir = Files.createTempDirectory("graft-svc-js-log").toString
+    (1 to 8).map(p => (s"s-${p % 2}", s"u-$p", if (p % 4 == 0) "click" else "view", "{}",
+      Map.empty[String, String], p / 2L, p.toLong))
+      .toDF("stream", "uuid", "event_type", "data", "metadata", "revision", "position")
+      .write.mode("append").parquet(logDir)
+    ProjectionService.create(spark, dir, "js", jsSource, nowNanos = 1L)
+    val q = ProjectionService.startPump(spark, dir, "js", logDir, availableNow = true)
+    q.awaitTermination()
+    val res = spark.read.parquet(s"$dir/pump/js/epoch-0/result/$$projections-js-result")
+    assert(res.count() == 8) // every fold step forwards
+    import org.apache.spark.sql.functions.{col, get_json_object, max => fmax}
+    val finals = res
+      .select(col("partition"), get_json_object(col("state_json"), "$.n").cast("long").as("n"))
+      .groupBy("partition").agg(fmax(col("n")).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(finals == Map("s-0" -> 4L, "s-1" -> 4L))
+    // the final streamed state equals the batch stateJson over the same log
+    val batch = ProjectionService.stateJson(spark, dir, "js",
+      spark.read.parquet(logDir))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(batch("s-0") == """{"last":"click","n":4}""")
+  }
 }
