@@ -307,6 +307,67 @@ object Dedup {
           i => array_join(slice(ws, i * k + 1, lit(k)), " "))).as(Seq("line_no", "line")))
   }
 
+  /**
+   * Exact substring-span dedup (Lee et al. 2022, "Deduplicating Training
+   * Data Makes Language Models Better"): fixed-length token spans hashed
+   * positionally; a span occurring verbatim in ≥2 documents is a
+   * cross-document exact duplicate — the contamination/boilerplate signal
+   * the suffix-array method finds, computed here as a distributed
+   * posting-list aggregation instead of a global suffix sort.
+   *
+   * Postings: (id, pos, span_h) — one row per span position. The token
+   * hashes are bound to a materialized column FIRST, so the per-span
+   * 8-element fold reads the array O(L) instead of re-tokenizing per
+   * element (the Expression-level perf note in STATUS.md).
+   */
+  def spanPostings(docs: DataFrame, spanTokens: Int = 8,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val P = Hashing.P
+    docs
+      .select(col(idCol).as("id"), Hashing.tokenHashes(col(textCol)).as("th"))
+      .withColumn("m", size(col("th")) - (spanTokens - 1))
+      .filter(col("m") >= 1)
+      .select(col("id"),
+        posexplode(transform(sequence(lit(1), col("m")),
+          i => (1 until spanTokens).foldLeft(element_at(col("th"), i)) {
+            (acc, j) => (acc * 31L + element_at(col("th"), i + lit(j))) % P
+          })).as(Seq("pos", "span_h")))
+  }
+
+  /**
+   * The cross-document duplicated spans: (span_h, n_docs, n_occ) for
+   * spans present in ≥ minDocs distinct documents. One shuffle of 8-byte
+   * span keys (documents never move); at 100 TB this is the same
+   * inverted-posting shape as the shingle index, and the output is the
+   * span blocklist a cleaning pass subtracts.
+   */
+  def duplicateSpans(docs: DataFrame, spanTokens: Int = 8, minDocs: Long = 2,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    spanPostings(docs, spanTokens, idCol, textCol)
+      .groupBy("span_h")
+      .agg(countDistinct(col("id")).as("n_docs"), count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= minDocs)
+
+  /**
+   * Per-document contamination profile: how much of each document is
+   * covered by cross-document exact spans — (doc_id, n_spans, n_dup,
+   * dup_permille). The duplicated-span set joins back by the 8-byte key
+   * (broadcastable — duplicated spans are few by definition).
+   */
+  def spanDupProfile(docs: DataFrame, spanTokens: Int = 8,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val post = spanPostings(docs, spanTokens, idCol, textCol)
+    val dup = post.groupBy("span_h").agg(countDistinct(col("id")).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select(col("span_h"), lit(1L).as("is_dup"))
+    post
+      .join(broadcast(dup), Seq("span_h"), "left")
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup"))
+      .withColumn("dup_permille", expr("(1000 * n_dup) div n_spans"))
+  }
+
   /** Per-doc 16-bit SimHash: (id, simhash). */
   def simhashes(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.select(col(idCol).as("id"), graft.functions.Fast.simhash16Fast(col(textCol)).as("simhash"))

@@ -116,6 +116,18 @@ object DedupQueries {
       Dedup.stripBoilerplate(Tables.docs(s, dir), wordsPerLine = 4, minDf = 3)
         .orderBy("doc_id")
     },
+    // Lee-et-al-style EXACT substring dedup: verbatim 8-token spans
+    // shared across documents, found as a posting-list aggregation (the
+    // distributed stand-in for the suffix-array pass) — the span
+    // blocklist plus the per-doc contamination profile
+    "dedup_spans" -> { (s: SparkSession, dir: String) =>
+      Dedup.duplicateSpans(Tables.docs(s, dir), spanTokens = 8, minDocs = 2)
+        .orderBy("span_h")
+    },
+    "dedup_span_profile" -> { (s: SparkSession, dir: String) =>
+      Dedup.spanDupProfile(Tables.docs(s, dir), spanTokens = 8)
+        .orderBy("doc_id")
+    },
     // ---- deterministic 25% subset (doc_id % 4 == 0) scale-validation
     // forms: the parent pair/cluster oracles are quadratic DuckDB CTEs
     // that cannot finish at sf0.1; these keep candidate generation +
@@ -255,6 +267,28 @@ object DedupQueries {
       |  SELECT lh FROM lines GROUP BY lh HAVING count(DISTINCT doc_id) >= 3
       |)""".stripMargin
 
+  /** CTEs ending in post(doc_id, span_h) — positional 8-token span hashes
+    * (mirrors Dedup.spanPostings: same token hashes, same 8-step fold). */
+  private val SPANS: String = {
+    val fold = (1 until 8).foldLeft("th[i]")((acc, j) => s"(($acc) * 31 + th[i+$j]) % $P")
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents
+       |), thc AS (
+       |  SELECT doc_id, list_transform(toks, tk ->
+       |    list_reduce(
+       |      list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(string_split(tk, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |      (h, c) -> (h * 31 + c) % $P)) AS th
+       |  FROM t
+       |), sp AS (
+       |  SELECT doc_id,
+       |    list_transform(range(1, greatest(len(th) - 7, 0) + 1), i -> $fold) AS sps
+       |  FROM thc
+       |), post AS (
+       |  SELECT doc_id, unnest(sps) AS span_h FROM sp
+       |)""".stripMargin
+  }
+
   private val simhashExpr: String =
     (0 until 16)
       .map(i =>
@@ -356,6 +390,21 @@ object DedupQueries {
          |SELECT a AS doc_id, count(*) AS n_matches, min(b) AS first_match,
          |       max(j) AS best_jaccard_x1000
          |FROM p WHERE j >= 300 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dedup_spans" ->
+      s"""$SPANS
+         |SELECT span_h, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+         |FROM post GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+         |ORDER BY span_h""".stripMargin,
+    "dedup_span_profile" ->
+      s"""$SPANS, dup AS (
+         |  SELECT span_h FROM post GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+         |)
+         |SELECT p.doc_id, count(*) AS n_spans,
+         |  CAST(sum(CASE WHEN d.span_h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+         |  CAST((1000 * sum(CASE WHEN d.span_h IS NOT NULL THEN 1 ELSE 0 END)) // count(*) AS BIGINT)
+         |    AS dup_permille
+         |FROM post p LEFT JOIN dup d USING (span_h)
+         |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
     "dedup_lines" ->
       s"""$LINES
          |SELECT l.doc_id, count(*) AS n_lines,

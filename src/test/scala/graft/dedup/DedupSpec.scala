@@ -49,6 +49,28 @@ class DedupSpec extends SparkSpec {
     assert(!clean.values.exists(_.contains(boiler)))
   }
 
+  test("exact span dedup: a verbatim 8-token passage is found across documents") {
+    import spark.implicits._
+    val passage = "the quick brown fox jumps over the lazy" // exactly 8 tokens
+    val docs = Seq(
+      (1L, s"alpha beta $passage gamma delta"),
+      (2L, s"$passage completely different tail here now"),
+      (3L, "nothing shared with anyone at all in this one ok")
+    ).toDF("doc_id", "text")
+
+    val spans = Dedup.duplicateSpans(docs, spanTokens = 8, minDocs = 2).collect()
+    // the shared passage yields exactly one cross-doc span hash
+    assert(spans.length == 1)
+    assert(spans.head.getLong(1) == 2L && spans.head.getLong(2) == 2L)
+
+    val prof = Dedup.spanDupProfile(docs, spanTokens = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc 1: 12 tokens -> 5 spans, 1 duplicated; doc 3: none duplicated
+    assert(prof(1L) == ((5L, 1L)))
+    assert(prof(2L)._2 == 1L)
+    assert(prof(3L)._2 == 0L)
+  }
+
   test("duplicateClusters: transitive groups resolve to the min-id keeper") {
     import spark.implicits._
     // components: {1,2,3} via chain 1-2, 2-3; {10,11}; singletons absent
