@@ -343,7 +343,11 @@ object Dedup {
    */
   def duplicateSpans(docs: DataFrame, spanTokens: Int = 8, minDocs: Long = 2,
                      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    spanPostings(docs, spanTokens, idCol, textCol)
+    duplicateSpansFromPostings(spanPostings(docs, spanTokens, idCol, textCol), minDocs)
+
+  /** Same, over a precomputed [[spanPostings]] table (share it across ops). */
+  def duplicateSpansFromPostings(post: DataFrame, minDocs: Long = 2): DataFrame =
+    post
       .groupBy("span_h")
       .agg(countDistinct(col("id")).as("n_docs"), count(lit(1)).as("n_occ"))
       .filter(col("n_docs") >= minDocs)
@@ -355,8 +359,11 @@ object Dedup {
    * (broadcastable — duplicated spans are few by definition).
    */
   def spanDupProfile(docs: DataFrame, spanTokens: Int = 8,
-                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val post = spanPostings(docs, spanTokens, idCol, textCol)
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    spanDupProfileFromPostings(spanPostings(docs, spanTokens, idCol, textCol), idCol)
+
+  /** Same, over a precomputed [[spanPostings]] table (share it across ops). */
+  def spanDupProfileFromPostings(post: DataFrame, idCol: String = "doc_id"): DataFrame = {
     val dup = post.groupBy("span_h").agg(countDistinct(col("id")).as("n_docs"))
       .filter(col("n_docs") >= 2)
       .select(col("span_h"), lit(1L).as("is_dup"))

@@ -121,11 +121,11 @@ object DedupQueries {
     // distributed stand-in for the suffix-array pass) — the span
     // blocklist plus the per-doc contamination profile
     "dedup_spans" -> { (s: SparkSession, dir: String) =>
-      Dedup.duplicateSpans(Tables.docs(s, dir), spanTokens = 8, minDocs = 2)
+      Dedup.duplicateSpansFromPostings(Tables.spanPostings(s, dir), minDocs = 2)
         .orderBy("span_h")
     },
     "dedup_span_profile" -> { (s: SparkSession, dir: String) =>
-      Dedup.spanDupProfile(Tables.docs(s, dir), spanTokens = 8)
+      Dedup.spanDupProfileFromPostings(Tables.spanPostings(s, dir))
         .orderBy("doc_id")
     },
     // ---- deterministic 25% subset (doc_id % 4 == 0) scale-validation

@@ -50,4 +50,11 @@ object Tables {
   /** Materialized normed embedding corpus (see [[Similarity.normed]]). */
   def normedEmb(s: SparkSession, dir: String): DataFrame =
     memo(s, dir, "normedEmb")(Similarity.normed(emb(s, dir)))
+
+  /** Materialized 8-token span-hash postings `(id, pos, span_h)` of
+    * `documents` (see [[Dedup.spanPostings]]) — shared by the span
+    * blocklist and the per-doc contamination profile. */
+  def spanPostings(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "spanPostings")(
+      Dedup.spanPostings(docs(s, dir), spanTokens = 8).localCheckpoint())
 }
