@@ -255,6 +255,26 @@ class JsProjectionSpec extends AnyFunSuite {
     assert(state(r.stateOf("")) == Map("n" -> 1L))
   }
 
+  test("js: local vars, compound local assignment, and ternaries") {
+    val p = JsProjection.compile(
+      """
+      fromAll()
+        .when({
+          $init: function() { return { n: 0, grade: '' } },
+          $any: function(state, event) {
+            var bump = event.body.k >= 5 ? 2 : 1
+            bump += 1
+            state.n += bump
+            state.grade = state.n > 4 ? 'high' : 'low'
+          }
+        })
+      """, "p")
+    val r = run(p.projection)
+    r.update(ev("a", "s", """{"k": 9}""")) // bump 2+1=3
+    val got = state(r.update(ev("b", "s", """{"k": 1}"""))) // bump 1+1=2 -> n=5
+    assert(got == Map("n" -> 5L, "grade" -> "high"))
+  }
+
   test("js: rejects source outside the restricted subset") {
     intercept[JsProjection.JsParseException] {
       JsProjection.compile("while (true) { fromAll() }", "p")
