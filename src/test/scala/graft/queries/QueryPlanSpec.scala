@@ -349,4 +349,37 @@ class QueryPlanSpec extends SparkSpec {
     assert(hashExchanges <= 1,
       s"only the (qid) top-k window may shuffle, found $hashExchanges in:\n$plan")
   }
+
+  test("dedup_lines: hot line set broadcast, documents never sort-merge-join") {
+    val plan = DedupQueries.queries("dedup_lines")(spark, dir)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast hot-set join in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"line rows must not shuffle for the hot-set join:\n$plan")
+  }
+
+  test("dedup_spans: one grouped pass over the postings, no join") {
+    val plan = DedupQueries.queries("dedup_spans")(spark, dir)
+      .queryExecution.executedPlan.toString()
+    val own = plan.split("Scan ExistingRDD")(0) // postings are checkpointed
+    assert(!own.contains("Join"), s"the span blocklist must not join:\n$plan")
+    assert(plan.contains("partial_"), s"expected map-side combine in:\n$plan")
+  }
+
+  test("dedup_span_profile: duplicated-span set broadcast back, postings never sort-merge-join") {
+    val plan = DedupQueries.queries("dedup_span_profile")(spark, dir)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast dup-set join in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"postings must not shuffle for the dup-set join:\n$plan")
+  }
+
+  test("agg_rolling_wau_sketch: sketch build is one grouped pass; bounds broadcast") {
+    val plan = SeriesQueries.queries("agg_rolling_wau_sketch")(spark, dir)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("SortMergeJoin"),
+      s"the estimate/exact join sides are day-grain tables; none may sort-merge:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast joins in:\n$plan")
+  }
 }
