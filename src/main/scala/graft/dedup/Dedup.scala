@@ -360,19 +360,38 @@ object Dedup {
    */
   def spanDupProfile(docs: DataFrame, spanTokens: Int = 8,
                      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    spanDupProfileFromPostings(spanPostings(docs, spanTokens, idCol, textCol), idCol)
+    spanDupProfileFromPostings(spanPostings(docs, spanTokens, idCol, textCol), spanTokens, idCol)
 
-  /** Same, over a precomputed [[spanPostings]] table (share it across ops). */
-  def spanDupProfileFromPostings(post: DataFrame, idCol: String = "doc_id"): DataFrame = {
+  /** Same, over a precomputed [[spanPostings]] table (share it across ops).
+    *
+    * `covered_tokens` is the size of the UNION of the duplicated spans'
+    * [p, p+L-1] token intervals — overlapping spans are not double-counted,
+    * which is the number a Lee-et-al-style removal pass actually cuts.
+    * The merge is an array-native fold over the doc's sorted duplicated
+    * positions with the (last-covered-end, total) pair packed into one
+    * integer — engine-exact, no struct-lambda support needed in the
+    * oracle, and no cross-row state. */
+  def spanDupProfileFromPostings(post: DataFrame, spanTokens: Int = 8,
+                                 idCol: String = "doc_id"): DataFrame = {
+    val L = spanTokens
     val dup = post.groupBy("span_h").agg(countDistinct(col("id")).as("n_docs"))
       .filter(col("n_docs") >= 2)
       .select(col("span_h"), lit(1L).as("is_dup"))
-    post
-      .join(broadcast(dup), Seq("span_h"), "left")
+    val joined = post.join(broadcast(dup), Seq("span_h"), "left")
+    joined
       .groupBy(col("id").as(idCol))
       .agg(count(lit(1)).as("n_spans"),
-        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup"))
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup"),
+        // 1-based duplicated positions, sorted — the interval-merge input
+        sort_array(collect_list(when(col("is_dup").isNotNull, col("pos") + 1))).as("ps"))
+      .withColumn("covered_tokens", expr(
+        s"""aggregate(ps, CAST(0 AS BIGINT),
+           |  (acc, p) -> (acc div 1000000
+           |      + greatest(p + ${L - 1} - greatest(acc % 1000000, p - 1), CAST(0 AS BIGINT))) * 1000000
+           |    + greatest(acc % 1000000, CAST(p + ${L - 1} AS BIGINT)),
+           |  acc -> acc div 1000000)""".stripMargin))
       .withColumn("dup_permille", expr("(1000 * n_dup) div n_spans"))
+      .drop("ps")
   }
 
   /** Per-doc 16-bit SimHash: (id, simhash). */

@@ -395,16 +395,36 @@ object DedupQueries {
          |SELECT span_h, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
          |FROM post GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
          |ORDER BY span_h""".stripMargin,
+    // covered_tokens = |union of duplicated [p, p+7] intervals| via the
+    // same packed-integer interval-merge fold as the Spark side
     "dedup_span_profile" ->
-      s"""$SPANS, dup AS (
-         |  SELECT span_h FROM post GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+      s"""$SPANS, postp AS (
+         |  SELECT doc_id, g.i AS p, sps[g.i] AS span_h
+         |  FROM sp, (SELECT unnest(generate_series(1, 128)) AS i) g
+         |  WHERE g.i <= len(sps)
+         |), dup AS (
+         |  SELECT span_h FROM postp GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+         |), dp AS (
+         |  SELECT p.doc_id, list_sort(list(p.p)) AS ps
+         |  FROM postp p JOIN dup USING (span_h) GROUP BY 1
+         |), cov AS (
+         |  SELECT doc_id,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), ps),
+         |      (acc, p) -> (acc // 1000000
+         |          + greatest(p + 7 - greatest(acc % 1000000, p - 1), 0)) * 1000000
+         |        + greatest(acc % 1000000, p + 7)) // 1000000 AS covered
+         |  FROM dp
+         |), base AS (
+         |  SELECT p.doc_id, count(*) AS n_spans,
+         |    CAST(sum(CASE WHEN d.span_h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+         |  FROM postp p LEFT JOIN dup d USING (span_h)
+         |  GROUP BY p.doc_id
          |)
-         |SELECT p.doc_id, count(*) AS n_spans,
-         |  CAST(sum(CASE WHEN d.span_h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
-         |  CAST((1000 * sum(CASE WHEN d.span_h IS NOT NULL THEN 1 ELSE 0 END)) // count(*) AS BIGINT)
-         |    AS dup_permille
-         |FROM post p LEFT JOIN dup d USING (span_h)
-         |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
+         |SELECT b.doc_id, b.n_spans, b.n_dup,
+         |  CAST(coalesce(c.covered, 0) AS BIGINT) AS covered_tokens,
+         |  CAST((1000 * b.n_dup) // b.n_spans AS BIGINT) AS dup_permille
+         |FROM base b LEFT JOIN cov c USING (doc_id)
+         |ORDER BY b.doc_id""".stripMargin,
     "dedup_lines" ->
       s"""$LINES
          |SELECT l.doc_id, count(*) AS n_lines,

@@ -64,11 +64,21 @@ class DedupSpec extends SparkSpec {
     assert(spans.head.getLong(1) == 2L && spans.head.getLong(2) == 2L)
 
     val prof = Dedup.spanDupProfile(docs, spanTokens = 8)
-      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
-    // doc 1: 12 tokens -> 5 spans, 1 duplicated; doc 3: none duplicated
-    assert(prof(1L) == ((5L, 1L)))
-    assert(prof(2L)._2 == 1L)
-    assert(prof(3L)._2 == 0L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1: 12 tokens -> 5 spans, 1 duplicated, covering 8 tokens
+    assert(prof(1L) == ((5L, 1L, 8L)))
+    assert(prof(2L)._2 == 1L && prof(2L)._3 == 8L)
+    assert(prof(3L) == ((3L, 0L, 0L)))
+
+    // interval merge: a shared 9-token run yields two overlapping
+    // duplicated 8-spans (positions 2 and 3) covering 9 tokens, not 16
+    val overl = Seq(
+      (1L, "a1 the quick brown fox jumps over the lazy dog b1"),
+      (2L, "a2 the quick brown fox jumps over the lazy dog b2")
+    ).toDF("doc_id", "text")
+    val cov = Dedup.spanDupProfile(overl, spanTokens = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(cov(1L) == ((2L, 9L)), s"overlapping spans must merge: $cov") // tokens 2..10
   }
 
   test("duplicateClusters: transitive groups resolve to the min-id keeper") {
