@@ -255,9 +255,13 @@ object Dedup {
    * the per-doc roll-up — documents themselves never shuffle.
    */
   def lineBoilerplate(docs: DataFrame, wordsPerLine: Int = 4, minDf: Long = 3,
-                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val lines = docLines(docs, wordsPerLine, idCol, textCol)
-      .select(col("id"), md5(col("line")).as("lh"))
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    lineBoilerplateFromLines(docLines(docs, wordsPerLine, idCol, textCol), minDf, idCol)
+
+  /** Same, over a precomputed [[docLines]] table (share it across ops). */
+  def lineBoilerplateFromLines(docLines: DataFrame, minDf: Long = 3,
+                               idCol: String = "doc_id"): DataFrame = {
+    val lines = docLines.select(col("id"), md5(col("line")).as("lh"))
     val hot = lines.groupBy("lh").agg(countDistinct(col("id")).as("df"))
       .filter(col("df") >= minDf)
       .select(col("lh"), lit(1L).as("is_hot"))
@@ -278,9 +282,13 @@ object Dedup {
    * no cross-row state).
    */
   def stripBoilerplate(docs: DataFrame, wordsPerLine: Int = 4, minDf: Long = 3,
-                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val lines = docLines(docs, wordsPerLine, idCol, textCol)
-      .withColumn("lh", md5(col("line")))
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    stripBoilerplateFromLines(docLines(docs, wordsPerLine, idCol, textCol), minDf, idCol)
+
+  /** Same, over a precomputed [[docLines]] table (share it across ops). */
+  def stripBoilerplateFromLines(docLines: DataFrame, minDf: Long = 3,
+                                idCol: String = "doc_id"): DataFrame = {
+    val lines = docLines.withColumn("lh", md5(col("line")))
     val hot = lines.groupBy("lh").agg(countDistinct(col("id")).as("df"))
       .filter(col("df") >= minDf)
       .select("lh")
@@ -295,8 +303,8 @@ object Dedup {
 
   /** (id, line_no, line): fixed `wordsPerLine`-token spans per document —
     * array-native (zero-shuffle) chunking shared by the two ops above. */
-  private def docLines(docs: DataFrame, wordsPerLine: Int,
-                       idCol: String, textCol: String): DataFrame = {
+  def docLines(docs: DataFrame, wordsPerLine: Int,
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val k = wordsPerLine
     val ws = split(col(textCol), " ")
     val nChunks = ceil(size(ws).cast("double") / k).cast("int")

@@ -107,13 +107,13 @@ object DedupQueries {
     // of its 4-token lines are corpus-frequent (df >= 3). The detection
     // report (the removal decision input).
     "dedup_lines" -> { (s: SparkSession, dir: String) =>
-      Dedup.lineBoilerplate(Tables.docs(s, dir), wordsPerLine = 4, minDf = 3)
+      Dedup.lineBoilerplateFromLines(Tables.docLines(s, dir), minDf = 3)
         .orderBy("doc_id")
     },
     // ... and the cleaning itself: documents with boilerplate lines
     // stripped, survivors rejoined in order
     "dedup_lines_strip" -> { (s: SparkSession, dir: String) =>
-      Dedup.stripBoilerplate(Tables.docs(s, dir), wordsPerLine = 4, minDf = 3)
+      Dedup.stripBoilerplateFromLines(Tables.docLines(s, dir), minDf = 3)
         .orderBy("doc_id")
     },
     // Lee-et-al-style EXACT substring dedup: verbatim 8-token spans

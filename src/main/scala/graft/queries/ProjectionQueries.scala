@@ -58,6 +58,28 @@ object ProjectionQueries {
       d
     })
 
+  /** A service dir holding one stored RAW-JS projection, created once per
+    * (session, fixture dir) — the stored-source artifact, like svcDir. */
+  private val jsSvcCache = scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def jsSvcDir(s: SparkSession, dir: String): String =
+    jsSvcCache.getOrElseUpdate((s, dir), {
+      val d = java.nio.file.Files.createTempDirectory("graft-js-svc").toString
+      ProjectionService.create(s, d, "clicks-js",
+        """
+        fromAll()
+          .foreachStream()
+          .when({
+            $init: function() { return { n: 0, sum_k: 0 } },
+            click: function(state, event) {
+              state.n += 1
+              state.sum_k += event.body.k
+            }
+          })
+          .outputState()
+        """, nowNanos = 1L)
+      d
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1+A3 ($any handler, foreachStream): events per stream
     "proj_count_by_stream" -> { (s: SparkSession, dir: String) =>
@@ -224,20 +246,7 @@ object ProjectionQueries {
     // distributed, with the arbitrary-object state served as canonical
     // JSON (stateJson — the dialect-agnostic serving surface)
     "proj_js_service" -> { (s: SparkSession, dir: String) =>
-      val svc = java.nio.file.Files.createTempDirectory("graft-js-svc").toString
-      ProjectionService.create(s, svc, "clicks-js",
-        """
-        fromAll()
-          .foreachStream()
-          .when({
-            $init: function() { return { n: 0, sum_k: 0 } },
-            click: function(state, event) {
-              state.n += 1
-              state.sum_k += event.body.k
-            }
-          })
-          .outputState()
-        """, nowNanos = 1L)
+      val svc = jsSvcDir(s, dir)
       ProjectionService.stateJson(s, svc, "clicks-js", Fixture.events(s, dir))
         .select(col("partition"),
           get_json_object(col("state_json"), "$.n").cast("long").as("n"),

@@ -57,4 +57,11 @@ object Tables {
   def spanPostings(s: SparkSession, dir: String): DataFrame =
     memo(s, dir, "spanPostings")(
       Dedup.spanPostings(docs(s, dir), spanTokens = 8).localCheckpoint())
+
+  /** Materialized 4-token line chunking `(id, line_no, line)` of
+    * `documents` (see [[Dedup.docLines]]) — shared by the boilerplate
+    * report and the stripping pass. */
+  def docLines(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "docLines")(
+      Dedup.docLines(docs(s, dir), wordsPerLine = 4).localCheckpoint())
 }
