@@ -451,6 +451,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("CUSUM fold runs incrementally on the pump: emissions across batches == batch fold") {
+    import spark.implicits._
+    import graft.queries.CusumState
+    // one-sided CUSUM on the payload k (target+slack 5), alarm while s > 8
+    val kRe = """"k"\s*:\s*(-?\d+)""".r.unanchored
+    val p = Projection.named("cusum").fromAll().foreachStream()
+      .when[CusumState](CusumState(0L, 0L),
+        Map("$any" -> ((st: CusumState, e: ProjEvent) =>
+          CusumState(e.position, math.max(0L,
+            st.cusum + (e.bodyRaw match { case kRe(k) => k.toLong; case _ => 0L }) - 5L)))))
+      .filterBy(_.cusum > 8L)
+      .build
+    val input = MemoryStream[EvRow](spark)
+    implicit val enc = org.apache.spark.sql.Encoders.product[CusumState]
+    val q = ProjectionPump.emissions(p, input.toDF())
+      .toDF("partition", "state")
+      .writeStream.format("memory").queryName("cusum_pump")
+      .outputMode(OutputMode.Update()).start()
+    def row(stream: String, pos: Long, k: Long): EvRow =
+      EvRow(stream, s"u-$pos", "t", s"""{"k":$k}""", Map.empty, pos, pos)
+    // batch 1 climbs toward the threshold; batch 2 crosses it mid-stream —
+    // the state must carry across the micro-batch boundary
+    val b1 = Seq(row("a", 1, 9), row("a", 2, 9), row("b", 3, 1))
+    val b2 = Seq(row("a", 4, 9), row("a", 5, 1), row("b", 6, 9))
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.sql("select partition, state.position, state.cusum from cusum_pump")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = ProjectionBatch.emittedStates(p, (b1 ++ b2).toDF())
+        .collect().map { case (k, st) => (k, st.position, st.cusum) }.toSet
+      assert(streamed == batch, s"pump must equal the batch fold: $streamed vs $batch")
+      // stream a crossed only in batch 2 (4+4+4=12 > 8 at pos 4): carried state
+      assert(streamed.contains(("a", 4L, 12L)))
+    } finally q.stop()
+  }
+
   test("rolling WAU sketches: incremental micro-batches == batch fold, within 10% of exact") {
     import spark.implicits._
     val DayUs = 86400000000L
