@@ -275,6 +275,25 @@ class JsProjectionSpec extends AnyFunSuite {
     assert(got == Map("n" -> 5L, "grade" -> "high"))
   }
 
+  test("js: handler-level log() is a no-op; Math.max/min/abs/floor work") {
+    val p = JsProjection.compile(
+      """
+      fromAll()
+        .when({
+          $init: function() { return { hi: 0, lo: 0 } },
+          $any: function(state, event) {
+            log('seen', event.eventType)
+            state.hi = Math.max(state.hi, event.body.k)
+            state.lo = Math.min(state.lo - 0, Math.abs(-3), Math.floor(2.9))
+          }
+        })
+      """, "p")
+    val r = run(p.projection)
+    r.update(ev("a", "s", """{"k": 4}"""))
+    val got = state(r.update(ev("b", "s", """{"k": 2}""")))
+    assert(got == Map("hi" -> 4L, "lo" -> 0L))
+  }
+
   test("js: rejects source outside the restricted subset") {
     intercept[JsProjection.JsParseException] {
       JsProjection.compile("while (true) { fromAll() }", "p")
