@@ -402,6 +402,63 @@ object Dedup {
       .drop("ps")
   }
 
+  /**
+   * Within-document repeated spans — the intra-document half of exact
+   * substring dedup (Lee et al. 2022 dedup both across AND within
+   * documents: a span repeated inside one document is self-boilerplate
+   * that inflates the LM's exposure to it exactly like a cross-doc dup).
+   * Per document: total span positions, distinct span values, values
+   * occurring ≥2 times, the hottest value's occurrence count, and the
+   * excess-occurrence fraction (`repeat_permille` — the share of span
+   * positions a within-doc removal pass would cut).
+   *
+   * Scale shape: two partial-aggregated groupBys — (id, span_h) then id.
+   * Both keys are document-local, so map-side combine collapses nearly
+   * everything before the shuffle; only 16-byte keyed counts move, and
+   * the second aggregation rides the first's hash partitioning on the
+   * leading `id` key. Documents never shuffle.
+   */
+  def withinDocRepeatsFromPostings(post: DataFrame, idCol: String = "doc_id"): DataFrame =
+    post
+      .groupBy(col("id"), col("span_h"))
+      .agg(count(lit(1)).as("occ"))
+      .groupBy(col("id").as(idCol))
+      .agg(
+        sum(col("occ")).as("n_spans"),
+        count(lit(1)).as("n_values"),
+        sum(when(col("occ") >= 2, 1L).otherwise(0L)).as("n_repeated_values"),
+        max(col("occ")).as("max_occ"))
+      .withColumn("repeat_permille", expr("(1000 * (n_spans - n_values)) div n_spans"))
+
+  /**
+   * Asymmetric containment pairs: C(A,B) = |A∩B| / min(|A|,|B|) over the
+   * shingle sets — the near-SUPERSET detector. Jaccard misses the cases a
+   * curation pass most wants flagged (a document quoted whole inside a
+   * larger one, a concatenation of existing documents): a small doc inside
+   * a big one has tiny union-normalized similarity but containment ≈ 1.
+   * Returns (a, b, na, nb, cont_x1000) for pairs a < b with containment of
+   * the smaller side ≥ threshold; the set sizes ride along so the consumer
+   * knows which side is the contained one.
+   *
+   * Scale shape: identical inverted-index self-join as
+   * [[ngramJaccardPairsFromSets]] — the match count per pair IS the
+   * intersection size, only 8-byte shingle keys shuffle, and the same
+   * document-frequency cutoff applies at PB scale.
+   */
+  def containmentPairsFromSets(sets: DataFrame, thresholdX1000: Long): DataFrame = {
+    val inv = sets.select(col("id"), col("n_sh"), explode(col("sh")).as("h"))
+    val a = inv.select(col("id").as("a"), col("n_sh").as("na"), col("h").as("ha"))
+    val b = inv.select(col("id").as("b"), col("n_sh").as("nb"), col("h").as("hb"))
+    a.join(b, col("ha") === col("hb") && col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(first(col("na")).as("na"), first(col("nb")).as("nb"), count(lit(1)).as("c"))
+      .withColumn("cont_x1000",
+        floor(lit(1000.0) * col("c") / least(col("na"), col("nb"))).cast("long"))
+      .filter(col("cont_x1000") >= thresholdX1000)
+      .select(col("a"), col("b"), col("na").cast("long").as("na"),
+        col("nb").cast("long").as("nb"), col("cont_x1000"))
+  }
+
   /** Per-doc 16-bit SimHash: (id, simhash). */
   def simhashes(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.select(col(idCol).as("id"), graft.functions.Fast.simhash16Fast(col(textCol)).as("simhash"))

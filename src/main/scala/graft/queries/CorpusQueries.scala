@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.corpus.{Chunking, LmScore, Packing, Sampling}
 import graft.dedup.Hashing
+import graft.functions.TextFunctions
 
 /**
  * Verify-gate queries for the corpus-preparation operators
@@ -115,6 +116,74 @@ object CorpusQueries {
     // fingerprints with any held-out eval doc (doc_id % 50 = 0 plays the
     // benchmark suite). The eval side is tiny by nature (a benchmark, not
     // a corpus) -> broadcast; the corpus side never shuffles
+    // n-gram-grain decontamination: corpus docs sharing any VERBATIM
+    // 8-token span with the held-out eval subset (doc_id % 10 = 0 plays
+    // the benchmark suite) — the exact-substring complement of
+    // text_decontam's winnowing overlap (which needs >= 2 sampled
+    // fingerprints; a single verbatim 13-gram-style hit is the stricter
+    // industry decontamination rule). Reuses the memoized span postings;
+    // the eval side is tiny by nature -> broadcast, corpus never shuffles
+    "text_decontam_ngram" -> { (s: SparkSession, dir: String) =>
+      val posts = Tables.spanPostings(s, dir)
+      val bench = posts.filter(col("id") % 10 === 0)
+        .select(col("id").as("bench_id"), col("span_h")).distinct()
+      posts.filter(col("id") % 10 =!= 0)
+        .join(broadcast(bench), "span_h")
+        .groupBy(col("id").as("doc_id"))
+        .agg(countDistinct(col("span_h")).as("n_spans_hit"),
+          countDistinct(col("bench_id")).as("n_bench_docs"))
+        .orderBy("doc_id")
+    },
+    // sequence-length bucketing for training batches: power-of-two token
+    // buckets (16..256) with per-bucket doc/token counts and the padding
+    // waste a fixed-length batcher would pay. Map-only bucket assignment
+    // (integer CASE chain — no libm log2), one partial-agg shuffle
+    "corpus_length_buckets" -> { (s: SparkSession, dir: String) =>
+      val nt = size(Hashing.toks(col("text"))).cast("long")
+      val bucket = when(nt <= 16, 16L).when(nt <= 32, 32L).when(nt <= 64, 64L)
+        .when(nt <= 128, 128L).otherwise(lit(256L))
+      docs(s, dir)
+        .select(nt.as("nt"), bucket.as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"))
+        .withColumn("padding_tokens", col("bucket") * col("n_docs") - col("n_tokens"))
+        .withColumn("waste_permille", expr("(1000 * padding_tokens) div (bucket * n_docs)"))
+        .orderBy("bucket")
+    },
+    // deterministic epoch shuffle: global training order per epoch as a
+    // rank over the salted id hash (epoch in the salt -> independent
+    // orders), plus the round-robin shard each doc lands in. Reproducible
+    // across engines/retries (no RNG); at 100 TB the hash IS the sort key
+    // of a range-partitioned write (the rank is implicit in file order) —
+    // materialized here so the oracle can compare the full permutation
+    "corpus_shuffle" -> { (s: SparkSession, dir: String) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("epoch")).orderBy(col("h"), col("doc_id"))
+      docs(s, dir).select(col("doc_id"))
+        .withColumn("epoch", explode(array(lit(0L), lit(1L))))
+        .withColumn("h", call_function("graft_polyhash",
+          concat(col("doc_id").cast("string"), lit("#e"), col("epoch").cast("string"))))
+        .withColumn("ord", row_number().over(w).cast("long"))
+        .withColumn("shard", pmod(col("ord") - 1, lit(8L)))
+        .select(col("epoch"), col("doc_id"), col("ord"), col("shard"))
+        .orderBy("epoch", "ord")
+    },
+    // per-domain document cap (FineWeb-style host-level limiting): keep
+    // the top-5 docs per source by quality score — one stratum-key
+    // shuffle + window top-k, same plan family as corpus_sample_k; at
+    // scale pre-filter each stratum with the deterministic sampler so
+    // the window's sort input stays bounded
+    "corpus_domain_cap" -> { (s: SparkSession, dir: String) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("quality_x1000").desc, col("doc_id").asc)
+      docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          TextFunctions.qualityScoreX1000(col("text")).as("quality_x1000"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 5)
+        .orderBy("source", "rk")
+    },
     "text_decontam" -> { (s: SparkSession, dir: String) =>
       val posts = Tables.winnowPostings(s, dir)
       val bench = posts.filter(col("doc_id") % 50 === 0)
@@ -142,6 +211,11 @@ object CorpusQueries {
       .mkString(s"CASE $col ", " ", " ELSE 0 END")
 
   private val NT = """CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT)"""
+
+  /** DuckDB list literal of the quality score's stopword set (kept in sync
+    * with [[TextFunctions.stopwords]] by construction). */
+  private val stopList: String =
+    TextFunctions.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
     "corpus_sample" ->
@@ -258,6 +332,68 @@ object CorpusQueries {
          |SELECT "check", violations,
          |  CASE WHEN violations = 0 THEN CAST(1 AS BIGINT) ELSE 0 END AS passed
          |FROM checks ORDER BY "check"""".stripMargin,
+    "text_decontam_ngram" ->
+      s"""${DedupQueries.SPANS}, bench AS (
+         |  SELECT DISTINCT doc_id AS bench_id, span_h FROM post WHERE doc_id % 10 = 0
+         |), corp AS (
+         |  SELECT doc_id, span_h FROM post WHERE doc_id % 10 <> 0
+         |)
+         |SELECT c.doc_id, count(DISTINCT c.span_h) AS n_spans_hit,
+         |  count(DISTINCT b.bench_id) AS n_bench_docs
+         |FROM corp c JOIN bench b USING (span_h)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "corpus_length_buckets" ->
+      s"""WITH d AS (
+         |  SELECT $NT AS nt FROM documents
+         |), b AS (
+         |  SELECT nt, CASE WHEN nt <= 16 THEN 16 WHEN nt <= 32 THEN 32
+         |    WHEN nt <= 64 THEN 64 WHEN nt <= 128 THEN 128 ELSE 256 END AS bucket
+         |  FROM d
+         |)
+         |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_docs,
+         |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+         |  CAST(bucket * count(*) - sum(nt) AS BIGINT) AS padding_tokens,
+         |  CAST((1000 * (bucket * count(*) - sum(nt))) // (bucket * count(*)) AS BIGINT)
+         |    AS waste_permille
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "corpus_shuffle" ->
+      s"""WITH e AS (
+         |  SELECT doc_id, unnest([CAST(0 AS BIGINT), CAST(1 AS BIGINT)]) AS epoch
+         |  FROM documents
+         |), h AS (
+         |  SELECT doc_id, epoch,
+         |    ${fpSql("doc_id::VARCHAR || '#e' || epoch::VARCHAR")} AS h
+         |  FROM e
+         |), r AS (
+         |  SELECT epoch, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY epoch ORDER BY h, doc_id) AS BIGINT) AS ord
+         |  FROM h
+         |)
+         |SELECT epoch, doc_id, ord, (ord - 1) % 8 AS shard
+         |FROM r ORDER BY epoch, ord""".stripMargin,
+    "corpus_domain_cap" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source, text,
+         |         string_split_regex(trim(lower(text)), '\\s+') AS toks
+         |  FROM documents
+         |), q AS (
+         |  SELECT doc_id, source,
+         |    CAST(floor(1000.0 * (
+         |       0.4 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+         |     + 0.3 * least(3.0 * CAST(len(list_filter(toks, t -> list_contains($stopList, t))) AS BIGINT)
+         |         / greatest(len(toks), 1), 1.0)
+         |     + 0.3 * (1.0 - least(5.0 * len(regexp_extract_all(text, '[.,!?;:]'))
+         |         / greatest(length(text), 1), 1.0))
+         |    )) AS BIGINT) AS quality_x1000
+         |  FROM d
+         |), r AS (
+         |  SELECT doc_id, source, quality_x1000,
+         |    CAST(row_number() OVER (PARTITION BY source ORDER BY quality_x1000 DESC, doc_id)
+         |      AS BIGINT) AS rk
+         |  FROM q
+         |)
+         |SELECT doc_id, source, quality_x1000, rk FROM r WHERE rk <= 5
+         |ORDER BY source, rk""".stripMargin,
     "text_decontam" ->
       s"""WITH ${DedupQueries.winnowCtes}, bench AS (
          |  SELECT doc_id AS bench_id, fp FROM post WHERE doc_id % 50 = 0

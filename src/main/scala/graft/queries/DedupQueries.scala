@@ -128,6 +128,21 @@ object DedupQueries {
       Dedup.spanDupProfileFromPostings(Tables.spanPostings(s, dir))
         .orderBy("doc_id")
     },
+    // ... and the WITHIN-document half: spans repeated >= 2 times inside
+    // one document (self-boilerplate). Two partial-agg groupBys on
+    // doc-local keys — map-side combine does almost all the work
+    "dedup_spans_withindoc" -> { (s: SparkSession, dir: String) =>
+      Dedup.withinDocRepeatsFromPostings(Tables.spanPostings(s, dir))
+        .orderBy("doc_id")
+    },
+    // asymmetric containment (near-superset detection): intersection over
+    // the SMALLER set — catches quoted-whole / concatenation cases whose
+    // Jaccard is far below any dedup threshold. Same inverted-index join
+    // plan (and memoized shingle sets) as dedup_ngram_jaccard
+    "dedup_containment" -> { (s: SparkSession, dir: String) =>
+      Dedup.containmentPairsFromSets(Tables.shingleSets(s, dir), thresholdX1000 = 600)
+        .orderBy("a", "b")
+    },
     // ---- deterministic 25% subset (doc_id % 4 == 0) scale-validation
     // forms: the parent pair/cluster oracles are quadratic DuckDB CTEs
     // that cannot finish at sf0.1; these keep candidate generation +
@@ -268,8 +283,10 @@ object DedupQueries {
       |)""".stripMargin
 
   /** CTEs ending in post(doc_id, span_h) — positional 8-token span hashes
-    * (mirrors Dedup.spanPostings: same token hashes, same 8-step fold). */
-  private val SPANS: String = {
+    * (mirrors Dedup.spanPostings: same token hashes, same 8-step fold).
+    * `private[queries]` so the span-grain decontamination oracle
+    * (CorpusQueries) composes with the identical chain. */
+  private[queries] val SPANS: String = {
     val fold = (1 until 8).foldLeft("th[i]")((acc, j) => s"(($acc) * 31 + th[i+$j]) % $P")
     s"""WITH t AS (
        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents
@@ -425,6 +442,28 @@ object DedupQueries {
          |  CAST((1000 * b.n_dup) // b.n_spans AS BIGINT) AS dup_permille
          |FROM base b LEFT JOIN cov c USING (doc_id)
          |ORDER BY b.doc_id""".stripMargin,
+    "dedup_spans_withindoc" ->
+      s"""$SPANS, pv AS (
+         |  SELECT doc_id, span_h, count(*) AS occ FROM post GROUP BY 1, 2
+         |)
+         |SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_spans,
+         |  count(*) AS n_values,
+         |  CAST(sum(CASE WHEN occ >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated_values,
+         |  CAST(max(occ) AS BIGINT) AS max_occ,
+         |  CAST((1000 * (sum(occ) - count(*))) // sum(occ) AS BIGINT) AS repeat_permille
+         |FROM pv GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dedup_containment" ->
+      s"""$SH, inv AS (
+         |  SELECT doc_id, len(sh) AS n, unnest(sh) AS h FROM shs WHERE len(sh) > 0
+         |)
+         |SELECT a, b, na, nb, cont_x1000 FROM (
+         |  SELECT l.doc_id AS a, r.doc_id AS b,
+         |    CAST(any_value(l.n) AS BIGINT) AS na, CAST(any_value(r.n) AS BIGINT) AS nb,
+         |    CAST(floor(1000.0 * count(*) / least(any_value(l.n), any_value(r.n))) AS BIGINT)
+         |      AS cont_x1000
+         |  FROM inv l JOIN inv r ON l.h = r.h AND l.doc_id < r.doc_id
+         |  GROUP BY 1, 2
+         |) WHERE cont_x1000 >= 600 ORDER BY a, b""".stripMargin,
     "dedup_lines" ->
       s"""$LINES
          |SELECT l.doc_id, count(*) AS n_lines,
