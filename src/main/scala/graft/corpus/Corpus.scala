@@ -145,3 +145,55 @@ object Packing {
       .toDF("source", "doc_id", "n_tokens", "bin")
   }
 }
+
+/**
+ * Distributed total-order ranking — the scale-safe form of
+ * `row_number() OVER (PARTITION BY p ORDER BY k)` when a partition is the
+ * whole corpus (training-order shuffles, global leaderboards). A plain
+ * window moves every row of the partition into ONE task; here the rank is
+ * assembled from range partitioning instead:
+ *
+ *  1. `repartitionByRange` on `(partitionCols ++ orderCols)` — rows land in
+ *     range-contiguous shuffle partitions (materialized once,
+ *     `localCheckpoint`, so the counting pass and the rank pass share it);
+ *  2. per-(partition, range) row counts — a partial-agg shuffle of
+ *     #ranges × #partitions rows;
+ *  3. cumulative offsets over that TINY table (a window over ≤ #ranges
+ *     rows per partition key), broadcast back;
+ *  4. rank = local `row_number` within the range + the range's offset.
+ *
+ * Identical output to the window form for any total `orderCols` order
+ * (ties must be broken — include a unique key last); pinned bit-identical
+ * in `CorpusSpec`. No driver collect; no task ever holds more than one
+ * range of one partition key.
+ */
+object Ranking {
+
+  /** `df` + `rankCol` (1-based dense position within each `partitionCols`
+    * group ordered by `orderCols`). `orderCols` must be a total order. */
+  def globalRank(df: DataFrame, partitionCols: Seq[String], orderCols: Seq[String],
+                 rankCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rangeCols = (partitionCols ++ orderCols).map(col)
+    val pCols = partitionCols.map(col)
+    val ranged = df.repartitionByRange(rangeCols: _*)
+      .withColumn("_range", spark_partition_id().cast("long"))
+      .localCheckpoint()
+    val counts = ranged
+      .groupBy(pCols :+ col("_range"): _*)
+      .agg(count(lit(1)).as("_n"))
+    // cumulative count of earlier ranges, per partition key — ≤ #ranges
+    // rows per key, so the (possibly global) window here is control-plane
+    val offW = Window.partitionBy(pCols: _*).orderBy(col("_range"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = counts
+      .withColumn("_off", coalesce(sum(col("_n")).over(offW), lit(0L)))
+      .drop("_n")
+    val localW = Window.partitionBy(pCols :+ col("_range"): _*)
+      .orderBy(orderCols.map(col): _*)
+    ranged
+      .join(broadcast(offs), partitionCols :+ "_range")
+      .withColumn(rankCol, (row_number().over(localW) + col("_off")).cast("long"))
+      .drop("_range", "_off")
+  }
+}

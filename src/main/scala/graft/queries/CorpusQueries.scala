@@ -153,17 +153,15 @@ object CorpusQueries {
     // deterministic epoch shuffle: global training order per epoch as a
     // rank over the salted id hash (epoch in the salt -> independent
     // orders), plus the round-robin shard each doc lands in. Reproducible
-    // across engines/retries (no RNG); at 100 TB the hash IS the sort key
-    // of a range-partitioned write (the rank is implicit in file order) —
-    // materialized here so the oracle can compare the full permutation
+    // across engines/retries (no RNG). The rank is the DISTRIBUTED form
+    // (Ranking.globalRank: range-repartition + per-range offsets) — a
+    // per-epoch window would sort the whole corpus in one task
     "corpus_shuffle" -> { (s: SparkSession, dir: String) =>
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("epoch")).orderBy(col("h"), col("doc_id"))
-      docs(s, dir).select(col("doc_id"))
+      val keyed = docs(s, dir).select(col("doc_id"))
         .withColumn("epoch", explode(array(lit(0L), lit(1L))))
         .withColumn("h", call_function("graft_polyhash",
           concat(col("doc_id").cast("string"), lit("#e"), col("epoch").cast("string"))))
-        .withColumn("ord", row_number().over(w).cast("long"))
+      graft.corpus.Ranking.globalRank(keyed, Seq("epoch"), Seq("h", "doc_id"), "ord")
         .withColumn("shard", pmod(col("ord") - 1, lit(8L)))
         .select(col("epoch"), col("doc_id"), col("ord"), col("shard"))
         .orderBy("epoch", "ord")

@@ -95,4 +95,25 @@ class CorpusSpec extends SparkSpec {
       ("b", 8L, 1L)                 // 200+200 overflows
     ))
   }
+
+  test("globalRank is bit-identical to the single-partition window rank") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // ties in the leading order key force the cross-range tie-break path;
+    // 4 shuffle partitions -> the range side genuinely splits
+    val d = (0L until 500L).map(i => (i % 3, i * 37 % 101, i)).toDF("grp", "k", "id")
+    val got = graft.corpus.Ranking.globalRank(d, Seq("grp"), Seq("k", "id"), "rk")
+      .select("grp", "id", "rk").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val w = Window.partitionBy(col("grp")).orderBy(col("k"), col("id"))
+    val want = d.withColumn("rk", row_number().over(w).cast("long"))
+      .select("grp", "id", "rk").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    // ... and with no partition key at all (one global order)
+    val g2 = graft.corpus.Ranking.globalRank(d, Seq.empty, Seq("k", "id"), "rk")
+      .select("id", "rk").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val w2 = Window.orderBy(col("k"), col("id"))
+    val want2 = d.withColumn("rk", row_number().over(w2).cast("long"))
+      .select("id", "rk").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(g2 == want2)
+  }
 }
