@@ -294,6 +294,72 @@ class JsProjectionSpec extends AnyFunSuite {
     assert(got == Map("hi" -> 4L, "lo" -> 0L))
   }
 
+  test("js: for loops, ++, break/continue over a body array") {
+    val p = JsProjection.compile(
+      """
+      fromAll()
+        .when({
+          $init: function() { return { sum: 0, firstBig: -1, n: 0 } },
+          $any: function(state, event) {
+            var xs = event.body.xs
+            for (var i = 0; i < xs.length; i++) {
+              if (xs[i] < 0) continue
+              state.sum += xs[i]
+              if (xs[i] >= 10 && state.firstBig == -1) { state.firstBig = i; break }
+            }
+            var j = 0
+            while (j < 2) { state.n++; j++ }
+          }
+        })
+      """, "p")
+    val r = run(p.projection)
+    // xs = [3, -1, 12, 100]: sum 3+12=15, stop at index 2, while adds 2
+    val got = state(r.update(ev("a", "s", """{"xs": [3, -1, 12, 100]}""")))
+    assert(got == Map("sum" -> 15L, "firstBig" -> 2L, "n" -> 2L))
+  }
+
+  test("js: array literals, push/pop/indexOf/includes/join/slice, index writes") {
+    val p = JsProjection.compile(
+      """
+      fromAll()
+        .when({
+          $init: function() { return { tags: [], head: '', idx: 0, has: false, joined: '', cell: 0 } },
+          $any: function(state, event) {
+            var a = [10, 20, 30]
+            a[1] = 25          // index write
+            a[1] += 1          // compound index write
+            a.push(event.body.k)
+            state.cell = a[1]
+            state.idx = a.indexOf(30)
+            state.has = a.includes(26)
+            state.joined = a.slice(1, 3).join('-')
+            state.tags = a
+            state.head = '' + a[0]
+          }
+        })
+      """, "p")
+    val r = run(p.projection)
+    val got = state(r.update(ev("a", "s", """{"k": 40}""")))
+    assert(got == Map(
+      "tags" -> Vector(10L, 26L, 30L, 40L), "head" -> "10", "idx" -> 2L,
+      "has" -> true, "joined" -> "26-30", "cell" -> 26L))
+  }
+
+  test("js: runaway loop in a handler fails instead of wedging the task") {
+    val p = JsProjection.compile(
+      """
+      fromAll()
+        .when({
+          $init: function() { return { n: 0 } },
+          $any: function(state, event) { while (true) { state.n += 1 } }
+        })
+      """, "p")
+    val r = run(p.projection)
+    intercept[JsProjection.JsParseException] {
+      r.update(ev("a", "s", "{}"))
+    }
+  }
+
   test("js: rejects source outside the restricted subset") {
     intercept[JsProjection.JsParseException] {
       JsProjection.compile("while (true) { fromAll() }", "p")
