@@ -30,7 +30,66 @@ object TextQueries {
     * generator draws from — these are mid-frequency content words). */
   private val searchTerms = Seq("vector", "join", "spark")
 
+  /** The Gopher repetition-rules stopword set (Rae et al. 2021 §A1.1 —
+    * "the, be, to, of, and, that, have, with"; a doc must contain ≥ 2). */
+  private val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // GOPHER QUALITY RULES (Rae et al. 2021): the canonical pretraining
+    // document filter as per-doc integer diagnostics + one pass flag —
+    // word count in [50, 100k], mean word length in [3, 10], symbol
+    // (#/ellipsis) to word ratio < 10%, >= 80% words with an alphabetic
+    // char, >= 2 canonical stopwords, < 90% bullet lines, < 30%
+    // ellipsis-ending lines. Map-only (array ops over the token/line
+    // splits, no UDF, no shuffle) — the 100 TB shape is a scan that
+    // emits a keep/drop bit per document. Integer permilles only.
+    "text_gopher_rules" -> { (s: SparkSession, dir: String) =>
+      val toksC = tokens(col("text"))
+      val linesC = split(col("text"), "\n")
+      docs(s, dir)
+        .select(col("doc_id"),
+          size(toksC).cast("long").as("n_words"),
+          meanTokenLenX10(col("text")).as("mean_len_x10"),
+          size(filter(toksC, t => t.rlike("[a-z]"))).cast("long").as("n_alpha"),
+          matchCount(col("text"), "#|\\.\\.\\.").cast("long").as("n_sym"),
+          size(filter(toksC, t => t.isInCollection(gopherStops))).cast("long").as("stop_hits"),
+          size(linesC).cast("long").as("n_lines"),
+          size(filter(linesC, l => l.rlike("^\\s*[-*]"))).cast("long").as("n_bullet"),
+          size(filter(linesC, l => l.rlike("\\.\\.\\.\\s*$"))).cast("long").as("n_ell"))
+        .withColumn("alpha_permille", expr("(1000 * n_alpha) div n_words"))
+        .withColumn("symbol_permille", expr("(1000 * n_sym) div n_words"))
+        .withColumn("bullet_permille", expr("(1000 * n_bullet) div n_lines"))
+        .withColumn("ellipsis_permille", expr("(1000 * n_ell) div n_lines"))
+        .withColumn("gopher_pass",
+          when(col("n_words").between(50L, 100000L) &&
+            col("mean_len_x10").between(30L, 100L) &&
+            col("symbol_permille") < 100L && col("alpha_permille") >= 800L &&
+            col("stop_hits") >= 2L && col("bullet_permille") < 900L &&
+            col("ellipsis_permille") < 300L, 1L).otherwise(0L))
+        .select("doc_id", "n_words", "mean_len_x10", "alpha_permille",
+          "symbol_permille", "stop_hits", "bullet_permille", "ellipsis_permille",
+          "gopher_pass")
+        .orderBy("doc_id")
+    },
+    // PII DENSITY REPORT (the audit-side complement of text_redact's
+    // scrubbing): per source, how many documents contain an email / long
+    // digit run, and the total hit counts — what a privacy-compliance
+    // dashboard reads before and after a scrub pass. Map-only pattern
+    // counts + one partial-agg rollup on the tiny source key.
+    "text_pii_stats" -> { (s: SparkSession, dir: String) =>
+      val nEmail = matchCount(col("text"), piiPatterns.head).cast("long")
+      val nNum = matchCount(col("text"), piiPatterns(1)).cast("long")
+      docs(s, dir)
+        .select(col("source"), nEmail.as("ne"), nNum.as("nn"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("ne") > 0L, 1L).otherwise(0L)).as("docs_with_email"),
+          sum(when(col("nn") > 0L, 1L).otherwise(0L)).as("docs_with_longnum"),
+          sum(when(col("ne") > 0L || col("nn") > 0L, 1L).otherwise(0L)).as("docs_affected"),
+          sum(col("ne")).as("email_hits"), sum(col("nn")).as("longnum_hits"))
+        .withColumn("affected_permille", expr("(1000 * docs_affected) div n_docs"))
+        .orderBy("source")
+    },
     // LINEAR (fastText-shape) QUALITY CLASSIFIER: score = Σ w(tok) over
     // the doc's tokens, label by sign. The weight vector here is a
     // deterministic hash-derived stand-in for trained parameters (no
@@ -255,7 +314,57 @@ object TextQueries {
        |   + 0.3 * (1.0 - least(5.0 * len(regexp_extract_all(text, '[.,!?;:]')) / greatest(length(text), 1), 1.0))
        |  )) AS BIGINT)""".stripMargin
 
+  private val gopherStopList = gopherStops.map(w => s"'$w'").mkString("[", ", ", "]")
+
   val oracles: Map[String, String] = Map(
+    "text_gopher_rules" ->
+      s"""$D, b AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS n_words,
+         |    CAST(floor(10.0 * list_sum(list_transform(toks, t -> CAST(length(t) AS BIGINT)))
+         |      / greatest(len(toks), 1)) AS BIGINT) AS mean_len_x10,
+         |    CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS n_alpha,
+         |    CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS BIGINT) AS n_sym,
+         |    CAST(len(list_filter(toks, t -> list_contains($gopherStopList, t))) AS BIGINT)
+         |      AS stop_hits,
+         |    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+         |    CAST(len(list_filter(string_split(text, chr(10)),
+         |      l -> regexp_matches(l, '^\\s*[-*]'))) AS BIGINT) AS n_bullet,
+         |    CAST(len(list_filter(string_split(text, chr(10)),
+         |      l -> regexp_matches(l, '\\.\\.\\.\\s*$$'))) AS BIGINT) AS n_ell
+         |  FROM d
+         |), p AS (
+         |  SELECT doc_id, n_words, mean_len_x10,
+         |    (1000 * n_alpha) // n_words AS alpha_permille,
+         |    (1000 * n_sym) // n_words AS symbol_permille,
+         |    stop_hits,
+         |    (1000 * n_bullet) // n_lines AS bullet_permille,
+         |    (1000 * n_ell) // n_lines AS ellipsis_permille
+         |  FROM b
+         |)
+         |SELECT doc_id, n_words, mean_len_x10, alpha_permille, symbol_permille,
+         |  stop_hits, bullet_permille, ellipsis_permille,
+         |  CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+         |    AND mean_len_x10 BETWEEN 30 AND 100
+         |    AND symbol_permille < 100 AND alpha_permille >= 800
+         |    AND stop_hits >= 2 AND bullet_permille < 900
+         |    AND ellipsis_permille < 300 THEN 1 ELSE 0 END AS BIGINT) AS gopher_pass
+         |FROM p ORDER BY doc_id""".stripMargin,
+    "text_pii_stats" ->
+      s"""WITH b AS (
+         |  SELECT source,
+         |    CAST(len(regexp_extract_all(text, '${piiPatterns.head}')) AS BIGINT) AS ne,
+         |    CAST(len(regexp_extract_all(text, '${piiPatterns(1)}')) AS BIGINT) AS nn
+         |  FROM documents
+         |)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN ne > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_email,
+         |  CAST(sum(CASE WHEN nn > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_longnum,
+         |  CAST(sum(CASE WHEN ne > 0 OR nn > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_affected,
+         |  CAST(sum(ne) AS BIGINT) AS email_hits, CAST(sum(nn) AS BIGINT) AS longnum_hits,
+         |  (1000 * CAST(sum(CASE WHEN ne > 0 OR nn > 0 THEN 1 ELSE 0 END) AS BIGINT)) // count(*)
+         |    AS affected_permille
+         |FROM b GROUP BY source ORDER BY source""".stripMargin,
     "text_classify" ->
       s"""$D, t AS (
          |  SELECT doc_id, unnest(toks) AS tok FROM d
