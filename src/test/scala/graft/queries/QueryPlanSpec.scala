@@ -382,4 +382,39 @@ class QueryPlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
       s"expected broadcast joins in:\n$plan")
   }
+
+  test("text_classify: model table broadcast, corpus tokens never sort-merge-join") {
+    val plan = TextQueries.queries("text_classify")(spark, dir)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast model join in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the exploded token stream must not shuffle for the model join:\n$plan")
+  }
+
+  test("text_decontam_ngram: eval-span set broadcast, corpus postings never sort-merge-join") {
+    val plan = CorpusQueries.queries("text_decontam_ngram")(spark, dir)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast bench join in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus postings must not shuffle for the bench join:\n$plan")
+  }
+
+  test("text_gopher_rules / text_pii_stats: map-only scans, no join") {
+    for (name <- Seq("text_gopher_rules", "text_pii_stats")) {
+      val df = TextQueries.queries(name)(spark, dir)
+      val plan = df.queryExecution.executedPlan.toString()
+      assert(!plan.contains("Join"), s"$name must not join:\n$plan")
+    }
+  }
+
+  test("corpus_shuffle: rank rides range partitioning; no whole-epoch window partition") {
+    val plan = CorpusQueries.queries("corpus_shuffle")(spark, dir)
+      .queryExecution.executedPlan.toString()
+    // the big-side window must partition by (epoch, _range), never epoch
+    // alone — epoch alone puts the whole corpus for an epoch in one task
+    val bigWindows = "windowspecdefinition\\(epoch#\\d+L, _range".r.findAllIn(plan).length
+    val epochOnly = "windowspecdefinition\\(epoch#\\d+L, h#".r.findAllIn(plan).length
+    assert(bigWindows >= 1, s"expected the local rank window keyed by (epoch, _range) in:\n$plan")
+    assert(epochOnly == 0, s"found a whole-epoch window sort in:\n$plan")
+  }
 }
