@@ -120,12 +120,14 @@ object Dedup {
     minhashLshPairsFromSets(shingleSets(docs, idCol, textCol), thresholdX1000)
 
   /** One row per (id, band, r0, r1) from a [[shingleSets]] table — the
-    * LSH banding shared by the self-join and batch-vs-corpus variants.
+    * LSH banding shared by the self-join and batch-vs-corpus variants
+    * (and, as the static corpus side, by the streaming ingest filter
+    * [[graft.streaming.IngestDedup.nearDupSuspects]]).
     * Signatures are materialized ONCE (localCheckpoint): the banding join
     * must see plain long key columns, not live expressions — struct/
     * expression keys degrade the join to a nested-loop with per-pair
     * recomputation of the whole minhash pipeline. */
-  private def bandedSignatures(sets: DataFrame): DataFrame = {
+  def bandedSignatures(sets: DataFrame): DataFrame = {
     val sig = sets.withColumn("sig", graft.functions.Fast.minhashFast(col("sh")))
       .select(col("id"), col("sig")).localCheckpoint()
     // compact long keys only — the shingle arrays do NOT ride the

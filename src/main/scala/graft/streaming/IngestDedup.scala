@@ -40,4 +40,56 @@ object IngestDedup {
       .withColumn("event_time", eventTime)
       .withWatermark("event_time", withinWatermark)
       .dropDuplicatesWithinWatermark("content_fp")
+
+  /**
+   * Stream-vs-corpus NEAR-duplicate candidate filter — the streaming form
+   * of [[graft.dedup.Dedup.minhashLshPairsBetween]] (the nightly-ingest
+   * dedup, run continuously): each arriving document is flagged
+   * `near_dup_suspect` iff some MinHash band key collides with the static
+   * corpus band table. Same banding as every batch dedup op, so the
+   * candidate contract is identical: NO candidate-level false negatives
+   * (a pair the batch LSH would surface always collides here), false
+   * positives pass through flagged for the offline exact-Jaccard verify.
+   *
+   * Shape: the band keys are derived map-only on the stream (codegen'd
+   * shingle/minhash kernels — no state, no watermark needed), then one
+   * LEFT OUTER stream-static join per band against the distinct corpus
+   * keys of that band. Stateless: no streaming aggregation, no
+   * deduplication state; rows with too little text to shingle pass
+   * un-flagged. Scale: the static side is (band, r0, r1) distinct — 24
+   * bytes × bands per corpus doc; Spark broadcasts it while it fits and
+   * shuffle-hash-joins each micro-batch against it beyond that; at PB
+   * corpus size, swap the join for a per-band bloom filter pushed into
+   * the batch — the stream-side derivation is unchanged.
+   *
+   * `corpusBands` is [[graft.dedup.Dedup.bandedSignatures]] output (build
+   * once from the corpus shingle sets, persist, reuse across triggers).
+   */
+  def nearDupSuspects(stream: DataFrame, corpusBands: DataFrame,
+                      textCol: String = "text"): DataFrame = {
+    import graft.dedup.Hashing
+    val sig = stream
+      .withColumn("_sh", graft.functions.Fast.shingleHashesFast(col(textCol)))
+      .withColumn("_sig",
+        when(size(col("_sh")) > 0, graft.functions.Fast.minhashFast(col("_sh"))))
+    val withKeys = (0 until Hashing.bands).foldLeft(sig) { (df, b) =>
+      df.withColumn(s"_r0_$b", element_at(col("_sig"), b * Hashing.rowsPerBand + 1))
+        .withColumn(s"_r1_$b", element_at(col("_sig"), b * Hashing.rowsPerBand + 2))
+    }
+    val hit = (0 until Hashing.bands).foldLeft(withKeys) { (df, b) =>
+      val k = corpusBands.filter(col("band") === b)
+        .select(col("r0").as(s"_c0_$b"), col("r1").as(s"_c1_$b")).distinct()
+        .withColumn(s"_hit_$b", lit(1L))
+      df.join(k,
+        df(s"_r0_$b") <=> k(s"_c0_$b") && df(s"_r1_$b") <=> k(s"_c1_$b"),
+        "left_outer")
+        .drop(s"_c0_$b", s"_c1_$b")
+    }
+    val suspect = (0 until Hashing.bands)
+      .map(b => col(s"_hit_$b").isNotNull)
+      .reduce(_ || _)
+    hit.withColumn("near_dup_suspect", suspect)
+      .drop((0 until Hashing.bands).flatMap(b =>
+        Seq(s"_r0_$b", s"_r1_$b", s"_hit_$b")) ++ Seq("_sh", "_sig"): _*)
+  }
 }

@@ -31,6 +31,8 @@ case class ActRow(stream: String, tus: Long)
 
 case class SCount(count: Long)
 
+case class DocRow(doc_id: Long, text: String)
+
 /**
  * Streaming semantics mirrored from the reference's subscription tests
  * (`streams_test.go:482-564`: catch-up history, then live events, other
@@ -520,6 +522,42 @@ class StreamingSpec extends SparkSpec {
       exact.foreach { case (d, x) =>
         assert(math.abs(streamed(d) - x) * 10 <= x, s"day $d: est ${streamed(d)} vs exact $x")
       }
+    } finally q.stop()
+  }
+  test("near-dup ingest filter: band collisions flag suspects, stateless, == batch candidates") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.dedup.Dedup
+    val mkText = (seed: String) => (1 to 30).map(i => s"$seed$i").mkString(" ")
+    val corpus = Seq((100L, mkText("alpha")), (101L, mkText("beta")), (102L, mkText("gamma")))
+      .toDF("doc_id", "text")
+    val corpusBands = Dedup.bandedSignatures(Dedup.shingleSets(corpus)).cache()
+
+    val arriving = Seq(
+      DocRow(1L, mkText("alpha")),   // exact copy of corpus 100 -> all bands collide
+      DocRow(2L, mkText("delta")),   // fresh vocabulary
+      DocRow(3L, "too short"))       // below shingle width -> never flagged
+    // batch-side expectation: the LSH candidate set of the same band join
+    val expectSuspects = Dedup.bandedSignatures(Dedup.shingleSets(arriving.toDF()))
+      .join(corpusBands.select("band", "r0", "r1"), Seq("band", "r0", "r1"))
+      .select("id").distinct().collect().map(_.getLong(0)).toSet
+    assert(expectSuspects.contains(1L), "the exact copy must be a batch candidate")
+
+    val mem = MemoryStream[DocRow]
+    val q = IngestDedup.nearDupSuspects(mem.toDF(), corpusBands)
+      .writeStream.format("memory").queryName("neardup_ingest")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(arriving.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(arriving.drop(2): _*)   // across micro-batches, no state carried
+      q.processAllAvailable()
+      val got = spark.sql("select doc_id, near_dup_suspect from neardup_ingest").collect()
+        .map(r => (r.getLong(0), r.getBoolean(1))).toMap
+      assert(got.keySet == Set(1L, 2L, 3L), "stateless filter must emit every row exactly once")
+      assert(got.filter(_._2).keySet == expectSuspects,
+        s"streaming suspects must equal the batch candidate set $expectSuspects, got $got")
+      assert(!got(3L), "un-shingleable rows pass un-flagged")
     } finally q.stop()
   }
 }
