@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
 import graft.plans._
 
@@ -45,6 +46,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[GraftExtensions].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))
+    ))
+    // Spark's own runtime-filter bloom pair, exposed as SQL functions.
+    // The optimizer only injects these itself between shuffle-join sides
+    // (InjectRuntimeFilter); registering them lets a query build the same
+    // semi-join pre-filter EXPLICITLY — e.g. decontamination, where the
+    // bench n-gram set is too large to broadcast as a hash relation at
+    // corpus scale but its bloom is ~10 bits/key and map-side prunes the
+    // corpus before the exact verify join. might_contain requires the
+    // bloom argument to be foldable or a scalar subquery (it is evaluated
+    // once, not per row).
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_bloom_agg"),
+      (children: Seq[Expression]) => new BloomFilterAggregate(children.head)
+    ))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_bloom_contains"),
+      (children: Seq[Expression]) => BloomFilterMightContain(children(0), children(1))
     ))
   }
 }

@@ -41,6 +41,24 @@ object Sampling {
       .withColumn("bucket", bucket1000(col("doc_id"), salt))
       .filter(col("bucket") < rateFor(col(stratumCol), rates, defaultPermille))
 
+  /** Deterministic train/val/test assignment: the permille bucket of
+    * `(doc_id, salt)` partitions the corpus into `train` (< trainPermille),
+    * `val` (next valPermille), `test` (rest). Map-only and engine-
+    * mirrorable like [[stratified]]; because the bucket is a pure function
+    * of the id, the split is STABLE under corpus growth — a document never
+    * migrates between splits when new data arrives, which is the property
+    * that keeps eval sets uncontaminated across pipeline reruns. */
+  def splitAssign(docs: DataFrame, salt: String,
+                  trainPermille: Int, valPermille: Int): DataFrame = {
+    val b = bucket1000(col("doc_id"), salt)
+    docs
+      .withColumn("bucket", b)
+      .withColumn("split",
+        when(col("bucket") < trainPermille, "train")
+          .when(col("bucket") < trainPermille + valPermille, "val")
+          .otherwise("test"))
+  }
+
   /** Exactly-k-per-stratum deterministic sample: rank documents within
     * each stratum by the full salt hash (doc_id tiebreak) and keep the
     * first `k` — the reproducible way to draw a fixed-size eval/holdout

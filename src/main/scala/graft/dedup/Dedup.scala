@@ -241,6 +241,78 @@ object Dedup {
   }
 
   /**
+   * Connected components by alternating large-star / small-star rounds
+   * (Kiveris et al. 2014, "Connected Components in MapReduce and Beyond")
+   * — same output contract as [[duplicateClusters]] (every node of the
+   * pair graph labeled with its component's min id), different scaling
+   * law: min-label propagation needs O(component diameter) rounds, the
+   * star construction needs O(log n) regardless of diameter. Near-dup
+   * clusters from banding are near-cliques (diameter 2-3), so propagation
+   * wins there; chain-shaped graphs (shared-boilerplate paths, citation
+   * chains) are where this variant is the right tool.
+   *
+   * Each round is two join+agg passes over the EDGE set (nodes never
+   * carry payloads):
+   *  - large-star: every node points its larger neighbours at the min of
+   *    its closed neighbourhood;
+   *  - small-star: every node points its smaller-or-equal neighbours at
+   *    that min.
+   * Both preserve connectivity and strictly shrink star height; the loop
+   * stops when a round changes no edges. `localCheckpoint` per round
+   * truncates lineage exactly as in [[duplicateClusters]]; the driver
+   * sees only a changed-edge count.
+   */
+  def duplicateClustersAltStar(pairs: DataFrame): DataFrame = {
+    // canonical undirected edge set, self-loops dropped
+    var edges = pairs.select(
+        least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    val nodes = edges.select(col("u").as("id"))
+      .union(edges.select(col("v").as("id"))).distinct().localCheckpoint()
+    var changed = 1L
+    var edgeCount = -1L
+    while (changed > 0) {
+      // large-star over the symmetric view: for each node x, m = min of
+      // closed neighbourhood; larger neighbours y (y > x) re-attach to m
+      val sym = edges.select(col("u").as("x"), col("v").as("y"))
+        .union(edges.select(col("v").as("x"), col("u").as("y")))
+      val mins = sym.groupBy("x").agg(min(col("y")).as("mn"))
+        .select(col("x"), least(col("x"), col("mn")).as("m"))
+      val afterLarge = sym.join(mins, "x")
+        .filter(col("y") > col("x"))
+        .select(least(col("y"), col("m")).as("u"), greatest(col("y"), col("m")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      // small-star over the downward view: all edges already run small →
+      // large (u <= v after canonicalization, grouped at the larger end);
+      // smaller neighbours and the node itself attach to the min. One join
+      // feeds both emitted edge families (explode, not a second join)
+      val dMins = afterLarge.groupBy(col("v").as("x")).agg(min(col("u")).as("m"))
+      val next = afterLarge
+        .join(dMins, afterLarge("v") === dMins("x"))
+        .select(explode(array(
+          struct(least(col("u"), col("m")).as("eu"), greatest(col("u"), col("m")).as("ev")),
+          struct(col("m").as("eu"), col("v").as("ev")))).as("e"))
+        .select(col("e.eu").as("u"), col("e.ev").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+        .localCheckpoint()
+      // both sides are distinct sets: equal counts + empty one-way
+      // difference ⇒ equal. Early rounds change the count and skip the
+      // except pass entirely; only the final round pays it
+      val nextCount = next.count()
+      changed =
+        if (nextCount != edgeCount) 1L
+        else next.exceptAll(edges).count()
+      edgeCount = nextCount
+      edges = next
+    }
+    // converged edge set is a union of stars rooted at each component min
+    nodes
+      .join(edges.select(col("v").as("id"), col("u").as("root")), Seq("id"), "left")
+      .groupBy("id").agg(min(col("root")).as("root"))
+      .select(col("id"), coalesce(col("root"), col("id")).as("keeper"))
+  }
+
+  /**
    * Line-level boilerplate detection (CCNet-style, Wenzek et al. 2019
    * "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
    * Data"): chunk each document into fixed token spans ("lines" — the

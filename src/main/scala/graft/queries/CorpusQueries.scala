@@ -182,6 +182,45 @@ object CorpusQueries {
         .filter(col("rk") <= 5)
         .orderBy("source", "rk")
     },
+    // deterministic train/val/test split: stable hash-bucket assignment
+    // (90/5/5) — map-only like corpus_sample, and STABLE under corpus
+    // growth (a doc's split never changes when new data arrives), the
+    // property that keeps eval sets uncontaminated across reruns
+    "corpus_split" -> { (s: SparkSession, dir: String) =>
+      Sampling.splitAssign(docs(s, dir), salt = "split", trainPermille = 900, valPermille = 50)
+        .select(col("doc_id"), col("source"), col("bucket"), col("split"))
+        .orderBy("doc_id")
+    },
+    // bloom-pruned decontamination: SAME result contract as
+    // text_decontam_ngram, different scale regime. There the bench side
+    // broadcasts as a hash relation — right while the benchmark suite is
+    // small. Here the bench span set is summarized as a BLOOM (~10
+    // bits/key vs ~100 bytes/key for a broadcast hash table — three
+    // orders of magnitude at a 1B-ngram eval registry), the corpus is
+    // pruned MAP-SIDE by might_contain (no false negatives, so nothing
+    // is lost), and only the surviving sliver pays the exact verify join
+    // — forced to a shuffle (merge) join, the plan you'd run when
+    // neither side broadcasts. Result is oracled identical to the exact
+    // form: the bloom's false positives are eliminated by the join
+    "text_decontam_bloom" -> { (s: SparkSession, dir: String) =>
+      Tables.spanPostings(s, dir).createOrReplaceTempView("graft_span_posts")
+      s.sql(
+        """WITH bench AS (
+          |  SELECT DISTINCT id AS bench_id, span_h FROM graft_span_posts WHERE id % 10 = 0
+          |), corp AS (
+          |  SELECT id, span_h FROM graft_span_posts
+          |  WHERE id % 10 <> 0
+          |    AND graft_bloom_contains(
+          |          (SELECT graft_bloom_agg(span_h) FROM graft_span_posts WHERE id % 10 = 0),
+          |          span_h)
+          |)
+          |SELECT /*+ MERGE(b) */ c.id AS doc_id,
+          |  count(DISTINCT c.span_h) AS n_spans_hit,
+          |  count(DISTINCT b.bench_id) AS n_bench_docs
+          |FROM corp c JOIN bench b ON c.span_h = b.span_h
+          |GROUP BY c.id
+          |ORDER BY doc_id""".stripMargin)
+    },
     "text_decontam" -> { (s: SparkSession, dir: String) =>
       val posts = Tables.winnowPostings(s, dir)
       val bench = posts.filter(col("doc_id") % 50 === 0)
@@ -392,6 +431,30 @@ object CorpusQueries {
          |)
          |SELECT doc_id, source, quality_x1000, rk FROM r WHERE rk <= 5
          |ORDER BY source, rk""".stripMargin,
+    "corpus_split" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, source,
+         |    ${fpSql("doc_id::VARCHAR || '#split'")} % 1000 AS bucket
+         |  FROM documents
+         |)
+         |SELECT doc_id, source, bucket,
+         |  CASE WHEN bucket < 900 THEN 'train'
+         |       WHEN bucket < 950 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin,
+    // identical oracle to text_decontam_ngram by design: the bloom is a
+    // pre-filter with no false negatives; the verify join removes its
+    // false positives, so the result must match the exact form
+    "text_decontam_bloom" ->
+      s"""${DedupQueries.SPANS}, bench AS (
+         |  SELECT DISTINCT doc_id AS bench_id, span_h FROM post WHERE doc_id % 10 = 0
+         |), corp AS (
+         |  SELECT doc_id, span_h FROM post WHERE doc_id % 10 <> 0
+         |)
+         |SELECT c.doc_id, count(DISTINCT c.span_h) AS n_spans_hit,
+         |  count(DISTINCT b.bench_id) AS n_bench_docs
+         |FROM corp c JOIN bench b USING (span_h)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_decontam" ->
       s"""WITH ${DedupQueries.winnowCtes}, bench AS (
          |  SELECT doc_id AS bench_id, fp FROM post WHERE doc_id % 50 = 0

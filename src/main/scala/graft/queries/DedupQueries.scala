@@ -48,6 +48,15 @@ object DedupQueries {
         Dedup.minhashLshPairsFromSets(Tables.shingleSets(s, dir), thresholdX1000 = 300))
         .orderBy("id")
     },
+    // same clusters via alternating large-star/small-star (Kiveris et al.)
+    // — O(log n) rounds instead of O(diameter); the variant to reach for
+    // when components are chains, not the near-cliques banding produces.
+    // Same oracle as dedup_clusters: both must produce the min-id labeling
+    "dedup_clusters_ls" -> { (s: SparkSession, dir: String) =>
+      Dedup.duplicateClustersAltStar(
+        Dedup.minhashLshPairsFromSets(Tables.shingleSets(s, dir), thresholdX1000 = 300))
+        .orderBy("id")
+    },
     // DEDUP-RATE REPORT by source: what fraction of each source's docs
     // are near-dup cluster LOSERS (member ≠ keeper) — the per-source
     // quality dashboard a curation run publishes. The cluster table is
@@ -351,6 +360,19 @@ object DedupQueries {
     // transitive closure over the symmetric near-dup graph; keeper = min
     // reachable id (mirrors Dedup.duplicateClusters' min-label fixpoint)
     "dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashPairCtes, edges AS (
+         |  SELECT a AS src, b AS dst FROM pairs
+         |  UNION SELECT b, a FROM pairs
+         |), reach AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |)
+         |SELECT src AS id, least(src, min(dst)) AS keeper
+         |FROM reach GROUP BY src ORDER BY id""".stripMargin,
+    // identical oracle by design: the star construction must land on the
+    // same min-id component labeling as the propagation form
+    "dedup_clusters_ls" ->
       s"""WITH RECURSIVE $minhashPairCtes, edges AS (
          |  SELECT a AS src, b AS dst FROM pairs
          |  UNION SELECT b, a FROM pairs

@@ -173,6 +173,24 @@ object LogQueries {
           time = Sessionize.microsFromNanos(col("ts")), unit = "us")
         .orderBy("stream", "session_idx")
     },
+    // the same sessions through Spark's built-in session_window — the
+    // STREAMING-capable sessionization operator (merging windows +
+    // watermark state expiry; here run in batch mode). window.end is
+    // last-event + gap by session_window's contract, mirrored in the
+    // oracle. Same scale shape as agg_sessions: one stream-key shuffle
+    "agg_sessions_native" -> { (s: SparkSession, dir: String) =>
+      import graft.streaming.Sessionize
+      Sessionize
+        .sessionsNative(
+          Fixture.events(s, dir).select(col("stream"), col("ts")),
+          timestamp_micros(Sessionize.microsFromNanos(col("ts"))),
+          gap = "4 hours")
+        .select(col("stream"),
+          unix_micros(col("session_window.start")).as("start_us"),
+          unix_micros(col("session_window.end")).as("end_us"),
+          col("n_events"))
+        .orderBy("stream", "start_us")
+    },
     // §1.2 schema-on-read: JSON payload field access + predicate
     "read_json_payload" -> { (s: SparkSession, dir: String) =>
       Fixture
@@ -351,6 +369,22 @@ object LogQueries {
          |SELECT stream, session_idx, count(*) AS n_events,
          |       min(tus) AS start_us, max(tus) AS end_us
          |FROM m GROUP BY 1, 2 ORDER BY stream, session_idx""".stripMargin,
+    // session_window contract: start = first event, end = LAST EVENT + gap
+    "agg_sessions_native" ->
+      s"""$EV, x AS (
+         |  SELECT stream, position, epoch_us(ts) AS tus,
+         |         lag(epoch_us(ts)) OVER (PARTITION BY stream ORDER BY epoch_us(ts), position) AS prev
+         |  FROM ev
+         |), m AS (
+         |  SELECT stream, position, tus,
+         |         CAST(sum(CASE WHEN prev IS NULL OR tus - prev >= 14400000000 THEN 1 ELSE 0 END)
+         |           OVER (PARTITION BY stream ORDER BY tus, position
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+         |  FROM x
+         |)
+         |SELECT stream, min(tus) AS start_us, max(tus) + 14400000000 AS end_us,
+         |       count(*) AS n_events
+         |FROM m GROUP BY stream, session_idx ORDER BY stream, start_us""".stripMargin,
     // epoch-minute buckets: window.start (epoch seconds) = (ns // 60e9) * 60.
     // `//` (integer division) — `/` on BIGINTs is double division in DuckDB
     // and a half-ULP at 1.7e18 ns can flip a bucket at an exact boundary

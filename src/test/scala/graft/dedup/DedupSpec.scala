@@ -95,6 +95,29 @@ class DedupSpec extends SparkSpec {
     assert(got2 == (0L to 6L).map(_ -> 0L).toMap)
   }
 
+  test("alternating-star clusters == propagation clusters (clique, chain, forest)") {
+    import spark.implicits._
+    def labels(pairs: org.apache.spark.sql.DataFrame): Map[Long, Long] = {
+      val a = Dedup.duplicateClusters(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val b = Dedup.duplicateClustersAltStar(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(a == b, s"star construction diverged from propagation: $a vs $b")
+      b
+    }
+    // near-clique (the banding shape)
+    assert(labels(Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L)).toDF("a", "b"))
+      == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // a 30-node chain: diameter 30, the case the O(log n) construction is
+    // for — propagation needs ~30 rounds here, the star loop a handful
+    val chain = (0L until 30L).map(i => (i, i + 1)).toDF("a", "b")
+    assert(labels(chain) == (0L to 30L).map(_ -> 0L).toMap)
+    // forest with shuffled ids and reversed pair order
+    val forest = Seq((7L, 3L), (3L, 9L), (20L, 15L), (40L, 41L), (41L, 15L)).toDF("a", "b")
+    assert(labels(forest) ==
+      Map(3L -> 3L, 7L -> 3L, 9L -> 3L, 15L -> 15L, 20L -> 15L, 40L -> 15L, 41L -> 15L))
+  }
+
   test("simhash of identical docs is identical; hamming of disjoint docs > 0") {
     import spark.implicits._
     val docs = Seq(

@@ -417,4 +417,30 @@ class QueryPlanSpec extends SparkSpec {
     assert(bigWindows >= 1, s"expected the local rank window keyed by (epoch, _range) in:\n$plan")
     assert(epochOnly == 0, s"found a whole-epoch window sort in:\n$plan")
   }
+
+  test("corpus_split: map-only assignment, no shuffle before the output sort") {
+    val plan = CorpusQueries.queries("corpus_split")(spark, dir)
+      .queryExecution.executedPlan.toString()
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges == 0, s"split assignment must not shuffle:\n$plan")
+  }
+
+  test("text_decontam_bloom: bloom prune below the scan-side filter, verify join NOT broadcast") {
+    val plan = CorpusQueries.queries("text_decontam_bloom")(spark, dir)
+      .queryExecution.executedPlan.toString()
+    // the bloom probe is a map-side filter (no join for the prune)...
+    assert(plan.contains("might_contain"), s"expected the bloom probe filter in:\n$plan")
+    // ...and the exact verify join runs as a shuffle join — the regime
+    // where the bench side is too big to broadcast as a hash relation
+    assert(plan.contains("SortMergeJoin"), s"expected a shuffle verify join in:\n$plan")
+  }
+
+  test("agg_sessions_native: one stream-key shuffle feeds the merging session window") {
+    val plan = LogQueries.queries("agg_sessions_native")(spark, dir)
+      .queryExecution.executedPlan.toString()
+    val own = plan.split("InMemoryTableScan")(0)
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(own).length
+    assert(hashExchanges <= 1,
+      s"expected at most one stream-key shuffle, found $hashExchanges in:\n$plan")
+  }
 }
