@@ -182,6 +182,80 @@ object CorpusQueries {
         .filter(col("rk") <= 5)
         .orderBy("source", "rk")
     },
+    // corpus distribution drift between two snapshots (doc_id parity
+    // plays crawl A vs crawl B): per-token counts for both snapshots in
+    // ONE partially-aggregated pass (conditional sums — the token key
+    // shuffles once, not twice), 1-row totals broadcast back, drift =
+    // |cnt_a·tot_b − cnt_b·tot_a| (cross-multiplied integer rate diff —
+    // exact, no division), top-20 contributors via TakeOrdered (no
+    // global sort). The alarm a pipeline fires when a new crawl's token
+    // mix shifts against the corpus it's about to join
+    "corpus_drift" -> { (s: SparkSession, dir: String) =>
+      val toks = docs(s, dir)
+        .select((col("doc_id") % 2 === 0).as("in_a"), Hashing.toks(col("text")).as("tk"))
+      val counts = toks
+        .select(col("in_a"), explode(col("tk")).as("tok"))
+        .groupBy("tok")
+        .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("cnt_a"),
+          sum(when(!col("in_a"), 1L).otherwise(0L)).as("cnt_b"))
+      // totals from a per-doc size() scan — NOT by re-aggregating the
+      // vocabulary table, which would pay the token shuffle twice
+      val tot = toks.agg(
+        sum(when(col("in_a"), size(col("tk")).cast("long")).otherwise(0L)).as("tot_a"),
+        sum(when(!col("in_a"), size(col("tk")).cast("long")).otherwise(0L)).as("tot_b"))
+      counts.crossJoin(broadcast(tot))
+        .withColumn("drift", abs(col("cnt_a") * col("tot_b") - col("cnt_b") * col("tot_a")))
+        .select("tok", "cnt_a", "cnt_b", "drift")
+        .orderBy(col("drift").desc, col("tok").asc)
+        .limit(20)
+    },
+    // the WHOLE curation pipeline as one funnel report: per source, how
+    // many docs survive each cumulative stage — raw → quality (>= 550) →
+    // exact-unique (min doc_id per content md5 among survivors) →
+    // near-dup keeper (minus LSH cluster losers) → decontaminated (minus
+    // docs sharing >= 2 winnow fps with the bench subset). One scan
+    // computes all per-doc flags; the exact-keeper join shuffles 16-byte
+    // md5 keys (NOT broadcast — at 100 TB the dup mass is unbounded);
+    // loser/contaminated sets are small by nature and broadcast; one
+    // rollup shuffle on source. The report a curation run publishes to
+    // show where the data went
+    "corpus_funnel" -> { (s: SparkSession, dir: String) =>
+      val d = docs(s, dir)
+      val fl = d.select(col("doc_id"), col("source"), md5(col("text")).as("h"),
+        (TextFunctions.qualityScoreX1000(col("text")) >= 550).as("q_ok"))
+      val keepers = fl.filter(col("q_ok"))
+        .groupBy("h").agg(min("doc_id").as("keep_id"))
+      val nearLosers = graft.dedup.Dedup
+        .duplicateClusters(graft.dedup.Dedup
+          .minhashLshPairsFromSets(Tables.shingleSets(s, dir), thresholdX1000 = 300))
+        .filter(col("id") =!= col("keeper")).select(col("id").as("nd_id"))
+      val contam = {
+        val posts = Tables.winnowPostings(s, dir)
+        val bench = posts.filter(col("doc_id") % 50 === 0)
+          .select(col("doc_id").as("bench_id"), col("fp"))
+        posts.filter(col("doc_id") % 50 =!= 0)
+          .join(broadcast(bench), "fp")
+          .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 2)
+          .select(col("doc_id").as("ct_id")).distinct()
+      }
+      // merge hint: the keeper table is every distinct content hash of the
+      // quality survivors — corpus-sized at 100 TB, never broadcastable;
+      // fixture-scale stats would otherwise pick a broadcast here
+      fl.join(keepers.hint("merge"), Seq("h"), "left")
+        .join(broadcast(nearLosers), col("doc_id") === col("nd_id"), "left")
+        .join(broadcast(contam), col("doc_id") === col("ct_id"), "left")
+        .withColumn("s2", col("q_ok") && col("doc_id") === col("keep_id"))
+        .withColumn("s3", col("s2") && col("nd_id").isNull)
+        .withColumn("s4", col("s3") && col("ct_id").isNull)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_raw"),
+          sum(when(col("q_ok"), 1L).otherwise(0L)).as("n_quality"),
+          sum(when(col("s2"), 1L).otherwise(0L)).as("n_unique"),
+          sum(when(col("s3"), 1L).otherwise(0L)).as("n_neardup_kept"),
+          sum(when(col("s4"), 1L).otherwise(0L)).as("n_clean"))
+        .orderBy("source")
+    },
     // deterministic train/val/test split: stable hash-bucket assignment
     // (90/5/5) — map-only like corpus_sample, and STABLE under corpus
     // growth (a doc's split never changes when new data arrives), the
@@ -253,6 +327,18 @@ object CorpusQueries {
     * with [[TextFunctions.stopwords]] by construction). */
   private val stopList: String =
     TextFunctions.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** Integer quality score over columns `(toks, text)` — mirrors
+    * [[TextFunctions.qualityScoreX1000]] (length, stopword, punctuation
+    * components, floor-scaled to x1000). */
+  private val QUAL =
+    s"""CAST(floor(1000.0 * (
+       |       0.4 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+       |     + 0.3 * least(3.0 * CAST(len(list_filter(toks, t -> list_contains($stopList, t))) AS BIGINT)
+       |         / greatest(len(toks), 1), 1.0)
+       |     + 0.3 * (1.0 - least(5.0 * len(regexp_extract_all(text, '[.,!?;:]'))
+       |         / greatest(length(text), 1), 1.0))
+       |    )) AS BIGINT)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "corpus_sample" ->
@@ -415,13 +501,7 @@ object CorpusQueries {
          |  FROM documents
          |), q AS (
          |  SELECT doc_id, source,
-         |    CAST(floor(1000.0 * (
-         |       0.4 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
-         |     + 0.3 * least(3.0 * CAST(len(list_filter(toks, t -> list_contains($stopList, t))) AS BIGINT)
-         |         / greatest(len(toks), 1), 1.0)
-         |     + 0.3 * (1.0 - least(5.0 * len(regexp_extract_all(text, '[.,!?;:]'))
-         |         / greatest(length(text), 1), 1.0))
-         |    )) AS BIGINT) AS quality_x1000
+         |    $QUAL AS quality_x1000
          |  FROM d
          |), r AS (
          |  SELECT doc_id, source, quality_x1000,
@@ -431,6 +511,67 @@ object CorpusQueries {
          |)
          |SELECT doc_id, source, quality_x1000, rk FROM r WHERE rk <= 5
          |ORDER BY source, rk""".stripMargin,
+    "corpus_drift" ->
+      """WITH t AS (
+        |  SELECT doc_id % 2 = 0 AS in_a,
+        |         unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents
+        |), c AS (
+        |  SELECT tok,
+        |    CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+        |    CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS cnt_b
+        |  FROM t GROUP BY tok
+        |), tot AS (
+        |  SELECT CAST(sum(cnt_a) AS BIGINT) AS tot_a,
+        |         CAST(sum(cnt_b) AS BIGINT) AS tot_b
+        |  FROM c
+        |)
+        |SELECT tok, cnt_a, cnt_b,
+        |  abs(cnt_a * tot_b - cnt_b * tot_a) AS drift
+        |FROM c CROSS JOIN tot
+        |ORDER BY drift DESC, tok LIMIT 20""".stripMargin,
+    "corpus_funnel" ->
+      s"""WITH RECURSIVE ${DedupQueries.minhashPairCtes}, edges AS (
+         |  SELECT a AS src, b AS dst FROM pairs
+         |  UNION SELECT b, a FROM pairs
+         |), reach AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |), losers AS (
+         |  SELECT src AS id FROM reach GROUP BY src HAVING min(dst) < src
+         |), ${DedupQueries.winnowTail}, bench AS (
+         |  SELECT doc_id AS bench_id, fp FROM post WHERE doc_id % 50 = 0
+         |), contam AS (
+         |  SELECT DISTINCT doc_id FROM (
+         |    SELECT c.doc_id FROM
+         |      (SELECT doc_id, fp FROM post WHERE doc_id % 50 <> 0) c
+         |      JOIN bench b USING (fp)
+         |    GROUP BY c.doc_id, b.bench_id HAVING count(*) >= 2
+         |  )
+         |), fl AS (
+         |  SELECT doc_id, source, md5(text) AS h, $QUAL >= 550 AS q_ok
+         |  FROM (SELECT doc_id, source, text,
+         |          string_split_regex(trim(lower(text)), '\\s+') AS toks
+         |        FROM documents)
+         |), keepers AS (
+         |  SELECT h, min(doc_id) AS keep_id FROM fl WHERE q_ok GROUP BY h
+         |), st AS (
+         |  SELECT f.source, f.q_ok,
+         |    f.q_ok AND f.doc_id = k.keep_id AS s2,
+         |    f.q_ok AND f.doc_id = k.keep_id
+         |      AND f.doc_id NOT IN (SELECT id FROM losers) AS s3,
+         |    f.q_ok AND f.doc_id = k.keep_id
+         |      AND f.doc_id NOT IN (SELECT id FROM losers)
+         |      AND f.doc_id NOT IN (SELECT doc_id FROM contam) AS s4
+         |  FROM fl f LEFT JOIN keepers k USING (h)
+         |)
+         |SELECT source, count(*) AS n_raw,
+         |  CAST(sum(CASE WHEN q_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+         |  CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+         |  CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup_kept,
+         |  CAST(sum(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+         |FROM st GROUP BY source ORDER BY source""".stripMargin,
     "corpus_split" ->
       s"""WITH b AS (
          |  SELECT doc_id, source,

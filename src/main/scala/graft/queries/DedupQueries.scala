@@ -196,7 +196,11 @@ object DedupQueries {
 
   /** CTEs: toks → per-token hashes → distinct 3-gram shingle hashes.
     * (Body without the WITH keyword so callers can prepend RECURSIVE.) */
-  private val SHB =
+  /** Shared CTE prefix: per-doc token list + per-token rolling hashes —
+    * the common root of the shingle (minhash) and winnow chains, exposed
+    * so composite oracles (corpus funnel) can mount both tails on ONE
+    * definition without CTE-name collisions. */
+  private[queries] val tokHashCtes =
     s"""t AS (
        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents
        |), thc AS (
@@ -206,7 +210,10 @@ object DedupQueries {
        |        list_transform(string_split(tk, ''), c -> CAST(ascii(c) AS BIGINT))),
        |      (h, c) -> (h * 31 + c) % $P)) AS th
        |  FROM t
-       |), shs AS (
+       |)""".stripMargin
+
+  private val SHB =
+    s"""$tokHashCtes, shs AS (
        |  SELECT doc_id,
        |    list_distinct(list_transform(range(1, greatest(len(th) - 2, 0) + 1),
        |      i -> ((th[i] * 31 + th[i+1]) % $P * 31 + th[i+2]) % $P)) AS sh
@@ -215,22 +222,11 @@ object DedupQueries {
 
   private val SH = s"WITH $SHB"
 
-  /** CTEs ending in `post(doc_id, fp)` — winnowing fingerprint postings:
-    * positional (non-distinct) 3-gram hashes, window-of-4 minima, sorted
-    * distinct per doc (mirrors Winnow.fingerprints exactly; docs with no
-    * shingles contribute no postings on either engine). Public so the
-    * decontamination oracle (CorpusQueries) can compose with it. */
-  val winnowCtes =
-    s"""t AS (
-       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents
-       |), thc AS (
-       |  SELECT doc_id, list_transform(toks, tk ->
-       |    list_reduce(
-       |      list_prepend(CAST(0 AS BIGINT),
-       |        list_transform(string_split(tk, ''), c -> CAST(ascii(c) AS BIGINT))),
-       |      (h, c) -> (h * 31 + c) % $P)) AS th
-       |  FROM t
-       |), osh AS (
+  /** The winnow chain WITHOUT the shared token-hash prefix — mounts on
+    * [[tokHashCtes]] (directly or via the minhash chain, which begins with
+    * the same prefix) to end in `post(doc_id, fp)`. */
+  private[queries] val winnowTail =
+    s"""osh AS (
        |  SELECT doc_id,
        |    list_transform(range(1, greatest(len(th) - 2, 0) + 1),
        |      i -> ((th[i] * 31 + th[i+1]) % $P * 31 + th[i+2]) % $P) AS h
@@ -243,6 +239,14 @@ object DedupQueries {
        |), post AS (
        |  SELECT doc_id, unnest(fps) AS fp FROM wf
        |)""".stripMargin
+
+  /** Full winnow CTE chain (token-hash prefix + winnow tail) ending in
+    * `post(doc_id, fp)` — the winnowing fingerprint postings: per-doc
+    * positional (non-distinct) 3-gram hashes, window-of-4 minima, sorted
+    * distinct per doc (mirrors Winnow.fingerprints exactly; docs with no
+    * shingles contribute no postings on either engine). Public so the
+    * decontamination oracle (CorpusQueries) can compose with it. */
+  val winnowCtes = s"$tokHashCtes, $winnowTail"
 
   private val WN = s"WITH $winnowCtes"
 

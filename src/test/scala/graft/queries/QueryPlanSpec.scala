@@ -435,6 +435,26 @@ class QueryPlanSpec extends SparkSpec {
     assert(plan.contains("SortMergeJoin"), s"expected a shuffle verify join in:\n$plan")
   }
 
+  test("corpus_drift: both snapshot counts ride ONE token shuffle; top-20 fused") {
+    val plan = CorpusQueries.queries("corpus_drift")(spark, dir)
+      .queryExecution.executedPlan.toString()
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges == 1,
+      s"expected exactly one token-key shuffle (conditional sums), found $hashExchanges in:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"top-20 must fuse, no global sort:\n$plan")
+  }
+
+  test("corpus_funnel: exact-keeper join shuffles md5 keys; loser/contam sets broadcast") {
+    val plan = CorpusQueries.queries("corpus_funnel")(spark, dir)
+      .queryExecution.executedPlan.toString()
+    // the content-hash self-join must NOT broadcast (dup mass is unbounded
+    // at scale) — it rides a shuffle join on the 16-byte md5 key
+    assert(plan.contains("SortMergeJoin [h#") || plan.contains("SortMergeJoin [coalesce(h#"),
+      s"expected the keeper join to shuffle on the md5 key in:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the loser/contaminated sets to broadcast in:\n$plan")
+  }
+
   test("agg_sessions_native: one stream-key shuffle feeds the merging session window") {
     val plan = LogQueries.queries("agg_sessions_native")(spark, dir)
       .queryExecution.executedPlan.toString()
