@@ -92,6 +92,23 @@ object Ivf {
     IvfIndex(assigned, centroids)
   }
 
+  /**
+   * Persist a routed corpus as the SERVING layout: one parquet partition
+   * directory per IVF cell (`ivf_cell=<cid>/`). A probe's
+   * `ivf_cell IN (...)` filter then prunes at the PARTITION level — the
+   * scan plans only nprobe/nlist of the files, before any row is read
+   * (`PartitionFilters` in the scan node, pinned by `IvfSpec`). This is
+   * the difference between "filter the corpus per query" and "read only
+   * the index shard a query routes to" at 100 TB.
+   */
+  def writeLayout(index: IvfIndex, path: String): Unit =
+    index.assigned.write.mode("overwrite").partitionBy("ivf_cell").parquet(path)
+
+  /** Reopen a [[writeLayout]] directory with its routing table. */
+  def openLayout(spark: org.apache.spark.sql.SparkSession, path: String,
+                 centroids: Array[(Int, Array[Double])]): IvfIndex =
+    IvfIndex(spark.read.parquet(path), centroids)
+
   final case class IvfIndex(assigned: DataFrame, centroids: Array[(Int, Array[Double])]) {
 
     /** Rank cells by centroid distance to the query (driver-side — the

@@ -65,6 +65,51 @@ object IngestDedup {
    * `corpusBands` is [[graft.dedup.Dedup.bandedSignatures]] output (build
    * once from the corpus shingle sets, persist, reuse across triggers).
    */
+  /**
+   * Build the benchmark span-hash bloom ONCE, batch-side, from the eval
+   * registry's span postings ([[graft.dedup.Dedup.spanPostings]] of the
+   * bench docs). The returned bytes are a routing-table-sized artifact
+   * (~10 bits per bench n-gram — an IVF-codebook-class object, not data),
+   * embedded as a LITERAL in the streaming filter so each micro-batch
+   * probes it with zero state and zero joins.
+   */
+  def benchSpanBloom(benchSpans: DataFrame, spanCol: String = "span_h"): Array[Byte] =
+    benchSpans.agg(expr(s"graft_bloom_agg($spanCol)").as("bf"))
+      .head().getAs[Array[Byte]](0)
+
+  /**
+   * Streaming DECONTAMINATION filter — the ingest-time form of
+   * `text_decontam_ngram`: flag each arriving document iff any verbatim
+   * `spanTokens`-token span probably appears in the benchmark registry
+   * (bloom probe — no false negatives, so a clean=false doc is GENUINELY
+   * clean; suspects go to the offline exact verify, the same
+   * flag-then-verify contract as [[nearDupSuspects]]).
+   *
+   * Shape: span hashes derive map-only from the codegen'd token-hash
+   * kernel (an O(L) fold per doc — no re-tokenization per span), the
+   * bloom rides the closure as a literal. Stateless, no watermark, no
+   * stream-static join — the filter a 100 TB/day ingest can afford on
+   * every document.
+   */
+  def decontamSuspects(stream: DataFrame, benchBloom: Array[Byte], spanTokens: Int = 8,
+                      textCol: String = "text"): DataFrame = {
+    import graft.dedup.Hashing
+    val P = Hashing.P
+    stream
+      .withColumn("_th", Hashing.tokenHashes(col(textCol)))
+      .withColumn("_m", size(col("_th")) - (spanTokens - 1))
+      .withColumn("contam_suspect",
+        when(col("_m") >= 1,
+          exists(
+            transform(sequence(lit(1), col("_m")),
+              i => (1 until spanTokens).foldLeft(element_at(col("_th"), i)) {
+                (acc, j) => (acc * 31L + element_at(col("_th"), i + lit(j))) % P
+              }),
+            s => call_function("graft_bloom_contains", lit(benchBloom), s)))
+          .otherwise(lit(false)))
+      .drop("_th", "_m")
+  }
+
   def nearDupSuspects(stream: DataFrame, corpusBands: DataFrame,
                       textCol: String = "text"): DataFrame = {
     import graft.dedup.Hashing

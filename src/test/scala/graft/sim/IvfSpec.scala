@@ -55,4 +55,34 @@ class IvfSpec extends SparkSpec {
       .filter(col("ivf_cell") =!= (col("id") / lit(stride)).cast("int"))
     assert(own.count() == 0)
   }
+
+  test("cell-partitioned layout: probe prunes partitions, results identical to in-memory") {
+    val index = Ivf.buildSampled(corpus, nlist = 8)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_layout").toString
+    try {
+      Ivf.writeLayout(index, dir)
+      // one directory per cell on disk — the physical index shards
+      val cellDirs = new java.io.File(dir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("ivf_cell=")).map(_.getName).toSet
+      assert(cellDirs.size == index.centroids.length, s"expected one dir per cell, got $cellDirs")
+
+      val opened = Ivf.openLayout(spark, dir, index.centroids)
+      val probed = opened.topK(queryDf, k = 10, nprobe = 2)
+      // the scan must prune at the PARTITION level: the cell predicate
+      // appears in PartitionFilters (planned before any row is read), and
+      // the scan's file listing covers only the probed cells
+      val scan = probed.queryExecution.executedPlan.toString()
+      assert(scan.contains("PartitionFilters: [ivf_cell") ||
+        scan.contains("PartitionFilters: [isnotnull(ivf_cell") ||
+        "PartitionFilters: \\[.*ivf_cell".r.findFirstIn(scan).isDefined,
+        s"expected the cell filter as a partition filter in:\n$scan")
+      // and the answer is bit-identical to the in-memory routed corpus
+      val fromDisk = probed.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val inMem = index.topK(queryDf, k = 10, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(fromDisk == inMem)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }

@@ -560,4 +560,46 @@ class StreamingSpec extends SparkSpec {
       assert(!got(3L), "un-shingleable rows pass un-flagged")
     } finally q.stop()
   }
+
+  test("streaming decontam filter: bench-span bloom flags hits, no false negatives, stateless") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.dedup.Dedup
+    val passage = "the quick brown fox jumps over the lazy" // exactly 8 tokens
+    val bench = Seq((9000L, s"benchmark question text $passage answer follows here now"))
+      .toDF("doc_id", "text")
+    val bloom = IngestDedup.benchSpanBloom(Dedup.spanPostings(bench, spanTokens = 8))
+
+    val arriving = Seq(
+      DocRow(1L, s"scraped page containing $passage verbatim and more"), // contaminated
+      DocRow(2L, (1 to 20).map(i => s"fresh$i").mkString(" ")),          // clean
+      DocRow(3L, "short"))                                               // < 8 tokens
+    // batch-side expectation: exact span intersection with the bench set
+    val benchSpans = Dedup.spanPostings(bench).select("span_h").distinct()
+    val expectHits = Dedup.spanPostings(arriving.toDF())
+      .join(benchSpans, "span_h").select("id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(expectHits == Set(1L))
+
+    val mem = MemoryStream[DocRow]
+    val q = IngestDedup.decontamSuspects(mem.toDF(), bloom)
+      .writeStream.format("memory").queryName("decontam_ingest")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(arriving.take(1): _*)
+      q.processAllAvailable()
+      mem.addData(arriving.drop(1): _*) // across micro-batches, no state carried
+      q.processAllAvailable()
+      val got = spark.sql("select doc_id, contam_suspect from decontam_ingest").collect()
+        .map(r => (r.getLong(0), r.getBoolean(1))).toMap
+      assert(got.keySet == Set(1L, 2L, 3L), "stateless filter must emit every row exactly once")
+      // no false negatives: every true contamination is flagged
+      assert(expectHits.forall(got(_)), s"bloom must flag every exact hit, got $got")
+      assert(!got(3L), "sub-span-width rows pass un-flagged")
+      // the clean doc has disjoint vocabulary — flagging it would mean a
+      // bloom false positive over 13 probes at default sizing (~1M-item
+      // filter for 3 spans): astronomically unlikely, treat as a bug
+      assert(!got(2L), "fresh-vocabulary doc must not be flagged")
+    } finally q.stop()
+  }
 }
