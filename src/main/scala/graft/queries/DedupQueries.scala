@@ -48,6 +48,24 @@ object DedupQueries {
         Dedup.minhashLshPairsFromSets(Tables.shingleSets(s, dir), thresholdX1000 = 300))
         .orderBy("id")
     },
+    // triangles of the near-dup graph — the cluster-cohesion metric: a
+    // clique-ish component (true duplicate group) is triangle-dense, a
+    // chain (transitive false positives from banding) has none. Canonical
+    // a<b pairs make each triangle enumerate exactly once as an ordered
+    // wedge join (p1.b = p2.a) + closing-edge check — the node-iterator
+    // algorithm; joins stay on the PAIR set (two shuffles of id pairs),
+    // documents never move
+    "graph_triangles" -> { (s: SparkSession, dir: String) =>
+      val pairs = Dedup
+        .minhashLshPairsFromSets(Tables.shingleSets(s, dir), thresholdX1000 = 300)
+        .select("a", "b")
+      val p2 = pairs.select(col("a").as("b"), col("b").as("c"))
+      val p3 = pairs.select(col("a").as("a3"), col("b").as("c3"))
+      pairs.join(p2, "b")
+        .join(p3, col("a") === col("a3") && col("c") === col("c3"))
+        .select(col("a"), col("b"), col("c"))
+        .orderBy("a", "b", "c")
+    },
     // same clusters via alternating large-star/small-star (Kiveris et al.)
     // — O(log n) rounds instead of O(diameter); the variant to reach for
     // when components are chains, not the near-cliques banding produces.
@@ -374,6 +392,13 @@ object DedupQueries {
          |)
          |SELECT src AS id, least(src, min(dst)) AS keeper
          |FROM reach GROUP BY src ORDER BY id""".stripMargin,
+    "graph_triangles" ->
+      s"""WITH $minhashPairCtes
+         |SELECT p1.a, p1.b, p2.b AS c
+         |FROM pairs p1
+         |JOIN pairs p2 ON p1.b = p2.a
+         |JOIN pairs p3 ON p3.a = p1.a AND p3.b = p2.b
+         |ORDER BY 1, 2, 3""".stripMargin,
     // identical oracle by design: the star construction must land on the
     // same min-id component labeling as the propagation form
     "dedup_clusters_ls" ->

@@ -173,6 +173,21 @@ object LogQueries {
           time = Sessionize.microsFromNanos(col("ts")), unit = "us")
         .orderBy("stream", "session_idx")
     },
+    // per-stream DEBOUNCE: drop an event whose type repeats its stream's
+    // immediately-preceding event (sensor chatter / UI double-fire
+    // suppression — consecutive-only, unlike dedup which is global). One
+    // stream-key shuffle; the lag window and nothing else
+    "filter_debounce" -> { (s: SparkSession, dir: String) =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.streaming.Sessionize
+      val w = Window.partitionBy("stream").orderBy(col("tus"), col("position"))
+      Fixture.events(s, dir)
+        .withColumn("tus", Sessionize.microsFromNanos(col("ts")))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNull || col("event_type") =!= col("prev_type"))
+        .select(col("position"), col("stream"), col("event_type"))
+        .orderBy("position")
+    },
     // the same sessions through Spark's built-in session_window — the
     // STREAMING-capable sessionization operator (merging windows +
     // watermark state expiry; here run in batch mode). window.end is
@@ -369,6 +384,15 @@ object LogQueries {
          |SELECT stream, session_idx, count(*) AS n_events,
          |       min(tus) AS start_us, max(tus) AS end_us
          |FROM m GROUP BY 1, 2 ORDER BY stream, session_idx""".stripMargin,
+    "filter_debounce" ->
+      s"""$EV, x AS (
+         |  SELECT position, stream, event_type,
+         |         lag(event_type) OVER (PARTITION BY stream ORDER BY epoch_us(ts), position) AS prev
+         |  FROM ev
+         |)
+         |SELECT position, stream, event_type FROM x
+         |WHERE prev IS NULL OR event_type <> prev
+         |ORDER BY position""".stripMargin,
     // session_window contract: start = first event, end = LAST EVENT + gap
     "agg_sessions_native" ->
       s"""$EV, x AS (

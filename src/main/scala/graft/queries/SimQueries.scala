@@ -58,6 +58,14 @@ object SimQueries {
       x1e6(Similarity.topKLshFromNormed(
         Tables.normedEmb(s, dir), queryRow(Tables.emb(s, dir)), K, DIM))
     },
+    // radius search: everything within cosine >= 0.2 of the query — the
+    // range complement of top-k (map-only scan + broadcast query, no
+    // corpus sort, result size follows the data)
+    "sim_range_search" -> { (s: SparkSession, dir: String) =>
+      x1e6(Similarity.rangeSearchFromNormed(
+        Tables.normedEmb(s, dir), queryRow(Tables.emb(s, dir)), 0.2))
+        .orderBy("vec_id")
+    },
     // distributed-exact all-pairs: block-partitioned, bounded per-task
     // memory, NO driver collect. The broadcast-collect baseline
     // (Similarity.bruteForcePairs) is spec-only — SimilaritySpec pins the
@@ -364,6 +372,13 @@ object SimQueries {
          |WHERE bks[1] = qbks[1] OR bks[2] = qbks[2] OR bks[3] = qbks[3] OR bks[4] = qbks[4]
          |ORDER BY (${dotSql("embedding", "qv")} / (nrm * qn)) DESC, vec_id ASC
          |LIMIT $K""".stripMargin,
+    "sim_range_search" ->
+      s"""$N, q AS (SELECT embedding AS qv, nrm AS qn FROM n WHERE vec_id = 0)
+         |SELECT vec_id,
+         |  CAST(floor((${dotSql("embedding", "qv")} / (nrm * qn)) * 1000000.0) AS BIGINT) AS cos_x1e6
+         |FROM n, q
+         |WHERE ${dotSql("embedding", "qv")} / (nrm * qn) >= 0.2
+         |ORDER BY vec_id""".stripMargin,
     "dedup_embedding_cosine" -> allPairsSql,
     "sim_lsh_pairs" ->
       s"""$N, bk AS (

@@ -96,6 +96,21 @@ object Similarity {
       .limit(k)
   }
 
+  /** Exact RADIUS search: every corpus vector with cosine ≥ `tau` of the
+    * query — the range complement of top-k (threshold dedup probes, "all
+    * passages at least this similar"). Map-only scan + broadcast query,
+    * no corpus sort, no limit: the result size follows the data, which is
+    * the operator's point. */
+  def rangeSearchFromNormed(c: DataFrame, query: DataFrame, tau: Double,
+                            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(query.select(col(vecCol).as("q"))
+      .withColumn("qn", graft.functions.Fast.normFast(col("q"))))
+    c.join(q)
+      .select(col("id").as(idCol),
+        (graft.functions.Fast.dotFast(col("v"), col("q")) / (col("nrm") * col("qn"))).as("cos"))
+      .filter(col("cos") >= tau)
+  }
+
   /** Same, restricted to LSH candidates (≥1 shared table bucket with the
     * query) — the approximate/scale variant. */
   def topKLsh(corpus: DataFrame, query: DataFrame, k: Int, dim: Int,
