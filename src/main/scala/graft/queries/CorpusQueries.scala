@@ -220,41 +220,17 @@ object CorpusQueries {
     // rollup shuffle on source. The report a curation run publishes to
     // show where the data went
     "corpus_funnel" -> { (s: SparkSession, dir: String) =>
-      val d = docs(s, dir)
-      val fl = d.select(col("doc_id"), col("source"), md5(col("text")).as("h"),
-        (TextFunctions.qualityScoreX1000(col("text")) >= 550).as("q_ok"))
-      val keepers = fl.filter(col("q_ok"))
-        .groupBy("h").agg(min("doc_id").as("keep_id"))
-      val nearLosers = graft.dedup.Dedup
-        .duplicateClusters(graft.dedup.Dedup
-          .minhashLshPairsFromSets(Tables.shingleSets(s, dir), thresholdX1000 = 300))
-        .filter(col("id") =!= col("keeper")).select(col("id").as("nd_id"))
-      val contam = {
-        val posts = Tables.winnowPostings(s, dir)
-        val bench = posts.filter(col("doc_id") % 50 === 0)
-          .select(col("doc_id").as("bench_id"), col("fp"))
-        posts.filter(col("doc_id") % 50 =!= 0)
-          .join(broadcast(bench), "fp")
-          .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("n_shared"))
-          .filter(col("n_shared") >= 2)
-          .select(col("doc_id").as("ct_id")).distinct()
-      }
-      // merge hint: the keeper table is every distinct content hash of the
-      // quality survivors — corpus-sized at 100 TB, never broadcastable;
-      // fixture-scale stats would otherwise pick a broadcast here
-      fl.join(keepers.hint("merge"), Seq("h"), "left")
-        .join(broadcast(nearLosers), col("doc_id") === col("nd_id"), "left")
-        .join(broadcast(contam), col("doc_id") === col("ct_id"), "left")
-        .withColumn("s2", col("q_ok") && col("doc_id") === col("keep_id"))
-        .withColumn("s3", col("s2") && col("nd_id").isNull)
-        .withColumn("s4", col("s3") && col("ct_id").isNull)
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_raw"),
-          sum(when(col("q_ok"), 1L).otherwise(0L)).as("n_quality"),
-          sum(when(col("s2"), 1L).otherwise(0L)).as("n_unique"),
-          sum(when(col("s3"), 1L).otherwise(0L)).as("n_neardup_kept"),
-          sum(when(col("s4"), 1L).otherwise(0L)).as("n_clean"))
-        .orderBy("source")
+      funnel(docs(s, dir), Tables.shingleSets(s, dir), Tables.winnowPostings(s, dir))
+    },
+    // the funnel on the deterministic 25% subset (doc_id % 4 == 0) — the
+    // sf0.1 scale-validation form (the parent's minhash-cluster oracle is
+    // recursive and cannot finish at sf0.1; same convention as the
+    // dedup_*_sub family)
+    "corpus_funnel_sub" -> { (s: SparkSession, dir: String) =>
+      funnel(
+        docs(s, dir).filter(col("doc_id") % 4 === 0),
+        Tables.shingleSets(s, dir).filter(col("id") % 4 === 0),
+        Tables.winnowPostings(s, dir).filter(col("doc_id") % 4 === 0))
     },
     // deterministic train/val/test split: stable hash-bucket assignment
     // (90/5/5) — map-only like corpus_sample, and STABLE under corpus
@@ -309,6 +285,44 @@ object CorpusQueries {
     }
   )
 
+  /** The per-source curation funnel over the given corpus slice (see the
+    * `corpus_funnel` entry for the stage semantics and scale shape). */
+  private def funnel(d: DataFrame, sets: DataFrame, posts: DataFrame): DataFrame = {
+      val fl = d.select(col("doc_id"), col("source"), md5(col("text")).as("h"),
+        (TextFunctions.qualityScoreX1000(col("text")) >= 550).as("q_ok"))
+      val keepers = fl.filter(col("q_ok"))
+        .groupBy("h").agg(min("doc_id").as("keep_id"))
+      val nearLosers = graft.dedup.Dedup
+        .duplicateClusters(graft.dedup.Dedup
+          .minhashLshPairsFromSets(sets, thresholdX1000 = 300))
+        .filter(col("id") =!= col("keeper")).select(col("id").as("nd_id"))
+      val contam = {
+        val bench = posts.filter(col("doc_id") % 50 === 0)
+          .select(col("doc_id").as("bench_id"), col("fp"))
+        posts.filter(col("doc_id") % 50 =!= 0)
+          .join(broadcast(bench), "fp")
+          .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 2)
+          .select(col("doc_id").as("ct_id")).distinct()
+      }
+      // merge hint: the keeper table is every distinct content hash of the
+      // quality survivors — corpus-sized at 100 TB, never broadcastable;
+      // fixture-scale stats would otherwise pick a broadcast here
+      fl.join(keepers.hint("merge"), Seq("h"), "left")
+        .join(broadcast(nearLosers), col("doc_id") === col("nd_id"), "left")
+        .join(broadcast(contam), col("doc_id") === col("ct_id"), "left")
+        .withColumn("s2", col("q_ok") && col("doc_id") === col("keep_id"))
+        .withColumn("s3", col("s2") && col("nd_id").isNull)
+        .withColumn("s4", col("s3") && col("ct_id").isNull)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_raw"),
+          sum(when(col("q_ok"), 1L).otherwise(0L)).as("n_quality"),
+          sum(when(col("s2"), 1L).otherwise(0L)).as("n_unique"),
+          sum(when(col("s3"), 1L).otherwise(0L)).as("n_neardup_kept"),
+          sum(when(col("s4"), 1L).otherwise(0L)).as("n_clean"))
+        .orderBy("source")
+  }
+
   /** Rolling polynomial hash of lower(trim(expr)) — graft_polyhash. */
   private def fpSql(expr: String): String =
     s"""list_reduce(
@@ -340,7 +354,12 @@ object CorpusQueries {
        |         / greatest(length(text), 1), 1.0))
        |    )) AS BIGINT)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  /** Subset oracle = parent oracle with every corpus read filtered to the
+    * deterministic 25% (same convention as DedupQueries.docs20). */
+  private def docs20(sql: String): String =
+    sql.replace("FROM documents", "FROM documents WHERE doc_id % 4 = 0")
+
+  private val baseOracles: Map[String, String] = Map(
     "corpus_sample" ->
       s"""WITH b AS (
          |  SELECT doc_id, source,
@@ -610,4 +629,7 @@ object CorpusQueries {
          |       CAST(max(n_shared) AS BIGINT) AS max_shared
          |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
+
+  val oracles: Map[String, String] =
+    baseOracles + ("corpus_funnel_sub" -> docs20(baseOracles("corpus_funnel")))
 }

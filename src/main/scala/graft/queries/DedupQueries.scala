@@ -189,6 +189,22 @@ object DedupQueries {
         Dedup.minhashLshPairsFromSets(sub4(Tables.shingleSets(s, dir)), thresholdX1000 = 300))
         .orderBy("id")
     },
+    "dedup_clusters_ls_sub" -> { (s: SparkSession, dir: String) =>
+      Dedup.duplicateClustersAltStar(
+        Dedup.minhashLshPairsFromSets(sub4(Tables.shingleSets(s, dir)), thresholdX1000 = 300))
+        .orderBy("id")
+    },
+    "graph_triangles_sub" -> { (s: SparkSession, dir: String) =>
+      val pairs = Dedup
+        .minhashLshPairsFromSets(sub4(Tables.shingleSets(s, dir)), thresholdX1000 = 300)
+        .select("a", "b")
+      val p2 = pairs.select(col("a").as("b"), col("b").as("c"))
+      val p3 = pairs.select(col("a").as("a3"), col("b").as("c3"))
+      pairs.join(p2, "b")
+        .join(p3, col("a") === col("a3") && col("c") === col("c3"))
+        .select(col("a"), col("b"), col("c"))
+        .orderBy("a", "b", "c")
+    },
     "dedup_simhash_sub" -> { (s: SparkSession, dir: String) =>
       Dedup.simhashPairsFromSigs(sub4(Tables.simhashSigs(s, dir)), maxHamming = 1)
         .orderBy("a", "b")
@@ -558,6 +574,7 @@ object DedupQueries {
     sql.replace("FROM documents", "FROM documents WHERE doc_id % 4 = 0")
 
   val oracles: Map[String, String] = baseOracles ++
-    Seq("dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_clusters", "dedup_simhash")
+    Seq("dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_clusters", "dedup_simhash",
+        "dedup_clusters_ls", "graph_triangles")
       .map(n => s"${n}_sub" -> docs20(baseOracles(n)))
 }
