@@ -505,6 +505,50 @@ object Dedup {
       .withColumn("repeat_permille", expr("(1000 * (n_spans - n_values)) div n_spans"))
 
   /**
+   * Prefix-filtered exact Jaccard pairs (the PPJoin-family candidate
+   * generation — Chaudhuri et al. 2006, Xiao et al. 2008): sort each
+   * document's shingles in one GLOBAL canonical order (ascending corpus
+   * document frequency, ties by hash) and index only the first
+   * n − ⌈t·n⌉ + 1. If J(x,y) ≥ t then |x∩y| ≥ ⌈t·|x|⌉, and an
+   * intersection that large must collide inside both prefixes under any
+   * shared total order — so unlike the DF cutoff (which trades boundary
+   * pairs for scale, stated contract), prefix filtering is PROVABLY
+   * lossless: the gate query pins this variant to the full-index oracle
+   * verbatim.
+   *
+   * Scale shape: the posting index shrinks to the (1−t) fraction of each
+   * document, and because the canonical order is ascending-frequency the
+   * indexed entries are precisely the LOW-df shingles — a hot boilerplate
+   * shingle lands in every document's SUFFIX and never generates
+   * candidates, collapsing the quadratic per-key join fan-out that makes
+   * the naive inverted index unusable at PB scale. Candidates verify
+   * against the full stored sets (array_intersect), values exact.
+   */
+  def ngramJaccardPairsPrefixFiltered(sets: DataFrame, thresholdX1000: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val inv = sets.select(col("id"), col("n_sh"), explode(col("sh")).as("h"))
+    val dfs = inv.groupBy("h").agg(count(lit(1)).as("hdf"))
+    // rank each doc's shingles in the canonical order; one shuffle on the
+    // shingle key (the df join) + one on the doc id (the per-doc window)
+    val pref = inv.join(dfs, "h")
+      .withColumn("rk", row_number().over(Window.partitionBy("id").orderBy(col("hdf"), col("h"))))
+      .filter(col("rk") <= col("n_sh") - expr(s"(($thresholdX1000 * n_sh + 999) div 1000)") + 1)
+      .select(col("id"), col("h"))
+    val a = pref.select(col("id").as("a"), col("h").as("ha"))
+    val b = pref.select(col("id").as("b"), col("h").as("hb"))
+    val cands = a.join(b, col("ha") === col("hb") && col("a") < col("b"))
+      .select(col("a"), col("b")).dropDuplicates("a", "b")
+    cands
+      .join(sets.select(col("id").as("a"), col("sh").as("sha"), col("n_sh").as("na")), "a")
+      .join(sets.select(col("id").as("b"), col("sh").as("shb"), col("n_sh").as("nb")), "b")
+      .withColumn("c", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard_x1000",
+        floor(lit(1000.0) * col("c") / (col("na") + col("nb") - col("c"))).cast("long"))
+      .filter(col("jaccard_x1000") >= thresholdX1000)
+      .select(col("a"), col("b"), col("jaccard_x1000"))
+  }
+
+  /**
    * Asymmetric containment pairs: C(A,B) = |A∩B| / min(|A|,|B|) over the
    * shingle sets — the near-SUPERSET detector. Jaccard misses the cases a
    * curation pass most wants flagged (a document quoted whole inside a

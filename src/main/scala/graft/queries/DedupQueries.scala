@@ -32,6 +32,12 @@ object DedupQueries {
       Dedup.minhashLshPairsFromSets(Tables.shingleSets(s, dir), thresholdX1000 = 300)
         .orderBy("a", "b")
     },
+    // prefix-filtered candidate generation, PROVABLY lossless (unlike the
+    // DF cutoff): pinned to the full-index oracle verbatim
+    "dedup_jaccard_prefix" -> { (s: SparkSession, dir: String) =>
+      Dedup.ngramJaccardPairsPrefixFiltered(Tables.shingleSets(s, dir), thresholdX1000 = 300)
+        .orderBy("a", "b")
+    },
     // the petabyte-scale variant: hot shingles (df > 5) pruned from the
     // candidate index; Jaccard arithmetic unchanged
     "dedup_ngram_jaccard_dfcut" -> { (s: SparkSession, dir: String) =>
@@ -576,5 +582,7 @@ object DedupQueries {
   val oracles: Map[String, String] = baseOracles ++
     Seq("dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_clusters", "dedup_simhash",
         "dedup_clusters_ls", "graph_triangles")
-      .map(n => s"${n}_sub" -> docs20(baseOracles(n)))
+      .map(n => s"${n}_sub" -> docs20(baseOracles(n))) +
+    // the prefix filter is lossless by theorem — identical oracle
+    ("dedup_jaccard_prefix" -> baseOracles("dedup_ngram_jaccard"))
 }

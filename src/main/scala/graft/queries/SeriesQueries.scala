@@ -57,6 +57,26 @@ object SeriesQueries {
     // (sequence + explode), the fill join, and the LOCF window all share
     // the stream partitioning, and every table after the first shuffle
     // is bounded by streams × days, not events.
+    // OHLC RESAMPLE: per (stream, day) open/high/low/close of the value
+    // series — the classic time-series downsample. Open/close are
+    // first/last by append order via min/max over a (position, vx)
+    // struct — NO window sort, the whole query is one partial-aggregated
+    // shuffle on (stream, day), same trick as ts_gapfill's last-of-day
+    "ts_ohlc" -> { (s: SparkSession, dir: String) =>
+      ev(s, dir)
+        .select(col("stream"), micros.as("tus"), col("position"),
+          floor(col("value") * lit(1000.0)).cast("long").as("vx"))
+        .select(col("stream"), expr("tus div 86400000000").as("day"),
+          struct(col("position"), col("vx")).as("pv"), col("vx"))
+        .groupBy(col("stream"), col("day"))
+        .agg(
+          min(col("pv")).getField("vx").as("open_x1000"),
+          max(col("vx")).as("high_x1000"),
+          min(col("vx")).as("low_x1000"),
+          max(col("pv")).getField("vx").as("close_x1000"),
+          count(lit(1)).as("n_events"))
+        .orderBy("stream", "day")
+    },
     "ts_gapfill" -> { (s: SparkSession, dir: String) =>
       val obs = ev(s, dir)
         .select(col("stream"), micros.as("tus"), col("position"),
@@ -335,6 +355,19 @@ object SeriesQueries {
        |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ts_ohlc" ->
+      s"""$EV, m AS (
+         |  SELECT stream, position, epoch_us(ts) // 86400000000 AS day,
+         |         CAST(floor(value * 1000.0) AS BIGINT) AS vx
+         |  FROM ev
+         |)
+         |SELECT stream, day,
+         |  arg_min(vx, position) AS open_x1000,
+         |  CAST(max(vx) AS BIGINT) AS high_x1000,
+         |  CAST(min(vx) AS BIGINT) AS low_x1000,
+         |  arg_max(vx, position) AS close_x1000,
+         |  count(*) AS n_events
+         |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "ts_gapfill" ->
       s"""$EV, o AS (
          |  SELECT stream, epoch_us(ts) // 86400000000 AS day,

@@ -95,6 +95,24 @@ class DedupSpec extends SparkSpec {
     assert(got2 == (0L to 6L).map(_ -> 0L).toMap)
   }
 
+  test("prefix-filtered jaccard == full-index jaccard (lossless by theorem)") {
+    import spark.implicits._
+    val boiler = "this document is provided as is without warranty"
+    val docs = ((0L until 20L).map(i => (i, s"$boiler unique$i alpha$i beta$i gamma$i delta$i")) ++ Seq(
+      (100L, "rare tokens shared alpha beta gamma delta epsilon zeta eta theta"),
+      (101L, "rare tokens shared alpha beta gamma delta epsilon zeta eta iota"),
+      (102L, "rare tokens shared alpha beta gamma delta epsilon zeta eta theta")
+    )).toDF("doc_id", "text")
+    val sets = Dedup.shingleSets(docs)
+    for (t <- Seq(200L, 300L, 500L, 900L)) {
+      val full = Dedup.ngramJaccardPairsFromSets(sets, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val pref = Dedup.ngramJaccardPairsPrefixFiltered(sets, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(pref == full, s"threshold $t: prefix filter lost/invented pairs")
+    }
+  }
+
   test("alternating-star clusters == propagation clusters (clique, chain, forest)") {
     import spark.implicits._
     def labels(pairs: org.apache.spark.sql.DataFrame): Map[Long, Long] = {
