@@ -260,6 +260,22 @@ object SimQueries {
         .select(col("qid"), col("rk"), col("vec_id"),
           floor(col("cos") * lit(1000000.0)).cast("long").as("cos_x1e6"))
         .orderBy("qid", "rk")
+    },
+    // INTEGER GRAM MATRIX (the PCA/whitening/drift input): one scan,
+    // fixed d² map-side state per partition — the shuffle carries 32
+    // small arrays, never rows, so the same plan holds at 100 TB.
+    // Quantized (floor(x·1000)) so the sums are order-independent and
+    // engine-exact.
+    "sim_gram" -> { (s: SparkSession, dir: String) =>
+      graft.sim.Linalg.gramInt(Tables.emb(s, dir), DIM).orderBy("i", "j")
+    },
+    // JL RANDOM PROJECTION 64→16 with a deterministic LCG matrix — the
+    // cheap dimensionality reduction ahead of clustering/ANN. Pure map
+    // (matrix is a closure constant; no join, no shuffle before the
+    // ordering); integer arithmetic end to end.
+    "sim_random_projection" -> { (s: SparkSession, dir: String) =>
+      graft.sim.Linalg.randomProjection(Tables.emb(s, dir), DIM, 16)
+        .orderBy("vec_id", "j")
     }
   )
 
@@ -690,7 +706,31 @@ object SimQueries {
          |)
          |SELECT qid, CAST(rk AS BIGINT) AS rk, vec_id,
          |  CAST(floor(cos * 1000000.0) AS BIGINT) AS cos_x1e6
-         |FROM sc WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
+         |FROM sc WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+    // quantized coordinates make every sum order-independent — the
+    // oracle's arbitrary aggregation order matches the partitioned fold
+    "sim_gram" ->
+      s"""WITH q AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(floor(x * 1000.0) AS BIGINT)) AS qv
+         |  FROM embeddings
+         |), ij AS (
+         |  SELECT a.i, b.j FROM range($DIM) a(i), range($DIM) b(j) WHERE b.j >= a.i
+         |)
+         |SELECT i, j, CAST(sum(qv[i + 1] * qv[j + 1]) AS BIGINT) AS g
+         |FROM q, ij GROUP BY i, j ORDER BY i, j""".stripMargin,
+    "sim_random_projection" ->
+      s"""WITH q AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(floor(x * 1000.0) AS BIGINT)) AS qv
+         |  FROM embeddings
+         |), r AS (
+         |  SELECT a.i, b.j,
+         |    ((1103515245 * (a.i * 16 + b.j) + 12345) % 2147483647) % 2001 - 1000 AS rv
+         |  FROM range($DIM) a(i), range(16) b(j)
+         |)
+         |SELECT vec_id, j, CAST(sum(qv[i + 1] * rv) AS BIGINT) AS p
+         |FROM q, r GROUP BY vec_id, j ORDER BY vec_id, j""".stripMargin
   )
 
   /** Subset oracle = parent oracle with the corpus source filtered — these
