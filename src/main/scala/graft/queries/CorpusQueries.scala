@@ -282,6 +282,65 @@ object CorpusQueries {
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bench_hits"), max("n_shared").as("max_shared"))
         .orderBy("doc_id")
+    },
+    // CROSS-SOURCE VOCABULARY OVERLAP (exact): pairwise Jaccard of the
+    // per-source token vocabularies — the corpus-composition diagnostic
+    // behind mixture planning. One distinct pass shuffles (source, tok)
+    // once; the pair join is keyed on tok with fanout bounded by the
+    // source count (≤ S rows per token per side), then collapses to S²/2
+    // keys map-side. Vocabulary sizes are a tiny broadcast side.
+    "corpus_overlap" -> { (s: SparkSession, dir: String) =>
+      val t = docs(s, dir)
+        .select(col("source"), explode(Hashing.toks(col("text"))).as("tok"))
+        .distinct()
+      val sizes = t.groupBy("source").agg(count(lit(1)).as("nv"))
+      val a = t.select(col("source").as("source_a"), col("tok"))
+      val b = t.select(col("source").as("source_b"), col("tok"))
+      a.join(b, "tok").filter(col("source_a") < col("source_b"))
+        .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_common"))
+        .join(broadcast(sizes.select(col("source").as("source_a"), col("nv").as("vocab_a"))), "source_a")
+        .join(broadcast(sizes.select(col("source").as("source_b"), col("nv").as("vocab_b"))), "source_b")
+        .select(col("source_a"), col("source_b"), col("vocab_a"), col("vocab_b"),
+          col("n_common"),
+          expr("(1000 * n_common) div (vocab_a + vocab_b - n_common)").as("jaccard_permille"))
+        .orderBy("source_a", "source_b")
+    },
+    // CROSS-SOURCE OVERLAP VIA SKETCHES: the same pairwise intersection
+    // estimated by inclusion–exclusion over per-source HLL sketches
+    // (|A∩B| ≈ |A|+|B|−|A∪B|) — the form that works when vocabularies
+    // are too large to join exactly: S sketches union pairwise on the
+    // driver side of a groupBy, no token ever joins a token. Gate pins
+    // every pair's estimate within tolerance of the exact overlap (same
+    // contract as agg_sketch_union).
+    "corpus_overlap_sketch" -> { (s: SparkSession, dir: String) =>
+      val t = docs(s, dir)
+        .select(col("source"), explode(Hashing.toks(col("text"))).as("tok"))
+      val sk = t.groupBy("source").agg(
+        hll_sketch_agg(col("tok"), lit(14)).as("sk"),
+        count_distinct(col("tok")).as("exact_v"))
+      val a = sk.select(col("source").as("source_a"), col("sk").as("sk_a"),
+        col("exact_v").as("va"))
+      val b = sk.select(col("source").as("source_b"), col("sk").as("sk_b"),
+        col("exact_v").as("vb"))
+      val pairs = a.crossJoin(b).filter(col("source_a") < col("source_b"))
+        .select(col("source_a"), col("source_b"),
+          hll_sketch_estimate(col("sk_a")).as("ea"),
+          hll_sketch_estimate(col("sk_b")).as("eb"),
+          hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b"))).as("eu"))
+      val exact = {
+        val d = t.distinct()
+        val x = d.select(col("source").as("source_a"), col("tok"))
+        val y = d.select(col("source").as("source_b"), col("tok"))
+        x.join(y, "tok").filter(col("source_a") < col("source_b"))
+          .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_common"))
+      }
+      pairs.join(exact, Seq("source_a", "source_b"))
+        .select(col("source_a"), col("source_b"),
+          (col("ea") + col("eb") - col("eu")).as("est"), col("n_common"), col("eu"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(abs(col("est") - col("n_common")) <= col("eu") * lit(0.05) + col("n_common") * lit(0.10), 1L)
+            .otherwise(0L)).as("n_ok"))
+        .select(lit("hll_overlap").as("check"), col("n_pairs"), col("n_ok"))
     }
   )
 
@@ -360,6 +419,40 @@ object CorpusQueries {
     sql.replace("FROM documents", "FROM documents WHERE doc_id % 4 = 0")
 
   private val baseOracles: Map[String, String] = Map(
+    "corpus_overlap" ->
+      s"""WITH t AS (
+         |  SELECT DISTINCT source, tok FROM (
+         |    SELECT source,
+         |      unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+         |    FROM documents
+         |  )
+         |), s AS (SELECT source, count(*) AS nv FROM t GROUP BY 1),
+         |c AS (
+         |  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_common
+         |  FROM t a JOIN t b ON a.tok = b.tok AND a.source < b.source
+         |  GROUP BY 1, 2
+         |)
+         |SELECT source_a, source_b, x.nv AS vocab_a, y.nv AS vocab_b, n_common,
+         |  (1000 * n_common) // (x.nv + y.nv - n_common) AS jaccard_permille
+         |FROM c JOIN s x ON source_a = x.source JOIN s y ON source_b = y.source
+         |ORDER BY source_a, source_b""".stripMargin,
+    // the invariant, not the sketch internals: every pair's
+    // inclusion–exclusion estimate lands within tolerance of the exact
+    // overlap (n_ok == n_pairs); the pair count itself is data-derived
+    "corpus_overlap_sketch" ->
+      s"""WITH t AS (
+         |  SELECT DISTINCT source, tok FROM (
+         |    SELECT source,
+         |      unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+         |    FROM documents
+         |  )
+         |), c AS (
+         |  SELECT a.source AS sa, b.source AS sb
+         |  FROM t a JOIN t b ON a.tok = b.tok AND a.source < b.source
+         |  GROUP BY 1, 2
+         |)
+         |SELECT 'hll_overlap' AS check, count(*) AS n_pairs, count(*) AS n_ok
+         |FROM c""".stripMargin,
     "corpus_sample" ->
       s"""WITH b AS (
          |  SELECT doc_id, source,

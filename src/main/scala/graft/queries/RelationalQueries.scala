@@ -192,6 +192,34 @@ object RelationalQueries {
           when(col("existed").isNull, lit("new")).otherwise(lit("updated")).as("change"))
         .orderBy("stream")
     },
+    // SCD2 HISTORY (gaps-and-islands): collapse each stream's run of
+    // consecutive equal event_type into one validity interval
+    // [valid_from, valid_to] with is_current on the last — the
+    // slowly-changing-dimension table a warehouse builds from a change
+    // log. One shuffle by stream; both windows and the segment groupBy
+    // ride that same partitioning, and the is_current window runs over
+    // the already-collapsed segments (rows = #segments, not #events).
+    "snapshot_scd2" -> { (s: SparkSession, dir: String) =>
+      val w = Window.partitionBy("stream").orderBy("position")
+      val seg = ev(s, dir)
+        .select(col("stream"), col("position"), col("revision"), col("event_type"))
+        .withColumn("chg",
+          when(lag(col("event_type"), 1).over(w).isNull
+            || col("event_type") =!= lag(col("event_type"), 1).over(w), 1L)
+            .otherwise(0L))
+        .withColumn("seg", sum(col("chg")).over(w))
+        .groupBy(col("stream"), col("seg"), col("event_type"))
+        .agg(min(col("position")).as("valid_from"),
+          max(col("position")).as("valid_to"),
+          count(lit(1)).as("n_events"))
+      seg
+        .withColumn("is_current",
+          when(col("valid_to") === max(col("valid_to"))
+            .over(Window.partitionBy("stream")), 1L).otherwise(0L))
+        .select(col("stream"), col("event_type"), col("valid_from"),
+          col("valid_to"), col("n_events"), col("is_current"))
+        .orderBy("stream", "valid_from")
+    },
     // Retention-policy scan (EventStoreDB's $maxAge concept, absent in
     // the reference): per stream, how many events have aged past the
     // cutoff and the highest expired position — the truncation plan a
@@ -517,6 +545,24 @@ object RelationalQueries {
          |  SELECT *, row_number() OVER (PARTITION BY stream ORDER BY position DESC) AS rk
          |  FROM ev
          |) WHERE rk = 1 ORDER BY stream""".stripMargin,
+    "snapshot_scd2" ->
+      s"""$EV, x AS (
+         |  SELECT stream, position, event_type,
+         |    CASE WHEN lag(event_type) OVER (PARTITION BY stream ORDER BY position)
+         |      IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+         |  FROM ev
+         |), y AS (
+         |  SELECT *, sum(chg) OVER (PARTITION BY stream ORDER BY position) AS seg FROM x
+         |), g AS (
+         |  SELECT stream, seg, event_type, min(position) AS valid_from,
+         |    max(position) AS valid_to, count(*) AS n_events
+         |  FROM y GROUP BY 1, 2, 3
+         |)
+         |SELECT stream, event_type, valid_from, valid_to,
+         |  CAST(n_events AS BIGINT) AS n_events,
+         |  CAST(CASE WHEN valid_to = max(valid_to) OVER (PARTITION BY stream)
+         |    THEN 1 ELSE 0 END AS BIGINT) AS is_current
+         |FROM g ORDER BY stream, valid_from""".stripMargin,
     "snapshot_delta" ->
       s"""$EV, r AS (
          |  SELECT stream, position, revision, event_type FROM ev WHERE position <= 10000

@@ -113,6 +113,17 @@ object TextQueries {
         .withColumn("label", when(col("score") > 0, lit("keep")).otherwise(lit("drop")))
         .orderBy("doc_id")
     },
+    // CLASSIFIER TRAINING STEP (the counterpart of text_classify's
+    // serving scan): the per-feature logistic gradient at w=0 for the
+    // lang='en' objective, ×2 so it is integer-exact. The gradient
+    // aggregation's key space is the 4096 hashed features — map-side
+    // combine collapses token occurrences immediately, so the shuffle
+    // carries ≤ 4096 rows per partition at any corpus size. This is the
+    // aggregation shape of every epoch of graft.corpus.Classifier.train
+    // (full GD loop spec-pinned; this exact first step is the oracle).
+    "text_classifier_grad" -> { (s: SparkSession, dir: String) =>
+      graft.corpus.Classifier.gradientAtZero(docs(s, dir), 4096).orderBy("feature")
+    },
     // KEYWORD SEARCH (the serving-side complement of text_tfidf): rank
     // documents for a term query by summed rational tf-idf, integer
     // arithmetic only ((1000·tf·N) div df per term, summed per doc).
@@ -377,6 +388,15 @@ object TextQueries {
          |  CASE WHEN sum(w) > 0 THEN 'keep' ELSE 'drop' END AS label
          |FROM t JOIN m USING (tok)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_classifier_grad" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         |         string_split_regex(trim(lower(text)), '\\s+') AS toks
+         |  FROM documents
+         |), t AS (SELECT doc_id, y, unnest(toks) AS tok FROM d)
+         |SELECT (${fpSql("tok")}) % 4096 AS feature,
+         |  CAST(sum(1 - 2 * y) AS BIGINT) AS g2, count(*) AS n_occ
+         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
     // same quality formula as text_quality; acceptance = polyhash mirror
     // of lower(trim(doc_id || '#wq')) mod 1000 < quality_x1000
     "corpus_sample_weighted" ->
