@@ -227,6 +227,15 @@ object DedupQueries {
         .filter(col("dist") <= 12)
         .select(col("a"), col("b"), col("dist"))
         .orderBy("a", "b")
+    },
+    // CONTENT-DEFINED CHUNKING dedup (LBFS/restic-style): boundaries
+    // where an 8-char rolling hash % 64 == 0, so chunk edges synchronize
+    // on content and shared passages produce identical chunks at ANY
+    // offset — the blob/storage-level dedup complement of the token-span
+    // family. Chunking is a pure map (one codepoint pass per doc);
+    // only (md5, len) digests shuffle, never text.
+    "dedup_cdc_chunks" -> { (s: SparkSession, dir: String) =>
+      graft.dedup.Cdc.duplicatedChunks(Tables.docs(s, dir)).orderBy("chunk_md5")
     }
   )
 
@@ -365,7 +374,37 @@ object DedupQueries {
         s"(CASE WHEN list_sum(list_transform(th, h -> 2 * ((h >> $i) & 1) - 1)) > 0 THEN ${1L << i} ELSE 0 END)")
       .mkString(" + ")
 
+  /** 8-term Horner rolling hash of the char window ending at position p —
+    * the SQL mirror of [[graft.dedup.Cdc.chunkSpansJvm]]'s fold (DuckDB
+    * ascii() yields the codepoint, matching the JVM codepoint loop). */
+  private val cdcHornerSql: String =
+    (0 until graft.dedup.Cdc.W).foldLeft("CAST(0 AS BIGINT)") { (acc, k) =>
+      s"(($acc * 31 + ascii(substr(text, p - ${graft.dedup.Cdc.W - 1 - k}, 1))) % 2147483647)"
+    }
+
   private val baseOracles: Map[String, String] = Map(
+    "dedup_cdc_chunks" ->
+      s"""WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+         |pos AS (SELECT doc_id, text, n, unnest(range(8, n + 1)) AS p FROM d),
+         |bnd AS (SELECT doc_id, p FROM pos WHERE ($cdcHornerSql) % 64 = 0),
+         |bl AS (SELECT doc_id, list_sort(list(p)) AS bs FROM bnd GROUP BY 1),
+         |db AS (
+         |  SELECT d.doc_id, d.text, d.n,
+         |    coalesce(bl.bs, CAST([] AS BIGINT[])) AS bs
+         |  FROM d LEFT JOIN bl USING (doc_id)
+         |), ix AS (
+         |  SELECT doc_id, text, n, bs, unnest(range(1, len(bs) + 2)) AS i FROM db
+         |), ch AS (
+         |  SELECT doc_id,
+         |    substr(text, (list_prepend(0, bs))[i] + 1,
+         |      (list_append(bs, n))[i] - (list_prepend(0, bs))[i]) AS chunk
+         |  FROM ix
+         |  WHERE (list_append(bs, n))[i] >= (list_prepend(0, bs))[i] + 1
+         |)
+         |SELECT md5(chunk) AS chunk_md5, CAST(length(chunk) AS BIGINT) AS chunk_len,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, count(*) AS n_occ
+         |FROM ch GROUP BY 1, 2 HAVING count(*) > 1
+         |ORDER BY chunk_md5""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS content_md5, min(doc_id) AS keeper, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
