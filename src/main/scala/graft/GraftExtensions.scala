@@ -17,7 +17,8 @@ import graft.plans._
  *  - `graft_minhash(shingles)` — MinHash signature;
  *  - `graft_simhash16(text)` — 16-bit SimHash;
  *  - `graft_dot(a, b)` / `graft_norm(v)` — left-fold vector algebra;
- *  - `graft_lsh_buckets(v)` — hyperplane-LSH bucket ids.
+ *  - `graft_lsh_buckets(v)` — hyperplane-LSH bucket ids;
+ *  - `graft_cdc_chunks(text)` — content-defined chunk strings.
  *
  * All are codegen'd Catalyst expressions (graft.plans.Kernels) — the
  * engine's hot kernels participate in whole-stage codegen instead of
@@ -42,6 +43,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(unary("graft_simhash16", Simhash16))
     ext.injectFunction(unary("graft_norm", NormL2))
     ext.injectFunction(unary("graft_lsh_buckets", LshBuckets))
+    ext.injectFunction(unary("graft_cdc_chunks", CdcChunks))
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[GraftExtensions].getName, "graft_dot"),

@@ -58,12 +58,16 @@ object Cdc {
     chunkSpansJvm(text).map { case (s, e) => new String(cps, s - 1, e - s + 1) }
   }
 
-  private val chunksUdf = udf((text: String) => chunksJvm(text))
+  /** UDF tier — kept for equivalence pinning against the codegen'd
+    * expression (FastEquivalenceSpec pattern). */
+  val chunksUdf = udf((text: String) => chunksJvm(text))
 
-  /** `(doc_id, chunk_idx, chunk)` rows — chunk_idx is 1-based. */
+  /** `(doc_id, chunk_idx, chunk)` rows — chunk_idx is 1-based. Rides the
+    * codegen'd `graft_cdc_chunks` expression (graft.plans.CdcChunks). */
   def chunks(docs: DataFrame, idCol: Column = col("doc_id"),
              textCol: Column = col("text")): DataFrame =
-    docs.select(idCol.as("doc_id"), posexplode(chunksUdf(textCol)).as(Seq("i", "chunk")))
+    docs.select(idCol.as("doc_id"),
+        posexplode(call_function("graft_cdc_chunks", textCol)).as(Seq("i", "chunk")))
       .select(col("doc_id"), (col("i") + 1).cast("long").as("chunk_idx"), col("chunk"))
 
   /** Corpus-wide duplicated-chunk report: `(chunk_md5, chunk_len, n_docs,

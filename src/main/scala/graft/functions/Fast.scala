@@ -219,6 +219,13 @@ object Fast {
   def bucketsArr(v: ArrayData): ArrayData =
     UnsafeArrayData.fromPrimitiveArray(bucketsJvm(v.toFloatArray()))
 
+  /** UTF8String entry point for the codegen'd [[graft.plans.CdcChunks]]:
+    * content-defined chunk strings ([[graft.dedup.Cdc.chunksJvm]]). */
+  def cdcChunksUtf8(s: UTF8String): ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      graft.dedup.Cdc.chunksJvm(s.toString)
+        .map(c => UTF8String.fromString(c): Any))
+
   // ---- Column-facing API ----
   // call_function resolves the codegen'd expressions registered by
   // graft.GraftExtensions (every engine session registers them); the UDF

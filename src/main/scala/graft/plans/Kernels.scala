@@ -122,6 +122,23 @@ case class NormL2(child: Expression) extends UnaryExpression {
 }
 
 /** `graft_lsh_buckets(v)` — all hyperplane-LSH table bucket ids. */
+/** `graft_cdc_chunks(text)` — content-defined chunk strings (rolling-hash
+  * boundaries; see [[graft.dedup.Cdc]]). */
+case class CdcChunks(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_cdc_chunks"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_cdc_chunks expects STRING, got ${child.dataType.catalogString}")
+  override def nullSafeEval(input: Any): Any =
+    graft.functions.Fast.cdcChunksUtf8(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Fast.cdcChunksUtf8($c)")
+  override protected def withNewChildInternal(newChild: Expression): CdcChunks =
+    copy(child = newChild)
+}
+
 case class LshBuckets(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_lsh_buckets"

@@ -176,6 +176,34 @@ object AnalyticsQueries {
             .as("ewma_x1000"))
         .orderBy("stream")
     },
+    // HOLT double exponential smoothing (level + trend forecasting, the
+    // step up from agg_ewma): s_i = ⌊(v_i + s_{i-1} + b_{i-1})/2⌋,
+    // b_i = ⌊(b_{i-1} + (s_i − s_{i-1}))/2⌋ — α = β = ½ keeps every step
+    // an exact integer halving, so the sequential fold is engine-exact
+    // (oracle: recursive CTE over the dense revision chain). Same
+    // one-shuffle bounded-stream contract as agg_ewma; forecast is the
+    // level+trend extrapolation of the final state.
+    "agg_holt" -> { (s: SparkSession, dir: String) =>
+      ev(s, dir)
+        .select(col("stream"), col("position"),
+          floor(col("value") * lit(1000.0)).cast("long").as("v"))
+        .groupBy(col("stream"))
+        .agg(sort_array(collect_list(struct(col("position"), col("v")))).as("seq"))
+        .select(col("stream"), size(col("seq")).cast("long").as("n"),
+          expr("""aggregate(seq, CAST(NULL AS STRUCT<s: BIGINT, b: BIGINT>),
+                 |  (acc, x) -> CASE WHEN acc IS NULL
+                 |    THEN named_struct('s', x.v, 'b', CAST(0 AS BIGINT))
+                 |    ELSE named_struct(
+                 |      's', CAST(floor((x.v + acc.s + acc.b) / 2.0) AS BIGINT),
+                 |      'b', CAST(floor((acc.b
+                 |             + (CAST(floor((x.v + acc.s + acc.b) / 2.0) AS BIGINT)
+                 |                - acc.s)) / 2.0) AS BIGINT)) END)""".stripMargin)
+            .as("st"))
+        .select(col("stream"), col("n"), col("st.s").as("level_x1000"),
+          col("st.b").as("trend_x1000"),
+          (col("st.s") + col("st.b")).as("forecast_x1000"))
+        .orderBy("stream")
+    },
     // ROBUST OUTLIERS (median/MAD): per-stream events whose payload
     // deviates from the stream median by more than 3 MADs. All
     // arithmetic in doubled integers (d2 = 2·|dev|, mad4 = 4·MAD), so
@@ -338,6 +366,25 @@ object AnalyticsQueries {
          |)
          |SELECT stream, CAST(max(revision) + 1 AS BIGINT) AS n,
          |       arg_max(e, revision) AS ewma_x1000
+         |FROM f GROUP BY stream ORDER BY stream""".stripMargin,
+    // the same sequential halving recursion with a two-field state
+    "agg_holt" ->
+      s"""${EV.replaceFirst("WITH ", "WITH RECURSIVE ")}, r AS (
+         |  SELECT stream, revision, CAST(floor(value * 1000.0) AS BIGINT) AS v FROM ev
+         |), f AS (
+         |  SELECT stream, revision, v AS s, CAST(0 AS BIGINT) AS b
+         |  FROM r WHERE revision = 0
+         |  UNION ALL
+         |  SELECT r.stream, r.revision,
+         |    CAST(floor((r.v + f.s + f.b) / 2.0) AS BIGINT),
+         |    CAST(floor((f.b
+         |      + (CAST(floor((r.v + f.s + f.b) / 2.0) AS BIGINT) - f.s)) / 2.0) AS BIGINT)
+         |  FROM f JOIN r ON r.stream = f.stream AND r.revision = f.revision + 1
+         |)
+         |SELECT stream, CAST(max(revision) + 1 AS BIGINT) AS n,
+         |       arg_max(s, revision) AS level_x1000,
+         |       arg_max(b, revision) AS trend_x1000,
+         |       arg_max(s + b, revision) AS forecast_x1000
          |FROM f GROUP BY stream ORDER BY stream""".stripMargin,
     "anomaly_mad" ->
       s"""$EV, v AS (

@@ -92,6 +92,22 @@ class FastEquivalenceSpec extends SparkSpec {
     got.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"mismatch on $r"))
   }
 
+  test("cdc chunks: native expression == UDF tier, incl. short and unicode docs") {
+    import spark.implicits._
+    val samples = Seq("", "short", "exactly8", "九個中文字符的測試文本", "a b c d e f g h i j") ++
+      (1 to 30).flatMap(_ => text.sample)
+    val df = samples.toDF("text")
+    val got = df.select(
+      call_function("graft_cdc_chunks", col("text")).as("native"),
+      graft.dedup.Cdc.chunksUdf(col("text")).as("udf")
+    ).collect()
+    got.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1), s"mismatch on $r"))
+    // and from SQL text
+    df.createOrReplaceTempView("cdc_docs")
+    val sqlRes = spark.sql("select graft_cdc_chunks(text) from cdc_docs").collect()
+    assert(sqlRes.map(_.getSeq[String](0)).toSeq == got.map(_.getSeq[String](0)).toSeq)
+  }
+
   test("dot/norm: JVM == Column (bit-exact doubles)") {
     import spark.implicits._
     val vecs = (1 to 20).map(i => Array.tabulate(64)(j => ((i * 31 + j * 7) % 100 - 50) / 37.0f))
