@@ -463,4 +463,71 @@ class QueryPlanSpec extends SparkSpec {
     assert(hashExchanges <= 1,
       s"expected at most one stream-key shuffle, found $hashExchanges in:\n$plan")
   }
+
+  test("sim_gram: partial-aggregated partials — one shuffle of d² cells, no row shuffle") {
+    val plan = SimQueries.queries("sim_gram")(spark, dir)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("partial_sum"), s"expected map-side combine in:\n$plan")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges <= 1,
+      s"expected one cell-key shuffle at most, found $hashExchanges in:\n$plan")
+  }
+
+  test("sim_random_projection: pure map — no shuffle before the output sort") {
+    val plan = SimQueries.queries("sim_random_projection")(spark, dir)
+      .queryExecution.executedPlan.toString()
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges == 0, s"projection must not shuffle:\n$plan")
+  }
+
+  test("text_classifier_grad: gradient agg is map-side combined, join-free") {
+    val plan = TextQueries.queries("text_classifier_grad")(spark, dir)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("partial_sum"), s"expected map-side combine in:\n$plan")
+    assert(!plan.contains("Join"), s"the gradient step must be join-free:\n$plan")
+  }
+
+  test("corpus_overlap: vocabulary sizes broadcast; pair counts map-side combined") {
+    val plan = CorpusQueries.queries("corpus_overlap")(spark, dir)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the size lookups to broadcast in:\n$plan")
+    assert(plan.contains("partial_count"), s"expected map-side combine in:\n$plan")
+  }
+
+  test("snapshot_scd2: segment window + groupBy + is_current ride stream-key partitioning") {
+    val plan = RelationalQueries.queries("snapshot_scd2")(spark, dir)
+      .queryExecution.executedPlan.toString()
+    val own = plan.split("InMemoryTableScan")(0)
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(own).length
+    assert(hashExchanges <= 1,
+      s"expected at most one stream-key shuffle, found $hashExchanges in:\n$plan")
+  }
+
+  test("dedup_cdc_chunks: chunking is a map; only digests shuffle, codegen intact") {
+    val df = DedupQueries.queries("dedup_cdc_chunks")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString()
+    // count(distinct doc_id) plans as two digest-key aggregations: one on
+    // (md5, len, doc_id), one on (md5, len) — TWO exchanges, but both
+    // partial-combined map-side and both carrying digests, never text
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges <= 2,
+      s"expected only digest-key shuffles, found $hashExchanges in:\n$plan")
+    assert(plan.contains("partial_count"), s"expected map-side combine in:\n$plan")
+    assert(!plan.contains("hashpartitioning(text"),
+      s"document text must never shuffle:\n$plan")
+    // the codegen'd native expression, not a UDF boundary
+    assert(plan.contains("graft_cdc_chunks") && !plan.contains("BatchEvalPython")
+      && !plan.toLowerCase.contains("scalaudf"),
+      s"chunking must ride the native expression:\n$plan")
+  }
+
+  test("agg_holt: one stream-key shuffle feeds the sequential fold") {
+    val plan = AnalyticsQueries.queries("agg_holt")(spark, dir)
+      .queryExecution.executedPlan.toString()
+    val own = plan.split("InMemoryTableScan")(0)
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(own).length
+    assert(hashExchanges <= 1,
+      s"expected at most one stream-key shuffle, found $hashExchanges in:\n$plan")
+  }
 }
