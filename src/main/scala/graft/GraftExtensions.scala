@@ -36,6 +36,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   )
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // whole-operator tier: the native as-of join (custom LogicalPlan →
+    // custom SparkPlan; see graft.plans.AsOfJoin)
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectFunction(unary("graft_polyhash", PolyHash))
     ext.injectFunction(unary("graft_shingle_hashes", ShingleHashes))
     ext.injectFunction(unary("graft_winnow", WinnowFps))

@@ -52,6 +52,26 @@ object RelationalQueries {
         .select(col("position"), col("stream"), col("last_click_pos"), col("click_value_x1000"))
         .orderBy("position")
     },
+    // NATIVE AS-OF JOIN: the same latest-click-before-purchase semantics
+    // as join_asof, but through the custom whole-operator
+    // (graft.plans.AsOfJoinPlan/Exec via SparkSessionExtensions): one
+    // co-partitioning shuffle per side + a streaming O(|L|+|R|) merge
+    // holding ONE buffered right row — no window over the full log, no
+    // M×N band. Shares join_asof's DuckDB oracle verbatim: the two
+    // plans must produce identical rows.
+    "join_asof_native" -> { (s: SparkSession, dir: String) =>
+      val purchases = ev(s, dir).filter(col("event_type") === "purchase")
+        .select(col("position"), col("stream"))
+      val clicks = ev(s, dir).filter(col("event_type") === "click")
+        .select(col("stream").as("cstream"), col("position").as("last_click_pos"),
+          floor(col("value") * lit(1000.0)).cast("long").as("click_value_x1000"))
+      graft.plans.AsOf.join(purchases, clicks,
+          Seq("stream"), Seq("cstream"), "position", "last_click_pos", strict = true)
+        .filter(col("last_click_pos").isNotNull)
+        .select(col("position"), col("stream"), col("last_click_pos"),
+          col("click_value_x1000"))
+        .orderBy("position")
+    },
     // INTERVAL (range) self-join: for each purchase, how many clicks the
     // same stream produced in the preceding 10 minutes. Logically a band
     // join (the oracle states it that way); executed as a SWEEP — one
@@ -479,7 +499,7 @@ object RelationalQueries {
 
   private def EV = LogQueries.evCte
 
-  val oracles: Map[String, String] = Map(
+  private val baseOracles: Map[String, String] = Map(
     "join_asof" ->
       s"""$EV, a AS (
          |  SELECT position, stream, event_type,
@@ -667,4 +687,9 @@ object RelationalQueries {
          |GROUP BY 1, 2, 3
          |ORDER BY lost_x100 DESC, c_custkey ASC LIMIT 10""".stripMargin
   )
+
+  // the native as-of operator must reproduce the composed form's rows
+  // exactly — same oracle verbatim
+  val oracles: Map[String, String] =
+    baseOracles + ("join_asof_native" -> baseOracles("join_asof"))
 }
