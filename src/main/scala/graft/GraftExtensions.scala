@@ -18,7 +18,10 @@ import graft.plans._
  *  - `graft_simhash16(text)` — 16-bit SimHash;
  *  - `graft_dot(a, b)` / `graft_norm(v)` — left-fold vector algebra;
  *  - `graft_lsh_buckets(v)` — hyperplane-LSH bucket ids;
- *  - `graft_cdc_chunks(text)` — content-defined chunk strings.
+ *  - `graft_cdc_chunks(text)` — content-defined chunk strings;
+ *  - `graft_kmv(hash[, k])` — deterministic k-minimum-values distinct
+ *    sketch (custom mergeable TypedImperativeAggregate);
+ *  - the native as-of join planner strategy ([[AsOfJoinStrategy]]).
  *
  * All are codegen'd Catalyst expressions (graft.plans.Kernels) — the
  * engine's hot kernels participate in whole-stage codegen instead of
@@ -70,6 +73,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_bloom_contains"),
       new ExpressionInfo(classOf[GraftExtensions].getName, "graft_bloom_contains"),
       (children: Seq[Expression]) => BloomFilterMightContain(children(0), children(1))
+    ))
+    // custom mergeable aggregate: k-minimum-values distinct sketch
+    // (graft.plans.KmvSketch); k defaults to 64, or a foldable int literal
+    ext.injectFunction((
+      new FunctionIdentifier("graft_kmv"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_kmv"),
+      (children: Seq[Expression]) => {
+        val k = children.lift(1)
+          .map(_.eval(null).asInstanceOf[Number].intValue())
+          .getOrElse(64)
+        KmvSketch(children.head, k).toAggregateExpression()
+      }
     ))
   }
 }

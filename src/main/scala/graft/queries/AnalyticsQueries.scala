@@ -259,6 +259,28 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy("z")
     },
+    // KMV DISTINCT SKETCH (custom mergeable TypedImperativeAggregate,
+    // graft.plans.KmvSketch): per event type, the k=64 smallest distinct
+    // stream hashes and the (k−1)·P/h_k estimate next to the exact
+    // distinct. Buffers are bounded (64 longs) and merge losslessly
+    // under ANY partitioning — the pre-aggregable distinct rollup — and
+    // unlike HLL the summary is deterministic, so the estimate itself is
+    // value-oracled, not tolerance-gated.
+    "agg_kmv_distinct" -> { (s: SparkSession, dir: String) =>
+      ev(s, dir)
+        .select(col("event_type"),
+          call_function("graft_polyhash", col("stream")).as("h"))
+        .groupBy(col("event_type"))
+        .agg(call_function("graft_kmv", col("h"), lit(64)).as("kmv"),
+          countDistinct(col("h")).as("exact_distinct"))
+        .select(col("event_type"), size(col("kmv")).cast("long").as("n_mins"),
+          when(size(col("kmv")) < 64, size(col("kmv")).cast("long"))
+            .otherwise(expr(
+              "(CAST(63 AS BIGINT) * CAST(2147483647 AS BIGINT)) div greatest(element_at(kmv, 64), CAST(1 AS BIGINT))"))
+            .as("est_distinct"),
+          col("exact_distinct"))
+        .orderBy("event_type")
+    },
     // MERGEABLE-SKETCH ROLLUP: per-day HLL sketches of distinct streams,
     // unioned into the overall estimate — the re-aggregation pattern
     // that makes distinct counts pre-computable at 100 TB (exact
@@ -415,6 +437,29 @@ object AnalyticsQueries {
          |)
          |SELECT ${zExpr("ubucket", "tbucket")} AS z, ubucket, tbucket, count(*) AS n
          |FROM b GROUP BY 1, 2, 3 ORDER BY z""".stripMargin,
+    // KMV is deterministic, so the ORACLE recomputes the k smallest
+    // distinct hashes and the identical integer estimate — a sketch
+    // whose values, not just tolerance, are pinned
+    "agg_kmv_distinct" ->
+      s"""$EV, t AS (
+         |  SELECT event_type,
+         |    list_reduce(
+         |      list_prepend(CAST(0 AS BIGINT),
+         |        list_transform(string_split(lower(trim(stream)), ''),
+         |          c -> CAST(ascii(c) AS BIGINT))),
+         |      (h, c) -> (h * 31 + c) % 2147483647) AS h
+         |  FROM ev
+         |), g AS (
+         |  SELECT event_type,
+         |    list_slice(list_sort(list(DISTINCT h)), 1, 64) AS kmv,
+         |    count(DISTINCT h) AS exact_distinct
+         |  FROM t GROUP BY 1
+         |)
+         |SELECT event_type, CAST(len(kmv) AS BIGINT) AS n_mins,
+         |  CAST(CASE WHEN len(kmv) < 64 THEN len(kmv)
+         |    ELSE (CAST(63 AS BIGINT) * 2147483647) // greatest(kmv[64], 1) END AS BIGINT) AS est_distinct,
+         |  exact_distinct
+         |FROM g ORDER BY event_type""".stripMargin,
     // the invariant, not the sketch internals: the unioned estimate
     // lands within tolerance (n_ok == n_groups) — drift fails the gate
     "agg_sketch_union" ->
