@@ -602,4 +602,34 @@ class StreamingSpec extends SparkSpec {
       assert(!got(2L), "fresh-vocabulary doc must not be flagged")
     } finally q.stop()
   }
+
+  test("streaming as-of enrichment == batch native as-of join, state carried across batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val log = graft.log.Fixture.events(spark, dir)
+      .select(col("stream"), col("position"), col("event_type"), col("value"))
+    val rows = log.as[(String, Long, String, Double)].collect().sortBy(_._2)
+    // split mid-log so click→purchase matches must cross the batch boundary
+    val cut = rows(rows.length / 2)._2
+    val mem = MemoryStream[(String, Long, String, Double)]
+    val q = graft.streaming.AsOfEnrich.latestPriorMatch(
+        mem.toDF().toDF("stream", "position", "event_type", "value"),
+        matchType = "click", emitType = "purchase")
+      .writeStream.format("memory").queryName("asof_enrich")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(rows.filter(_._2 <= cut).toSeq)
+      q.processAllAvailable()
+      mem.addData(rows.filter(_._2 > cut).toSeq)
+      q.processAllAvailable()
+      val streamed = spark.sql(
+          "select position, stream, last_match_pos, match_value_x1000 from asof_enrich")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      val batch = graft.queries.RelationalQueries.queries("join_asof_native")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      assert(streamed.nonEmpty)
+      assert(streamed == batch)
+    } finally q.stop()
+  }
 }
