@@ -281,6 +281,31 @@ object AnalyticsQueries {
           col("exact_distinct"))
         .orderBy("event_type")
     },
+    // KMV ROLLUP: per-day KMV sketches re-aggregated into the overall
+    // estimate DECLARATIVELY (flatten → distinct → sort → first k) —
+    // the pre-compute pattern: daily sketches are stored artifacts, and
+    // any coarser rollup (week, month, all-time) derives from them
+    // without touching raw data. Deterministic end to end, so the
+    // rolled-up estimate is value-oracled and must equal the direct
+    // single-pass sketch ON THE SAME DATA (the lossless-merge property,
+    // asserted by the oracle recomputing the direct form).
+    "agg_kmv_rollup" -> { (s: SparkSession, dir: String) =>
+      val daily = ev(s, dir)
+        .select(micros.as("tus"), call_function("graft_polyhash", col("stream")).as("h"))
+        .select(expr("tus div 86400000000").as("day"), col("h"))
+        .groupBy(col("day"))
+        .agg(call_function("graft_kmv", col("h"), lit(64)).as("kmv"))
+      daily.agg(count(lit(1)).as("n_days"),
+          slice(array_sort(array_distinct(flatten(collect_list(col("kmv"))))), 1, 64)
+            .as("merged"))
+        .select(col("n_days"),
+          size(col("merged")).cast("long").as("n_mins"),
+          when(size(col("merged")) < 64, size(col("merged")).cast("long"))
+            .otherwise(expr(
+              "(CAST(63 AS BIGINT) * CAST(2147483647 AS BIGINT)) div greatest(element_at(merged, 64), CAST(1 AS BIGINT))"))
+            .as("est_distinct"))
+        .drop("merged")
+    },
     // MERGEABLE-SKETCH ROLLUP: per-day HLL sketches of distinct streams,
     // unioned into the overall estimate — the re-aggregation pattern
     // that makes distinct counts pre-computable at 100 TB (exact
@@ -437,6 +462,28 @@ object AnalyticsQueries {
          |)
          |SELECT ${zExpr("ubucket", "tbucket")} AS z, ubucket, tbucket, count(*) AS n
          |FROM b GROUP BY 1, 2, 3 ORDER BY z""".stripMargin,
+    // lossless merge pinned in the DATA: the oracle computes the DIRECT
+    // single-pass k-minima over all days — the rollup of the per-day
+    // sketches must coincide with it exactly
+    "agg_kmv_rollup" ->
+      s"""$EV, t AS (
+         |  SELECT epoch_us(ts) // 86400000000 AS day,
+         |    list_reduce(
+         |      list_prepend(CAST(0 AS BIGINT),
+         |        list_transform(string_split(lower(trim(stream)), ''),
+         |          c -> CAST(ascii(c) AS BIGINT))),
+         |      (h, c) -> (h * 31 + c) % 2147483647) AS h
+         |  FROM ev
+         |), g AS (
+         |  SELECT count(DISTINCT day) AS n_days,
+         |    list_slice(list_sort(list(DISTINCT h)), 1, 64) AS kmv
+         |  FROM t
+         |)
+         |SELECT CAST(n_days AS BIGINT) AS n_days, CAST(len(kmv) AS BIGINT) AS n_mins,
+         |  CAST(CASE WHEN len(kmv) < 64 THEN len(kmv)
+         |    ELSE (CAST(63 AS BIGINT) * 2147483647) // greatest(kmv[64], 1) END AS BIGINT)
+         |    AS est_distinct
+         |FROM g""".stripMargin,
     // KMV is deterministic, so the ORACLE recomputes the k smallest
     // distinct hashes and the identical integer estimate — a sketch
     // whose values, not just tolerance, are pinned
