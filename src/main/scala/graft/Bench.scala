@@ -20,6 +20,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
@@ -29,14 +30,20 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val queries = only.fold(SparkEntry.queries)(ns => SparkEntry.queries.filter(kv => ns(kv._1)))
     def pass(record: Boolean): Map[String, Double] =
-      queries.map { case (name, fn) =>
+      queries.flatMap { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
+        try {
+          fn(spark, sfDir).count()
+          Some(name -> (System.nanoTime() - t0) / 1e9)
+        } catch {
           case e: Throwable =>
-            // a failed query must NOT look like a fast success
+            // a failed query must NOT look like a fast success: record the
+            // error and emit NO timing row, so failures stay out of the
+            // total, the min-of-2, and the bench_history MIN ratchet
+            // (round 6 poisoned 22 baselines with ~4ms failure walls)
             if (record) errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+            None
         }
-        name -> (System.nanoTime() - t0) / 1e9
       }
     // one untimed warmup pass (JIT + codegen + shared fixture/signature
     // materialization), then TWO timed passes reporting the per-query MIN:

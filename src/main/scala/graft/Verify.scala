@@ -12,8 +12,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // fixture `ts` is timestamp[ns]; Spark's parquet reader rejects NANOS
-      // unless read as long (we order by event_id, so long nanos is fine)
+      // tolerate either fixture encoding of `ts`: timestamp[us] loads
+      // natively; legacy timestamp[ns] loads as long and Fixture.raw
+      // normalizes it to µs TimestampType
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
@@ -23,6 +24,7 @@ object Verify {
     // as Bench's SPARK_GRAFT_BENCH_ONLY); the driver sets neither
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY").map(_.split(",").toSet)
     val queries = only.fold(SparkEntry.queries)(ns => SparkEntry.queries.filter(kv => ns(kv._1)))
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     queries.foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
@@ -30,7 +32,17 @@ object Verify {
           .parquet(s"$outDir/$name")
         System.err.println(f"[verify] $name ok (${(System.nanoTime() - t0) / 1e9}%.1fs)")
       } catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a failed query must not vanish from the correctness report (a
+        // missing output dir is silently skipped by the compare): write a
+        // 1-row sentinel result so the compare records a loud mismatch,
+        // and collect the message for errors.json
+        failed(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
+        System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
+        try {
+          import spark.implicits._
+          Seq(failed(name)).toDF("_verify_error")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -48,6 +60,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = failed.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    if (failed.nonEmpty)
+      System.err.println(s"[verify] ${failed.size} queries FAILED: ${failed.keys.mkString(", ")}")
     spark.stop()
   }
 }

@@ -21,9 +21,32 @@ import org.apache.spark.sql.functions._
  */
 object Fixture {
 
-  /** Raw fixture table. */
-  def raw(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"$sfDir/events.parquet")
+  /** Raw fixture table, with `ts` normalized to TimestampType (µs).
+    *
+    * The driver has shipped the fixture with two physical encodings of
+    * `ts`: parquet `timestamp[us]` (loads as TimestampType) and int64
+    * epoch-nanos (loads as LongType under
+    * `spark.sql.legacy.parquet.nanosAsLong`). Everything downstream —
+    * sessionization, time-bucket aggregations, the DuckDB oracles (which
+    * see TIMESTAMP either way and use `epoch_us(ts)`) — works in exact
+    * integer µs, so both encodings normalize here, once, to µs-precision
+    * TimestampType. The legacy branch uses decimal division: `long/long`
+    * is DOUBLE division in Spark and a half-ULP at ~1.7e18 ns is ~1µs,
+    * enough to flip a session/window boundary. */
+  def raw(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/events.parquet")
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.LongType) =>
+        df.withColumn("ts",
+          timestamp_micros(graft.streaming.Sessionize.microsFromNanos(col("ts"))))
+      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        // parquet timestamp[us] with isAdjustedToUTC=false loads as NTZ;
+        // sessions run with spark.sql.session.timeZone=UTC so this cast is
+        // a pure retag (no instant shift), matching DuckDB's naive view
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
+  }
 
   /** Canonical event log WITHOUT per-stream revision (cheapest form —
     * sufficient for $all reads; nothing to shuffle). */

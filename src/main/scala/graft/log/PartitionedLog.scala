@@ -108,7 +108,7 @@ object PartitionedLog {
   /** The log with its z-layout key and bucket columns materialized. */
   def withZ(log: DataFrame, bits: Int = 4): DataFrame = {
     val m = lit(1L << bits)
-    val micros = graft.streaming.Sessionize.microsFromNanos(col("ts"))
+    val micros = unix_micros(col("ts"))
     log
       .withColumn("ubucket", pmod(call_function("graft_polyhash", col("stream")), m))
       .withColumn("tbucket", pmod(floor(micros / lit(86400000000L)).cast("long"), m))

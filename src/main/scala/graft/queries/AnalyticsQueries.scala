@@ -25,7 +25,7 @@ object AnalyticsQueries {
 
   private def ev(s: SparkSession, dir: String): DataFrame = Fixture.events(s, dir)
 
-  private def micros: Column = Sessionize.microsFromNanos(col("ts"))
+  private def micros: Column = unix_micros(col("ts"))
 
   /** stream "user-<id>" → entity key (reverse of Fixture's mapping). */
   private def uid = substring(col("stream"), 6, 1000000).cast("long")

@@ -147,7 +147,7 @@ object LogQueries {
       import graft.streaming.EventTimeStats
       EventTimeStats
         .eventsPerWindow(Fixture.events(s, dir),
-          EventTimeStats.eventTimeFromNanos(col("ts")), "1 minute", "0 seconds")
+          col("ts"), "1 minute", "0 seconds")
         .select(col("window.start").cast("long").as("bucket_start"), col("stream"), col("n"))
         .orderBy("bucket_start", "stream")
     },
@@ -158,7 +158,7 @@ object LogQueries {
       import graft.streaming.EventTimeStats
       EventTimeStats
         .eventsPerSlidingWindow(Fixture.events(s, dir),
-          EventTimeStats.eventTimeFromNanos(col("ts")), "2 minutes", "1 minute", "0 seconds")
+          col("ts"), "2 minutes", "1 minute", "0 seconds")
         .select(col("window.start").cast("long").as("bucket_start"), col("stream"), col("n"))
         .orderBy("bucket_start", "stream")
     },
@@ -170,7 +170,7 @@ object LogQueries {
       import graft.streaming.Sessionize
       Sessionize
         .sessions(Fixture.events(s, dir), gap = 4L * 3600L * 1000000L,
-          time = Sessionize.microsFromNanos(col("ts")), unit = "us")
+          time = unix_micros(col("ts")), unit = "us")
         .orderBy("stream", "session_idx")
     },
     // per-stream DEBOUNCE: drop an event whose type repeats its stream's
@@ -182,7 +182,7 @@ object LogQueries {
       import graft.streaming.Sessionize
       val w = Window.partitionBy("stream").orderBy(col("tus"), col("position"))
       Fixture.events(s, dir)
-        .withColumn("tus", Sessionize.microsFromNanos(col("ts")))
+        .withColumn("tus", unix_micros(col("ts")))
         .withColumn("prev_type", lag(col("event_type"), 1).over(w))
         .filter(col("prev_type").isNull || col("event_type") =!= col("prev_type"))
         .select(col("position"), col("stream"), col("event_type"))
@@ -198,7 +198,7 @@ object LogQueries {
       Sessionize
         .sessionsNative(
           Fixture.events(s, dir).select(col("stream"), col("ts")),
-          timestamp_micros(Sessionize.microsFromNanos(col("ts"))),
+          col("ts"),
           gap = "4 hours")
         .select(col("stream"),
           unix_micros(col("session_window.start")).as("start_us"),

@@ -23,7 +23,7 @@ object RelationalQueries {
 
   private def ev(s: SparkSession, dir: String): DataFrame = Fixture.events(s, dir)
 
-  private def micros: org.apache.spark.sql.Column = Sessionize.microsFromNanos(col("ts"))
+  private def micros: org.apache.spark.sql.Column = unix_micros(col("ts"))
 
   /** stream "user-<id>" → entity key (the reverse of Fixture's mapping). */
   private def uid = substring(col("stream"), 6, 1000000).cast("long")

@@ -27,7 +27,7 @@ object SeriesQueries {
 
   private def ev(s: SparkSession, dir: String): DataFrame = Fixture.events(s, dir)
 
-  private def micros: Column = Sessionize.microsFromNanos(col("ts"))
+  private def micros: Column = unix_micros(col("ts"))
 
   /** One PageRank step, shared by the 3 unrolled iterations: integer
     * arithmetic only ((rank·weight) div out-weight per edge, damping as

@@ -19,13 +19,6 @@ import org.apache.spark.sql.functions._
  */
 object EventTimeStats {
 
-  /** Event-time from the fixture's nanosecond-epoch `ts` column. The
-    * ns→µs step uses decimal arithmetic: `long / long` is DOUBLE division
-    * in Spark, and a half-ULP error at ~1.7e18 ns is ~1µs — enough to
-    * flip a window at a boundary. Decimal division + floor is exact. */
-  def eventTimeFromNanos(tsNanos: Column): Column =
-    timestamp_micros(floor(tsNanos.cast("decimal(38,0)") / lit(1000)).cast("long"))
-
   /**
    * Per-(stream, window) event counts. On a streaming DataFrame, rows
    * later than `watermark` behind the max seen event time are dropped and

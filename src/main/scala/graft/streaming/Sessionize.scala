@@ -12,9 +12,9 @@ import org.apache.spark.sql.functions._
  *
  * Two implementations with the same semantics:
  *
- *  - [[sessions]] — analytic-window formulation over the raw nanosecond
- *    `ts` longs (lag → gap flag → running sum → session id). All
- *    arithmetic is exact integer ns, so the DuckDB oracle reproduces it
+ *  - [[sessions]] — analytic-window formulation over integer µs
+ *    (`unix_micros(ts)`; lag → gap flag → running sum → session id). All
+ *    arithmetic is exact integer µs, so the DuckDB oracle reproduces it
  *    bit-for-bit; this is the batch/backfill gate path.
  *  - [[sessionsNative]] — Spark's built-in `session_window`, the
  *    streaming-capable form (merging windows + watermark state expiry).
@@ -60,8 +60,10 @@ object Sessionize {
 
   /** ns→µs with exact decimal arithmetic (`long / long` is DOUBLE division
     * in Spark — a half-ULP at ~1.7e18 ns is ~1µs, enough to flip a
-    * boundary). µs is the resolution both engines can observe: DuckDB
-    * reads parquet timestamp[ns] as µs TIMESTAMP. */
+    * boundary). Only used by [[graft.log.Fixture.raw]]'s legacy int64-nanos
+    * normalization branch; the canonical event log carries `ts` as
+    * µs-precision TimestampType, so query code uses `unix_micros(ts)`
+    * directly. */
   def microsFromNanos(tsNanos: Column): Column =
     floor(tsNanos.cast("decimal(38,0)") / lit(1000)).cast("long")
 

@@ -14,7 +14,7 @@ class SessionizeSpec extends SparkSpec {
 
   private def windowed() =
     Sessionize.sessions(Fixture.events(spark, dir), GapUs,
-      Sessionize.microsFromNanos(col("ts")), "us")
+      unix_micros(col("ts")), "us")
 
   test("window-function sessions: idx dense from 1, bounds ordered, counts total") {
     val s = windowed().cache()
@@ -40,7 +40,7 @@ class SessionizeSpec extends SparkSpec {
     // previous (end-exclusive) — same split rule as `gap >= GapUs`
     val native = Sessionize.sessionsNative(
       Fixture.events(spark, dir),
-      timestamp_micros(Sessionize.microsFromNanos(col("ts"))), "4 hours")
+      col("ts"), "4 hours")
       .select(col("stream"),
         unix_micros(col("session_window.start")).as("start_us"),
         col("n_events"))
