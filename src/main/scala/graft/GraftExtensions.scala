@@ -21,6 +21,8 @@ import graft.plans._
  *  - `graft_cdc_chunks(text)` — content-defined chunk strings;
  *  - `graft_kmv(hash[, k])` — deterministic k-minimum-values distinct
  *    sketch (custom mergeable TypedImperativeAggregate);
+ *  - `graft_bottomk(hash, value[, k])` — deterministic bottom-k-by-hash
+ *    sample sketch (custom mergeable TypedImperativeAggregate);
  *  - the native as-of join planner strategy ([[AsOfJoinStrategy]]).
  *
  * All are codegen'd Catalyst expressions (graft.plans.Kernels) — the
@@ -84,6 +86,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .map(_.eval(null).asInstanceOf[Number].intValue())
           .getOrElse(64)
         KmvSketch(children.head, k).toAggregateExpression()
+      }
+    ))
+    // custom mergeable aggregate: bottom-k-by-hash sample sketch
+    // (graft.plans.BottomKSketch); k defaults to 128, or a foldable int
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bottomk"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_bottomk"),
+      (children: Seq[Expression]) => {
+        val k = children.lift(2)
+          .map(_.eval(null).asInstanceOf[Number].intValue())
+          .getOrElse(128)
+        BottomKSketch(children(0), children(1), k).toAggregateExpression()
       }
     ))
   }

@@ -259,6 +259,36 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy("z")
     },
+    // SAMPLED PER-GROUP QUANTILES via the bottom-k-by-hash sample sketch
+    // (custom mergeable TypedImperativeAggregate, graft.plans
+    // .BottomKSketch): per event type, a deterministic uniform sample of
+    // k=128 rows (the k smallest polyhash(position) ranks) and the
+    // sample's p25/p50/p90 of `value`. The sketch buffer is bounded (128
+    // pairs), pre-combines map-side, and merges losslessly under any
+    // partitioning — per-key quantile estimation in ONE aggregation pass
+    // with k rows per group on the shuffle, where the exact form
+    // (agg_value_stats / ts_percentile shapes) must sort every group.
+    // Unlike reservoir sampling or t-digest the summary is a pure
+    // function of the input set, so the sampled quantiles themselves are
+    // value-oracled (DuckDB recomputes the identical sample and
+    // order statistics), not tolerance-gated.
+    "agg_sampled_quantiles" -> { (s: SparkSession, dir: String) =>
+      ev(s, dir)
+        .select(col("event_type"),
+          call_function("graft_polyhash", col("position").cast("string")).as("h"),
+          col("value"))
+        .groupBy(col("event_type"))
+        .agg(call_function("graft_bottomk", col("h"), col("value"), lit(128)).as("sk"),
+          count(lit(1)).as("n_rows"))
+        .select(col("event_type"), col("n_rows"),
+          array_sort(map_values(col("sk"))).as("vs"))
+        .select(col("event_type"), col("n_rows"),
+          size(col("vs")).cast("long").as("n_sample"),
+          element_at(col("vs"), expr("cast((size(vs) + 3) div 4 as int)")).as("p25"),
+          element_at(col("vs"), expr("cast((size(vs) + 1) div 2 as int)")).as("p50"),
+          element_at(col("vs"), expr("cast((9 * size(vs) + 9) div 10 as int)")).as("p90"))
+        .orderBy("event_type")
+    },
     // KMV DISTINCT SKETCH (custom mergeable TypedImperativeAggregate,
     // graft.plans.KmvSketch): per event type, the k=64 smallest distinct
     // stream hashes and the (k−1)·P/h_k estimate next to the exact
@@ -487,6 +517,35 @@ object AnalyticsQueries {
     // KMV is deterministic, so the ORACLE recomputes the k smallest
     // distinct hashes and the identical integer estimate — a sketch
     // whose values, not just tolerance, are pinned
+    "agg_sampled_quantiles" ->
+      s"""$EV, t AS (
+         |  SELECT event_type,
+         |    list_reduce(
+         |      list_prepend(CAST(0 AS BIGINT),
+         |        list_transform(string_split(CAST(position AS VARCHAR), ''),
+         |          c -> CAST(ascii(c) AS BIGINT))),
+         |      (h, c) -> (h * 31 + c) % 2147483647) AS h,
+         |    value AS v
+         |  FROM ev
+         |), d AS (
+         |  SELECT event_type, h, min(v) AS v FROM t GROUP BY 1, 2
+         |), r AS (
+         |  SELECT event_type, v,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+         |  FROM d
+         |), q AS (
+         |  SELECT event_type, v,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY v) AS vr,
+         |    count(*) OVER (PARTITION BY event_type) AS ns
+         |  FROM r WHERE rn <= 128
+         |), tot AS (SELECT event_type, count(*) AS n_rows FROM t GROUP BY 1)
+         |SELECT q.event_type, max(tot.n_rows) AS n_rows,
+         |  CAST(max(ns) AS BIGINT) AS n_sample,
+         |  max(CASE WHEN vr = (ns + 3) // 4 THEN v END) AS p25,
+         |  max(CASE WHEN vr = (ns + 1) // 2 THEN v END) AS p50,
+         |  max(CASE WHEN vr = (9 * ns + 9) // 10 THEN v END) AS p90
+         |FROM q JOIN tot ON q.event_type = tot.event_type
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_kmv_distinct" ->
       s"""$EV, t AS (
          |  SELECT event_type,

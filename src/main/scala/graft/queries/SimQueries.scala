@@ -39,6 +39,25 @@ object SimQueries {
   private def pq(s: SparkSession, dir: String): Pq.PqIndex =
     pqCache.getOrElseUpdate((s, dir), Pq.buildSampled(Tables.emb(s, dir)))
 
+  // SQ8 range table (d-row driver-side stats) + code table, built once
+  // per (session, dir) — stored artifacts in a real deployment
+  private val sqCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (graft.sim.Sq.SqIndex, DataFrame)]
+  private def sq(s: SparkSession, dir: String): (graft.sim.Sq.SqIndex, DataFrame) =
+    sqCache.getOrElseUpdate((s, dir), {
+      val idx = graft.sim.Sq.build(Tables.emb(s, dir), DIM)
+      (idx, graft.sim.Sq.codes(Tables.emb(s, dir), idx).localCheckpoint())
+    })
+
+  // kNN edge table (top-3 LSH-candidate neighbors of every vector),
+  // built once per (session, dir) — shared by the graph dump and the
+  // seed-expansion BFS
+  private val knnCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def knn(s: SparkSession, dir: String): DataFrame =
+    knnCache.getOrElseUpdate((s, dir),
+      Similarity.knnGraphFromNormed(Tables.normedEmb(s, dir), 3).localCheckpoint())
+
   /** IVF-routed PQ ADC top-k (shared by `sim_topk_ivfpq` and `sim_recall`). */
   private def ivfPqTopK(s: SparkSession, dir: String): DataFrame = {
     val ivfIdx = ivf(s, dir)
@@ -234,10 +253,39 @@ object SimQueries {
     // all-vectors batch build (graph clustering / index-construction
     // precursor); value-oracled end to end including the tie-broken rank
     "sim_knn_graph" -> { (s: SparkSession, dir: String) =>
-      x1e6(Similarity.knnGraphFromNormed(Tables.normedEmb(s, dir), 3)
+      x1e6(knn(s, dir)
         .select(col("a"), col("rk"), col("b"), col("cos")))
         .select(col("a"), col("rk"), col("b"), col("cos_x1e6"))
         .orderBy("a", "rk")
+    },
+    // SEED EXPANSION: bounded multi-source BFS over the kNN graph —
+    // every vector within 3 hops of the curated seed set (vec_id % 50
+    // == 0), with its minimum hop distance. The corpus-growing pattern:
+    // trusted seeds propagate "keep" labels through near-neighbor edges.
+    // Iterative frontier⋈edges join + anti-join per round (see
+    // graft.sim.Graph.bfs); the recursive-CTE oracle replays the same
+    // fixpoint.
+    "sim_seed_expand" -> { (s: SparkSession, dir: String) =>
+      graft.sim.Graph.bfs(
+        knn(s, dir).select(col("a").as("src"), col("b").as("dst")),
+        Tables.emb(s, dir).filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("id")),
+        maxHops = 3)
+        .select(col("id").as("vec_id"), col("dist"))
+        .orderBy("vec_id")
+    },
+    // SQ8 scalar quantization (graft.sim.Sq): per-dimension byte codes
+    // from corpus-wide [min, max] ranges — the 4x-compression
+    // memory-resident index tier below PQ. ADC top-k decodes per
+    // dimension and left-folds the dot with the raw query: a map-only
+    // scan over 64 B/vector codes fused into TakeOrderedAndProject.
+    // Ranges, codes and scores are deterministic double arithmetic in
+    // fixed fold order — fully value-oracled.
+    "sim_topk_sq8" -> { (s: SparkSession, dir: String) =>
+      val (idx, codesDf) = sq(s, dir)
+      val q = queryRow(Tables.emb(s, dir))
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+      graft.sim.Sq.topKAdc(codesDf, idx, q, K)
     },
     // BATCHED ANN: many queries answered in ONE corpus pass — the
     // retrieval-serving shape (embed a request batch, search once). The
@@ -694,6 +742,57 @@ object SimQueries {
          |SELECT a, CAST(rk AS BIGINT) AS rk, b,
          |  CAST(floor(cos * 1000000.0) AS BIGINT) AS cos_x1e6
          |FROM sc WHERE rk <= 3 ORDER BY a, rk""".stripMargin,
+    "sim_seed_expand" ->
+      s"""WITH RECURSIVE $NB, bk AS (
+         |  SELECT vec_id, embedding, nrm, ${bucketsSql("embedding")} AS bks FROM n
+         |), bkx AS (
+         |  SELECT vec_id, u.t, bks[u.t + 1] AS bucket
+         |  FROM bk, unnest([0, 1, 2, 3]) AS u(t)
+         |), cand AS (
+         |  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+         |  FROM bkx l JOIN bkx r ON l.t = r.t AND l.bucket = r.bucket AND l.vec_id <> r.vec_id
+         |), sc AS (
+         |  SELECT a, b,
+         |    row_number() OVER (PARTITION BY a
+         |      ORDER BY (${dotSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm)) DESC, b ASC) AS rk
+         |  FROM cand JOIN n x ON cand.a = x.vec_id JOIN n y ON cand.b = y.vec_id
+         |), e AS (
+         |  SELECT a AS src, b AS dst FROM sc WHERE rk <= 3
+         |), reach(id, dist) AS (
+         |  SELECT vec_id, 0 FROM embeddings WHERE vec_id % 50 = 0
+         |  UNION
+         |  SELECT e.dst, r.dist + 1 FROM reach r JOIN e ON e.src = r.id
+         |  WHERE r.dist < 3
+         |)
+         |SELECT id AS vec_id, CAST(min(dist) AS BIGINT) AS dist
+         |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sim_topk_sq8" ->
+      s"""WITH mm AS (
+         |  SELECT i,
+         |    min(CAST(embedding[i] AS DOUBLE)) AS mn,
+         |    max(CAST(embedding[i] AS DOUBLE)) AS mx
+         |  FROM embeddings CROSS JOIN range(1, 65) AS t(i)
+         |  GROUP BY i
+         |), mml AS (
+         |  SELECT list(mn ORDER BY i) AS mn, list(mx ORDER BY i) AS mx FROM mm
+         |), q AS (
+         |  SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+         |), sc AS (
+         |  SELECT e.vec_id,
+         |    list_reduce(list_prepend(0.0,
+         |      list_transform(range(1, 65),
+         |        i -> (mn[i] + CAST(
+         |                CASE WHEN (mx[i] - mn[i]) <= 0 THEN 0
+         |                     ELSE least(255, greatest(0,
+         |                       CAST(floor((CAST(e.embedding[i] AS DOUBLE) - mn[i])
+         |                         * 255.0 / (mx[i] - mn[i])) AS BIGINT)))
+         |                END AS DOUBLE) * (mx[i] - mn[i]) / 255.0)
+         |             * CAST(qe[i] AS DOUBLE))),
+         |      (a, x) -> a + x) AS adc
+         |  FROM embeddings e, mml, q
+         |)
+         |SELECT vec_id, CAST(floor(adc * 1000000.0) AS BIGINT) AS adc_x1e6
+         |FROM sc ORDER BY adc DESC, vec_id ASC LIMIT 10""".stripMargin,
     "sim_topk_batch" ->
       s"""$N, q AS (
          |  SELECT vec_id AS qid, embedding AS qv, nrm AS qn FROM n WHERE vec_id IN (0, 1, 2)
