@@ -289,6 +289,33 @@ object AnalyticsQueries {
           element_at(col("vs"), expr("cast((9 * size(vs) + 9) div 10 as int)")).as("p90"))
         .orderBy("event_type")
     },
+    // SAMPLED-QUANTILE ROLLUP: per-day bottom-k sketches re-merged into
+    // the overall sample DECLARATIVELY (explode entries → min-v per hash
+    // → 128 smallest hashes → order statistics) — the same pre-compute
+    // pattern as agg_kmv_rollup: daily sketches are stored artifacts and
+    // any coarser rollup derives from them without touching raw data.
+    // Every step is a pure function of the input set, so the rolled-up
+    // quantiles are value-oracled (the oracle replays the same per-day →
+    // merge procedure).
+    "agg_sampled_quantiles_rollup" -> { (s: SparkSession, dir: String) =>
+      val h = call_function("graft_polyhash", col("position").cast("string"))
+      val daily = ev(s, dir)
+        .select(expr("unix_micros(ts) div 86400000000").as("day"), h.as("h"), col("value"))
+        .groupBy(col("day"))
+        .agg(call_function("graft_bottomk", col("h"), col("value"), lit(128)).as("sk"))
+      val merged = daily
+        .select(explode(map_entries(col("sk"))).as("e"))
+        .select(col("e.key").as("h"), col("e.value").as("v"))
+        .groupBy(col("h")).agg(min(col("v")).as("v"))
+        .orderBy("h").limit(128)
+      val stats = merged
+        .agg(array_sort(collect_list(col("v"))).as("vs"))
+        .select(size(col("vs")).cast("long").as("n_sample"),
+          element_at(col("vs"), expr("cast((size(vs) + 3) div 4 as int)")).as("p25"),
+          element_at(col("vs"), expr("cast((size(vs) + 1) div 2 as int)")).as("p50"),
+          element_at(col("vs"), expr("cast((9 * size(vs) + 9) div 10 as int)")).as("p90"))
+      daily.agg(count(lit(1)).as("n_days")).crossJoin(stats)
+    },
     // KMV DISTINCT SKETCH (custom mergeable TypedImperativeAggregate,
     // graft.plans.KmvSketch): per event type, the k=64 smallest distinct
     // stream hashes and the (k−1)·P/h_k estimate next to the exact
@@ -546,6 +573,34 @@ object AnalyticsQueries {
          |  max(CASE WHEN vr = (9 * ns + 9) // 10 THEN v END) AS p90
          |FROM q JOIN tot ON q.event_type = tot.event_type
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_sampled_quantiles_rollup" ->
+      s"""$EV, t AS (
+         |  SELECT epoch_us(ts) // 86400000000 AS day,
+         |    list_reduce(
+         |      list_prepend(CAST(0 AS BIGINT),
+         |        list_transform(string_split(CAST(position AS VARCHAR), ''),
+         |          c -> CAST(ascii(c) AS BIGINT))),
+         |      (h, c) -> (h * 31 + c) % 2147483647) AS h,
+         |    value AS v
+         |  FROM ev
+         |), d AS (
+         |  SELECT day, h, min(v) AS v FROM t GROUP BY 1, 2
+         |), r AS (
+         |  SELECT day, h, v, row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+         |  FROM d
+         |), m AS (
+         |  SELECT h, min(v) AS v FROM r WHERE rn <= 128 GROUP BY 1
+         |), mr AS (
+         |  SELECT h, v, row_number() OVER (ORDER BY h) AS rn FROM m
+         |), q AS (
+         |  SELECT v, row_number() OVER (ORDER BY v) AS vr, count(*) OVER () AS ns
+         |  FROM mr WHERE rn <= 128
+         |), nd AS (SELECT count(DISTINCT day) AS n_days FROM t)
+         |SELECT max(nd.n_days) AS n_days, CAST(max(ns) AS BIGINT) AS n_sample,
+         |  max(CASE WHEN vr = (ns + 3) // 4 THEN v END) AS p25,
+         |  max(CASE WHEN vr = (ns + 1) // 2 THEN v END) AS p50,
+         |  max(CASE WHEN vr = (9 * ns + 9) // 10 THEN v END) AS p90
+         |FROM q, nd""".stripMargin,
     "agg_kmv_distinct" ->
       s"""$EV, t AS (
          |  SELECT event_type,

@@ -530,4 +530,25 @@ class QueryPlanSpec extends SparkSpec {
     assert(hashExchanges <= 1,
       s"expected at most one stream-key shuffle, found $hashExchanges in:\n$plan")
   }
+
+  test("sim_topk_sq8: map-only ADC scan fused into TakeOrderedAndProject") {
+    val plan = SimQueries.queries("sim_topk_sq8")(spark, dir)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected top-k fusion in:\n$plan")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges == 0, s"the code scan must not shuffle:\n$plan")
+  }
+
+  test("agg_sampled_quantiles: sketch partial-aggregates map-side before the shuffle") {
+    val plan = AnalyticsQueries.queries("agg_sampled_quantiles")(spark, dir)
+      .queryExecution.executedPlan.toString()
+    val own = plan.split("InMemoryTableScan")(0)
+    // the custom TypedImperativeAggregate must plan as ObjectHashAggregate
+    // with a partial pass (k pairs per group cross the wire, not rows)
+    assert(own.contains("ObjectHashAggregate"),
+      s"expected object-hash aggregation in:\n$plan")
+    assert(own.contains("partial_graft_bottomk"),
+      s"expected map-side partial sketch in:\n$plan")
+  }
 }
