@@ -23,6 +23,8 @@ import graft.plans._
  *    sketch (custom mergeable TypedImperativeAggregate);
  *  - `graft_bottomk(hash, value[, k])` — deterministic bottom-k-by-hash
  *    sample sketch (custom mergeable TypedImperativeAggregate);
+ *  - `graft_topk_by(score, tag[, k])` — bounded top-k-per-group heap
+ *    aggregate (replaces window-sort top-N at scale);
  *  - the native as-of join planner strategy ([[AsOfJoinStrategy]]).
  *
  * All are codegen'd Catalyst expressions (graft.plans.Kernels) — the
@@ -98,6 +100,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .map(_.eval(null).asInstanceOf[Number].intValue())
           .getOrElse(128)
         BottomKSketch(children(0), children(1), k).toAggregateExpression()
+      }
+    ))
+    // custom mergeable aggregate: bounded top-k-per-group heap
+    // (graft.plans.TopKBySketch); k defaults to 3, or a foldable int
+    ext.injectFunction((
+      new FunctionIdentifier("graft_topk_by"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_topk_by"),
+      (children: Seq[Expression]) => {
+        val k = children.lift(2)
+          .map(_.eval(null).asInstanceOf[Number].intValue())
+          .getOrElse(3)
+        TopKBySketch(children(0), children(1), k).toAggregateExpression()
       }
     ))
   }

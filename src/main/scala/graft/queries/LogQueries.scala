@@ -271,6 +271,25 @@ object LogQueries {
         .filter(col("rk") <= 3)
         .select(col("stream"), col("event_type"), col("n"), col("rk").cast("long").as("rk"))
         .orderBy("stream", "rk")
+    },
+    // the same top-3 through the bounded HEAP aggregate (graft.plans
+    // .TopKBySketch) instead of the window sort: the per-(stream, type)
+    // counts partial-aggregate map-side and exactly k entries per stream
+    // cross the second shuffle — no per-group sort anywhere. At 100 TB
+    // this is the difference between sorting the full aggregate table
+    // and a k-row-per-group shuffle; the oracle (shared with
+    // top_types_per_stream's window form) pins the two semantically
+    // identical.
+    "top_types_per_stream_heap" -> { (s: SparkSession, dir: String) =>
+      Fixture.events(s, dir)
+        .groupBy(col("stream"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("stream"))
+        .agg(call_function("graft_topk_by", col("n"), col("event_type"), lit(3)).as("top"))
+        .select(col("stream"), posexplode(col("top")).as(Seq("i", "e")))
+        .select(col("stream"), col("e.tag").as("event_type"),
+          col("e.score").as("n"), (col("i") + 1).cast("long").as("rk"))
+        .orderBy("stream", "rk")
     }
   )
 
@@ -347,6 +366,17 @@ object LogQueries {
          |  max(CAST(floor(value * 1000.0) AS BIGINT)) AS max_x1000
          |FROM ev GROUP BY stream ORDER BY stream""".stripMargin,
     "top_types_per_stream" ->
+      s"""$EV, c AS (
+         |  SELECT stream, event_type, count(*) AS n FROM ev GROUP BY 1, 2
+         |)
+         |SELECT stream, event_type, n, rk FROM (
+         |  SELECT stream, event_type, n,
+         |         row_number() OVER (PARTITION BY stream ORDER BY n DESC, event_type ASC) AS rk
+         |  FROM c
+         |) WHERE rk <= 3 ORDER BY stream, rk""".stripMargin,
+    // the heap-aggregate form is semantically identical to the window
+    // form — one oracle pins both
+    "top_types_per_stream_heap" ->
       s"""$EV, c AS (
          |  SELECT stream, event_type, count(*) AS n FROM ev GROUP BY 1, 2
          |)
