@@ -77,6 +77,12 @@ object SimQueries {
       x1e6(Similarity.topKLshFromNormed(
         Tables.normedEmb(s, dir), queryRow(Tables.emb(s, dir)), K, DIM))
     },
+    // multi-probe LSH: Hamming-1 bucket probes per table — the recall
+    // lever that grows query-time probes, not the stored index
+    "sim_topk_lsh_multiprobe" -> { (s: SparkSession, dir: String) =>
+      x1e6(Similarity.topKLshMultiProbeFromNormed(
+        Tables.normedEmb(s, dir), queryRow(Tables.emb(s, dir)), K, DIM))
+    },
     // radius search: everything within cosine >= 0.2 of the query — the
     // range complement of top-k (map-only scan + broadcast query, no
     // corpus sort, result size follows the data)
@@ -345,6 +351,15 @@ object SimQueries {
        |)""".stripMargin
   private val N = s"WITH $NB"
 
+  /** Hamming-1 multi-probe membership test for table `t` (1-indexed):
+    * the corpus bucket equals the query bucket or any single-bit flip of
+    * it — mirrors [[Similarity.topKLshMultiProbeFromNormed]]'s probe set. */
+  private def multiProbeCond(t: Int): String = {
+    val probes = s"qbks[$t]" +:
+      (0 until bitsPerTable).map(j => s"xor(qbks[$t], ${1L << j})")
+    s"list_contains([${probes.mkString(", ")}], bks[$t])"
+  }
+
   /** Left-fold dot over only the first `d` elements (the stage-1 ranking
     * key of the two-stage retrieval). */
   private def dotHeadSql(a: String, b: String, d: Int): String =
@@ -434,6 +449,16 @@ object SimQueries {
          |  CAST(floor((${dotSql("embedding", "qv")} / (nrm * qn)) * 1000000.0) AS BIGINT) AS cos_x1e6
          |FROM bk, q
          |WHERE bks[1] = qbks[1] OR bks[2] = qbks[2] OR bks[3] = qbks[3] OR bks[4] = qbks[4]
+         |ORDER BY (${dotSql("embedding", "qv")} / (nrm * qn)) DESC, vec_id ASC
+         |LIMIT $K""".stripMargin,
+    "sim_topk_lsh_multiprobe" ->
+      s"""$N, bk AS (
+         |  SELECT vec_id, embedding, nrm, ${bucketsSql("embedding")} AS bks FROM n
+         |), q AS (SELECT embedding AS qv, nrm AS qn, bks AS qbks FROM bk WHERE vec_id = 0)
+         |SELECT vec_id,
+         |  CAST(floor((${dotSql("embedding", "qv")} / (nrm * qn)) * 1000000.0) AS BIGINT) AS cos_x1e6
+         |FROM bk, q
+         |WHERE ${(1 to 4).map(multiProbeCond).mkString("\n         |   OR ")}
          |ORDER BY (${dotSql("embedding", "qv")} / (nrm * qn)) DESC, vec_id ASC
          |LIMIT $K""".stripMargin,
     "sim_range_search" ->

@@ -132,6 +132,32 @@ object Similarity {
   }
 
   /**
+   * Multi-probe variant of [[topKLshFromNormed]]: each table also probes
+   * every bucket at Hamming distance 1 from the query's bucket (flip
+   * each of the `bitsPerTable` hyperplane bits) — `1 + bitsPerTable`
+   * probes per table. The standard recall lever that does NOT grow the
+   * stored index: a near neighbor pushed out of the query's bucket by a
+   * single borderline hyperplane is recovered at query time, where
+   * adding tables would store another bucket id per corpus vector.
+   * The probe sets live in the broadcast query row; the corpus-side
+   * work is the same single map-only membership filter.
+   */
+  def topKLshMultiProbeFromNormed(nc: DataFrame, query: DataFrame, k: Int, dim: Int,
+                                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = nc.withColumn("cb", graft.functions.Fast.bucketsFast(col("v")))
+    val probesOf = (b: Column) =>
+      array(b +: (0 until bitsPerTable).map(j => b.bitwiseXOR(lit(1L << j))): _*)
+    val q = broadcast(query.select(col(vecCol).as("q"))
+      .withColumn("qn", graft.functions.Fast.normFast(col("q")))
+      .withColumn("qp", transform(graft.functions.Fast.bucketsFast(col("q")), probesOf)))
+    c.join(q)
+      .filter(exists(zip_with(col("cb"), col("qp"), (x, ps) => array_contains(ps, x)), identity))
+      .select(col("id").as(idCol), (graft.functions.Fast.dotFast(col("v"), col("q")) / (col("nrm") * col("qn"))).as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /**
    * Exact all-pairs near-dup (a < b, cosine ≥ threshold). Quadratic by
    * definition — the verification baseline; use [[lshPairs]] at scale.
    *

@@ -20,4 +20,22 @@ class SimilaritySpec extends SparkSpec {
       assert(blocked == base, s"nBlocks=$b diverged")
     }
   }
+
+  test("multi-probe LSH recall dominates single-probe at equal k") {
+    import org.apache.spark.sql.functions.col
+    val nc = Similarity.normed(corpus)
+    val q = corpus.filter(col("vec_id") === 0)
+    val k = 10
+    val exact = Similarity.topKBruteForceFromNormed(nc, q, k)
+      .collect().map(_.getLong(0)).toSet
+    val single = Similarity.topKLshFromNormed(nc, q, k, 64)
+      .collect().map(_.getLong(0)).toSet
+    val multi = Similarity.topKLshMultiProbeFromNormed(nc, q, k, 64)
+      .collect().map(_.getLong(0)).toSet
+    // the probe set strictly contains the single-probe set, so recall of
+    // the true top-k can only improve (both intersect the exact answer)
+    assert((multi & exact).size >= (single & exact).size)
+    // self-hit: the query's own bucket is always probed
+    assert(multi.contains(0L))
+  }
 }
