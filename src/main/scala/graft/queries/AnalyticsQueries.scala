@@ -30,6 +30,26 @@ object AnalyticsQueries {
   /** stream "user-<id>" → entity key (reverse of Fixture's mapping). */
   private def uid = substring(col("stream"), 6, 1000000).cast("long")
 
+  /** Uniformized sketch hash: polyhash is a fine fingerprint but is NOT
+    * equidistributed on [0, P) for short inputs (short strings only
+    * reach ~31^len, and near-consecutive inputs hash near each other),
+    * which wrecks order-statistics estimators (KMV's (k−1)·P/h_k read
+    * h_k 2× too large on the fixture's "user-N" streams). One
+    * multiplicative mix mod the same prime spreads the values; both
+    * engines run the identical integer arithmetic. */
+  private def sketchHash(c: Column): Column =
+    (call_function("graft_polyhash", c) * lit(2654435761L)) % lit(2147483647L)
+
+  /** DuckDB mirror of [[sketchHash]] over a SQL string expression
+    * (pre-stripped — safe to interpolate into stripMargin oracles). */
+  private def sketchHashSql(e: String): String =
+    s"""(list_reduce(
+       |      list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(string_split(lower(trim($e)), ''),
+       |          c -> CAST(ascii(c) AS BIGINT))),
+       |      (h, c) -> (h * 31 + c) % 2147483647) * 2654435761) % 2147483647"""
+      .stripMargin
+
   /** Z-order bit-interleave of two 4-bit bucket columns, as a SQL
     * expression string shared verbatim with the DuckDB oracle (same
     * operators, same arithmetic — the layout key must be engine-exact). */
@@ -275,7 +295,7 @@ object AnalyticsQueries {
     "agg_sampled_quantiles" -> { (s: SparkSession, dir: String) =>
       ev(s, dir)
         .select(col("event_type"),
-          call_function("graft_polyhash", col("position").cast("string")).as("h"),
+          sketchHash(col("position").cast("string")).as("h"),
           col("value"))
         .groupBy(col("event_type"))
         .agg(call_function("graft_bottomk", col("h"), col("value"), lit(128)).as("sk"),
@@ -298,7 +318,7 @@ object AnalyticsQueries {
     // quantiles are value-oracled (the oracle replays the same per-day →
     // merge procedure).
     "agg_sampled_quantiles_rollup" -> { (s: SparkSession, dir: String) =>
-      val h = call_function("graft_polyhash", col("position").cast("string"))
+      val h = sketchHash(col("position").cast("string"))
       val daily = ev(s, dir)
         .select(expr("unix_micros(ts) div 86400000000").as("day"), h.as("h"), col("value"))
         .groupBy(col("day"))
@@ -326,7 +346,7 @@ object AnalyticsQueries {
     "agg_kmv_distinct" -> { (s: SparkSession, dir: String) =>
       ev(s, dir)
         .select(col("event_type"),
-          call_function("graft_polyhash", col("stream")).as("h"))
+          sketchHash(col("stream")).as("h"))
         .groupBy(col("event_type"))
         .agg(call_function("graft_kmv", col("h"), lit(64)).as("kmv"),
           countDistinct(col("h")).as("exact_distinct"))
@@ -348,7 +368,7 @@ object AnalyticsQueries {
     // asserted by the oracle recomputing the direct form).
     "agg_kmv_rollup" -> { (s: SparkSession, dir: String) =>
       val daily = ev(s, dir)
-        .select(micros.as("tus"), call_function("graft_polyhash", col("stream")).as("h"))
+        .select(micros.as("tus"), sketchHash(col("stream")).as("h"))
         .select(expr("tus div 86400000000").as("day"), col("h"))
         .groupBy(col("day"))
         .agg(call_function("graft_kmv", col("h"), lit(64)).as("kmv"))
@@ -362,6 +382,39 @@ object AnalyticsQueries {
               "(CAST(63 AS BIGINT) * CAST(2147483647 AS BIGINT)) div greatest(element_at(merged, 64), CAST(1 AS BIGINT))"))
             .as("est_distinct"))
         .drop("merged")
+    },
+    // KMV SET ALGEBRA: union, intersection and Jaccard ESTIMATES between
+    // two populations' distinct-stream sketches — the sketch-tier
+    // audience-overlap query ("how many streams click AND purchase")
+    // that at 100 TB replaces an exact distinct-intersection (a full
+    // shuffle of both sides) with arithmetic over two 64-long stored
+    // summaries. Standard KMV estimators: θ = k-th min of the merged
+    // sketch, ρ = |merged ∩ A ∩ B|, |A∪B| ≈ (k−1)·P/θ,
+    // |A∩B| ≈ ρ·|A∪B|/k, J ≈ ρ/k — all integer arithmetic on the
+    // deterministic sketches, so every estimate is value-oracled.
+    "agg_kmv_setops" -> { (s: SparkSession, dir: String) =>
+      val sk = ev(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_type"),
+          sketchHash(col("stream")).as("h"))
+        .groupBy(col("event_type"))
+        .agg(call_function("graft_kmv", col("h"), lit(64)).as("kmv"))
+      val a = sk.filter(col("event_type") === "click").select(col("kmv").as("ka"))
+      val b = sk.filter(col("event_type") === "purchase").select(col("kmv").as("kb"))
+      a.crossJoin(b) // 1 row × 1 row
+        .withColumn("merged",
+          slice(array_sort(array_distinct(concat(col("ka"), col("kb")))), 1, 64))
+        .withColumn("est_union",
+          when(size(col("merged")) < 64, size(col("merged")).cast("long"))
+            .otherwise(expr(
+              "(CAST(63 AS BIGINT) * CAST(2147483647 AS BIGINT)) div greatest(element_at(merged, 64), CAST(1 AS BIGINT))")))
+        .withColumn("rho",
+          size(array_intersect(array_intersect(col("merged"), col("ka")), col("kb"))).cast("long"))
+        .withColumn("est_intersect",
+          when(size(col("merged")) < 64, col("rho"))
+            .otherwise(expr("(rho * est_union) div 64")))
+        .withColumn("jaccard_x1000", expr("(rho * 1000) div size(merged)"))
+        .select(col("est_union"), col("rho"), col("est_intersect"), col("jaccard_x1000"))
     },
     // MERGEABLE-SKETCH ROLLUP: per-day HLL sketches of distinct streams,
     // unioned into the overall estimate — the re-aggregation pattern
@@ -525,11 +578,7 @@ object AnalyticsQueries {
     "agg_kmv_rollup" ->
       s"""$EV, t AS (
          |  SELECT epoch_us(ts) // 86400000000 AS day,
-         |    list_reduce(
-         |      list_prepend(CAST(0 AS BIGINT),
-         |        list_transform(string_split(lower(trim(stream)), ''),
-         |          c -> CAST(ascii(c) AS BIGINT))),
-         |      (h, c) -> (h * 31 + c) % 2147483647) AS h
+         |    ${sketchHashSql("stream")} AS h
          |  FROM ev
          |), g AS (
          |  SELECT count(DISTINCT day) AS n_days,
@@ -547,11 +596,7 @@ object AnalyticsQueries {
     "agg_sampled_quantiles" ->
       s"""$EV, t AS (
          |  SELECT event_type,
-         |    list_reduce(
-         |      list_prepend(CAST(0 AS BIGINT),
-         |        list_transform(string_split(CAST(position AS VARCHAR), ''),
-         |          c -> CAST(ascii(c) AS BIGINT))),
-         |      (h, c) -> (h * 31 + c) % 2147483647) AS h,
+         |    ${sketchHashSql("CAST(position AS VARCHAR)")} AS h,
          |    value AS v
          |  FROM ev
          |), d AS (
@@ -573,14 +618,38 @@ object AnalyticsQueries {
          |  max(CASE WHEN vr = (9 * ns + 9) // 10 THEN v END) AS p90
          |FROM q JOIN tot ON q.event_type = tot.event_type
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_kmv_setops" ->
+      s"""$EV, t AS (
+         |  SELECT event_type,
+         |    ${sketchHashSql("stream")} AS h
+         |  FROM ev WHERE event_type IN ('click', 'purchase')
+         |), g AS (
+         |  SELECT event_type, list_slice(list_sort(list(DISTINCT h)), 1, 64) AS kmv
+         |  FROM t GROUP BY 1
+         |), ab AS (
+         |  SELECT (SELECT kmv FROM g WHERE event_type = 'click') AS ka,
+         |         (SELECT kmv FROM g WHERE event_type = 'purchase') AS kb
+         |), m AS (
+         |  SELECT ka, kb,
+         |    list_slice(list_sort(list_distinct(list_concat(ka, kb))), 1, 64) AS merged
+         |  FROM ab
+         |), e AS (
+         |  SELECT merged,
+         |    CASE WHEN len(merged) < 64 THEN len(merged)
+         |         ELSE (CAST(63 AS BIGINT) * 2147483647) // greatest(merged[64], 1)
+         |    END AS est_union,
+         |    len(list_intersect(list_intersect(merged, ka), kb)) AS rho
+         |  FROM m
+         |)
+         |SELECT CAST(est_union AS BIGINT) AS est_union, CAST(rho AS BIGINT) AS rho,
+         |  CAST(CASE WHEN len(merged) < 64 THEN rho
+         |            ELSE (rho * est_union) // 64 END AS BIGINT) AS est_intersect,
+         |  CAST((rho * 1000) // len(merged) AS BIGINT) AS jaccard_x1000
+         |FROM e""".stripMargin,
     "agg_sampled_quantiles_rollup" ->
       s"""$EV, t AS (
          |  SELECT epoch_us(ts) // 86400000000 AS day,
-         |    list_reduce(
-         |      list_prepend(CAST(0 AS BIGINT),
-         |        list_transform(string_split(CAST(position AS VARCHAR), ''),
-         |          c -> CAST(ascii(c) AS BIGINT))),
-         |      (h, c) -> (h * 31 + c) % 2147483647) AS h,
+         |    ${sketchHashSql("CAST(position AS VARCHAR)")} AS h,
          |    value AS v
          |  FROM ev
          |), d AS (
@@ -604,11 +673,7 @@ object AnalyticsQueries {
     "agg_kmv_distinct" ->
       s"""$EV, t AS (
          |  SELECT event_type,
-         |    list_reduce(
-         |      list_prepend(CAST(0 AS BIGINT),
-         |        list_transform(string_split(lower(trim(stream)), ''),
-         |          c -> CAST(ascii(c) AS BIGINT))),
-         |      (h, c) -> (h * 31 + c) % 2147483647) AS h
+         |    ${sketchHashSql("stream")} AS h
          |  FROM ev
          |), g AS (
          |  SELECT event_type,
