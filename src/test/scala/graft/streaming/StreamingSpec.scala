@@ -632,4 +632,36 @@ class StreamingSpec extends SparkSpec {
       assert(streamed == batch)
     } finally q.stop()
   }
+
+  test("incremental top-k types per stream: streaming final state == batch heap aggregate") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val all = graft.log.Fixture.events(spark, dir)
+      .select(col("stream"), col("event_type")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val mem = MemoryStream[(String, String)]
+    val q = StreamingTopK.topTypes(
+        mem.toDF().toDF("stream", "event_type"), k = 3)
+      .writeStream.format("memory").queryName("topk_stream")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      // 3 micro-batches split arbitrarily; ver (events absorbed per
+      // stream) is monotone, so the final panel is the max-ver emission
+      val cut1 = all.length / 3
+      val cut2 = 2 * all.length / 3
+      Seq(all.slice(0, cut1), all.slice(cut1, cut2), all.slice(cut2, all.length))
+        .foreach { b => mem.addData(b.toSeq); q.processAllAvailable() }
+      val streamed = spark.sql(
+          """select stream, event_type, n, rk from topk_stream t
+            |where ver = (select max(ver) from topk_stream x where x.stream = t.stream)
+            |""".stripMargin)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      val batch = graft.queries.LogQueries.queries("top_types_per_stream_heap")(spark, dir)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      assert(streamed.nonEmpty)
+      assert(streamed == batch)
+    } finally q.stop()
+  }
 }
