@@ -309,6 +309,41 @@ object AnalyticsQueries {
           element_at(col("vs"), expr("cast((9 * size(vs) + 9) div 10 as int)")).as("p90"))
         .orderBy("event_type")
     },
+    // WINSORIZED STATS: clip each value to its type's SAMPLED [p10, p90]
+    // band before aggregating — the outlier-robust mean every metrics
+    // pipeline wants, composed from the sketch: stage 1 computes the
+    // clip bounds from the bottom-k sample (k pairs per group, no
+    // sort), stage 2 re-scans once with the 5-row bounds table
+    // broadcast into the scan. Clipped values are integer-scaled
+    // (floor(v·1000)) so the sums are exact longs — fully value-oracled
+    // end to end including the clip counts.
+    "agg_winsorized_stats" -> { (s: SparkSession, dir: String) =>
+      val bounds = ev(s, dir)
+        .select(col("event_type"),
+          sketchHash(col("position").cast("string")).as("h"),
+          col("value"))
+        .groupBy(col("event_type"))
+        .agg(call_function("graft_bottomk", col("h"), col("value"), lit(128)).as("sk"))
+        .select(col("event_type"), array_sort(map_values(col("sk"))).as("vs"))
+        .select(col("event_type"),
+          element_at(col("vs"), expr("cast((size(vs) + 9) div 10 as int)")).as("lo"),
+          element_at(col("vs"), expr("cast((9 * size(vs) + 9) div 10 as int)")).as("hi"))
+      ev(s, dir)
+        .select(col("event_type").as("et"), col("value"))
+        .join(broadcast(bounds), col("et") === col("event_type"))
+        .select(col("event_type"),
+          floor(greatest(least(col("value"), col("hi")), col("lo")) * lit(1000.0))
+            .cast("long").as("cx"),
+          when(col("value") < col("lo"), 1L).otherwise(0L).as("clip_lo"),
+          when(col("value") > col("hi"), 1L).otherwise(0L).as("clip_hi"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("cx")).as("sum_clipped_x1000"),
+          sum(col("clip_lo")).as("n_clipped_lo"),
+          sum(col("clip_hi")).as("n_clipped_hi"))
+        .withColumn("mean_clipped_x1000", expr("sum_clipped_x1000 div n"))
+        .orderBy("event_type")
+    },
     // SAMPLED-QUANTILE ROLLUP: per-day bottom-k sketches re-merged into
     // the overall sample DECLARATIVELY (explode entries → min-v per hash
     // → 128 smallest hashes → order statistics) — the same pre-compute
@@ -646,6 +681,41 @@ object AnalyticsQueries {
          |            ELSE (rho * est_union) // 64 END AS BIGINT) AS est_intersect,
          |  CAST((rho * 1000) // len(merged) AS BIGINT) AS jaccard_x1000
          |FROM e""".stripMargin,
+    "agg_winsorized_stats" ->
+      s"""$EV, t AS (
+         |  SELECT event_type,
+         |    ${sketchHashSql("CAST(position AS VARCHAR)")} AS h,
+         |    value AS v
+         |  FROM ev
+         |), d AS (
+         |  SELECT event_type, h, min(v) AS v FROM t GROUP BY 1, 2
+         |), r AS (
+         |  SELECT event_type, v,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+         |  FROM d
+         |), q AS (
+         |  SELECT event_type, v,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY v) AS vr,
+         |    count(*) OVER (PARTITION BY event_type) AS ns
+         |  FROM r WHERE rn <= 128
+         |), b AS (
+         |  SELECT event_type,
+         |    max(CASE WHEN vr = (ns + 9) // 10 THEN v END) AS lo,
+         |    max(CASE WHEN vr = (9 * ns + 9) // 10 THEN v END) AS hi
+         |  FROM q GROUP BY 1
+         |), c AS (
+         |  SELECT e.event_type,
+         |    CAST(floor(greatest(least(e.value, b.hi), b.lo) * 1000.0) AS BIGINT) AS cx,
+         |    CASE WHEN e.value < b.lo THEN 1 ELSE 0 END AS clip_lo,
+         |    CASE WHEN e.value > b.hi THEN 1 ELSE 0 END AS clip_hi
+         |  FROM ev e JOIN b ON e.event_type = b.event_type
+         |)
+         |SELECT event_type, count(*) AS n,
+         |  CAST(sum(cx) AS BIGINT) AS sum_clipped_x1000,
+         |  CAST(sum(clip_lo) AS BIGINT) AS n_clipped_lo,
+         |  CAST(sum(clip_hi) AS BIGINT) AS n_clipped_hi,
+         |  CAST(sum(cx) // count(*) AS BIGINT) AS mean_clipped_x1000
+         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_sampled_quantiles_rollup" ->
       s"""$EV, t AS (
          |  SELECT epoch_us(ts) // 86400000000 AS day,
