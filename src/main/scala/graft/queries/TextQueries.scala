@@ -167,6 +167,30 @@ object TextQueries {
           sum(when(col("kept") === 1L, col("qx")).otherwise(0L)).as("sum_q_kept"))
         .orderBy("source")
     },
+    // EXACTLY-K QUALITY-WEIGHTED DRAW (without replacement): each doc
+    // gets the integer priority key `hash div weight` (weight = quality
+    // score + 1), and the k smallest keys win — higher-quality docs get
+    // systematically smaller keys, so the fixed-size sample skews
+    // toward quality while staying a pure function of the corpus
+    // (deterministic across engines and partitionings, zero RNG state).
+    // The Bernoulli form above samples a RATE; this samples a SIZE —
+    // the "give me exactly 100 docs, quality-weighted" curation ask.
+    // Map-only keying fused into TakeOrderedAndProject (per-partition
+    // top-k + driver merge, no shuffle, no sort of the corpus).
+    "corpus_sample_weighted_k" -> { (s: SparkSession, dir: String) =>
+      val q = qualityScoreX1000(col("text"))
+      docs(s, dir)
+        .select(col("doc_id"), col("source"), q.as("qx"),
+          // multiplicative mix: raw polyhash of short "N#wk" strings is
+          // length-dominated (low doc_ids would always win the draw)
+          ((call_function("graft_polyhash",
+            concat(col("doc_id").cast("string"), lit("#wk")))
+            * lit(2654435761L)) % lit(2147483647L)).as("h"))
+        .select(col("doc_id"), col("source"), col("qx"),
+          expr("h div (qx + 1)").as("prio"))
+        .orderBy(col("prio").asc, col("doc_id").asc)
+        .limit(100)
+    },
     // corpus-level vocabulary statistics per source: exact distinct tokens
     // + token volume. Scale: explode → partial-aggregated groupBy on
     // (source, token) — map-side combine, one shuffle, no driver state
@@ -423,6 +447,27 @@ object TextQueries {
          |  CAST((1000 * sum(CASE WHEN hb < qx THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS keep_permille,
          |  CAST(sum(CASE WHEN hb < qx THEN qx ELSE 0 END) AS BIGINT) AS sum_q_kept
          |FROM q GROUP BY 1 ORDER BY 1""".stripMargin,
+    "corpus_sample_weighted_k" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source, text,
+         |         string_split_regex(trim(lower(text)), '\\s+') AS toks
+         |  FROM documents
+         |), q AS (
+         |  SELECT doc_id, source,
+         |    CAST(floor(1000.0 * (
+         |       0.4 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+         |     + 0.3 * least(3.0 * ${sc(stopwords)} / greatest(len(toks), 1), 1.0)
+         |     + 0.3 * (1.0 - least(5.0 * len(regexp_extract_all(text, '[.,!?;:]')) / greatest(length(text), 1), 1.0))
+         |    )) AS BIGINT) AS qx,
+         |    (list_reduce(
+         |      list_prepend(CAST(0 AS BIGINT),
+         |        list_transform(string_split(lower(trim(CAST(doc_id AS VARCHAR) || '#wk')), ''),
+         |          c -> CAST(ascii(c) AS BIGINT))),
+         |      (h, c) -> (h * 31 + c) % 2147483647) * 2654435761) % 2147483647 AS h
+         |  FROM d
+         |)
+         |SELECT doc_id, source, qx, h // (qx + 1) AS prio
+         |FROM q ORDER BY prio ASC, doc_id ASC LIMIT 100""".stripMargin,
     "text_search_rank" ->
       s"""$D, t AS (
          |  SELECT doc_id, unnest(toks) AS tok FROM d
