@@ -25,6 +25,8 @@ import graft.plans._
  *    sample sketch (custom mergeable TypedImperativeAggregate);
  *  - `graft_topk_by(score, tag[, k])` — bounded top-k-per-group heap
  *    aggregate (replaces window-sort top-N at scale);
+ *  - `graft_heavy_hitters(tag[, k])` — Misra–Gries frequency summary
+ *    over unbounded tag domains (k counters, n/(k+1) error bound);
  *  - the native as-of join planner strategy ([[AsOfJoinStrategy]]).
  *
  * All are codegen'd Catalyst expressions (graft.plans.Kernels) — the
@@ -112,6 +114,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .map(_.eval(null).asInstanceOf[Number].intValue())
           .getOrElse(3)
         TopKBySketch(children(0), children(1), k).toAggregateExpression()
+      }
+    ))
+    // custom mergeable aggregate: Misra–Gries heavy-hitters summary
+    // (graft.plans.HeavyHittersSketch); k defaults to 16
+    ext.injectFunction((
+      new FunctionIdentifier("graft_heavy_hitters"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_heavy_hitters"),
+      (children: Seq[Expression]) => {
+        val k = children.lift(1)
+          .map(_.eval(null).asInstanceOf[Number].intValue())
+          .getOrElse(16)
+        HeavyHittersSketch(children.head, k).toAggregateExpression()
       }
     ))
   }
