@@ -279,6 +279,25 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy("z")
     },
+    // HILBERT LAYOUT KEYS: the locality upgrade over zorder_keys — on a
+    // Hilbert walk every consecutive key pair is an ADJACENT cell (no
+    // Z-shape jumps), so a key range covers a tighter (user, day) blob
+    // and range-partitioned files prune better on 2-sided predicates.
+    // The per-level quadrant+rotation unrolling is emitted as staged
+    // integer-CASE SQL shared verbatim with the oracle
+    // (graft.plans.Hilbert) — engine-exact by construction;
+    // HilbertSpec pins bijectivity and the adjacency property.
+    "hilbert_keys" -> { (s: SparkSession, dir: String) =>
+      val base = ev(s, dir)
+        .select(uid.as("u"), micros.as("tus"))
+        .select(pmod(col("u"), lit(16L)).as("ubucket"),
+          pmod(expr("tus div 86400000000"), lit(16L)).as("tbucket"))
+      graft.plans.Hilbert.stages("ubucket", "tbucket", 4)
+        .foldLeft(base) { case (df, (n, e)) => df.withColumn(n, expr(e)) }
+        .groupBy(col("h"), col("ubucket"), col("tbucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("h")
+    },
     // SAMPLED PER-GROUP QUANTILES via the bottom-k-by-hash sample sketch
     // (custom mergeable TypedImperativeAggregate, graft.plans
     // .BottomKSketch): per event type, a deterministic uniform sample of
@@ -607,6 +626,16 @@ object AnalyticsQueries {
          |)
          |SELECT ${zExpr("ubucket", "tbucket")} AS z, ubucket, tbucket, count(*) AS n
          |FROM b GROUP BY 1, 2, 3 ORDER BY z""".stripMargin,
+    "hilbert_keys" ->
+      s"""$EV, b AS (
+         |  SELECT CAST(substr(stream, 6) AS BIGINT) % 16 AS ubucket,
+         |         (epoch_us(ts) // 86400000000) % 16 AS tbucket
+         |  FROM ev
+         |),
+         |${graft.plans.Hilbert.sqlCtes("b", "ubucket", "tbucket", 4)}
+         |SELECT h, ubucket, tbucket, count(*) AS n
+         |FROM ${graft.plans.Hilbert.lastCte("ubucket", "tbucket", 4)}
+         |GROUP BY 1, 2, 3 ORDER BY h""".stripMargin,
     // lossless merge pinned in the DATA: the oracle computes the DIRECT
     // single-pass k-minima over all days — the rollup of the per-day
     // sketches must coincide with it exactly
