@@ -86,6 +86,30 @@ object DedupQueries {
     // quality dashboard a curation run publishes. The cluster table is
     // tiny (only docs that appear in a pair); documents join it by key
     // (broadcastable side), one rollup shuffle on source.
+    // QUALITY-AWARE CANONICAL SELECTION: inside each near-dup cluster,
+    // keep the HIGHEST-QUALITY member (tie → lowest id), not the lowest
+    // id — what a curation pass actually wants (the best-written copy
+    // survives, boilerplate-laden mirrors drop). The cluster table is
+    // tiny (docs appearing in a pair); quality joins by doc key, the
+    // per-cluster argmax is a struct-max aggregation (no window sort),
+    // and the winner table broadcasts back. Fully value-oracled.
+    "dedup_keep_best" -> { (s: SparkSession, dir: String) =>
+      val clusters = Dedup.duplicateClusters(
+        Dedup.minhashLshPairsFromSets(Tables.shingleSets(s, dir), thresholdX1000 = 300))
+        .select(col("id"), col("keeper").as("cluster"))
+      val q = Tables.docs(s, dir).select(col("doc_id"),
+        graft.functions.TextFunctions.qualityScoreX1000(col("text")).as("qx"))
+      val m = clusters.join(q, col("id") === col("doc_id"))
+        .select(col("id"), col("cluster"), col("qx"))
+      val best = m.groupBy(col("cluster"))
+        .agg(max(struct(col("qx").as("qx"), (col("id") * lit(-1L)).as("nid"))).as("b"))
+        .select(col("cluster").as("bc"),
+          (col("b.nid") * lit(-1L)).as("best_id"))
+      m.join(broadcast(best), col("cluster") === col("bc"))
+        .select(col("id"), col("cluster"), col("qx"), col("best_id"),
+          when(col("id") === col("best_id"), 1L).otherwise(0L).as("keep"))
+        .orderBy("id")
+    },
     "dedup_rate_by_source" -> { (s: SparkSession, dir: String) =>
       val losers = Dedup.duplicateClusters(
         Dedup.minhashLshPairsFromSets(Tables.shingleSets(s, dir), thresholdX1000 = 300))
@@ -473,6 +497,34 @@ object DedupQueries {
          |)
          |SELECT src AS id, least(src, min(dst)) AS keeper
          |FROM reach GROUP BY src ORDER BY id""".stripMargin,
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE $minhashPairCtes, edges AS (
+         |  SELECT a AS src, b AS dst FROM pairs
+         |  UNION SELECT b, a FROM pairs
+         |), reach AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |), cl AS (
+         |  SELECT src AS id, least(src, min(dst)) AS cluster
+         |  FROM reach GROUP BY src
+         |), d2 AS (
+         |  SELECT doc_id, text,
+         |         string_split_regex(trim(lower(text)), '\\s+') AS toks
+         |  FROM documents
+         |), m AS (
+         |  SELECT cl.id, cl.cluster, ${TextQueries.qualSql} AS qx
+         |  FROM cl JOIN d2 ON cl.id = d2.doc_id
+         |), bq AS (
+         |  SELECT cluster, max(qx) AS best_qx FROM m GROUP BY 1
+         |), bid AS (
+         |  SELECT m.cluster, min(m.id) AS best_id
+         |  FROM m JOIN bq ON m.cluster = bq.cluster AND m.qx = bq.best_qx
+         |  GROUP BY 1
+         |)
+         |SELECT m.id, m.cluster, m.qx, bid.best_id,
+         |  CAST(CASE WHEN m.id = bid.best_id THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM m JOIN bid ON m.cluster = bid.cluster ORDER BY m.id""".stripMargin,
     "dedup_rate_by_source" ->
       s"""WITH RECURSIVE $minhashPairCtes, edges AS (
          |  SELECT a AS src, b AS dst FROM pairs

@@ -342,7 +342,7 @@ object TextQueries {
        |    (h, c) -> (h * 31 + c) % 2147483647)""".stripMargin
 
   /** qualityScoreX1000 over columns (text, toks). */
-  private val qualSql =
+  private[queries] val qualSql =
     s"""CAST(floor(1000.0 * (
        |     0.4 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
        |   + 0.3 * least(3.0 * ${sc(stopwords)} / greatest(len(toks), 1), 1.0)
