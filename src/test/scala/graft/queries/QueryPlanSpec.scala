@@ -551,4 +551,41 @@ class QueryPlanSpec extends SparkSpec {
     assert(own.contains("partial_graft_bottomk"),
       s"expected map-side partial sketch in:\n$plan")
   }
+
+  test("top_types_per_stream_heap: heap partial-aggregates; no window sort of groups") {
+    val plan = LogQueries.queries("top_types_per_stream_heap")(spark, dir)
+      .queryExecution.executedPlan.toString()
+    val own = plan.split("InMemoryTableScan")(0)
+    assert(own.contains("partial_graft_topk_by"),
+      s"expected map-side partial heap in:\n$plan")
+    assert(!own.contains("Window"),
+      s"the heap form must not plan a window sort:\n$plan")
+  }
+
+  test("hilbert_keys: staged key arithmetic is map-only; one aggregation shuffle") {
+    val plan = AnalyticsQueries.queries("hilbert_keys")(spark, dir)
+      .queryExecution.executedPlan.toString()
+    val own = plan.split("InMemoryTableScan")(0)
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(own).length
+    assert(hashExchanges <= 1,
+      s"expected at most the aggregation shuffle, found $hashExchanges in:\n$plan")
+    assert(!own.toLowerCase.contains("scalaudf") && !own.contains("BatchEvalPython"),
+      s"key arithmetic must stay codegen'd expressions:\n$plan")
+  }
+
+  test("corpus_sample_weighted_k: keying fuses into TakeOrderedAndProject, no shuffle") {
+    val plan = TextQueries.queries("corpus_sample_weighted_k")(spark, dir)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected top-k fusion in:\n$plan")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges == 0, s"the weighted draw must not shuffle:\n$plan")
+  }
+
+  test("dedup_keep_best: winner table broadcasts back to the membership") {
+    val plan = DedupQueries.queries("dedup_keep_best")(spark, dir)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the best-id join to broadcast in:\n$plan")
+  }
 }
