@@ -3,7 +3,7 @@ package graft.streaming
 import java.nio.file.Files
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{col, countDistinct, explode, expr, sequence}
+import org.apache.spark.sql.functions.{call_function, col, countDistinct, explode, expr, lit, sequence}
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.SparkSpec
@@ -660,6 +660,43 @@ class StreamingSpec extends SparkSpec {
         .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
       val batch = graft.queries.LogQueries.queries("top_types_per_stream_heap")(spark, dir)
         .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      assert(streamed.nonEmpty)
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("incremental sampled quantiles: streaming final panel == batch sketch query") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    // same (group, hash, value) rows the batch gate feeds graft_bottomk
+    val all = graft.log.Fixture.events(spark, dir)
+      .select(col("event_type"),
+        (call_function("graft_polyhash", col("position").cast("string"))
+          * lit(2654435761L) % lit(2147483647L)).as("h"),
+        col("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val mem = MemoryStream[(String, Long, Double)]
+    val q = StreamingQuantiles.panels(mem.toDF().toDF("g", "h", "v"), k = 128)
+      .writeStream.format("memory").queryName("quant_stream")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      val third = all.length / 3
+      Seq(all.slice(0, third), all.slice(third, 2 * third), all.slice(2 * third, all.length))
+        .foreach { b => mem.addData(b.toSeq); q.processAllAvailable() }
+      val streamed = spark.sql(
+          """select g, n_sample, p25, p50, p90 from quant_stream t
+            |where ver = (select max(ver) from quant_stream x where x.g = t.g)
+            |""".stripMargin)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+        .toSet
+      val batch = graft.queries.AnalyticsQueries.queries("agg_sampled_quantiles")(spark, dir)
+        .select(col("event_type"), col("n_sample"), col("p25"), col("p50"), col("p90"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+        .toSet
       assert(streamed.nonEmpty)
       assert(streamed == batch)
     } finally q.stop()
