@@ -57,6 +57,29 @@ class HeavyHittersSpec extends SparkSpec {
     }
   }
 
+  test("fixture tokens: guarantees hold over a real long-tail vocabulary") {
+    val toks = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(explode(graft.dedup.Hashing.toks(col("text"))).as("t"))
+    val exact = toks.groupBy("t").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val k = 32
+    val mg = toks.repartition(16)
+      .agg(call_function("graft_heavy_hitters", col("t"), lit(k)).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.tag"), col("e.lower_bound"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bound = n / (k + 1)
+    assert(mg.size <= k)
+    exact.foreach { case (t, c) =>
+      if (c > bound) assert(mg.contains(t), s"heavy token $t (count $c > $bound) missing")
+    }
+    mg.foreach { case (t, lb) =>
+      val c = exact.getOrElse(t, 0L)
+      assert(lb <= c && c - lb <= bound, s"$t: lb=$lb exact=$c bound=$bound")
+    }
+  }
+
   test("guaranteed-heavy extraction: threshold filter has no false negatives") {
     // report tags whose lower bound > threshold - n/(k+1): any tag with
     // true count > threshold must be reported (may include extras —
