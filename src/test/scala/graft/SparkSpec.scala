@@ -18,7 +18,8 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // fixture ts is timestamp[ns] (see .claude/skills/verify/SKILL.md)
+      // tolerate either fixture ts encoding: timestamp[us] loads natively;
+      // legacy int64-nanos loads as long and Fixture.raw normalizes it
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       // managed (bucketed) test tables land in a throwaway warehouse
