@@ -30,6 +30,10 @@ object TextQueries {
     * generator draws from — these are mid-frequency content words). */
   private val searchTerms = Seq("vector", "join", "spark")
 
+  /** CM-sketch probe set: heavy stopwords, mid-frequency content words,
+    * and one absent tag (its estimate exposes pure collision mass). */
+  private val probeTags = Seq("the", "of", "vector", "join", "spark", "absent-tag")
+
   /** The Gopher repetition-rules stopword set (Rae et al. 2021 §A1.1 —
     * "the, be, to, of, and, that, have, with"; a doc must contain ≥ 2). */
   private val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
@@ -190,6 +194,41 @@ object TextQueries {
           expr("h div (qx + 1)").as("prio"))
         .orderBy(col("prio").asc, col("doc_id").asc)
         .limit(100)
+    },
+    // COUNT-MIN SKETCH: token frequencies in a fixed d×w counter matrix
+    // (d=4 rows, w=16 buckets) — point lookups over an UNBOUNDED token
+    // domain from 64 integers of state. Unlike Misra–Gries the CM
+    // matrix is a SUM per cell, so it is partitioning- and merge-order
+    // independent → the sketch AND the estimates are fully
+    // value-oracled. The one-sided error contract (estimate >= exact,
+    // overage bounded by collisions) is visible in the output: the
+    // exact column exists only to exhibit it — at 100 TB only the
+    // 64-cell matrix is kept (map-side partial sums, one tiny
+    // shuffle), probes never touch the corpus.
+    "text_cms_counts" -> { (s: SparkSession, dir: String) =>
+      import graft.dedup.Hashing
+      val mixes = Seq(2654435761L, 2246822519L, 3266489917L, 668265263L)
+      def bucket(i: Int, c: org.apache.spark.sql.Column) =
+        pmod(pmod(call_function("graft_polyhash", c) * lit(mixes(i)), lit(2147483647L)), lit(16L))
+      val toks = docs(s, dir).select(explode(Hashing.toks(col("text"))).as("tok"))
+      val cells = (0 until 4)
+        .map(i => toks.select(lit(i.toLong).as("r"), bucket(i, col("tok")).as("b")))
+        .reduce(_ unionAll _)
+        .groupBy(col("r"), col("b")).agg(count(lit(1)).as("cnt"))
+      import s.implicits._
+      val probes = probeTags.toDF("tag")
+      val probeRows = (0 until 4)
+        .map(i => probes.select(col("tag"), lit(i.toLong).as("r"), bucket(i, col("tag")).as("b")))
+        .reduce(_ unionAll _)
+      val est = probeRows.join(broadcast(cells), Seq("r", "b"), "left")
+        .groupBy(col("tag")).agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+      val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      probes
+        .join(exact, col("tag") === col("tok"), "left")
+        .select(col("tag"), coalesce(col("n"), lit(0L)).as("exact_n"))
+        .join(est, "tag")
+        .withColumn("overestimate", col("cms_est") - col("exact_n"))
+        .orderBy("tag")
     },
     // corpus-level vocabulary statistics per source: exact distinct tokens
     // + token volume. Scale: explode → partial-aggregated groupBy on
@@ -447,6 +486,34 @@ object TextQueries {
          |  CAST((1000 * sum(CASE WHEN hb < qx THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS keep_permille,
          |  CAST(sum(CASE WHEN hb < qx THEN qx ELSE 0 END) AS BIGINT) AS sum_q_kept
          |FROM q GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_cms_counts" ->
+      s"""$D, t AS (
+         |  SELECT unnest(toks) AS tok FROM d
+         |), mix AS (
+         |  SELECT * FROM (VALUES (CAST(0 AS BIGINT), CAST(2654435761 AS BIGINT)),
+         |                        (1, 2246822519), (2, 3266489917), (3, 668265263)) AS m(r, mul)
+         |), cells AS (
+         |  SELECT mix.r, ((${fpSql("tok")}) * mul % 2147483647) % 16 AS b,
+         |         count(*) AS cnt
+         |  FROM t, mix GROUP BY 1, 2
+         |), probes AS (
+         |  SELECT * FROM (VALUES ('the'), ('of'), ('vector'), ('join'),
+         |                        ('spark'), ('absent-tag')) AS p(tag)
+         |), pr AS (
+         |  SELECT tag, mix.r, ((${fpSql("tag")}) * mul % 2147483647) % 16 AS b
+         |  FROM probes, mix
+         |), est AS (
+         |  SELECT tag, min(coalesce(cnt, 0)) AS cms_est
+         |  FROM pr LEFT JOIN cells ON pr.r = cells.r AND pr.b = cells.b
+         |  GROUP BY 1
+         |), ex AS (
+         |  SELECT p.tag, CAST(coalesce(c.n, 0) AS BIGINT) AS exact_n
+         |  FROM probes p LEFT JOIN (SELECT tok, count(*) AS n FROM t GROUP BY 1) c
+         |    ON p.tag = c.tok
+         |)
+         |SELECT ex.tag, ex.exact_n, CAST(est.cms_est AS BIGINT) AS cms_est,
+         |  CAST(est.cms_est - ex.exact_n AS BIGINT) AS overestimate
+         |FROM ex JOIN est ON ex.tag = est.tag ORDER BY ex.tag""".stripMargin,
     "corpus_sample_weighted_k" ->
       s"""WITH d AS (
          |  SELECT doc_id, source, text,
