@@ -44,6 +44,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     (children: Seq[Expression]) => mk(children.head)
   )
 
+  /** Resolve an optional literal-int `k` argument. The sketch size must be
+   *  fixed at plan time (it shapes the aggregation buffer), so anything
+   *  non-foldable — a column reference, a NULL — is a clear analysis error
+   *  naming the function, not a NullPointerException from a blind eval. */
+  private def literalK(fn: String, arg: Option[Expression], default: Int): Int =
+    arg match {
+      case None => default
+      case Some(e) =>
+        if (!e.foldable)
+          throw new org.apache.spark.sql.AnalysisException(
+            "_LEGACY_ERROR_TEMP_0060",
+            Map("msg" ->
+              s"$fn: the k argument must be a foldable integer literal, got ${e.sql}"))
+        e.eval(null) match {
+          case n: Number => n.intValue()
+          case other =>
+            throw new org.apache.spark.sql.AnalysisException(
+              "_LEGACY_ERROR_TEMP_0060",
+              Map("msg" ->
+                s"$fn: the k argument must be a non-null integer literal, got $other"))
+        }
+    }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     // whole-operator tier: the native as-of join (custom LogicalPlan →
     // custom SparkPlan; see graft.plans.AsOfJoin)
@@ -86,9 +109,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_kmv"),
       new ExpressionInfo(classOf[GraftExtensions].getName, "graft_kmv"),
       (children: Seq[Expression]) => {
-        val k = children.lift(1)
-          .map(_.eval(null).asInstanceOf[Number].intValue())
-          .getOrElse(64)
+        val k = literalK("graft_kmv", children.lift(1), 64)
         KmvSketch(children.head, k).toAggregateExpression()
       }
     ))
@@ -98,21 +119,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_bottomk"),
       new ExpressionInfo(classOf[GraftExtensions].getName, "graft_bottomk"),
       (children: Seq[Expression]) => {
-        val k = children.lift(2)
-          .map(_.eval(null).asInstanceOf[Number].intValue())
-          .getOrElse(128)
+        val k = literalK("graft_bottomk", children.lift(2), 128)
         BottomKSketch(children(0), children(1), k).toAggregateExpression()
       }
     ))
     // custom mergeable aggregate: bounded top-k-per-group heap
     // (graft.plans.TopKBySketch); k defaults to 3, or a foldable int
+    // NOTE: SET semantics over (score, tag) pairs — duplicate pairs
+    // collapse; feed pre-aggregated one-row-per-(group, tag) input for
+    // window-formulation parity (contract documented in the usage text
+    // and graft.plans.TopKBySketch's Scaladoc).
     ext.injectFunction((
       new FunctionIdentifier("graft_topk_by"),
-      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_topk_by"),
+      new ExpressionInfo(
+        classOf[GraftExtensions].getName, null, "graft_topk_by",
+        "_FUNC_(score, tag[, k]) - top-k (score, tag) pairs per group, score " +
+          "descending, ties to the smallest tag. SET semantics: duplicate " +
+          "(score, tag) input pairs collapse to one entry, so on raw " +
+          "non-pre-aggregated rows the result may hold fewer than k entries " +
+          "than the row_number window form would; aggregate to one row per " +
+          "(group, tag) first for window parity.",
+        ""),
       (children: Seq[Expression]) => {
-        val k = children.lift(2)
-          .map(_.eval(null).asInstanceOf[Number].intValue())
-          .getOrElse(3)
+        val k = literalK("graft_topk_by", children.lift(2), 3)
         TopKBySketch(children(0), children(1), k).toAggregateExpression()
       }
     ))
@@ -122,9 +151,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_heavy_hitters"),
       new ExpressionInfo(classOf[GraftExtensions].getName, "graft_heavy_hitters"),
       (children: Seq[Expression]) => {
-        val k = children.lift(1)
-          .map(_.eval(null).asInstanceOf[Number].intValue())
-          .getOrElse(16)
+        val k = literalK("graft_heavy_hitters", children.lift(1), 16)
         HeavyHittersSketch(children.head, k).toAggregateExpression()
       }
     ))

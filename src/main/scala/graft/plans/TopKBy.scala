@@ -30,6 +30,16 @@ import org.apache.spark.unsafe.types.UTF8String
  * against the window formulation's SQL.
  *
  * Returns `array<struct<score: bigint, tag: string>>` in rank order.
+ *
+ * CONTRACT — SET semantics over `(score, tag)` PAIRS: duplicate input
+ * pairs collapse to one entry (the buffer is a TreeSet keyed on the
+ * rank order). On pre-aggregated input — one row per (group, tag), the
+ * intended shape, e.g. `graft_topk_by(count, tag)` over a counted
+ * subquery — this is exactly the `row_number` window formulation. On
+ * RAW rows with repeated (score, tag) pairs the result can hold fewer
+ * than k entries where the window form would emit duplicates.
+ * Aggregate first, or use the window form, if duplicate-pair
+ * multiplicity matters.
  */
 case class TopKBySketch(left: Expression, right: Expression, k: Int,
                         override val mutableAggBufferOffset: Int = 0,

@@ -41,6 +41,9 @@ object Graph {
         .join(dist.select(col("id")), Seq("id"), "left_anti")
         .select(col("id"), lit(h.toLong).as("dist"))
         .localCheckpoint()
+      // converged before the hop budget: an empty frontier can discover
+      // nothing, so skip the remaining rounds' join/anti-join jobs
+      if (discovered.isEmpty) return dist
       dist = dist.union(discovered).localCheckpoint()
       frontier = discovered.select(col("id"))
       h += 1

@@ -59,7 +59,10 @@ object StreamingQuantiles {
           val vs = sample.valuesIterator.toArray.sorted
           val n = vs.length
           def at(idx: Int): Double = vs(math.max(idx, 1) - 1)
-          Iterator.single(QPanel(g, n.toLong,
+          // empty sample (reachable only if a timeout / empty-group
+          // invocation is ever introduced): no panel rather than vs(0)
+          if (n == 0) Iterator.empty
+          else Iterator.single(QPanel(g, n.toLong,
             at((n + 3) / 4), at((n + 1) / 2), at((9 * n + 9) / 10), seen))
       }
   }

@@ -45,4 +45,17 @@ class KmvSpec extends SparkSpec {
     assert(math.abs(est.toDouble - hashes.length) / hashes.length < 0.35,
       s"est $est vs exact ${hashes.length}")
   }
+
+  test("non-foldable or null k is a clear analysis error, not an NPE") {
+    Seq((1L, 2L)).toDF("h", "kcol").createOrReplaceTempView("kmv_badk")
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("select graft_kmv(h, kcol) from kmv_badk").collect()
+    }
+    assert(e1.getMessage.contains("graft_kmv"))
+    assert(e1.getMessage.contains("foldable"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("select graft_kmv(h, cast(null as int)) from kmv_badk").collect()
+    }
+    assert(e2.getMessage.contains("graft_kmv"))
+  }
 }
