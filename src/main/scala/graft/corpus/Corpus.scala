@@ -176,8 +176,10 @@ object Packing {
  *     `localCheckpoint`, so the counting pass and the rank pass share it);
  *  2. per-(partition, range) row counts — a partial-agg shuffle of
  *     #ranges × #partitions rows;
- *  3. cumulative offsets over that TINY table (a window over ≤ #ranges
- *     rows per partition key), broadcast back;
+ *  3. cumulative offsets over that TINY table (a triangular broadcast
+ *     join over ≤ #ranges rows per partition key — no window at all, so
+ *     even a fully-global rank plans zero partitionBy-less windows),
+ *     broadcast back;
  *  4. rank = local `row_number` within the range + the range's offset.
  *
  * Identical output to the window form for any total `orderCols` order
@@ -200,13 +202,21 @@ object Ranking {
     val counts = ranged
       .groupBy(pCols :+ col("_range"): _*)
       .agg(count(lit(1)).as("_n"))
-    // cumulative count of earlier ranges, per partition key — ≤ #ranges
-    // rows per key, so the (possibly global) window here is control-plane
-    val offW = Window.partitionBy(pCols: _*).orderBy(col("_range"))
-      .rowsBetween(Window.unboundedPreceding, -1)
+    // cumulative count of earlier ranges, per partition key. The counts
+    // table is ≤ #ranges × #keys rows, so the prefix sum rides a
+    // triangular broadcast join rather than a window — with empty
+    // partitionCols a window here would be THE partitionBy-less
+    // single-task shape this helper exists to avoid (and the repo-wide
+    // WindowSweepSpec asserts out).
+    val bCols = counts.columns.map("_b_" + _)
+    val earlier = counts.toDF(bCols.toIndexedSeq: _*)
+    val joinCond = partitionCols.foldLeft(col("_b__range") < col("_range")) {
+      (c, p) => c && col("_b_" + p) === col(p)
+    }
     val offs = counts
-      .withColumn("_off", coalesce(sum(col("_n")).over(offW), lit(0L)))
-      .drop("_n")
+      .join(broadcast(earlier), joinCond, "left")
+      .groupBy(pCols :+ col("_range"): _*)
+      .agg(coalesce(sum(col("_b__n")), lit(0L)).as("_off"))
     val localW = Window.partitionBy(pCols :+ col("_range"): _*)
       .orderBy(orderCols.map(col): _*)
     ranged

@@ -142,16 +142,28 @@ object SeriesQueries {
     },
     // ACTIVITY DECILES: streams ranked into 10 equal-count buckets by
     // event volume (the engagement-distribution report). The log first
-    // collapses to one row per stream (partial-agg shuffle); the ntile
-    // window then sorts only #streams rows — a deliberate contrast with
-    // ntile-over-the-log, which would global-sort 100 TB. Deterministic
-    // tie-break: ntile ordering includes the stream key.
+    // collapses to one row per stream (partial-agg shuffle); the decile
+    // then comes from `Ranking.globalRank` (range-repartition + local
+    // row_number + range offsets) over the aggregate — NOT an ntile
+    // window, which would move every stream row into ONE task (Spark
+    // warns "No Partition Defined"; at a 100 TB stream cardinality that
+    // task is the bottleneck). The bucket is ntile's exact integer
+    // split (first n%10 buckets get one extra row), computed from the
+    // rank — the DuckDB ntile oracle is unchanged. Deterministic
+    // tie-break: the rank order includes the stream key.
     "agg_activity_deciles" -> { (s: SparkSession, dir: String) =>
       val per = ev(s, dir).groupBy(col("stream"))
         .agg(count(lit(1)).as("n"),
           sum(floor(col("value") * lit(1000.0)).cast("long")).as("sv"))
-      val w = Window.orderBy(col("n"), col("stream"))
-      per.withColumn("decile", ntile(10).over(w).cast("long"))
+      val ranked = graft.corpus.Ranking.globalRank(
+        per, Seq.empty, Seq("n", "stream"), "rk")
+      val tot = per.agg(count(lit(1)).as("ntot"))
+      ranked.join(broadcast(tot))
+        .withColumn("decile", expr(
+          """CASE WHEN rk <= (ntot div 10 + 1) * (ntot % 10)
+            |     THEN (rk - 1) div (ntot div 10 + 1) + 1
+            |     ELSE (ntot % 10) + (rk - 1 - (ntot div 10 + 1) * (ntot % 10)) div (ntot div 10) + 1
+            |END""".stripMargin).cast("long"))
         .groupBy(col("decile"))
         .agg(count(lit(1)).as("n_streams"), min(col("n")).as("min_n"),
           max(col("n")).as("max_n"), sum(col("sv")).as("sum_value_x1000"))

@@ -240,13 +240,14 @@ object PersistentSubscriptions {
         // all events to the single active consumer (the first registered)
         if (idx == 0) deliverable else deliverable.limit(0)
       case RoundRobin =>
-        // rotate by delivery order — row_number over position order. The
-        // global window IS the reference's single-dispatcher semantics
-        // (serial rotation); bounded by the backlog, and `Pinned` is the
-        // strategy that scales without a global ordering
-        val w = Window.orderBy("position")
-        deliverable.withColumn("rr", row_number().over(w) - 1)
-          .filter(pmod(col("rr"), lit(n)) === idx).drop("rr")
+        // rotate by delivery order — a global row number over position
+        // order (the reference's single-dispatcher serial rotation).
+        // The rank comes from Ranking.globalRank (range partitioning +
+        // per-range offsets), NOT a partitionBy-less window, so even a
+        // large backlog never lands in one task; `Pinned` remains the
+        // strategy that scales without any global ordering at all
+        graft.corpus.Ranking.globalRank(deliverable, Seq.empty, Seq("position"), "rr")
+          .filter(pmod(col("rr") - 1, lit(n)) === idx).drop("rr")
       case Pinned =>
         // per-source-stream affinity: hash(stream) picks the consumer, so
         // one stream's events always flow to one consumer, in order
@@ -346,9 +347,10 @@ object PersistentSubscriptions {
     val prevCkpt = ckptOf(spark, dir, group, since)
     val lo = (prevCkpt.map(_ + 1) ++ Seq(fromPos)).max
 
-    // checkpoint frontier: walk selector positions upward while terminal.
-    // The global-order window is a sequential prefix scan by nature; its
-    // input is only the backlog above the previous checkpoint
+    // checkpoint frontier: the highest selector position below the FIRST
+    // non-terminal one. Two tiny aggregations (min open position, then
+    // max position under it) — no prefix-scan window, so the backlog
+    // above the previous checkpoint never funnels into one task
     val base = stream.foldLeft(log.filter(col("position") >= lo))(
       (df, s) => df.filter(col("stream") === s))
       .select(col("position"))
@@ -356,10 +358,13 @@ object PersistentSubscriptions {
       .join(latest, Seq("position"), "left")
       .withColumn("terminal",
         when(col("op").isin("acked", "skipped"), 1).otherwise(0))
-    val w = Window.orderBy("position").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val frontier = flagged
-      .withColumn("all_terminal", min(col("terminal")).over(w))
-      .filter(col("all_terminal") === 1)
+      .localCheckpoint()
+    val firstOpen = flagged.filter(col("terminal") === 0)
+      .agg(min(col("position"))).collect().headOption
+      .filter(!_.isNullAt(0)).map(_.getLong(0))
+    val frontier = firstOpen
+      .map(m => flagged.filter(col("position") < m))
+      .getOrElse(flagged)
       .agg(max(col("position"))).collect().headOption
       .filter(!_.isNullAt(0)).map(_.getLong(0))
     val newCkpt = (frontier ++ prevCkpt).reduceOption((a, b) => math.max(a, b))

@@ -232,18 +232,21 @@ class QueryPlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"grid join must ride the stream key:\n$plan")
   }
 
-  test("agg_activity_deciles: ntile sorts the per-stream aggregate, not the log") {
-    val plan = SeriesQueries.queries("agg_activity_deciles")(spark, dir)
-      .queryExecution.executedPlan.toString()
+  test("agg_activity_deciles: decile from globalRank — no partitionBy-less window") {
+    val df = SeriesQueries.queries("agg_activity_deciles")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString()
     assert(plan.contains("partial_count"),
-      s"log must collapse per-stream before the window:\n$plan")
-    // the only hash shuffle is the per-stream aggregation; the ntile
-    // window's exchange carries #streams rows (SinglePartition), so the
-    // log itself is never globally sorted
-    val own = plan.split("InMemoryTableScan")(0)
-    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(own).length
-    assert(hashExchanges <= 1,
-      s"only the per-stream agg may hash-shuffle, found $hashExchanges in:\n$plan")
+      s"log must collapse per-stream before ranking:\n$plan")
+    // the rank must come from the range-partitioned globalRank, whose
+    // only window partitions by (_range) — never a global ntile that
+    // moves every stream row into one task
+    assert(!plan.contains("ntile"), s"deciles must not plan an ntile window:\n$plan")
+    val globals = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(globals.isEmpty,
+      s"found a partitionBy-less window in:\n${df.queryExecution.optimizedPlan}")
   }
 
   test("graph_pagerank: iterations run on the checkpointed type graph, log scanned once") {
