@@ -230,6 +230,63 @@ object TextQueries {
         .withColumn("overestimate", col("cms_est") - col("exact_n"))
         .orderBy("tag")
     },
+    // MISRA–GRIES GUARANTEE GATE: `graft_heavy_hitters`' COUNTS are
+    // merge-order-dependent by design (the summary-merge rule), so the
+    // sketch itself can't be value-oracled — but its CONTRACT is
+    // deterministic, exactly like text_cms_counts gates the CMS error
+    // bound: with k counters over n tokens, (a) every tag with true
+    // count > n/(k+1) is in the summary, (b) every reported count is a
+    // lower bound within n/(k+1) of exact. The probe panel emits those
+    // guarantees as integer-exact 0/1 checks (cross-multiplied, no
+    // division) plus TWO global totals — missing heavies across the
+    // whole vocabulary and bound violations across every summary entry
+    // — which the oracle pins to 0/1/TRUE-equivalents. At 100 TB the
+    // exact side disappears and only the ≤ k counters per partition
+    // merge up; here it exists to exhibit the contract.
+    "text_heavy_hitters" -> { (s: SparkSession, dir: String) =>
+      import graft.dedup.Hashing
+      val k = 64
+      val toks = docs(s, dir).select(explode(Hashing.toks(col("text"))).as("tok"))
+      val sk = toks.agg(
+        call_function("graft_heavy_hitters", col("tok"), lit(k)).as("sk"),
+        count(lit(1)).as("n")).localCheckpoint()
+      val entries = sk
+        .select(col("n"), explode(col("sk")).as("e"))
+        .select(col("n"), col("e.tag").as("sk_tag"), col("e.lower_bound").as("lb"))
+      val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_n"))
+      val missing = exact.join(broadcast(sk.select(col("n"))))
+        .filter(col("exact_n") * lit(k + 1) > col("n"))
+        .join(broadcast(entries.select(col("sk_tag"))),
+          col("tok") === col("sk_tag"), "left_anti")
+        .agg(count(lit(1)).as("missing_heavies_total"))
+      val violations = entries
+        .join(exact, col("sk_tag") === col("tok"), "left")
+        .withColumn("ex", coalesce(col("exact_n"), lit(0L)))
+        .filter(!(col("lb") <= col("ex") &&
+          (col("ex") - col("lb")) * lit(k + 1) <= col("n")))
+        .agg(count(lit(1)).as("bound_violations_total"))
+      import s.implicits._
+      probeTags.toDF("tag")
+        .join(exact, col("tag") === col("tok"), "left")
+        .select(col("tag"), coalesce(col("exact_n"), lit(0L)).as("exact_n"))
+        .join(broadcast(sk.select(col("n"))))
+        .join(broadcast(entries.select(col("sk_tag"), col("lb"))),
+          col("tag") === col("sk_tag"), "left")
+        .withColumn("is_heavy",
+          when(col("exact_n") * lit(k + 1) > col("n"), 1L).otherwise(0L))
+        .withColumn("heavy_in_sketch_ok",
+          when(col("is_heavy") === 0L || col("sk_tag").isNotNull, 1L).otherwise(0L))
+        .withColumn("bound_ok",
+          when(col("sk_tag").isNull ||
+            (col("lb") <= col("exact_n") &&
+              (col("exact_n") - col("lb")) * lit(k + 1) <= col("n")), 1L).otherwise(0L))
+        .join(broadcast(missing))
+        .join(broadcast(violations))
+        .select(col("tag"), col("exact_n"), col("is_heavy"),
+          col("heavy_in_sketch_ok"), col("bound_ok"),
+          col("missing_heavies_total"), col("bound_violations_total"))
+        .orderBy("tag")
+    },
     // corpus-level vocabulary statistics per source: exact distinct tokens
     // + token volume. Scale: explode → partial-aggregated groupBy on
     // (source, token) — map-side combine, one shuffle, no driver state
@@ -514,6 +571,30 @@ object TextQueries {
          |SELECT ex.tag, ex.exact_n, CAST(est.cms_est AS BIGINT) AS cms_est,
          |  CAST(est.cms_est - ex.exact_n AS BIGINT) AS overestimate
          |FROM ex JOIN est ON ex.tag = est.tag ORDER BY ex.tag""".stripMargin,
+    // The oracle recomputes exact_n and is_heavy; the contract columns
+    // are the Misra–Gries THEOREM (deterministic for any merge order),
+    // so the oracle states them as constants — if the sketch ever broke
+    // its guarantee, the Spark side would emit a 0 or a non-zero total
+    // and hash-mismatch.
+    "text_heavy_hitters" ->
+      s"""$D, t AS (
+         |  SELECT unnest(toks) AS tok FROM d
+         |), tot AS (
+         |  SELECT count(*) AS n FROM t
+         |), ex AS (
+         |  SELECT tok, count(*) AS exact_n FROM t GROUP BY 1
+         |), probes AS (
+         |  SELECT * FROM (VALUES ('the'), ('of'), ('vector'), ('join'),
+         |                        ('spark'), ('absent-tag')) AS p(tag)
+         |)
+         |SELECT p.tag, CAST(coalesce(e.exact_n, 0) AS BIGINT) AS exact_n,
+         |  CAST(CASE WHEN coalesce(e.exact_n, 0) * 65 > tot.n THEN 1 ELSE 0 END AS BIGINT) AS is_heavy,
+         |  CAST(1 AS BIGINT) AS heavy_in_sketch_ok,
+         |  CAST(1 AS BIGINT) AS bound_ok,
+         |  CAST(0 AS BIGINT) AS missing_heavies_total,
+         |  CAST(0 AS BIGINT) AS bound_violations_total
+         |FROM probes p LEFT JOIN ex e ON p.tag = e.tok, tot
+         |ORDER BY tag""".stripMargin,
     "corpus_sample_weighted_k" ->
       s"""WITH d AS (
          |  SELECT doc_id, source, text,
