@@ -50,6 +50,30 @@ object AnalyticsQueries {
        |      (h, c) -> (h * 31 + c) % 2147483647) * 2654435761) % 2147483647"""
       .stripMargin
 
+  /** KMV set-operation estimates from two stored 64-long sketches in
+    * columns `ka`/`kb`: merged union sketch, θ union estimate, ρ
+    * intersection survivors, intersection estimate, Jaccard permille —
+    * all integer arithmetic, value-oracled by `agg_kmv_setops`. Shared
+    * with the streaming twin ([[graft.streaming.StreamingKmv]]), whose
+    * incrementally-maintained sketches feed the SAME panel — the
+    * sketches are deterministic functions of the seen hash set, so
+    * streaming-final == batch exactly (`StreamingSpec`). */
+  private[graft] def kmvSetopsPanel(ab: DataFrame): DataFrame =
+    ab
+      .withColumn("merged",
+        slice(array_sort(array_distinct(concat(col("ka"), col("kb")))), 1, 64))
+      .withColumn("est_union",
+        when(size(col("merged")) < 64, size(col("merged")).cast("long"))
+          .otherwise(expr(
+            "(CAST(63 AS BIGINT) * CAST(2147483647 AS BIGINT)) div greatest(element_at(merged, 64), CAST(1 AS BIGINT))")))
+      .withColumn("rho",
+        size(array_intersect(array_intersect(col("merged"), col("ka")), col("kb"))).cast("long"))
+      .withColumn("est_intersect",
+        when(size(col("merged")) < 64, col("rho"))
+          .otherwise(expr("(rho * est_union) div 64")))
+      .withColumn("jaccard_x1000", expr("(rho * 1000) div size(merged)"))
+      .select(col("est_union"), col("rho"), col("est_intersect"), col("jaccard_x1000"))
+
   /** Z-order bit-interleave of two 4-bit bucket columns, as a SQL
     * expression string shared verbatim with the DuckDB oracle (same
     * operators, same arithmetic — the layout key must be engine-exact). */
@@ -455,20 +479,7 @@ object AnalyticsQueries {
         .agg(call_function("graft_kmv", col("h"), lit(64)).as("kmv"))
       val a = sk.filter(col("event_type") === "click").select(col("kmv").as("ka"))
       val b = sk.filter(col("event_type") === "purchase").select(col("kmv").as("kb"))
-      a.crossJoin(b) // 1 row × 1 row
-        .withColumn("merged",
-          slice(array_sort(array_distinct(concat(col("ka"), col("kb")))), 1, 64))
-        .withColumn("est_union",
-          when(size(col("merged")) < 64, size(col("merged")).cast("long"))
-            .otherwise(expr(
-              "(CAST(63 AS BIGINT) * CAST(2147483647 AS BIGINT)) div greatest(element_at(merged, 64), CAST(1 AS BIGINT))")))
-        .withColumn("rho",
-          size(array_intersect(array_intersect(col("merged"), col("ka")), col("kb"))).cast("long"))
-        .withColumn("est_intersect",
-          when(size(col("merged")) < 64, col("rho"))
-            .otherwise(expr("(rho * est_union) div 64")))
-        .withColumn("jaccard_x1000", expr("(rho * 1000) div size(merged)"))
-        .select(col("est_union"), col("rho"), col("est_intersect"), col("jaccard_x1000"))
+      kmvSetopsPanel(a.crossJoin(b)) // 1 row × 1 row
     },
     // MERGEABLE-SKETCH ROLLUP: per-day HLL sketches of distinct streams,
     // unioned into the overall estimate — the re-aggregation pattern

@@ -665,6 +665,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental KMV set-ops: streaming sketches through the batch panel == batch query") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    // same (pop, uniformized hash) rows the batch gate feeds graft_kmv
+    val all = graft.log.Fixture.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"),
+        (call_function("graft_polyhash", col("stream"))
+          * lit(2654435761L) % lit(2147483647L)).as("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val mem = MemoryStream[(String, Long)]
+    val q = StreamingKmv.sketches(mem.toDF().toDF("pop", "h"), k = 64)
+      .writeStream.format("memory").queryName("kmv_stream")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      val third = all.length / 3
+      Seq(all.slice(0, third), all.slice(third, 2 * third), all.slice(2 * third, all.length))
+        .foreach { b => mem.addData(b.toSeq); q.processAllAvailable() }
+      val fin = spark.sql(
+          """select pop, kmv from kmv_stream t
+            |where ver = (select max(ver) from kmv_stream x where x.pop = t.pop)
+            |""".stripMargin)
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      assert(fin.keySet == Set("click", "purchase"))
+      val ab = Seq((fin("click"), fin("purchase"))).toDF("ka", "kb")
+      val streamed = graft.queries.AnalyticsQueries.kmvSetopsPanel(ab)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val batch = graft.queries.AnalyticsQueries.queries("agg_kmv_setops")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(streamed.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
+
   test("incremental sampled quantiles: streaming final panel == batch sketch query") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
