@@ -116,6 +116,39 @@ object PartitionedLog {
   }
 
   /**
+   * Hilbert-curve compaction: same shape as [[zorderCompact]] — one range
+   * shuffle on the layout key, per-file sort, bucket columns STORED for
+   * parquet footer min/max skipping — but clustered by the Hilbert index
+   * instead of the bit-interleave. On a Hilbert walk every consecutive
+   * key pair is an ADJACENT grid cell (no Z-shape jumps), so each file's
+   * key range covers a tighter spatial blob and 2-sided range predicates
+   * (entity-range × time-range dashboards) prune more files than on the
+   * Z layout of the same data (`PartitionedLogSpec` measures exactly
+   * that, layouts serving identical results). Key arithmetic is
+   * [[graft.plans.Hilbert]]'s staged integer-CASE SQL — the text the
+   * `hilbert_keys` gate query shares verbatim with its DuckDB oracle.
+   */
+  def hilbertCompact(log: DataFrame, dstDir: String,
+                     nFiles: Int = 8, bits: Int = 4): Unit =
+    withH(log, bits)
+      .repartitionByRange(nFiles, col("h"))
+      .sortWithinPartitions("h")
+      .write.mode("overwrite").parquet(dstDir)
+
+  /** The log with its Hilbert layout key `h` and stored bucket columns
+    * (`ubucket`, `tbucket`) materialized; staging columns dropped. */
+  def withH(log: DataFrame, bits: Int = 4): DataFrame = {
+    val m = lit(1L << bits)
+    val micros = unix_micros(col("ts"))
+    val base = log
+      .withColumn("ubucket", pmod(call_function("graft_polyhash", col("stream")), m))
+      .withColumn("tbucket", pmod(floor(micros / lit(86400000000L)).cast("long"), m))
+    val stages = graft.plans.Hilbert.stages("ubucket", "tbucket", bits)
+    val staged = stages.foldLeft(base) { case (df, (nm, e)) => df.withColumn(nm, expr(e)) }
+    staged.drop(stages.map(_._1).filter(_ != "h"): _*)
+  }
+
+  /**
    * Bounded read over the partitioned layout: single-stream reads get the
    * bucket-equality predicate (directory pruning); `$all` reads scan all
    * buckets. Semantics are [[EventLog.read]] exactly; the bucket column is

@@ -118,4 +118,47 @@ class PartitionedLogSpec extends SparkSpec {
     assert(zScanned < pScanned,
       s"z-order must read fewer rows: z=$zScanned vs position=$pScanned")
   }
+
+  test("hilbertCompact: square range predicates prune tighter than Z and position layouts") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val ev = Fixture.events(spark, "/root/testdata/sf0.001")
+    val hDir = Files.createTempDirectory("graft-hilbert").toString
+    val zDir = Files.createTempDirectory("graft-zorder2").toString
+    val pDir = Files.createTempDirectory("graft-posorder2").toString
+    PartitionedLog.hilbertCompact(ev, hDir, nFiles = 8)
+    PartitionedLog.zorderCompact(ev, zDir, nFiles = 8)
+    // baseline: same stored columns, same file count, position-clustered
+    PartitionedLog.withZ(ev)
+      .repartitionByRange(8, col("position"))
+      .sortWithinPartitions("position")
+      .write.mode("overwrite").parquet(pDir)
+
+    // square entity-range × time-range blobs — the 2-sided dashboards
+    // where the Hilbert walk's adjacency (no cross-grid Z jumps) keeps
+    // each file's key range a tighter blob than the interleave
+    val squares = Seq((0L, 3L, 0L, 3L), (4L, 7L, 4L, 7L),
+      (2L, 5L, 2L, 5L), (5L, 8L, 8L, 11L), (0L, 3L, 12L, 15L))
+    def scanned(dir: String, sq: (Long, Long, Long, Long)): (Long, Seq[Long]) = {
+      val (u0, u1, t0, t1) = sq
+      val q = spark.read.parquet(dir)
+        .filter(col("ubucket").between(u0, u1) && col("tbucket").between(t0, t1))
+        .select("position")
+      val rows = q.collect().map(_.getLong(0)).sorted.toSeq
+      val n = q.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s.metrics("numOutputRows").value
+      }.sum
+      (n, rows)
+    }
+    var hTot = 0L; var zTot = 0L; var pTot = 0L
+    squares.foreach { sq =>
+      val (h, hRows) = scanned(hDir, sq)
+      val (z, zRows) = scanned(zDir, sq)
+      val (p, pRows) = scanned(pDir, sq)
+      assert(hRows == zRows && zRows == pRows, s"layouts must serve identical results for $sq")
+      assert(hRows.nonEmpty, s"empty probe square $sq")
+      hTot += h; zTot += z; pTot += p
+    }
+    assert(hTot < pTot, s"hilbert must beat the position layout: h=$hTot vs p=$pTot")
+    assert(hTot < zTot, s"hilbert must beat the Z layout on square ranges: h=$hTot vs z=$zTot")
+  }
 }
