@@ -665,6 +665,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental Misra-Gries: streaming summary keeps the heavy/bound guarantees across batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val k = 16
+    // the fixture's real token stream, one scope — the same distribution
+    // the batch text_heavy_hitters gate oracles
+    val all = spark.read.parquet(s"$dir/documents.parquet")
+      .select(explode(graft.dedup.Hashing.toks(col("text"))).as("tag"))
+      .collect().map(r => ("corpus", r.getString(0)))
+    val exact = all.groupBy(_._2).map { case (t, xs) => t -> xs.length.toLong }
+    val n = all.length.toLong
+    val mem = MemoryStream[(String, String)]
+    val q = StreamingHeavyHitters.summaries(mem.toDF().toDF("scope", "tag"), k)
+      .writeStream.format("memory").queryName("hh_stream")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      val third = all.length / 3
+      Seq(all.slice(0, third), all.slice(third, 2 * third), all.slice(2 * third, all.length))
+        .foreach { b => mem.addData(b.toSeq); q.processAllAvailable() }
+      val fin = spark.sql(
+          "select tags, lower_bounds from hh_stream where ver = (select max(ver) from hh_stream)")
+        .collect().head
+      val summary = fin.getSeq[String](0).zip(fin.getSeq[Long](1)).toMap
+      assert(summary.size <= k)
+      val bound = n / (k + 1)
+      // (a) every true heavy is present; (b) every reported count is a
+      // lower bound within n/(k+1) — the MG theorem, batching-invariant
+      exact.filter(_._2 > bound).keys.foreach { t =>
+        assert(summary.contains(t), s"heavy tag '$t' missing from the streaming summary")
+      }
+      summary.foreach { case (t, lb) =>
+        val ex = exact.getOrElse(t, 0L)
+        assert(lb <= ex && ex - lb <= bound, s"bound violated for '$t': lb=$lb exact=$ex n=$n")
+      }
+    } finally q.stop()
+  }
+
   test("incremental KMV set-ops: streaming sketches through the batch panel == batch query") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
