@@ -120,8 +120,16 @@ object Bench {
     val json =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":${q(sfDir)},"n_queries":${results.size},"n_errors":${errors.size},"n_regressions":${regressions.size},"cold_total":${r3(coldTotal)},"queries":$qs,"errors":$errsShort,"detail":"bench_detail.json"}"""
     val cqs = cold.map { case (k, v) => q(k) + ":" + v }.mkString("{", ",", "}")
+    // scaling exponents from tools.ScaleProbe (run on demand; committed
+    // artifact) ride along in the per-round detail record
+    val scaling = {
+      val p = java.nio.file.Paths.get("scale_probe.json")
+      if (java.nio.file.Files.exists(p))
+        new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
+      else "null"
+    }
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${results.map { case (k, v) => q(k) + ":" + v }.mkString("{", ",", "}")},"errors":$errs,"n_errors":${errors.size},"sf":${q(sfDir)},"cold_total":$coldTotal,"n_regressions":${regressions.size},"regressions":$regs,"cold_queries":$cqs}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${results.map { case (k, v) => q(k) + ":" + v }.mkString("{", ",", "}")},"errors":$errs,"n_errors":${errors.size},"sf":${q(sfDir)},"cold_total":$coldTotal,"n_regressions":${regressions.size},"regressions":$regs,"cold_queries":$cqs,"scaling":$scaling}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
       (detail + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () } // detail dump is best-effort

@@ -76,6 +76,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(unary("graft_winnow", WinnowFps))
     ext.injectFunction(unary("graft_minhash", MinhashSig))
     ext.injectFunction(unary("graft_simhash16", Simhash16))
+    ext.injectFunction(unary("graft_simhash62", Simhash62))
     ext.injectFunction(unary("graft_norm", NormL2))
     ext.injectFunction(unary("graft_lsh_buckets", LshBuckets))
     ext.injectFunction(unary("graft_cdc_chunks", CdcChunks))

@@ -313,6 +313,26 @@ object Dedup {
   }
 
   /**
+   * Incremental duplicate-cluster MAINTENANCE — merge a new batch's near-dup
+   * pairs into a STORED clustering without re-running connected components
+   * over the corpus pair history. A min-id labeling is equivalent (for
+   * connectivity) to its star edge set (keeper → member), so
+   * CC(stars(oldLabels) ∪ deltaPairs) == CC(oldPairs ∪ deltaPairs): the
+   * nightly job folds yesterday's labels plus today's delta (new-vs-corpus
+   * band collisions + new-vs-new) and lands on exactly the full-recompute
+   * labeling — cost tracks the DELTA pair volume, never the corpus pair
+   * history. Star edge sets have height 1, so the alternating-star loop
+   * converges in O(1) extra rounds beyond the delta's own depth. Gate
+   * `dedup_clusters_incr` shares the full-recompute recursive-CTE oracle
+   * verbatim.
+   */
+  def incrementalClusters(oldLabels: DataFrame, deltaPairs: DataFrame): DataFrame = {
+    val stars = oldLabels.filter(col("id") =!= col("keeper"))
+      .select(col("keeper").as("a"), col("id").as("b"))
+    duplicateClustersAltStar(stars.unionByName(deltaPairs.select(col("a"), col("b"))))
+  }
+
+  /**
    * Line-level boilerplate detection (CCNet-style, Wenzek et al. 2019
    * "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
    * Data"): chunk each document into fixed token spans ("lines" — the
@@ -598,6 +618,37 @@ object Dedup {
       .withColumn("lo", col("simhash").bitwiseAND(lit(255L)))
       .withColumn("hi", shiftright(col("simhash"), 8).bitwiseAND(lit(255L)))
       .localCheckpoint() // one signature pass, lineage truncated; both join sides reuse it
+
+  /** Materialized 62-bit simhash signature table (id, simhash, b0..b3 —
+    * four 16-bit band keys). The wide form for corpus scale: the scale
+    * probe measured the 16-bit form's pair output growing ~n² on the
+    * natural sf ladder (random same-band collisions are birthday mass,
+    * n²/2^8 per 8-bit band); 16-bit bands over a 62-bit fingerprint cut
+    * that constant 256× while hamming ≤ 3 near-dups still share ≥1 of
+    * the 4 bands by pigeonhole. */
+  def simhashWideSigs(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val sig = docs.select(col(idCol).as("id"),
+      graft.functions.Fast.simhash62Fast(col(textCol)).as("simhash"))
+    (0 until 4).foldLeft(sig) { (df, k) =>
+      df.withColumn(s"b$k", shiftright(col("simhash"), 16 * k).bitwiseAND(lit(65535L)))
+    }.localCheckpoint()
+  }
+
+  /** Wide-simhash near-dup pairs over a precomputed [[simhashWideSigs]]
+    * table: blocked on any of the four 16-bit band equalities, verified
+    * by hamming ≤ maxHamming on the full 62-bit fingerprint. */
+  def simhashPairsWideFromSigs(sh: DataFrame, maxHamming: Int): DataFrame = {
+    val banded = sh.select(col("id"), col("simhash"),
+      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))).as(Seq("band", "bk")))
+    val l = banded.select(col("id").as("a"), col("simhash").as("sa"), col("band"), col("bk"))
+    val r = banded.select(col("id").as("b"), col("simhash").as("sb"),
+      col("band").as("band_r"), col("bk").as("bk_r"))
+    l.join(r, l("band") === r("band_r") && l("bk") === r("bk_r") && l("a") < r("b"))
+      .select(col("a"), col("b"), hamming(col("sa"), col("sb")).as("hamming"))
+      .dropDuplicates("a", "b")
+      .filter(col("hamming") <= maxHamming)
+  }
 
   /** Same pair generation, over a precomputed [[simhashSigs]] table. */
   def simhashPairsFromSigs(sh: DataFrame, maxHamming: Int): DataFrame = {

@@ -138,6 +138,33 @@ object Fast {
     out
   }
 
+  /** 62-bit SimHash: bits 0-30 vote on the token polyhash, bits 31-61 on
+    * its multiplicative mix mod the same prime (polyhash carries 31 bits
+    * of entropy, so the wide fingerprint needs a second derived hash).
+    * The width is the collision-robustness lever the 16-bit pedagogical
+    * form lacks: random same-band collisions scale as n²/2^bandBits, and
+    * the scale probe measured the 16-bit pair output growing ~n² on the
+    * natural corpus ladder (347,788 pairs at sf0.1) — birthday mass, not
+    * near-duplicates. 4 × 16-bit bands over 62 bits put the same mass
+    * at n²/65,536 per band with near-dup recall preserved (hamming ≤ 3
+    * still collides on ≥1 band by pigeonhole). */
+  def simhash62Jvm(text: String): Long = {
+    val th = toksJvm(text).map(strHashJvm)
+    val mh = th.map(h => (h * 2654435761L) % 2147483647L)
+    var out = 0L
+    var bit = 0
+    while (bit < 62) {
+      val src = if (bit < 31) th else mh
+      val b = if (bit < 31) bit else bit - 31
+      var s = 0L
+      var i = 0
+      while (i < src.length) { s += 2L * ((src(i) >> b) & 1L) - 1L; i += 1 }
+      if (s > 0) out |= (1L << bit)
+      bit += 1
+    }
+    out
+  }
+
   /** Left-fold dot product with per-element float→double cast — identical
     * to [[graft.sim.Similarity.dot]]. */
   @inline def dotJvm(a: Array[Float], b: Array[Float]): Double = {
@@ -208,6 +235,8 @@ object Fast {
 
   def simhash16Utf8(s: UTF8String): Long = simhash16Jvm(s.toString)
 
+  def simhash62Utf8(s: UTF8String): Long = simhash62Jvm(s.toString)
+
   def dotArr(a: ArrayData, b: ArrayData): Double =
     dotJvm(a.toFloatArray(), b.toFloatArray())
 
@@ -238,6 +267,7 @@ object Fast {
     winnowJvm(text, graft.dedup.Winnow.defaultN, graft.dedup.Winnow.defaultW))
   val minhashUdf = udf((sh: Seq[Long]) => minhashJvm(sh.toArray))
   val simhash16Udf = udf((text: String) => simhash16Jvm(text))
+  val simhash62Udf = udf((text: String) => simhash62Jvm(text))
   val dotUdf = udf((a: Seq[Float], b: Seq[Float]) => dotJvm(a.toArray, b.toArray))
   val normUdf = udf((a: Seq[Float]) => { val arr = a.toArray; math.sqrt(dotJvm(arr, arr)) })
   val bucketsUdf = udf((v: Seq[Float]) => bucketsJvm(v.toArray))
@@ -248,6 +278,7 @@ object Fast {
   def winnowFast(text: Column): Column = call_function("graft_winnow", text)
   def minhashFast(sh: Column): Column = call_function("graft_minhash", sh)
   def simhash16Fast(text: Column): Column = call_function("graft_simhash16", text)
+  def simhash62Fast(text: Column): Column = call_function("graft_simhash62", text)
   def dotFast(a: Column, b: Column): Column = call_function("graft_dot", a, b)
   def normFast(a: Column): Column = call_function("graft_norm", a)
   def bucketsFast(v: Column): Column = call_function("graft_lsh_buckets", v)

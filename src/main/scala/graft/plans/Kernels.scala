@@ -84,6 +84,24 @@ case class Simhash16(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `graft_simhash62(text)` — 62-bit SimHash (token polyhash + its
+  * multiplicative mix for the high bits); the collision-robust width
+  * for corpus-scale near-dup fingerprinting ([[graft.functions.Fast.simhash62Jvm]]). */
+case class Simhash62(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash62"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_simhash62 expects STRING, got ${child.dataType.catalogString}")
+  override def nullSafeEval(input: Any): Any =
+    graft.functions.Fast.simhash62Utf8(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Fast.simhash62Utf8($c)")
+  override protected def withNewChildInternal(newChild: Expression): Simhash62 =
+    copy(child = newChild)
+}
+
 private object FloatArrayCheck {
   def apply(name: String, t: DataType): TypeCheckResult = t match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess

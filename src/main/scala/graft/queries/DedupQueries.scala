@@ -47,6 +47,16 @@ object DedupQueries {
     "dedup_simhash" -> { (s: SparkSession, dir: String) =>
       Dedup.simhashPairsFromSigs(Tables.simhashSigs(s, dir), maxHamming = 1).orderBy("a", "b")
     },
+    // the corpus-scale width: 62-bit fingerprint, 4 × 16-bit bands,
+    // hamming <= 3. The 16-bit form's pair output grows ~n² on the
+    // natural sf ladder (scale_probe.json: 347,788 pairs at sf0.1 —
+    // birthday collisions in an 8-bit band key, not near-dups); 16-bit
+    // band keys cut that mass 256× while every hamming<=3 near-dup
+    // still shares >= 1 band by pigeonhole.
+    "dedup_simhash_wide" -> { (s: SparkSession, dir: String) =>
+      Dedup.simhashPairsWideFromSigs(Tables.simhashWideSigs(s, dir), maxHamming = 3)
+        .orderBy("a", "b")
+    },
     // the step after pair generation: transitive duplicate groups, one
     // keeper per component (min id), over the minhash near-dup pairs
     "dedup_clusters" -> { (s: SparkSession, dir: String) =>
@@ -71,6 +81,24 @@ object DedupQueries {
         .join(p3, col("a") === col("a3") && col("c") === col("c3"))
         .select(col("a"), col("b"), col("c"))
         .orderBy("a", "b", "c")
+    },
+    // INCREMENTAL cluster maintenance: yesterday's stored labeling (the
+    // 90% "corpus" split) + today's delta pairs (new-vs-corpus band
+    // collisions + new-vs-new) through Dedup.incrementalClusters — must
+    // land on EXACTLY the full-recompute labeling (same recursive-CTE
+    // oracle as dedup_clusters, verbatim). At 100 TB the old labels are
+    // a stored table and the nightly cost is the delta pair volume;
+    // here the old clustering is derived in-query for the gate.
+    "dedup_clusters_incr" -> { (s: SparkSession, dir: String) =>
+      val sets = Tables.shingleSets(s, dir)
+      val oldSets = sets.filter(col("id") % 10 =!= 0)
+      val newSets = sets.filter(col("id") % 10 === 0)
+      val oldLabels = Dedup.duplicateClustersAltStar(
+        Dedup.minhashLshPairsFromSets(oldSets, thresholdX1000 = 300))
+      val delta = Dedup
+        .minhashLshPairsBetween(newSets, oldSets, thresholdX1000 = 300)
+        .unionByName(Dedup.minhashLshPairsFromSets(newSets, thresholdX1000 = 300))
+      Dedup.incrementalClusters(oldLabels, delta).orderBy("id")
     },
     // same clusters via alternating large-star/small-star (Kiveris et al.)
     // — O(log n) rounds instead of O(diameter); the variant to reach for
@@ -398,6 +426,16 @@ object DedupQueries {
         s"(CASE WHEN list_sum(list_transform(th, h -> 2 * ((h >> $i) & 1) - 1)) > 0 THEN ${1L << i} ELSE 0 END)")
       .mkString(" + ")
 
+  /** 62-bit simhash mirror: bits 0-30 vote on the token hash, 31-61 on
+    * its multiplicative mix mod the same prime (Fast.simhash62Jvm). */
+  private val simhashExpr62: String = {
+    val lo = (0 until 31).map(i =>
+      s"(CASE WHEN list_sum(list_transform(th, h -> 2 * ((h >> $i) & 1) - 1)) > 0 THEN ${1L << i} ELSE 0 END)")
+    val hi = (0 until 31).map(i =>
+      s"(CASE WHEN list_sum(list_transform(th, h -> 2 * ((((h * 2654435761) % 2147483647) >> $i) & 1) - 1)) > 0 THEN ${1L << (31 + i)} ELSE 0 END)")
+    (lo ++ hi).mkString(" + ")
+  }
+
   /** 8-term Horner rolling hash of the char window ending at position p —
     * the SQL mirror of [[graft.dedup.Cdc.chunkSpansJvm]]'s fold (DuckDB
     * ascii() yields the codepoint, matching the JVM codepoint loop). */
@@ -650,6 +688,17 @@ object DedupQueries {
          |       CAST(levenshtein(x.t32, y.t32) AS BIGINT) AS dist
          |FROM t x JOIN t y ON x.blk = y.blk AND x.doc_id < y.doc_id
          |WHERE levenshtein(x.t32, y.t32) <= 12 ORDER BY a, b""".stripMargin,
+    "dedup_simhash_wide" ->
+      s"""$SH, sim AS (
+         |  SELECT doc_id, $simhashExpr62 AS simhash FROM thc
+         |), sb AS (
+         |  SELECT doc_id, simhash, u.band, (simhash >> (u.band * 16)) & 65535 AS bk
+         |  FROM sim, unnest([0, 1, 2, 3]) AS u(band)
+         |)
+         |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+         |  CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS hamming
+         |FROM sb l JOIN sb r ON l.band = r.band AND l.bk = r.bk AND l.doc_id < r.doc_id
+         |WHERE bit_count(xor(l.simhash, r.simhash)) <= 3 ORDER BY a, b""".stripMargin,
     "dedup_simhash" ->
       s"""$SH, sim AS (
          |  SELECT doc_id, $simhashExpr AS simhash FROM thc
@@ -675,5 +724,8 @@ object DedupQueries {
         "dedup_clusters_ls", "graph_triangles")
       .map(n => s"${n}_sub" -> docs20(baseOracles(n))) +
     // the prefix filter is lossless by theorem — identical oracle
-    ("dedup_jaccard_prefix" -> baseOracles("dedup_ngram_jaccard"))
+    ("dedup_jaccard_prefix" -> baseOracles("dedup_ngram_jaccard")) +
+    // incremental maintenance must land on the full-recompute labeling —
+    // identical oracle by the star-edge equivalence
+    ("dedup_clusters_incr" -> baseOracles("dedup_clusters"))
 }

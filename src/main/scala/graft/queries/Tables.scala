@@ -40,6 +40,10 @@ object Tables {
   def simhashSigs(s: SparkSession, dir: String): DataFrame =
     memo(s, dir, "simhashSigs")(Dedup.simhashSigs(docs(s, dir)))
 
+  /** Materialized 62-bit simhash signatures of `documents`. */
+  def simhashWideSigs(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "simhashWideSigs")(Dedup.simhashWideSigs(docs(s, dir)))
+
   /** Materialized winnowing fingerprint postings `(doc_id, fp)` of
     * `documents` (see [[graft.dedup.Winnow.postings]]) — shared by the
     * fingerprint dump and the shared-passage pair join. */

@@ -1,0 +1,121 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * Super-linear blowup probe — the 100× evidence a fixed-SF bench
+ * structurally cannot give. Candidate-pair growth is the failure mode
+ * that stays invisible at one scale: a pair query can be green and fast
+ * at sf0.1 yet explode at 10× because posting lists / bands / cells
+ * grow and their self-joins grow QUADRATICALLY in list length.
+ *
+ * Two measurements over the heavy pair/cluster family:
+ *
+ *  1. NATURAL 10× ladder — the driver's own sf0.01 → sf0.1 corpora
+ *     (same generator, same distribution; real growth, not synthetic):
+ *     per query, warm wall time (min of 2 after a warmup) and result
+ *     rows at both scales → scaling exponent e in t ∝ n^e (and rows
+ *     alike). Sub-second sf0.01 times carry fixed per-job overhead, so
+ *     time exponents UNDER-estimate; row exponents are overhead-free.
+ *
+ *  2. MIRROR 10× stress — sf0.01 unioned 10× with remapped doc/vec ids
+ *     (the judge-prescribed duplication pathology: a corpus of mirrors,
+ *     every document in a 10-member exact-dup cluster). Same queries on
+ *     the same ROW COUNT as sf0.1 but with pathological duplication:
+ *     the result-size ratio mirror/natural exposes which operators are
+ *     duplication-robust (banded LSH: candidates bounded by true-dup
+ *     mass) vs which legitimately scale with dup mass (full inverted
+ *     index: posting lists 10× → pair join ~100×; its `_dfcut` variant
+ *     is the PB form for exactly this reason).
+ *
+ * Writes `scale_probe.json`; `Bench` embeds that file into
+ * `bench_detail.json` (key "scaling") so the per-round artifact carries
+ * the exponents.
+ *
+ * Usage: `sbt "runMain graft.tools.ScaleProbe [smallDir bigDir outPath]"`
+ */
+object ScaleProbe {
+
+  private val probeQueries = Seq(
+    "dedup_ngram_jaccard", "dedup_ngram_jaccard_dfcut", "dedup_jaccard_prefix",
+    "dedup_containment", "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_wide",
+    "dedup_clusters", "dedup_clusters_ls", "dedup_clusters_incr", "dedup_keep_best",
+    "dedup_embedding_cosine", "sim_dup_clusters", "sim_knn_graph")
+
+  /** queries that only touch documents.parquet / embeddings.parquet —
+    * the only tables the mirror dir materializes. */
+  private val mirrorQueries = probeQueries
+
+  private def q(s: String): String = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  private def time2[A](f: () => A): (Double, A) = {
+    f() // warmup (materializes memoized signature tables for the dir)
+    val t0 = System.nanoTime(); val r = f(); val d1 = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime(); f(); val d2 = (System.nanoTime() - t1) / 1e9
+    (math.min(d1, d2), r)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val small = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
+    val big = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val out = if (args.length > 2) args(2) else "scale_probe.json"
+    val copies = 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // ---- mirror corpus: `copies` × small, ids remapped per copy ----
+    val mirrorDir = java.nio.file.Files.createTempDirectory("graft-mirror").toString
+    val docs = spark.read.parquet(s"$small/documents.parquet")
+    val off = docs.agg(max(col("doc_id"))).collect()(0).getLong(0) + 1L
+    (0 until copies).map(c => docs.withColumn("doc_id", col("doc_id") + lit(c * off)))
+      .reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$mirrorDir/documents.parquet")
+    val embs = spark.read.parquet(s"$small/embeddings.parquet")
+    val voff = embs.agg(max(col("vec_id"))).collect()(0).getLong(0) + 1L
+    (0 until copies).map(c => embs.withColumn("vec_id", col("vec_id") + lit(c * voff)))
+      .reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$mirrorDir/embeddings.parquet")
+
+    val nSmall = docs.count().toDouble
+    val nBig = spark.read.parquet(s"$big/documents.parquet").count().toDouble
+    val ratio = nBig / nSmall
+
+    def runAll(dir: String, names: Seq[String]): Map[String, (Double, Long)] =
+      names.map { name =>
+        val fn = graft.SparkEntry.queries(name)
+        System.err.println(s"[scale] $name @ $dir")
+        val (t, rows) = time2(() => fn(spark, dir).count())
+        name -> (t, rows)
+      }.toMap
+
+    val sSmall = runAll(small, probeQueries)
+    val sBig = runAll(big, probeQueries)
+    val sMirror = runAll(mirrorDir, mirrorQueries)
+
+    def ln(x: Double) = math.log(math.max(x, 1e-9))
+    val entries = probeQueries.map { name =>
+      val (ts, rs) = sSmall(name)
+      val (tb, rb) = sBig(name)
+      val eT = ln(tb / ts) / ln(ratio)
+      val eR = ln(math.max(rb, 1).toDouble / math.max(rs, 1)) / ln(ratio)
+      val (tm, rm) = sMirror(name)
+      s"""${q(name)}:{"t_small":${f(ts)},"t_big":${f(tb)},"rows_small":$rs,"rows_big":$rb,"exp_time":${f(eT)},"exp_rows":${f(eR)},"t_mirror10x":${f(tm)},"rows_mirror10x":$rm,"mirror_vs_natural_rows":${f(rm.toDouble / math.max(rb, 1))}}"""
+    }
+    val json =
+      s"""{"n_small":${nSmall.toLong},"n_big":${nBig.toLong},"scale_ratio":${f(ratio)},"mirror_copies":$copies,"note":"exp_* from the natural sf ladder (t ~ n^e); mirror10x = small unioned ${copies}x with remapped ids (duplication pathology at the big row count)","queries":{${entries.mkString(",")}}}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(out), (json + "\n").getBytes("UTF-8"))
+    System.err.println(s"[scale] wrote $out")
+    spark.stop()
+  }
+
+  private def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+}

@@ -81,6 +81,22 @@ class FastEquivalenceSpec extends SparkSpec {
     got.foreach(r => assert(r.getLong(0) == r.getLong(1), s"mismatch on $r"))
   }
 
+  test("simhash62: native expression == UDF tier; lower 16 of the low half == simhash16 votes") {
+    import spark.implicits._
+    val samples = (1 to 30).flatMap(_ => text.sample)
+    val df = samples.toDF("text")
+    val got = df.select(
+      Fast.simhash62Fast(col("text")).as("native"),
+      Fast.simhash62Udf(col("text")).as("udf"),
+      Fast.simhash16Fast(col("text")).as("s16")
+    ).collect()
+    got.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), s"mismatch on $r")
+      // bits 0-15 vote on the same token-hash bits as simhash16
+      assert((r.getLong(0) & 0xFFFFL) == r.getLong(2), s"low-band mismatch on $r")
+    }
+  }
+
   test("LSH buckets: JVM == Column") {
     import spark.implicits._
     val vecs = (1 to 20).map(i => Array.tabulate(64)(j => ((i * 37 + j * 11) % 100 - 50) / 29.0f))
