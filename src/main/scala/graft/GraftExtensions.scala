@@ -94,10 +94,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // corpus before the exact verify join. might_contain requires the
     // bloom argument to be foldable or a scalar subquery (it is evaluated
     // once, not per row).
+    // graft_bloom_agg(hash[, expected_items]): the optional second argument
+    // sizes the filter to the REGISTRY'S actual cardinality (8 bits/key).
+    // Spark's default sizing assumes 1M items → a ~1 MiB filter regardless
+    // of input; since the scalar-subquery result rides every downstream
+    // stage's task binary, an unsized bloom is what produced the
+    // `Broadcasting large task binary with size 2.1 MiB` bench warnings.
+    // A decontamination registry's size is known (it's a curated eval
+    // suite), so callers state it and the filter shrinks to match.
     ext.injectFunction((
       new FunctionIdentifier("graft_bloom_agg"),
       new ExpressionInfo(classOf[GraftExtensions].getName, "graft_bloom_agg"),
-      (children: Seq[Expression]) => new BloomFilterAggregate(children.head)
+      (children: Seq[Expression]) => {
+        val items = literalK("graft_bloom_agg", children.lift(1), 1000000)
+        new BloomFilterAggregate(children.head, items.toLong)
+      }
     ))
     ext.injectFunction((
       new FunctionIdentifier("graft_bloom_contains"),

@@ -251,7 +251,11 @@ object CorpusQueries {
     // is lost), and only the surviving sliver pays the exact verify join
     // — forced to a shuffle (merge) join, the plan you'd run when
     // neither side broadcasts. Result is oracled identical to the exact
-    // form: the bloom's false positives are eliminated by the join
+    // form: the bloom's false positives are eliminated by the join.
+    // The 65536-item capacity states the registry's real cardinality
+    // (~27k distinct bench spans at sf0.1) — unsized, Spark assumes 1M
+    // items and builds a ~1 MiB filter that rides every downstream
+    // stage's task binary (the 2.1 MiB task-binary bench warnings)
     "text_decontam_bloom" -> { (s: SparkSession, dir: String) =>
       Tables.spanPostings(s, dir).createOrReplaceTempView("graft_span_posts")
       s.sql(
@@ -261,7 +265,7 @@ object CorpusQueries {
           |  SELECT id, span_h FROM graft_span_posts
           |  WHERE id % 10 <> 0
           |    AND graft_bloom_contains(
-          |          (SELECT graft_bloom_agg(span_h) FROM graft_span_posts WHERE id % 10 = 0),
+          |          (SELECT graft_bloom_agg(span_h, 65536) FROM graft_span_posts WHERE id % 10 = 0),
           |          span_h)
           |)
           |SELECT /*+ MERGE(b) */ c.id AS doc_id,
