@@ -110,6 +110,59 @@ object Dedup {
   }
 
   /**
+   * WEIGHTED sparse-cosine near-dup pairs (the all-pairs-similarity
+   * shape, Bayardo et al. 2007): tf-idf cosine over the token inverted
+   * index — the weighted complement of [[ngramJaccardPairsFromSets]]'s
+   * set semantics (repeated rare terms count; ubiquitous tokens don't).
+   *
+   * Exactness contract: weights are integer (tf × capped rational idf
+   * `(1000·N) div df`, capped at 100000 so norms² stay well inside
+   * int64), so dot products and norms² are exact longs; only the final
+   * cos² ratio is IEEE double, floored at ×1e6. Thresholding on cos²
+   * avoids any sqrt (libm-free, engine-portable).
+   *
+   * Scale: the `[minDf, maxDf]` band IS the candidate pruner — df < 2
+   * cannot produce a pair, df > maxDf is the hot-postings cutoff
+   * bounding per-token join fanout (same PB discipline as the shingle
+   * DF cut; pairs sharing ONLY hot tokens are lost — stated contract).
+   * One weighted-posting pass is shared by the norm aggregation and
+   * both join sides.
+   *
+   * Returns (a, b, n_shared, cos_sq_x1e6) for pairs with
+   * cos² ≥ thresholdCosSqX1e6 / 1e6.
+   */
+  def sparseCosinePairs(docs: DataFrame, thresholdCosSqX1e6: Long,
+                        minDf: Int = 2, maxDf: Int = 100,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("did"), explode(Hashing.toks(col(textCol))).as("tok"))
+      .groupBy("did", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf && col("df") <= maxDf)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = tf.join(dfreq, "tok")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("w", col("tf") * least(expr("(1000 * n_docs) div df"), lit(100000L)))
+      .select(col("did"), col("tok"), col("w"))
+      .localCheckpoint()
+    val norms = w.groupBy("did").agg(sum(col("w") * col("w")).as("n2"))
+    val dot = w.select(col("did").as("a"), col("tok"), col("w").as("wa"))
+      .join(w.select(col("did").as("b"), col("tok").as("tok_b"), col("w").as("wb")),
+        col("tok") === col("tok_b") && col("a") < col("b"))
+      .groupBy("a", "b")
+      .agg(sum(col("wa") * col("wb")).as("dot"), count(lit(1)).as("n_shared"))
+    dot
+      .join(norms.select(col("did").as("a"), col("n2").as("na2")), "a")
+      .join(norms.select(col("did").as("b"), col("n2").as("nb2")), "b")
+      .withColumn("cos_sq_x1e6",
+        floor(col("dot").cast("double") * col("dot").cast("double")
+          / (col("na2").cast("double") * col("nb2").cast("double"))
+          * lit(1000000.0)).cast("long"))
+      .filter(col("cos_sq_x1e6") >= thresholdCosSqX1e6)
+      .select(col("a"), col("b"), col("n_shared"), col("cos_sq_x1e6"))
+  }
+
+  /**
    * MinHash+LSH candidate pairs, verified by exact Jaccard.
    * shingle → minhash(k=8) → 4 bands × 2 rows → equality join on
    * (band, r0, r1) → exact Jaccard ≥ threshold on candidates only.
@@ -165,6 +218,48 @@ object Dedup {
         floor(lit(1000.0) * col("c") / (col("na") + col("nb") - col("c"))).cast("long"))
       .filter(col("jaccard_x1000") >= thresholdX1000)
       .select(col("a"), col("b"), col("jaccard_x1000"))
+  }
+
+  /**
+   * MinHash ESTIMATOR-QUALITY panel: for every LSH candidate pair, the
+   * signature-estimated Jaccard (matching positions / 8) next to the
+   * exact set Jaccard, with the absolute error. This is the minhash
+   * family's drift alarm, the same role `sim_recall` plays for the ANN
+   * quantizers: the LSH gate queries only ever act on VERIFIED pairs, so
+   * a silently degraded estimator (bad hash mix, wrong band shape) would
+   * otherwise show up only as missing recall. The panel makes estimator
+   * error itself a value-oracled quantity — both engines compute the
+   * identical integer signatures, so expected error (σ ≈ 1/√8 ≈ 0.35 per
+   * pair, E[est] = J) is pinned exactly, not tolerance-gated.
+   * Returns (a, b, n_match_rows, est_x1000, jaccard_x1000, err_x1000).
+   */
+  def minhashEstimatePairsFromSets(sets: DataFrame): DataFrame = {
+    val sig = sets.withColumn("sig", graft.functions.Fast.minhashFast(col("sh")))
+      .select(col("id"), col("sh"), col("n_sh"), col("sig")).localCheckpoint()
+    val banded = bandedSignatures(sets)
+    val l = banded.select(col("id").as("a"), col("band"), col("r0"), col("r1"))
+    val r = banded.select(col("id").as("b"), col("band").as("band_r"),
+      col("r0").as("r0_r"), col("r1").as("r1_r"))
+    val cands = l
+      .join(r, l("band") === r("band_r") && l("r0") === r("r0_r") &&
+        l("r1") === r("r1_r") && l("a") < r("b"))
+      .select(col("a"), col("b"))
+      .dropDuplicates("a", "b")
+    cands
+      .join(sig.select(col("id").as("a"), col("sh").as("sha"), col("n_sh").as("na"),
+        col("sig").as("siga")), "a")
+      .join(sig.select(col("id").as("b"), col("sh").as("shb"), col("n_sh").as("nb"),
+        col("sig").as("sigb")), "b")
+      .withColumn("n_match_rows",
+        size(filter(zip_with(col("siga"), col("sigb"), (x, y) => x === y), m => m))
+          .cast("long"))
+      .withColumn("c", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("est_x1000", expr("(1000 * n_match_rows) div 8"))
+      .withColumn("jaccard_x1000",
+        floor(lit(1000.0) * col("c") / (col("na") + col("nb") - col("c"))).cast("long"))
+      .withColumn("err_x1000", abs(col("est_x1000") - col("jaccard_x1000")))
+      .select(col("a"), col("b"), col("n_match_rows"), col("est_x1000"),
+        col("jaccard_x1000"), col("err_x1000"))
   }
 
   /**
@@ -453,6 +548,58 @@ object Dedup {
       .groupBy("span_h")
       .agg(countDistinct(col("id")).as("n_docs"), count(lit(1)).as("n_occ"))
       .filter(col("n_docs") >= minDocs)
+
+  /**
+   * LONGEST shared verbatim passage per document pair — contamination
+   * DEPTH, where [[duplicateSpansFromPostings]] only gives breadth. Two
+   * docs sharing one boilerplate sentence and two docs where one embeds
+   * the other's whole body can have similar span-hit counts; what
+   * separates them is the longest RUN of consecutive matching spans.
+   *
+   * Distributed run-length detection without materializing texts: match
+   * positional span postings on span_h (a < b), group matches by the
+   * alignment DIAGONAL (pos_a − pos_b — a contiguous common substring
+   * advances both positions in lockstep, so its matches share one
+   * diagonal), and find maximal consecutive-pos_a runs per (a, b,
+   * diagonal) with the islands trick (pos_a − row_number is constant
+   * within a run). A run of L consecutive matching spans of width W
+   * covers L + W − 1 verbatim shared tokens.
+   *
+   * Scale: the span_h equality join is the inverted-index shape again —
+   * fanout per span bounded by its document frequency (hot boilerplate
+   * spans need the same DF cutoff as the shingle index; `maxSpanDf`
+   * prunes them from MATCHING, which truncates runs crossing a hot span
+   * — stated contract, same as the Jaccard DF cutoff). The run windows
+   * partition by (a, b, diagonal) — never global.
+   *
+   * Returns (a, b, longest_tokens, n_runs, n_matches) for pairs whose
+   * longest shared passage is ≥ minTokens tokens.
+   */
+  def longestSharedSpansFromPostings(post: DataFrame, minTokens: Int,
+                                     spanTokens: Int = 8,
+                                     maxSpanDf: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = maxSpanDf match {
+      case None => post
+      case Some(f) =>
+        val hot = post.groupBy("span_h").count().filter(col("count") > f)
+          .select(col("span_h").as("hot_h"))
+        post.join(broadcast(hot), post("span_h") === hot("hot_h"), "left_anti")
+    }
+    val a = p.select(col("id").as("a"), col("pos").as("pa"), col("span_h"))
+    val b = p.select(col("id").as("b"), col("pos").as("pb"), col("span_h").as("span_h_b"))
+    val m = a.join(b, col("span_h") === col("span_h_b") && col("a") < col("b"))
+      .select(col("a"), col("b"), col("pa"), col("pb"), (col("pa") - col("pb")).as("diag"))
+    val w = Window.partitionBy("a", "b", "diag").orderBy("pa")
+    m.withColumn("grp", col("pa") - row_number().over(w))
+      .groupBy("a", "b", "diag", "grp")
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy("a", "b")
+      .agg((max(col("run_len")) + lit(spanTokens - 1)).as("longest_tokens"),
+        count(lit(1)).as("n_runs"),
+        sum(col("run_len")).as("n_matches"))
+      .filter(col("longest_tokens") >= minTokens)
+  }
 
   /**
    * Per-document contamination profile: how much of each document is

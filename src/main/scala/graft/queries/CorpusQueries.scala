@@ -241,6 +241,36 @@ object CorpusQueries {
         .select(col("doc_id"), col("source"), col("bucket"), col("split"))
         .orderBy("doc_id")
     },
+    // PER-SOURCE ADAPTIVE QUALITY GATE: a fixed corpus-wide quality
+    // cutoff (corpus_curate's >= 550) over-prunes clean sources and
+    // under-prunes noisy ones; the adaptive form sets each source's
+    // threshold at its OWN sampled median. Stage 1 derives per-source
+    // p50 from the bottom-k sample sketch (one partial-aggregated pass,
+    // 128 (hash, value) pairs per source on the shuffle — no per-source
+    // sort ever); stage 2 re-scans once with the tiny threshold table
+    // broadcast into the scan. The sketch is a pure function of the
+    // input set, so thresholds AND keep-counts are fully value-oracled —
+    // the same determinism contract as agg_sampled_quantiles.
+    "corpus_adaptive_quality" -> { (s: SparkSession, dir: String) =>
+      val base = docs(s, dir).select(col("doc_id"), col("source"),
+        TextFunctions.qualityScoreX1000(col("text")).as("q"))
+      val h = (Hashing.strHash(concat(col("doc_id").cast("string"), lit("#aq")))
+        * lit(2654435761L)) % lit(2147483647L)
+      val thr = base
+        .select(col("source"), h.as("h"), col("q").cast("double").as("v"))
+        .groupBy("source")
+        .agg(call_function("graft_bottomk", col("h"), col("v"), lit(128)).as("sk"))
+        .select(col("source"), array_sort(map_values(col("sk"))).as("vs"))
+        .select(col("source"),
+          element_at(col("vs"), expr("cast((size(vs) + 1) div 2 as int)"))
+            .cast("long").as("thr_x1000"))
+      base.join(broadcast(thr), "source")
+        .groupBy("source")
+        .agg(max(col("thr_x1000")).as("thr_x1000"),
+          count(lit(1)).as("n_docs"),
+          sum(when(col("q") >= col("thr_x1000"), 1L).otherwise(0L)).as("n_kept"))
+        .orderBy("source")
+    },
     // bloom-pruned decontamination: SAME result contract as
     // text_decontam_ngram, different scale regime. There the bench side
     // broadcasts as a hash relation — right while the benchmark suite is
@@ -699,6 +729,42 @@ object CorpusQueries {
          |       WHEN bucket < 950 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM b ORDER BY doc_id""".stripMargin,
+    // replays the bottom-128-by-mixed-hash sample per source (distinct
+    // hash → min value, 128 smallest hashes, order statistic), then the
+    // same threshold filter — sketch determinism makes the whole gate
+    // value-comparable, exactly like agg_sampled_quantiles
+    "corpus_adaptive_quality" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source, text,
+         |         string_split_regex(trim(lower(text)), '\\s+') AS toks
+         |  FROM documents
+         |), b AS (
+         |  SELECT doc_id, source, $QUAL AS q FROM d
+         |), t AS (
+         |  SELECT source,
+         |    (${fpSql("doc_id::VARCHAR || '#aq'")} * 2654435761) % 2147483647 AS h,
+         |    CAST(q AS DOUBLE) AS v
+         |  FROM b
+         |), dd AS (
+         |  SELECT source, h, min(v) AS v FROM t GROUP BY 1, 2
+         |), r AS (
+         |  SELECT source, v,
+         |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+         |  FROM dd
+         |), qq AS (
+         |  SELECT source, v,
+         |    row_number() OVER (PARTITION BY source ORDER BY v) AS vr,
+         |    count(*) OVER (PARTITION BY source) AS ns
+         |  FROM r WHERE rn <= 128
+         |), thr AS (
+         |  SELECT source,
+         |    CAST(max(CASE WHEN vr = (ns + 1) // 2 THEN v END) AS BIGINT) AS thr_x1000
+         |  FROM qq GROUP BY 1
+         |)
+         |SELECT b.source, max(thr.thr_x1000) AS thr_x1000, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN b.q >= thr.thr_x1000 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM b JOIN thr ON b.source = thr.source
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // identical oracle to text_decontam_ngram by design: the bloom is a
     // pre-filter with no false negatives; the verify join removes its
     // false positives, so the result must match the exact form

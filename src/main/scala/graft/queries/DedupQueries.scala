@@ -228,6 +228,24 @@ object DedupQueries {
       Dedup.containmentPairsFromSets(Tables.shingleSets(s, dir), thresholdX1000 = 600)
         .orderBy("a", "b")
     },
+    // contamination DEPTH: longest run of consecutive matching 8-token
+    // spans per doc pair (alignment-diagonal islands over the positional
+    // posting join) — separates "share one boilerplate sentence" from
+    // "one document embeds the other". Windows partition by (a, b,
+    // diagonal); the span join is the inverted-index shape with the DF
+    // cutoff as its scale knob
+    "dedup_longest_span" -> { (s: SparkSession, dir: String) =>
+      Dedup.longestSharedSpansFromPostings(Tables.spanPostings(s, dir), minTokens = 12)
+        .orderBy("a", "b")
+    },
+    // the minhash family's drift alarm (sim_recall's role for the ANN
+    // quantizers): per LSH candidate pair, signature-estimated vs exact
+    // Jaccard with absolute error — estimator quality as a value-oracled
+    // quantity, since both engines build identical integer signatures
+    "dedup_minhash_estimate" -> { (s: SparkSession, dir: String) =>
+      Dedup.minhashEstimatePairsFromSets(Tables.shingleSets(s, dir))
+        .orderBy("a", "b")
+    },
     // ---- deterministic 25% subset (doc_id % 4 == 0) scale-validation
     // forms: the parent pair/cluster oracles are quadratic DuckDB CTEs
     // that cannot finish at sf0.1; these keep candidate generation +
@@ -666,6 +684,56 @@ object DedupQueries {
          |  FROM inv l JOIN inv r ON l.h = r.h AND l.doc_id < r.doc_id
          |  GROUP BY 1, 2
          |) WHERE cont_x1000 >= 600 ORDER BY a, b""".stripMargin,
+    // positional span postings (sp's list index IS the 1-based start
+    // token; Spark's 0-based posexplode offset cancels in the diagonal),
+    // islands per (a, b, diagonal), max run + 7 = longest shared tokens
+    "dedup_longest_span" ->
+      s"""$SPANS, postp AS (
+         |  SELECT doc_id, g.i AS pos, sps[g.i] AS span_h
+         |  FROM sp, (SELECT unnest(generate_series(1, 256)) AS i) g
+         |  WHERE g.i <= len(sps)
+         |), m AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b, x.pos AS pa,
+         |    x.pos - y.pos AS diag
+         |  FROM postp x JOIN postp y ON x.span_h = y.span_h AND x.doc_id < y.doc_id
+         |), r AS (
+         |  SELECT a, b, diag, pa,
+         |    pa - row_number() OVER (PARTITION BY a, b, diag ORDER BY pa) AS grp
+         |  FROM m
+         |), runs AS (
+         |  SELECT a, b, diag, grp, count(*) AS run_len FROM r GROUP BY 1, 2, 3, 4
+         |)
+         |SELECT a, b, CAST(max(run_len) + 7 AS BIGINT) AS longest_tokens,
+         |  count(*) AS n_runs, CAST(sum(run_len) AS BIGINT) AS n_matches
+         |FROM runs GROUP BY a, b HAVING max(run_len) + 7 >= 12
+         |ORDER BY a, b""".stripMargin,
+    // same signature/band/candidate chain as dedup_minhash_lsh, emitting
+    // the estimator panel instead of the verified filter
+    "dedup_minhash_estimate" ->
+      s"""WITH $SHB, sig AS (
+         |  SELECT doc_id, sh, len(sh) AS n,
+         |    $sigExprs AS sig
+         |  FROM shs WHERE len(sh) > 0
+         |), band AS (
+         |  SELECT doc_id, u.band, sig[u.band * 2 + 1] AS r0, sig[u.band * 2 + 2] AS r1
+         |  FROM sig, unnest([0, 1, 2, 3]) AS u(band)
+         |), cand AS (
+         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |  FROM band l JOIN band r
+         |    ON l.band = r.band AND l.r0 = r.r0 AND l.r1 = r.r1 AND l.doc_id < r.doc_id
+         |), j AS (
+         |  SELECT c.a, c.b,
+         |    CAST(len(list_filter(range(1, 9), i -> x.sig[i] = y.sig[i])) AS BIGINT)
+         |      AS n_match_rows,
+         |    len(list_intersect(x.sh, y.sh)) AS c, x.n AS na, y.n AS nb
+         |  FROM cand c JOIN sig x ON c.a = x.doc_id JOIN sig y ON c.b = y.doc_id
+         |)
+         |SELECT a, b, n_match_rows,
+         |  CAST((1000 * n_match_rows) // 8 AS BIGINT) AS est_x1000,
+         |  CAST(floor(1000.0 * c / (na + nb - c)) AS BIGINT) AS jaccard_x1000,
+         |  CAST(abs((1000 * n_match_rows) // 8
+         |       - CAST(floor(1000.0 * c / (na + nb - c)) AS BIGINT)) AS BIGINT) AS err_x1000
+         |FROM j ORDER BY a, b""".stripMargin,
     "dedup_lines" ->
       s"""$LINES
          |SELECT l.doc_id, count(*) AS n_lines,

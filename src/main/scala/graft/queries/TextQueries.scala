@@ -366,6 +366,20 @@ object TextQueries {
           floor(col("score")).cast("long").as("tfidf_x1000"))
         .orderBy(col("doc_id"), col("tfidf_x1000").desc, col("tok"))
     },
+    // WEIGHTED SPARSE SIMILARITY JOIN (the all-pairs-similarity shape,
+    // Bayardo et al. 2007): tf-idf cosine over the token inverted index —
+    // the WEIGHTED complement of dedup_ngram_jaccard's set semantics
+    // (repeated rare terms count; shared stopwords don't). Weights are
+    // integer (tf × capped rational idf), so dot products and norms² are
+    // exact longs; only the final cos² ratio is IEEE, floored at 1e6.
+    // Scale: the df ∈ [2, 100] band IS the candidate pruner — df < 2
+    // can't pair, df > 100 is the hot-postings cutoff that bounds the
+    // per-token join fanout (same PB-scale discipline as the shingle DF
+    // cut); thresholding on cos² avoids any sqrt.
+    "text_sparse_cosine" -> { (s: SparkSession, dir: String) =>
+      graft.dedup.Dedup.sparseCosinePairs(docs(s, dir), thresholdCosSqX1e6 = 250000L)
+        .orderBy("a", "b")
+    },
     // within-document repetition (Gopher-style duplication quality
     // signals): duplicate-token and duplicate-bigram fractions. Map-only,
     // codegen'd array algebra — no shuffle.
@@ -713,6 +727,33 @@ object TextQueries {
          |SELECT doc_id, tok, tf, CAST(floor(score) AS BIGINT) AS tfidf_x1000
          |FROM rk WHERE rk <= 5
          |ORDER BY doc_id, tfidf_x1000 DESC, tok""".stripMargin,
+    // identical integer weights (tf × capped (1000·N)//df idf), identical
+    // left-to-right IEEE order in the final cos² ratio: (dot·dot) /
+    // (na2·nb2) then ×1e6, floored
+    "text_sparse_cosine" ->
+      s"""$D, t AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+         |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1
+         |        HAVING count(*) BETWEEN 2 AND 100),
+         |nn AS (SELECT count(*) AS n_docs FROM d),
+         |w AS (
+         |  SELECT f.doc_id, f.tok,
+         |    f.tf * least((1000 * n.n_docs) // q.df, 100000) AS w
+         |  FROM tf f JOIN dfq q USING (tok) CROSS JOIN nn n
+         |), nrm AS (SELECT doc_id, sum(w * w) AS n2 FROM w GROUP BY 1),
+         |dt AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b,
+         |    sum(x.w * y.w) AS dot, count(*) AS n_shared
+         |  FROM w x JOIN w y ON x.tok = y.tok AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT a, b, CAST(n_shared AS BIGINT) AS n_shared, cos_sq_x1e6 FROM (
+         |  SELECT dt.a, dt.b, dt.n_shared,
+         |    CAST(floor(CAST(dt.dot AS DOUBLE) * CAST(dt.dot AS DOUBLE)
+         |         / (CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))
+         |         * 1000000.0) AS BIGINT) AS cos_sq_x1e6
+         |  FROM dt JOIN nrm na ON dt.a = na.doc_id JOIN nrm nb ON dt.b = nb.doc_id
+         |) WHERE cos_sq_x1e6 >= 250000 ORDER BY a, b""".stripMargin,
     "text_repetition" ->
       s"""$D, b AS (
          |  SELECT doc_id, toks,

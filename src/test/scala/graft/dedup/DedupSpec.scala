@@ -136,6 +136,78 @@ class DedupSpec extends SparkSpec {
       Map(3L -> 3L, 7L -> 3L, 9L -> 3L, 15L -> 15L, 20L -> 15L, 40L -> 15L, 41L -> 15L))
   }
 
+  test("longest shared span finds passage length, ignores sub-threshold boilerplate") {
+    import spark.implicits._
+    // a 20-token passage shared by docs 1 and 2 at DIFFERENT offsets; an
+    // 8-token boilerplate line shared by docs 1 and 3 (below minTokens=12)
+    val passage = (1 to 20).map(i => s"p$i").mkString(" ")
+    val boiler = (1 to 8).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$boiler one two $passage tail1 tail2"),
+      (2L, s"lead1 $passage other words here"),
+      (3L, s"$boiler completely different continuation of text")
+    ).toDF("doc_id", "text")
+    val runs = Dedup.longestSharedSpansFromPostings(Dedup.spanPostings(docs), minTokens = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(runs == Map((1L, 2L) -> 20L), s"got $runs")
+    // the boilerplate pair IS present at an 8-token floor
+    val all = Dedup.longestSharedSpansFromPostings(Dedup.spanPostings(docs), minTokens = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(all((1L, 3L)) == 8L)
+    assert(all((1L, 2L)) == 20L)
+  }
+
+  test("longest shared span: two disjoint shared passages are separate runs") {
+    import spark.implicits._
+    val p1 = (1 to 12).map(i => s"x$i").mkString(" ")
+    val p2 = (1 to 14).map(i => s"y$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$p1 mid1 mid2 mid3 $p2"),
+      (2L, s"$p2 gap1 gap2 gap3 gap4 $p1")
+    ).toDF("doc_id", "text")
+    val r = Dedup.longestSharedSpansFromPostings(Dedup.spanPostings(docs), minTokens = 12)
+      .collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(2) == 14L, s"longest must be the 14-token passage: $row")
+    assert(row.getLong(3) == 2L, s"two maximal runs expected: $row")
+  }
+
+  test("minhash estimator panel: identical docs estimate and verify at 1000 exactly") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "unrelated content entirely different words over here today now")
+    ).toDF("doc_id", "text")
+    val panel = Dedup.minhashEstimatePairsFromSets(Dedup.shingleSets(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // identical docs: every signature row matches, exact jaccard 1000, error 0
+    assert(panel((1L, 2L)) == ((8L, 1000L, 1000L, 0L)))
+    // the disjoint doc never becomes an LSH candidate of the pair
+    assert(panel.keySet == Set((1L, 2L)))
+  }
+
+  test("sparse cosine: identical docs at exactly 1e6; stopword-only overlap pruned") {
+    import spark.implicits._
+    // rare-term docs identical up to token order (cosine ignores order);
+    // doc 30 shares only ubiquitous tokens with everything else
+    val common = "the of and is to"
+    val docs = ((0L until 10L).map(i => (i, s"$common filler$i pad$i extra$i more$i")) ++ Seq(
+      (20L, s"quantum lattice spectral manifold tensor eigen flux"),
+      (21L, s"eigen flux tensor manifold spectral lattice quantum"),
+      (30L, common)
+    )).toDF("doc_id", "text")
+    val pairs = Dedup.sparseCosinePairs(docs, thresholdCosSqX1e6 = 250000L, maxDf = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    // identical multisets: dot² == na2·nb2 exactly → floor(1e6 · 1) == 1e6
+    assert(pairs((20L, 21L)) == 1000000L)
+    // `common` tokens have df == 11 > maxDf: docs sharing only those never
+    // pair (each filler doc's other tokens are df == 1 < minDf)
+    assert(pairs.keySet == Set((20L, 21L)), s"got ${pairs.keySet}")
+  }
+
   test("simhash of identical docs is identical; hamming of disjoint docs > 0") {
     import spark.implicits._
     val docs = Seq(
