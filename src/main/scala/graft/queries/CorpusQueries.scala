@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.corpus.{Chunking, LmScore, Packing, Sampling}
-import graft.dedup.Hashing
+import graft.dedup.{Dedup, Hashing}
 import graft.functions.TextFunctions
 
 /**
@@ -240,6 +240,31 @@ object CorpusQueries {
       Sampling.splitAssign(docs(s, dir), salt = "split", trainPermille = 900, valPermille = 50)
         .select(col("doc_id"), col("source"), col("bucket"), col("split"))
         .orderBy("doc_id")
+    },
+    // SPLIT LEAKAGE AUDIT: near-duplicate pairs that CROSS a train/val/
+    // test boundary — the eval-contamination check every split must pass
+    // before training (a val doc with a 97% train near-twin is a leaked
+    // label). Composes the banded minhash pair generator (bounded
+    // candidate set, never all-pairs) with the stable hash-bucket split;
+    // the split table joins onto the pair set by doc id — at 100 TB the
+    // pair set is the small side and the split assignment is a pure
+    // map-side function, so the audit costs one LSH pass + two cheap
+    // joins. Output: leak counts and worst-case similarity per split
+    // pair — nonzero rows here quarantine the affected eval docs.
+    "corpus_split_leakage" -> { (s: SparkSession, dir: String) =>
+      val split = Sampling.splitAssign(docs(s, dir), salt = "split",
+        trainPermille = 900, valPermille = 50)
+        .select(col("doc_id"), col("split"))
+      Dedup.minhashLshPairsFromSets(Tables.shingleSets(s, dir), thresholdX1000 = 300)
+        .join(split.select(col("doc_id").as("a"), col("split").as("split_a")), "a")
+        .join(split.select(col("doc_id").as("b"), col("split").as("split_b")), "b")
+        .filter(col("split_a") =!= col("split_b"))
+        .select(least(col("split_a"), col("split_b")).as("split_lo"),
+          greatest(col("split_a"), col("split_b")).as("split_hi"),
+          col("jaccard_x1000"))
+        .groupBy(col("split_lo"), col("split_hi"))
+        .agg(count(lit(1)).as("n_leaks"), max(col("jaccard_x1000")).as("max_jaccard_x1000"))
+        .orderBy("split_lo", "split_hi")
     },
     // PER-SOURCE ADAPTIVE QUALITY GATE: a fixed corpus-wide quality
     // cutoff (corpus_curate's >= 550) over-prunes clean sources and
@@ -729,6 +754,23 @@ object CorpusQueries {
          |       WHEN bucket < 950 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM b ORDER BY doc_id""".stripMargin,
+    // replays the banded-minhash pair CTEs (shared verbatim with the
+    // dedup_minhash_lsh oracle) against the same stable split buckets
+    "corpus_split_leakage" ->
+      s"""WITH ${DedupQueries.minhashPairCtes}, sp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN ${fpSql("doc_id::VARCHAR || '#split'")} % 1000 < 900 THEN 'train'
+         |         WHEN ${fpSql("doc_id::VARCHAR || '#split'")} % 1000 < 950 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents
+         |)
+         |SELECT least(x.split, y.split) AS split_lo,
+         |       greatest(x.split, y.split) AS split_hi,
+         |       count(*) AS n_leaks,
+         |       CAST(max(jaccard_x1000) AS BIGINT) AS max_jaccard_x1000
+         |FROM pairs p JOIN sp x ON p.a = x.doc_id JOIN sp y ON p.b = y.doc_id
+         |WHERE x.split <> y.split
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // replays the bottom-128-by-mixed-hash sample per source (distinct
     // hash → min value, 128 smallest hashes, order statistic), then the
     // same threshold filter — sketch determinism makes the whole gate

@@ -445,6 +445,32 @@ object RelationalQueries {
     // filtered fact scan; both the conditional and total sums come out
     // of ONE aggregation (no second pass); the share is exact integer
     // permille of the two centi-unit sums.
+    // CUBE REPORT: orders revenue by (nation × priority) with ALL
+    // subtotal planes in one pass — the grouping-sets family (SURVEY
+    // §2.7 OLAP breadth; agg_rollup covers the hierarchy form, this
+    // covers the full lattice). Spark expands each input row into the 4
+    // grouping sets MAP-SIDE and partial-aggregates before the single
+    // shuffle, so the wire carries at most 4× the distinct group count,
+    // never 4× the data. Dims broadcast into the fact scan. NULL group
+    // markers are folded to 'ALL' (both dims are non-null in the data,
+    // so the marker is unambiguous and the DuckDB CUBE mirrors exactly).
+    "olap_cube" -> { (s: SparkSession, dir: String) =>
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val nat = s.read.parquet(s"$dir/nation.parquet")
+        .select(col("n_nationkey"), col("n_name"))
+      s.read.parquet(s"$dir/orders.parquet")
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("nation"), col("o_orderpriority").as("priority"),
+          floor(col("o_totalprice") * lit(100.0)).cast("long").as("cents"))
+        .cube(col("nation"), col("priority"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("revenue_x100"))
+        .select(coalesce(col("nation"), lit("ALL")).as("nation"),
+          coalesce(col("priority"), lit("ALL")).as("priority"),
+          col("n_orders"), col("revenue_x100"))
+        .orderBy("nation", "priority")
+    },
     "olap_promo_share" -> { (s: SparkSession, dir: String) =>
       val lo = lit("1996-01-01").cast("timestamp")
       val hi = lit("1996-04-01").cast("timestamp")
@@ -662,6 +688,15 @@ object RelationalQueries {
          |  AND r_name = 'ASIA'
          |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
          |GROUP BY 1 ORDER BY revenue_x100 DESC, n_name ASC""".stripMargin,
+    "olap_cube" ->
+      s"""SELECT coalesce(n_name, 'ALL') AS nation,
+         |  coalesce(o_orderpriority, 'ALL') AS priority,
+         |  count(*) AS n_orders,
+         |  CAST(sum(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS revenue_x100
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY CUBE (n_name, o_orderpriority)
+         |ORDER BY nation, priority""".stripMargin,
     "olap_promo_share" ->
       s"""WITH j AS (
          |  SELECT p_type,

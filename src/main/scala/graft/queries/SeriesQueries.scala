@@ -123,6 +123,32 @@ object SeriesQueries {
           max(col("position")).as("max_pos"))
         .orderBy("shard")
     },
+    // COMPACTION BIN PLANNER: greedy small-file packing — the lakehouse
+    // maintenance op that turns a day's worth of tiny per-shard files
+    // into target-sized compaction groups. Files are modeled at the
+    // (day, writer-shard) grain with a byte estimate from payload
+    // lengths; within each day the running byte total div the target
+    // size assigns the bin (greedy first-fit in shard order, the
+    // deterministic textbook form). The window partitions BY DAY — its
+    // input is bounded by writers-per-day (64 here), never by log
+    // length, so the plan survives any corpus size; days pack in
+    // parallel. Output: one row per (day, bin) = one compaction task.
+    "log_compaction_bins" -> { (s: SparkSession, dir: String) =>
+      val files = Fixture.raw(s, dir)
+        .select(expr("unix_micros(ts) div 86400000000").as("day"),
+          pmod(col("user_id"), lit(64L)).as("shard"),
+          (length(col("props")).cast("long") + lit(64L)).as("bytes"))
+        .groupBy(col("day"), col("shard"))
+        .agg(sum(col("bytes")).as("bytes"))
+      val w = Window.partitionBy("day").orderBy("shard")
+      files
+        .withColumn("cum", sum(col("bytes")).over(w))
+        .withColumn("bin", expr("(cum - 1) div 4096"))
+        .groupBy(col("day"), col("bin"))
+        .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("bin_bytes"),
+          min(col("shard")).as("first_shard"), max(col("shard")).as("last_shard"))
+        .orderBy("day", "bin")
+    },
     // FIXED-BIN HISTOGRAM: per-event-type distribution of the payload
     // value over 10 equal-width bins of the GLOBAL range. The global
     // min/max is one tiny aggregation broadcast back into a map-side
@@ -419,6 +445,20 @@ object SeriesQueries {
          |     + (CASE WHEN position > b7 THEN 1 ELSE 0 END) AS BIGINT) AS shard,
          |  count(*) AS n, min(position) AS min_pos, max(position) AS max_pos
          |FROM ev, b GROUP BY 1 ORDER BY 1""".stripMargin,
+    "log_compaction_bins" ->
+      """WITH f AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day, user_id % 64 AS shard,
+        |         CAST(sum(len(props) + 64) AS BIGINT) AS bytes
+        |  FROM events GROUP BY 1, 2
+        |), c AS (
+        |  SELECT day, shard, bytes,
+        |         sum(bytes) OVER (PARTITION BY day ORDER BY shard) AS cum
+        |  FROM f
+        |)
+        |SELECT day, CAST((cum - 1) // 4096 AS BIGINT) AS bin,
+        |       count(*) AS n_files, CAST(sum(bytes) AS BIGINT) AS bin_bytes,
+        |       min(shard) AS first_shard, max(shard) AS last_shard
+        |FROM c GROUP BY 1, 2 ORDER BY day, bin""".stripMargin,
     "agg_histogram" ->
       s"""$EV, v AS (
          |  SELECT event_type, CAST(floor(value * 1000.0) AS BIGINT) AS vx FROM ev

@@ -307,6 +307,33 @@ object TextQueries {
         .orderBy(col("n").desc, col("bigram").asc)
         .limit(20)
     },
+    // POSITIONAL PHRASE SEARCH: exact multi-word phrase lookup via the
+    // positional inverted index — the index-join formulation (postings
+    // for term i joined to term i+1 at pos+1), not a regex scan. The
+    // postings explode filters to the phrase's terms BEFORE any shuffle,
+    // so the joined relations are per-term posting lists (tiny vs the
+    // corpus); each join keys on (doc_id, pos) and the per-term lists
+    // broadcast or shuffle-join by size. At 100 TB this is the stored
+    // inverted-index probe — the scan-side explode stands in for the
+    // index lookup, the join chain is identical.
+    "text_phrase_search" -> { (s: SparkSession, dir: String) =>
+      val phrase = Seq("slow", "hash", "batch")
+      val posts = docs(s, dir)
+        .select(col("doc_id"), posexplode(split(trim(lower(col("text"))), "\\s+")))
+        .toDF("doc_id", "pos", "tok")
+        .filter(col("tok").isin(phrase: _*))
+      val first = posts.filter(col("tok") === phrase.head)
+        .select(col("doc_id"), col("pos"))
+      val hits = phrase.zipWithIndex.drop(1).foldLeft(first) { case (acc, (t, i)) =>
+        acc.join(
+          posts.filter(col("tok") === t)
+            .select(col("doc_id"), (col("pos") - i).as("pos")),
+          Seq("doc_id", "pos"))
+      }
+      hits.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_hits"), min(col("pos")).cast("long").as("first_pos"))
+        .orderBy("doc_id")
+    },
     "text_token_stats" -> { (s: SparkSession, dir: String) =>
       docs(s, dir).select(
         col("doc_id"),
@@ -655,6 +682,19 @@ object TextQueries {
         |)
         |SELECT bigram, count(*) AS n FROM b GROUP BY bigram
         |ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin,
+    // the oracle scans token lists positionally (index arithmetic over
+    // the split array) — same tokenization, same 0-based first_pos
+    "text_phrase_search" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id, unnest(list_filter(range(1, greatest(len(toks) - 2, 0) + 1),
+        |    i -> toks[i] = 'slow' AND toks[i + 1] = 'hash' AND toks[i + 2] = 'batch')) AS ipos
+        |  FROM d WHERE len(toks) >= 3
+        |)
+        |SELECT doc_id, count(*) AS n_hits, CAST(min(ipos) - 1 AS BIGINT) AS first_pos
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_vocab" ->
       """WITH t AS (
         |  SELECT source,
