@@ -82,6 +82,25 @@ object DedupQueries {
         .select(col("a"), col("b"), col("c"))
         .orderBy("a", "b", "c")
     },
+    // LABEL PROPAGATION over the near-dup graph: seed 20% of docs with
+    // their source label and flood majority-vote labels outward 3 rounds
+    // (graft.sim.Graph.labelPropagate) — the weak-supervision op that
+    // labels the unlabeled bulk of a corpus from a trusted subset. The
+    // graph is the banded-minhash pair set (bounded candidates, never
+    // all-pairs); each round costs one edges⋈labeled join + one
+    // partial-aggregated vote count + a struct-min argmax (no window).
+    // Frozen-once-assigned labels + (count desc, label asc) tie-break
+    // make the flood deterministic and fully value-oracled.
+    "graph_label_prop" -> { (s: SparkSession, dir: String) =>
+      val pairs = Dedup
+        .minhashLshPairsFromSets(Tables.shingleSets(s, dir), thresholdX1000 = 300)
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      val seeds = Tables.docs(s, dir).filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("node"), col("source").as("label"))
+      graft.sim.Graph.labelPropagate(edges, seeds, rounds = 3)
+        .orderBy("node")
+    },
     // INCREMENTAL cluster maintenance: yesterday's stored labeling (the
     // 90% "corpus" split) + today's delta pairs (new-vs-corpus band
     // collisions + new-vs-new) through Dedup.incrementalClusters — must
@@ -540,6 +559,33 @@ object DedupQueries {
          |JOIN pairs p2 ON p1.b = p2.a
          |JOIN pairs p3 ON p3.a = p1.a AND p3.b = p2.b
          |ORDER BY 1, 2, 3""".stripMargin,
+    // 3 unrolled vote/argmax/coalesce rounds mirroring labelPropagate:
+    // same (count desc, label asc) tie-break, same frozen-label clamp
+    "graph_label_prop" ->
+      s"""WITH $minhashPairCtes, edges AS (
+         |  SELECT a AS src, b AS dst FROM pairs
+         |  UNION ALL SELECT b, a FROM pairs
+         |), nodes AS (
+         |  SELECT DISTINCT src AS node FROM edges
+         |), seeds AS (
+         |  SELECT doc_id AS node, source AS label FROM documents WHERE doc_id % 5 = 0
+         |), l0 AS (
+         |  SELECT n.node, s.label FROM nodes n LEFT JOIN seeds s ON n.node = s.node
+         |)${(1 to 3).map { i =>
+              s""", v$i AS (
+         |  SELECT e.dst AS node, q.label, count(*) AS c
+         |  FROM edges e JOIN l${i - 1} q ON e.src = q.node
+         |  WHERE q.label IS NOT NULL GROUP BY 1, 2
+         |), b$i AS (
+         |  SELECT node, min(label) AS new_label FROM (
+         |    SELECT node, label, c, max(c) OVER (PARTITION BY node) AS mc FROM v$i
+         |  ) WHERE c = mc GROUP BY node
+         |), l$i AS (
+         |  SELECT p.node, coalesce(p.label, b.new_label) AS label
+         |  FROM l${i - 1} p LEFT JOIN b$i b ON p.node = b.node
+         |)"""
+            }.mkString}
+         |SELECT node, label FROM l3 ORDER BY node""".stripMargin,
     // identical oracle by design: the star construction must land on the
     // same min-id component labeling as the propagation form
     "dedup_clusters_ls" ->

@@ -362,6 +362,22 @@ object TextQueries {
         langId(col("text")).as("lang_pred")
       ).orderBy("doc_id")
     },
+    // LANG-ID CONFUSION MATRIX: the heuristic's predictions against the
+    // stored lang label — the classifier-drift panel a pipeline watches
+    // when a new corpus lands. One map-side predict + one (lang, pred)
+    // partial-aggregated shuffle; per-true-lang totals are a tiny
+    // broadcast join back (share in exact integer permille).
+    "text_lang_confusion" -> { (s: SparkSession, dir: String) =>
+      val cm = docs(s, dir)
+        .select(col("lang"), langId(col("text")).as("lang_pred"))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+      val tot = cm.groupBy("lang").agg(sum(col("n")).as("n_lang"))
+      cm.join(broadcast(tot), "lang")
+        .select(col("lang"), col("lang_pred"), col("n"),
+          expr("(1000 * n) div n_lang").as("share_permille"))
+        .orderBy("lang", "lang_pred")
+    },
     "text_fingerprint" -> { (s: SparkSession, dir: String) =>
       docs(s, dir).select(
         col("doc_id"),
@@ -456,6 +472,19 @@ object TextQueries {
         .orderBy("doc_id")
     }
   )
+
+  /** The lang-ID decision CASE over the four `*_score` columns + `text`
+    * (mirrors [[graft.functions.TextFunctions.langId]]; shared by the
+    * per-doc dump and the confusion-matrix oracle). */
+  private val langCaseSql =
+    """CASE
+      |    WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+      |    WHEN greatest(en_score, de_score, fr_score, es_score) = 0 THEN 'und'
+      |    WHEN en_score = greatest(en_score, de_score, fr_score, es_score) THEN 'en'
+      |    WHEN de_score = greatest(en_score, de_score, fr_score, es_score) THEN 'de'
+      |    WHEN fr_score = greatest(en_score, de_score, fr_score, es_score) THEN 'fr'
+      |    ELSE 'es'
+      |  END""".stripMargin
 
   private def sc(words: Seq[String]): String = {
     val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -732,15 +761,30 @@ object TextQueries {
          |  FROM d
          |)
          |SELECT doc_id, en_score, de_score, fr_score, es_score,
-         |  CASE
-         |    WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
-         |    WHEN greatest(en_score, de_score, fr_score, es_score) = 0 THEN 'und'
-         |    WHEN en_score = greatest(en_score, de_score, fr_score, es_score) THEN 'en'
-         |    WHEN de_score = greatest(en_score, de_score, fr_score, es_score) THEN 'de'
-         |    WHEN fr_score = greatest(en_score, de_score, fr_score, es_score) THEN 'fr'
-         |    ELSE 'es'
-         |  END AS lang_pred
+         |  $langCaseSql AS lang_pred
          |FROM s ORDER BY doc_id""".stripMargin,
+    // confusion matrix of the lang-ID heuristic against the stored lang
+    // label, with each true-lang row's share in exact integer permille
+    "text_lang_confusion" ->
+      s"""$D, s AS (
+         |  SELECT doc_id, text,
+         |    ${sc(Seq("the", "a", "of", "and", "is"))} AS en_score,
+         |    ${sc(Seq("der", "die", "das", "und", "ist"))} AS de_score,
+         |    ${sc(Seq("le", "les", "et", "est", "dans"))} AS fr_score,
+         |    ${sc(Seq("el", "los", "las", "y", "es"))} AS es_score
+         |  FROM d
+         |), p AS (
+         |  SELECT doc_id, $langCaseSql AS lang_pred FROM s
+         |), cm AS (
+         |  SELECT dd.lang, p.lang_pred, count(*) AS n
+         |  FROM documents dd JOIN p ON dd.doc_id = p.doc_id
+         |  GROUP BY 1, 2
+         |), tot AS (
+         |  SELECT lang, sum(n) AS n_lang FROM cm GROUP BY 1
+         |)
+         |SELECT cm.lang, cm.lang_pred, cm.n,
+         |  CAST((1000 * cm.n) // t.n_lang AS BIGINT) AS share_permille
+         |FROM cm JOIN tot t USING (lang) ORDER BY 1, 2""".stripMargin,
     "text_fingerprint" ->
       s"""$D SELECT doc_id,
          |  list_reduce(

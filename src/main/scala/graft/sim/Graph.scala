@@ -50,4 +50,52 @@ object Graph {
     }
     dist
   }
+
+  /**
+   * Clamped label spreading over directed `(src, dst)` edges (pass both
+   * directions for an undirected graph) — the weak-supervision operator
+   * that grows a labeled corpus from trusted seeds: unlabeled vertices
+   * adopt the MAJORITY label of their already-labeled neighbors (ties →
+   * lexicographically smallest label), seeds keep their label, and a
+   * label once assigned is FROZEN, so the spread is a deterministic
+   * layered flood (majority-vote BFS), not an oscillating fixpoint.
+   *
+   * Per round: one join of edges against the labeled set, one
+   * partial-aggregated vote count on (dst, label), one struct-min argmax
+   * per vertex (no window, no sort), one coalesce join back — all
+   * bounded by the edge table, never the corpus; the driver sees only a
+   * per-round labeled count for the convergence check. Returns
+   * `(node, label)` for every vertex of the graph; vertices no seed can
+   * reach keep a NULL label.
+   */
+  def labelPropagate(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val nodes = e.select(col("src").as("node")).distinct()
+    var lab = nodes
+      .join(seeds.select(col("node"), col("label")), Seq("node"), "left")
+      .localCheckpoint()
+    var nLabeled = lab.filter(col("label").isNotNull).count()
+    var r = 0
+    var converged = false
+    while (r < rounds && !converged) {
+      val labeled = lab.filter(col("label").isNotNull)
+      val votes = e
+        .join(labeled.select(col("node").as("src"), col("label")), "src")
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      // argmax by (count desc, label asc) via struct-min — no window
+      val best = votes
+        .groupBy("node")
+        .agg(min(struct((-col("c")).as("nc"), col("label").as("l"))).as("b"))
+        .select(col("node"), col("b.l").as("new_label"))
+      lab = lab.join(best, Seq("node"), "left")
+        .select(col("node"), coalesce(col("label"), col("new_label")).as("label"))
+        .localCheckpoint()
+      val n = lab.filter(col("label").isNotNull).count()
+      converged = n == nLabeled // nothing gained a label: flood is done
+      nLabeled = n
+      r += 1
+    }
+    lab
+  }
 }

@@ -41,7 +41,10 @@ object ScaleProbe {
     "dedup_ngram_jaccard", "dedup_ngram_jaccard_dfcut", "dedup_jaccard_prefix",
     "dedup_containment", "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_wide",
     "dedup_clusters", "dedup_clusters_ls", "dedup_clusters_incr", "dedup_keep_best",
-    "dedup_embedding_cosine", "sim_dup_clusters", "sim_knn_graph")
+    "dedup_embedding_cosine", "sim_dup_clusters", "sim_knn_graph",
+    // round-8 pair-family additions: diagonal run detection, weighted
+    // all-pairs cosine, and the label flood over the minhash pair graph
+    "dedup_longest_span", "text_sparse_cosine", "graph_label_prop")
 
   /** queries that only touch documents.parquet / embeddings.parquet —
     * the only tables the mirror dir materializes. */

@@ -78,6 +78,53 @@ class Round8Spec extends SparkSpec {
     assert(got.nonEmpty || want.isEmpty)
   }
 
+  test("labelPropagate: flood order, majority vote, tie-break, early convergence") {
+    import spark.implicits._
+    // chain 1-2-3-4 with competing seeds at the ends, plus 5 adjacent to
+    // both seeds (a perfect 1-1 tie)
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 5L), (4L, 5L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq((1L, "b"), (4L, "a")).toDF("node", "label")
+    val got = graft.sim.Graph.labelPropagate(edges, seeds, rounds = 10)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[String]("label")).toMap
+    // seeds clamped; 2 floods from 1, 3 floods from 4; 5 ties → min label
+    assert(got == Map(1L -> "b", 2L -> "b", 3L -> "a", 4L -> "a", 5L -> "a"))
+  }
+
+  test("graph_label_prop: seeds keep their source; labels only where a seed can reach") {
+    val labs = DedupQueries.queries("graph_label_prop")(spark, dir).collect()
+      .map(r => r.getAs[Long]("node") -> Option(r.getAs[String]("label"))).toMap
+    val sources = spark.read.parquet(s"$dir/documents.parquet")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("source")).toMap
+    // every in-graph seed must carry its own source label
+    labs.foreach { case (node, lab) =>
+      if (node % 5 == 0) assert(lab.contains(sources(node)), s"seed $node: $lab")
+    }
+    // any assigned label is some document's source (labels never invented)
+    val valid = sources.values.toSet
+    labs.values.flatten.foreach(l => assert(valid(l)))
+  }
+
+  test("text_lang_confusion: regroups the per-doc lang_id dump exactly") {
+    val per = TextQueries.queries("text_lang_id")(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang_pred")).toMap
+    val truth = spark.read.parquet(s"$dir/documents.parquet")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang")))
+    val want = truth.groupBy { case (id, lang) => (lang, per(id)) }
+      .map { case (k, vs) => k -> vs.length.toLong }
+    val got = TextQueries.queries("text_lang_confusion")(spark, dir).collect()
+    assert(got.map(r => ((r.getAs[String]("lang"), r.getAs[String]("lang_pred")),
+      r.getAs[Long]("n"))).toMap == want)
+    // per-lang permille shares are consistent and bounded
+    got.groupBy(_.getAs[String]("lang")).foreach { case (lang, rs) =>
+      val nLang = truth.count(_._2 == lang).toLong
+      rs.foreach { r =>
+        assert(r.getAs[Long]("share_permille") == 1000L * r.getAs[Long]("n") / nLang)
+      }
+      assert(rs.map(_.getAs[Long]("n")).sum == nLang)
+    }
+  }
+
   test("corpus_split_leakage: consistent with the pair set joined to the split") {
     val got = CorpusQueries.queries("corpus_split_leakage")(spark, dir).collect()
       .map(r => ((r.getAs[String]("split_lo"), r.getAs[String]("split_hi")),
