@@ -132,16 +132,21 @@ object Dedup {
    * cos² ≥ thresholdCosSqX1e6 / 1e6.
    */
   def sparseCosinePairs(docs: DataFrame, thresholdCosSqX1e6: Long,
-                        minDf: Int = 2, maxDf: Int = 100,
+                        minDf: Int = 2, maxDfPermille: Int = 200,
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val tf = docs
       .select(col(idCol).as("did"), explode(Hashing.toks(col(textCol))).as("tok"))
       .groupBy("did", "tok").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= minDf && col("df") <= maxDf)
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    val w = tf.join(dfreq, "tok")
+    // the df band is CORPUS-RELATIVE (≤ maxDfPermille/1000 of docs): an
+    // absolute cap silently prunes every token as the corpus grows — the
+    // scale-probe caught exactly that (0 result rows at 10×) with the old
+    // fixed maxDf=100
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))
+      .filter(col("df") >= minDf &&
+        col("df") * lit(1000L) <= col("n_docs") * lit(maxDfPermille.toLong))
+    val w = tf.join(dfreq, "tok")
       .withColumn("w", col("tf") * least(expr("(1000 * n_docs) div df"), lit(100000L)))
       .select(col("did"), col("tok"), col("w"))
       .localCheckpoint()

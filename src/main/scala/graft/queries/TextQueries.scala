@@ -48,32 +48,28 @@ object TextQueries {
     // splits, no UDF, no shuffle) — the 100 TB shape is a scan that
     // emits a keep/drop bit per document. Integer permilles only.
     "text_gopher_rules" -> { (s: SparkSession, dir: String) =>
-      val toksC = tokens(col("text"))
-      val linesC = split(col("text"), "\n")
-      docs(s, dir)
-        .select(col("doc_id"),
-          size(toksC).cast("long").as("n_words"),
-          meanTokenLenX10(col("text")).as("mean_len_x10"),
-          size(filter(toksC, t => t.rlike("[a-z]"))).cast("long").as("n_alpha"),
-          matchCount(col("text"), "#|\\.\\.\\.").cast("long").as("n_sym"),
-          size(filter(toksC, t => t.isInCollection(gopherStops))).cast("long").as("stop_hits"),
-          size(linesC).cast("long").as("n_lines"),
-          size(filter(linesC, l => l.rlike("^\\s*[-*]"))).cast("long").as("n_bullet"),
-          size(filter(linesC, l => l.rlike("\\.\\.\\.\\s*$"))).cast("long").as("n_ell"))
-        .withColumn("alpha_permille", expr("(1000 * n_alpha) div n_words"))
-        .withColumn("symbol_permille", expr("(1000 * n_sym) div n_words"))
-        .withColumn("bullet_permille", expr("(1000 * n_bullet) div n_lines"))
-        .withColumn("ellipsis_permille", expr("(1000 * n_ell) div n_lines"))
-        .withColumn("gopher_pass",
-          when(col("n_words").between(50L, 100000L) &&
-            col("mean_len_x10").between(30L, 100L) &&
-            col("symbol_permille") < 100L && col("alpha_permille") >= 800L &&
-            col("stop_hits") >= 2L && col("bullet_permille") < 900L &&
-            col("ellipsis_permille") < 300L, 1L).otherwise(0L))
+      withGopher(docs(s, dir))
         .select("doc_id", "n_words", "mean_len_x10", "alpha_permille",
           "symbol_permille", "stop_hits", "bullet_permille", "ellipsis_permille",
           "gopher_pass")
         .orderBy("doc_id")
+    },
+    // QUALITY-SCORE CALIBRATION CURVE: per 100-point quality band, the
+    // Gopher rule pass rate in exact permille — the panel that validates
+    // a learned/heuristic quality score against an independent rule set
+    // before it gates a corpus (a well-calibrated score passes
+    // monotonically more documents per band). Single map-only scan
+    // computes BOTH signals per doc; one partial-aggregated shuffle on
+    // the ≤11-key band domain.
+    "text_quality_calibration" -> { (s: SparkSession, dir: String) =>
+      withGopher(docs(s, dir)
+        .select(col("doc_id"), col("text"), qualityScoreX1000(col("text")).as("q")))
+        .select(expr("q div 100").as("band"), col("gopher_pass"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("gopher_pass")).as("n_pass"))
+        .select(col("band"), col("n_docs"), col("n_pass"),
+          expr("(1000 * n_pass) div n_docs").as("pass_permille"))
+        .orderBy("band")
     },
     // PII DENSITY REPORT (the audit-side complement of text_redact's
     // scrubbing): per source, how many documents contain an email / long
@@ -473,6 +469,35 @@ object TextQueries {
     }
   )
 
+  /** Appends the Gopher repetition-rule stats (Rae et al. 2021 §A1.1) and
+    * the combined `gopher_pass` flag to any frame with a `text` column —
+    * shared by the per-doc rule dump and the calibration curve. All
+    * map-only column expressions; ratios are exact integer permille. */
+  private def withGopher(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val toksC = tokens(col("text"))
+    val linesC = split(col("text"), "\n")
+    df
+      .withColumn("n_words", size(toksC).cast("long"))
+      .withColumn("mean_len_x10", meanTokenLenX10(col("text")))
+      .withColumn("n_alpha", size(filter(toksC, t => t.rlike("[a-z]"))).cast("long"))
+      .withColumn("n_sym", matchCount(col("text"), "#|\\.\\.\\.").cast("long"))
+      .withColumn("stop_hits",
+        size(filter(toksC, t => t.isInCollection(gopherStops))).cast("long"))
+      .withColumn("n_lines", size(linesC).cast("long"))
+      .withColumn("n_bullet", size(filter(linesC, l => l.rlike("^\\s*[-*]"))).cast("long"))
+      .withColumn("n_ell", size(filter(linesC, l => l.rlike("\\.\\.\\.\\s*$"))).cast("long"))
+      .withColumn("alpha_permille", expr("(1000 * n_alpha) div n_words"))
+      .withColumn("symbol_permille", expr("(1000 * n_sym) div n_words"))
+      .withColumn("bullet_permille", expr("(1000 * n_bullet) div n_lines"))
+      .withColumn("ellipsis_permille", expr("(1000 * n_ell) div n_lines"))
+      .withColumn("gopher_pass",
+        when(col("n_words").between(50L, 100000L) &&
+          col("mean_len_x10").between(30L, 100L) &&
+          col("symbol_permille") < 100L && col("alpha_permille") >= 800L &&
+          col("stop_hits") >= 2L && col("bullet_permille") < 900L &&
+          col("ellipsis_permille") < 300L, 1L).otherwise(0L))
+  }
+
   /** The lang-ID decision CASE over the four `*_score` columns + `text`
     * (mirrors [[graft.functions.TextFunctions.langId]]; shared by the
     * per-doc dump and the confusion-matrix oracle). */
@@ -517,40 +542,66 @@ object TextQueries {
 
   private val gopherStopList = gopherStops.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** CTEs (appended after `$D`) ending in g(doc_id, n_words, …,
+    * gopher_pass) — the oracle mirror of [[withGopher]], shared by the
+    * rule dump and the calibration curve. */
+  private lazy val gopherCtes: String =
+    s""", b AS (
+       |  SELECT doc_id,
+       |    CAST(len(toks) AS BIGINT) AS n_words,
+       |    CAST(floor(10.0 * list_sum(list_transform(toks, t -> CAST(length(t) AS BIGINT)))
+       |      / greatest(len(toks), 1)) AS BIGINT) AS mean_len_x10,
+       |    CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS n_alpha,
+       |    CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS BIGINT) AS n_sym,
+       |    CAST(len(list_filter(toks, t -> list_contains($gopherStopList, t))) AS BIGINT)
+       |      AS stop_hits,
+       |    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+       |    CAST(len(list_filter(string_split(text, chr(10)),
+       |      l -> regexp_matches(l, '^\\s*[-*]'))) AS BIGINT) AS n_bullet,
+       |    CAST(len(list_filter(string_split(text, chr(10)),
+       |      l -> regexp_matches(l, '\\.\\.\\.\\s*$$'))) AS BIGINT) AS n_ell
+       |  FROM d
+       |), p AS (
+       |  SELECT doc_id, n_words, mean_len_x10,
+       |    (1000 * n_alpha) // n_words AS alpha_permille,
+       |    (1000 * n_sym) // n_words AS symbol_permille,
+       |    stop_hits,
+       |    (1000 * n_bullet) // n_lines AS bullet_permille,
+       |    (1000 * n_ell) // n_lines AS ellipsis_permille
+       |  FROM b
+       |), g AS (
+       |  SELECT doc_id, n_words, mean_len_x10, alpha_permille, symbol_permille,
+       |    stop_hits, bullet_permille, ellipsis_permille,
+       |    CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+       |      AND mean_len_x10 BETWEEN 30 AND 100
+       |      AND symbol_permille < 100 AND alpha_permille >= 800
+       |      AND stop_hits >= 2 AND bullet_permille < 900
+       |      AND ellipsis_permille < 300 THEN 1 ELSE 0 END AS BIGINT) AS gopher_pass
+       |  FROM p
+       |)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "text_gopher_rules" ->
-      s"""$D, b AS (
-         |  SELECT doc_id,
-         |    CAST(len(toks) AS BIGINT) AS n_words,
-         |    CAST(floor(10.0 * list_sum(list_transform(toks, t -> CAST(length(t) AS BIGINT)))
-         |      / greatest(len(toks), 1)) AS BIGINT) AS mean_len_x10,
-         |    CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS n_alpha,
-         |    CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS BIGINT) AS n_sym,
-         |    CAST(len(list_filter(toks, t -> list_contains($gopherStopList, t))) AS BIGINT)
-         |      AS stop_hits,
-         |    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
-         |    CAST(len(list_filter(string_split(text, chr(10)),
-         |      l -> regexp_matches(l, '^\\s*[-*]'))) AS BIGINT) AS n_bullet,
-         |    CAST(len(list_filter(string_split(text, chr(10)),
-         |      l -> regexp_matches(l, '\\.\\.\\.\\s*$$'))) AS BIGINT) AS n_ell
-         |  FROM d
-         |), p AS (
-         |  SELECT doc_id, n_words, mean_len_x10,
-         |    (1000 * n_alpha) // n_words AS alpha_permille,
-         |    (1000 * n_sym) // n_words AS symbol_permille,
-         |    stop_hits,
-         |    (1000 * n_bullet) // n_lines AS bullet_permille,
-         |    (1000 * n_ell) // n_lines AS ellipsis_permille
-         |  FROM b
-         |)
+      s"""$D$gopherCtes
          |SELECT doc_id, n_words, mean_len_x10, alpha_permille, symbol_permille,
-         |  stop_hits, bullet_permille, ellipsis_permille,
-         |  CAST(CASE WHEN n_words BETWEEN 50 AND 100000
-         |    AND mean_len_x10 BETWEEN 30 AND 100
-         |    AND symbol_permille < 100 AND alpha_permille >= 800
-         |    AND stop_hits >= 2 AND bullet_permille < 900
-         |    AND ellipsis_permille < 300 THEN 1 ELSE 0 END AS BIGINT) AS gopher_pass
-         |FROM p ORDER BY doc_id""".stripMargin,
+         |  stop_hits, bullet_permille, ellipsis_permille, gopher_pass
+         |FROM g ORDER BY doc_id""".stripMargin,
+    // same quality expression as text_quality; bands join the shared
+    // gopher CTEs on doc_id
+    "text_quality_calibration" ->
+      s"""$D$gopherCtes, qq AS (
+         |  SELECT doc_id, CAST(floor(1000.0 * (
+         |       0.4 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+         |     + 0.3 * least(3.0 * ${sc(stopwords)} / greatest(len(toks), 1), 1.0)
+         |     + 0.3 * (1.0 - least(5.0 * len(regexp_extract_all(text, '[.,!?;:]')) / greatest(length(text), 1), 1.0))
+         |  )) AS BIGINT) AS q
+         |  FROM d
+         |), j AS (
+         |  SELECT qq.q // 100 AS band, g.gopher_pass FROM qq JOIN g USING (doc_id)
+         |)
+         |SELECT band, count(*) AS n_docs, CAST(sum(gopher_pass) AS BIGINT) AS n_pass,
+         |  CAST((1000 * sum(gopher_pass)) // count(*) AS BIGINT) AS pass_permille
+         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_pii_stats" ->
       s"""WITH b AS (
          |  SELECT source,
@@ -817,9 +868,9 @@ object TextQueries {
     "text_sparse_cosine" ->
       s"""$D, t AS (SELECT doc_id, unnest(toks) AS tok FROM d),
          |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
-         |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1
-         |        HAVING count(*) BETWEEN 2 AND 100),
          |nn AS (SELECT count(*) AS n_docs FROM d),
+         |dfq AS (SELECT tok, df FROM (SELECT tok, count(*) AS df FROM tf GROUP BY 1) q
+         |        CROSS JOIN nn n WHERE q.df >= 2 AND q.df * 1000 <= n.n_docs * 200),
          |w AS (
          |  SELECT f.doc_id, f.tok,
          |    f.tf * least((1000 * n.n_docs) // q.df, 100000) AS w

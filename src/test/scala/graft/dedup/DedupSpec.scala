@@ -199,7 +199,8 @@ class DedupSpec extends SparkSpec {
       (21L, s"eigen flux tensor manifold spectral lattice quantum"),
       (30L, common)
     )).toDF("doc_id", "text")
-    val pairs = Dedup.sparseCosinePairs(docs, thresholdCosSqX1e6 = 250000L, maxDf = 10)
+    // 13 docs × 800‰ → df cap floor(10.4) = 10, pruning the df == 11 stopword set
+    val pairs = Dedup.sparseCosinePairs(docs, thresholdCosSqX1e6 = 250000L, maxDfPermille = 800)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
     // identical multisets: dot² == na2·nb2 exactly → floor(1e6 · 1) == 1e6
     assert(pairs((20L, 21L)) == 1000000L)
