@@ -115,11 +115,15 @@ object Dedup {
    * index — the weighted complement of [[ngramJaccardPairsFromSets]]'s
    * set semantics (repeated rare terms count; ubiquitous tokens don't).
    *
-   * Exactness contract: weights are integer (tf × capped rational idf
-   * `(1000·N) div df`, capped at 100000 so norms² stay well inside
-   * int64), so dot products and norms² are exact longs; only the final
-   * cos² ratio is IEEE double, floored at ×1e6. Thresholding on cos²
-   * avoids any sqrt (libm-free, engine-portable).
+   * Exactness contract: weights are integer (saturated tf `min(tf, 255)`
+   * × capped rational idf `(1000·N) div df`, capped at 100000), so
+   * w ≤ 2.55e7, every w·w ≤ 6.6e14, and dot products / norms² are exact
+   * longs for any document with < ~14k distinct in-band tokens; only
+   * the final cos² ratio is IEEE double, floored at ×1e6. Thresholding
+   * on cos² avoids any sqrt (libm-free, engine-portable). Without the
+   * tf saturation a single token repeated ~31k times would overflow
+   * sum(w·w) silently (BM25-style tf saturation is also the right IR
+   * semantics for spam-repetitive documents).
    *
    * Scale: the `[minDf, maxDf]` band IS the candidate pruner — df < 2
    * cannot produce a pair, df > maxDf is the hot-postings cutoff
@@ -146,8 +150,13 @@ object Dedup {
       .crossJoin(broadcast(nDocs))
       .filter(col("df") >= minDf &&
         col("df") * lit(1000L) <= col("n_docs") * lit(maxDfPermille.toLong))
+    // tf saturates at 255 (BM25-style): weights stay ≤ 2.55e7, so w·w ≤
+    // 6.6e14 and the dot/norm sums stay exactly inside int64 for any doc
+    // with < ~14k distinct in-band tokens — without the cap a single
+    // spam token repeated ~31k times overflows sum(w*w) silently
     val w = tf.join(dfreq, "tok")
-      .withColumn("w", col("tf") * least(expr("(1000 * n_docs) div df"), lit(100000L)))
+      .withColumn("w",
+        least(col("tf"), lit(255L)) * least(expr("(1000 * n_docs) div df"), lit(100000L)))
       .select(col("did"), col("tok"), col("w"))
       .localCheckpoint()
     val norms = w.groupBy("did").agg(sum(col("w") * col("w")).as("n2"))
@@ -190,6 +199,13 @@ object Dedup {
       .select(col("id"), col("sig")).localCheckpoint()
     // compact long keys only — the shingle arrays do NOT ride the
     // candidate join
+    bandsFromSig(sig)
+  }
+
+  /** Band keys sliced out of an already-materialized `(id, sig)` table —
+    * shared so callers that carry the signature column for other work
+    * (the estimator panel) never pay the minhash pass twice. */
+  private def bandsFromSig(sig: DataFrame): DataFrame =
     sig.select(
       col("id"),
       posexplode(
@@ -201,7 +217,6 @@ object Dedup {
         }: _*)
       ).as(Seq("band", "bk"))
     ).select(col("id"), col("band"), col("bk.r0").as("r0"), col("bk.r1").as("r1"))
-  }
 
   /** Same, over a precomputed [[shingleSets]] table (share it across ops). */
   def minhashLshPairsFromSets(sets: DataFrame, thresholdX1000: Long): DataFrame = {
@@ -241,7 +256,9 @@ object Dedup {
   def minhashEstimatePairsFromSets(sets: DataFrame): DataFrame = {
     val sig = sets.withColumn("sig", graft.functions.Fast.minhashFast(col("sh")))
       .select(col("id"), col("sh"), col("n_sh"), col("sig")).localCheckpoint()
-    val banded = bandedSignatures(sets)
+    // band keys sliced from THIS sig table — not bandedSignatures(sets),
+    // which would run (and checkpoint) the whole minhash pass a 2nd time
+    val banded = bandsFromSig(sig.select(col("id"), col("sig")))
     val l = banded.select(col("id").as("a"), col("band"), col("r0"), col("r1"))
     val r = banded.select(col("id").as("b"), col("band").as("band_r"),
       col("r0").as("r0_r"), col("r1").as("r1_r"))

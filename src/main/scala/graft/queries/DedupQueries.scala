@@ -418,17 +418,19 @@ object DedupQueries {
 
   /** CTEs ending in lines(doc_id, line_no, line, lh) + hot(lh) — the
     * CCNet line grain: 4-token spans, md5 keys, df >= 3 hot set (mirrors
-    * Dedup.docLines/lineBoilerplate; 64 spans cover the fixture's ≤100-word
-    * docs). */
+    * Dedup.docLines/lineBoilerplate; the line grid is length-driven, no
+    * document-size cap). */
   private val LINES =
     """WITH w AS (
       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE length(text) > 0
       |), lines AS (
-      |  SELECT doc_id, i AS line_no,
-      |    array_to_string(ws[(i*4+1):((i+1)*4)], ' ') AS line,
-      |    md5(array_to_string(ws[(i*4+1):((i+1)*4)], ' ')) AS lh
-      |  FROM w, (SELECT unnest(generate_series(0, 63)) AS i) g
-      |  WHERE i*4 < len(ws)
+      |  SELECT doc_id,
+      |    unnest(range(0, (len(ws) + 3) // 4)) AS line_no,
+      |    unnest(list_transform(range(0, (len(ws) + 3) // 4),
+      |      i -> array_to_string(ws[(i*4+1):((i+1)*4)], ' '))) AS line,
+      |    unnest(list_transform(range(0, (len(ws) + 3) // 4),
+      |      i -> md5(array_to_string(ws[(i*4+1):((i+1)*4)], ' ')))) AS lh
+      |  FROM w WHERE len(ws) > 0
       |), hot AS (
       |  SELECT lh FROM lines GROUP BY lh HAVING count(DISTINCT doc_id) >= 3
       |)""".stripMargin
@@ -682,9 +684,9 @@ object DedupQueries {
     // same packed-integer interval-merge fold as the Spark side
     "dedup_span_profile" ->
       s"""$SPANS, postp AS (
-         |  SELECT doc_id, g.i AS p, sps[g.i] AS span_h
-         |  FROM sp, (SELECT unnest(generate_series(1, 128)) AS i) g
-         |  WHERE g.i <= len(sps)
+         |  SELECT doc_id, unnest(range(1, len(sps) + 1)) AS p,
+         |    unnest(list_transform(range(1, len(sps) + 1), i -> sps[i])) AS span_h
+         |  FROM sp WHERE len(sps) > 0
          |), dup AS (
          |  SELECT span_h FROM postp GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
          |), dp AS (
@@ -735,9 +737,9 @@ object DedupQueries {
     // islands per (a, b, diagonal), max run + 7 = longest shared tokens
     "dedup_longest_span" ->
       s"""$SPANS, postp AS (
-         |  SELECT doc_id, g.i AS pos, sps[g.i] AS span_h
-         |  FROM sp, (SELECT unnest(generate_series(1, 256)) AS i) g
-         |  WHERE g.i <= len(sps)
+         |  SELECT doc_id, unnest(range(1, len(sps) + 1)) AS pos,
+         |    unnest(list_transform(range(1, len(sps) + 1), i -> sps[i])) AS span_h
+         |  FROM sp WHERE len(sps) > 0
          |), m AS (
          |  SELECT x.doc_id AS a, y.doc_id AS b, x.pos AS pa,
          |    x.pos - y.pos AS diag

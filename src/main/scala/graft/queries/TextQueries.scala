@@ -873,7 +873,7 @@ object TextQueries {
          |        CROSS JOIN nn n WHERE q.df >= 2 AND q.df * 1000 <= n.n_docs * 200),
          |w AS (
          |  SELECT f.doc_id, f.tok,
-         |    f.tf * least((1000 * n.n_docs) // q.df, 100000) AS w
+         |    least(f.tf, 255) * least((1000 * n.n_docs) // q.df, 100000) AS w
          |  FROM tf f JOIN dfq q USING (tok) CROSS JOIN nn n
          |), nrm AS (SELECT doc_id, sum(w * w) AS n2 FROM w GROUP BY 1),
          |dt AS (

@@ -70,7 +70,10 @@ object Graph {
    */
   def labelPropagate(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
-    val nodes = e.select(col("src").as("node")).distinct()
+    // both endpoints: a vertex appearing only as dst (directed input)
+    // must still exist in the output and be labelable
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
     var lab = nodes
       .join(seeds.select(col("node"), col("label")), Seq("node"), "left")
       .localCheckpoint()

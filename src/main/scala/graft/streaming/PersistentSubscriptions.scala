@@ -242,11 +242,18 @@ object PersistentSubscriptions {
       case RoundRobin =>
         // rotate by delivery order — a global row number over position
         // order (the reference's single-dispatcher serial rotation).
+        // The rotation only ever hands out the first maxCount ranks per
+        // consumer, so rank the first maxCount·n positions ONLY: the
+        // orderBy+limit fuses to TakeOrderedAndProject (no full-backlog
+        // sort or materialization — ranking the whole deliverable set
+        // here would localCheckpoint the entire backlog on every poll),
+        // and a rank prefix rotates identically to the full rotation.
         // The rank comes from Ranking.globalRank (range partitioning +
-        // per-range offsets), NOT a partitionBy-less window, so even a
-        // large backlog never lands in one task; `Pinned` remains the
-        // strategy that scales without any global ordering at all
-        graft.corpus.Ranking.globalRank(deliverable, Seq.empty, Seq("position"), "rr")
+        // per-range offsets), NOT a partitionBy-less window; `Pinned`
+        // remains the strategy that scales without global ordering.
+        val lim = math.min(maxCount.toLong * n, Int.MaxValue.toLong).toInt
+        val head = deliverable.orderBy("position").limit(lim)
+        graft.corpus.Ranking.globalRank(head, Seq.empty, Seq("position"), "rr")
           .filter(pmod(col("rr") - 1, lit(n)) === idx).drop("rr")
       case Pinned =>
         // per-source-stream affinity: hash(stream) picks the consumer, so

@@ -91,6 +91,15 @@ class Round8Spec extends SparkSpec {
     assert(got == Map(1L -> "b", 2L -> "b", 3L -> "a", 4L -> "a", 5L -> "a"))
   }
 
+  test("labelPropagate: a dst-only vertex of a directed edge exists and is labeled") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val seeds = Seq((1L, "x")).toDF("node", "label")
+    val got = graft.sim.Graph.labelPropagate(edges, seeds, rounds = 1)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[String]("label")).toMap
+    assert(got == Map(1L -> "x", 2L -> "x"))
+  }
+
   test("graph_label_prop: seeds keep their source; labels only where a seed can reach") {
     val labs = DedupQueries.queries("graph_label_prop")(spark, dir).collect()
       .map(r => r.getAs[Long]("node") -> Option(r.getAs[String]("label"))).toMap
