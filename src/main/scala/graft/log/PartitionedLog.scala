@@ -38,13 +38,20 @@ object PartitionedLog {
     * (position)` preserves position-ordered row groups so parquet min/max
     * pruning on position/revision stacks on the directory pruning. */
   def write(log: DataFrame, dir: String, nBuckets: Int = 64,
-            mode: String = "overwrite"): Unit =
+            mode: String = "overwrite"): Unit = {
     log
       .withColumn("bucket",
         pmod(call_function("graft_polyhash", col("stream")), lit(nBuckets.toLong)))
       .repartition(nBuckets, col("bucket"))
       .sortWithinPartitions("position")
       .write.mode(mode).partitionBy("bucket").parquet(dir)
+    // an EMPTY log writes no partition directories at all, leaving a
+    // directory Spark cannot infer any schema from (open() would throw
+    // UNABLE_TO_INFER_SCHEMA). Persist the schema as a zero-row file
+    // under bucket=0 so the empty layout stays readable.
+    if (log.isEmpty)
+      log.limit(0).write.mode("append").parquet(s"$dir/bucket=0")
+  }
 
   /** The partitioned log as a DataFrame (bucket column included). */
   def open(spark: SparkSession, dir: String): DataFrame =

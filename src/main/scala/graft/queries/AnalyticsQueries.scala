@@ -140,10 +140,10 @@ object AnalyticsQueries {
         count(col("p3")).as("n3"), count(col("p4")).as("n4"))
         .select(expr(
           """stack(4,
-            |  1L, 'signup',   n1, nvl((1000 * n1) div n0, -1L),
-            |  2L, 'view',     n2, nvl((1000 * n2) div n1, -1L),
-            |  3L, 'click',    n3, nvl((1000 * n3) div n2, -1L),
-            |  4L, 'purchase', n4, nvl((1000 * n4) div n3, -1L)
+            |  1L, 'signup',   n1, nvl((1000 * n1) div nullif(n0, 0), -1L),
+            |  2L, 'view',     n2, nvl((1000 * n2) div nullif(n1, 0), -1L),
+            |  3L, 'click',    n3, nvl((1000 * n3) div nullif(n2, 0), -1L),
+            |  4L, 'purchase', n4, nvl((1000 * n4) div nullif(n3, 0), -1L)
             |) AS (step, step_name, n_streams, conv_permille)""".stripMargin))
         .orderBy("step")
     },
@@ -409,9 +409,11 @@ object AnalyticsQueries {
       val stats = merged
         .agg(array_sort(collect_list(col("v"))).as("vs"))
         .select(size(col("vs")).cast("long").as("n_sample"),
-          element_at(col("vs"), expr("cast((size(vs) + 3) div 4 as int)")).as("p25"),
-          element_at(col("vs"), expr("cast((size(vs) + 1) div 2 as int)")).as("p50"),
-          element_at(col("vs"), expr("cast((9 * size(vs) + 9) div 10 as int)")).as("p90"))
+          // empty-sample guard: the index expressions hit 0 on an empty
+          // corpus and ANSI element_at(…, 0) throws — emit NULL panels
+          expr("CASE WHEN size(vs) = 0 THEN NULL ELSE element_at(vs, cast((size(vs) + 3) div 4 as int)) END").as("p25"),
+          expr("CASE WHEN size(vs) = 0 THEN NULL ELSE element_at(vs, cast((size(vs) + 1) div 2 as int)) END").as("p50"),
+          expr("CASE WHEN size(vs) = 0 THEN NULL ELSE element_at(vs, cast((9 * size(vs) + 9) div 10 as int)) END").as("p90"))
       daily.agg(count(lit(1)).as("n_days")).crossJoin(stats)
     },
     // KMV DISTINCT SKETCH (custom mergeable TypedImperativeAggregate,

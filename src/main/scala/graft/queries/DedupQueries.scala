@@ -265,6 +265,29 @@ object DedupQueries {
       Dedup.minhashEstimatePairsFromSets(Tables.shingleSets(s, dir))
         .orderBy("a", "b")
     },
+    // BANDED-LSH PAIR RECALL vs the exact inverted-index truth, per
+    // similarity band — the third leg of the dedup drift-alarm family
+    // (minhash_estimate gates the ESTIMATOR, sim_recall the ANN paths;
+    // this gates CANDIDATE GENERATION itself): of the pairs the full
+    // index proves ≥ threshold, what fraction did banding surface, and
+    // where does it thin (recall must rise with the band — the LSH
+    // S-curve made measurable). Composes the two memoized pair
+    // generators; the left join keys on the (small) true pair set.
+    "dedup_lsh_recall" -> { (s: SparkSession, dir: String) =>
+      val truth = Dedup.ngramJaccardPairsFromSets(Tables.shingleSets(s, dir),
+        thresholdX1000 = 300)
+      val lsh = Dedup.minhashLshPairsFromSets(Tables.shingleSets(s, dir),
+        thresholdX1000 = 300)
+        .select(col("a"), col("b"), lit(1L).as("found"))
+      truth.join(lsh, Seq("a", "b"), "left")
+        .select(expr("jaccard_x1000 div 100").as("band"),
+          coalesce(col("found"), lit(0L)).as("found"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_true"), sum(col("found")).as("n_found"))
+        .select(col("band"), col("n_true"), col("n_found"),
+          expr("(1000 * n_found) div n_true").as("recall_permille"))
+        .orderBy("band")
+    },
     // ---- deterministic 25% subset (doc_id % 4 == 0) scale-validation
     // forms: the parent pair/cluster oracles are quadratic DuckDB CTEs
     // that cannot finish at sf0.1; these keep candidate generation +
@@ -782,6 +805,27 @@ object DedupQueries {
          |  CAST(abs((1000 * n_match_rows) // 8
          |       - CAST(floor(1000.0 * c / (na + nb - c)) AS BIGINT)) AS BIGINT) AS err_x1000
          |FROM j ORDER BY a, b""".stripMargin,
+    // exact truth from the full inverted index; LSH candidates from the
+    // shared banded-minhash CTEs; recall per true-jaccard band
+    "dedup_lsh_recall" ->
+      s"""WITH $minhashPairCtes, inv AS (
+         |  SELECT doc_id, len(sh) AS n, unnest(sh) AS h FROM shs WHERE len(sh) > 0
+         |), truth AS (
+         |  SELECT a, b, jaccard_x1000 FROM (
+         |    SELECT l.doc_id AS a, r.doc_id AS b,
+         |      CAST(floor(1000.0 * count(*) / (any_value(l.n) + any_value(r.n) - count(*))) AS BIGINT)
+         |        AS jaccard_x1000
+         |    FROM inv l JOIN inv r ON l.h = r.h AND l.doc_id < r.doc_id
+         |    GROUP BY 1, 2
+         |  ) WHERE jaccard_x1000 >= 300
+         |), jj AS (
+         |  SELECT t.jaccard_x1000 // 100 AS band,
+         |         CASE WHEN p.a IS NULL THEN 0 ELSE 1 END AS found
+         |  FROM truth t LEFT JOIN pairs p ON t.a = p.a AND t.b = p.b
+         |)
+         |SELECT band, count(*) AS n_true, CAST(sum(found) AS BIGINT) AS n_found,
+         |  CAST((1000 * sum(found)) // count(*) AS BIGINT) AS recall_permille
+         |FROM jj GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_lines" ->
       s"""$LINES
          |SELECT l.doc_id, count(*) AS n_lines,

@@ -62,7 +62,8 @@ object SimQueries {
   private def ivfPqTopK(s: SparkSession, dir: String): DataFrame = {
     val ivfIdx = ivf(s, dir)
     val qdf = queryRow(Tables.emb(s, dir))
-    val qArr = qdf.select(col("embedding")).head().getSeq[Float](0).toArray
+    val qArr = qdf.select(col("embedding")).take(1).headOption
+      .map(_.getSeq[Float](0).toArray).getOrElse(Array.empty[Float])
     val cells = ivfIdx.probeCells(qArr, NPROBE)
     val member = ivfIdx.assigned.filter(col("ivf_cell").isin(cells: _*)).select(col("id"))
     pq(s, dir).topKAdcAmong(qdf, K, member)
@@ -290,7 +291,9 @@ object SimQueries {
     "sim_topk_sq8" -> { (s: SparkSession, dir: String) =>
       val (idx, codesDf) = sq(s, dir)
       val q = queryRow(Tables.emb(s, dir))
-        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+        .select(col("embedding")).take(1).headOption
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+        .getOrElse(Array.fill(DIM)(0.0)) // empty corpus: scan is empty anyway
       graft.sim.Sq.topKAdc(codesDf, idx, q, K)
     },
     // BATCHED ANN: many queries answered in ONE corpus pass — the

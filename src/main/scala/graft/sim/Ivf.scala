@@ -58,7 +58,10 @@ object Ivf {
   def buildSampled(corpus: DataFrame, nlist: Int,
                    idCol: String = "vec_id", vecCol: String = "embedding"): IvfIndex = {
     val base = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-    val maxId = base.agg(max(col("id"))).head().getLong(0)
+    // null-safe: an empty corpus builds an empty codebook (assignment
+    // stays -1 on nothing), not a driver-side NPE
+    val maxId = Option(base.agg(max(col("id"))).head().get(0))
+      .fold(-1L)(_.asInstanceOf[Long])
     val stride = maxId / nlist + 1
     val centroids: Array[(Int, Array[Double])] = base
       .filter(col("id") % stride === 0)
@@ -135,7 +138,10 @@ object Ivf {
       * TakeOrderedAndProject over nprobe/nlist of the corpus). */
     def topK(query: DataFrame, k: Int, nprobe: Int,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-      val qArr = query.select(col(vecCol)).head().getSeq[Float](0).toArray
+      // empty query relation → no probed cells → empty result (same
+      // plan shape), instead of a driver-side head() crash
+      val qArr = query.select(col(vecCol)).take(1).headOption
+        .map(_.getSeq[Float](0).toArray).getOrElse(Array.empty[Float])
       val cells = probeCells(qArr, nprobe)
       val probed = assigned
         .filter(col("ivf_cell").isin(cells: _*)) // partition-prunable cell filter

@@ -55,7 +55,10 @@ object Pq {
   def buildSampled(corpus: DataFrame, m: Int = defaultM, ncode: Int = defaultNcode,
                    idCol: String = "vec_id", vecCol: String = "embedding"): PqIndex = {
     val base = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-    val maxId = base.agg(max(col("id"))).head().getLong(0)
+    // null-safe: an empty corpus builds an empty codebook, not a
+    // driver-side NPE
+    val maxId = Option(base.agg(max(col("id"))).head().get(0))
+      .fold(-1L)(_.asInstanceOf[Long])
     val stride = maxId / ncode + 1
     val codewords: Array[(Int, Array[Double])] = base
       .filter(col("id") % stride === 0)
@@ -121,7 +124,13 @@ object Pq {
 
     private def topKAdcScan(codeTable: DataFrame, query: DataFrame, k: Int,
                             vecCol: String): DataFrame = {
-      val qArr = query.select(col(vecCol)).head().getSeq[Float](0).toArray
+      // empty query relation → empty result with the same schema,
+      // instead of a driver-side head() crash
+      val qOpt = query.select(col(vecCol)).take(1).headOption
+      if (qOpt.isEmpty)
+        return codeTable.limit(0)
+          .select(col("id").as("vec_id"), lit(0L).as("adc_x1e6"))
+      val qArr = qOpt.get.getSeq[Float](0).toArray
       val bcLut = encoded.sparkSession.sparkContext.broadcast(lut(qArr))
       val adcUdf = udf { (codes: scala.collection.Seq[Int]) =>
         val t = bcLut.value
