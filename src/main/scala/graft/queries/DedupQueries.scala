@@ -44,6 +44,28 @@ object DedupQueries {
       Dedup.ngramJaccardPairsFromSets(Tables.shingleSets(s, dir), thresholdX1000 = 300,
         maxShingleDf = Some(5)).orderBy("a", "b")
     },
+    // THRESHOLD SWEEP: the dedup-aggressiveness curve — for each Jaccard
+    // cutoff 100‰..900‰, how many near-dup pairs fire and how many
+    // documents they touch. This is the panel a curation run reads to
+    // PICK its threshold before committing to a dedup pass. ONE pair
+    // table (the exact inverted-index join at the loosest cutoff) is
+    // computed, then fanned ≤9× by an array-filter explode — the sweep
+    // costs one pair pass, not nine. Pair tables are near-dup-mass
+    // sized, so the fan-out and both rollups are tiny at any corpus
+    // scale; thresholds with zero surviving pairs drop out (both
+    // engines by the same construction).
+    "dedup_threshold_curve" -> { (s: SparkSession, dir: String) =>
+      val ts = (100L to 900L by 100L).map(lit(_))
+      val base = Dedup
+        .ngramJaccardPairsFromSets(Tables.shingleSets(s, dir), thresholdX1000 = 100)
+        .select(col("a"), col("b"),
+          explode(filter(array(ts: _*), t => col("jaccard_x1000") >= t)).as("threshold"))
+      val nPairs = base.groupBy("threshold").agg(count(lit(1)).as("n_pairs"))
+      val nDocs = base
+        .select(col("threshold"), explode(array(col("a"), col("b"))).as("doc"))
+        .groupBy("threshold").agg(countDistinct(col("doc")).as("n_docs"))
+      nPairs.join(nDocs, Seq("threshold")).orderBy("threshold")
+    },
     "dedup_simhash" -> { (s: SparkSession, dir: String) =>
       Dedup.simhashPairsFromSigs(Tables.simhashSigs(s, dir), maxHamming = 1).orderBy("a", "b")
     },
@@ -542,6 +564,30 @@ object DedupQueries {
          |  FROM inv l JOIN inv r ON l.h = r.h AND l.doc_id < r.doc_id
          |  GROUP BY 1, 2
          |) WHERE jaccard_x1000 >= 300 ORDER BY a, b""".stripMargin,
+    // same pair table at the loosest cutoff (100‰), swept over the nine
+    // thresholds by the same fan-out construction as the Spark form
+    "dedup_threshold_curve" ->
+      s"""$SH, inv AS (
+         |  SELECT doc_id, len(sh) AS n, unnest(sh) AS h FROM shs WHERE len(sh) > 0
+         |), p AS (
+         |  SELECT a, b, jaccard_x1000 FROM (
+         |    SELECT l.doc_id AS a, r.doc_id AS b,
+         |      CAST(floor(1000.0 * count(*) / (any_value(l.n) + any_value(r.n) - count(*))) AS BIGINT) AS jaccard_x1000
+         |    FROM inv l JOIN inv r ON l.h = r.h AND l.doc_id < r.doc_id
+         |    GROUP BY 1, 2
+         |  ) WHERE jaccard_x1000 >= 100
+         |), th AS (
+         |  SELECT CAST(unnest([100, 200, 300, 400, 500, 600, 700, 800, 900]) AS BIGINT) AS threshold
+         |), e AS (
+         |  SELECT threshold, a, b FROM p, th WHERE jaccard_x1000 >= threshold
+         |), ed AS (
+         |  SELECT threshold, unnest([a, b]) AS doc FROM e
+         |)
+         |SELECT threshold, n_pairs, n_docs
+         |FROM (SELECT threshold, count(*) AS n_pairs FROM e GROUP BY 1)
+         |JOIN (SELECT threshold, CAST(count(DISTINCT doc) AS BIGINT) AS n_docs
+         |      FROM ed GROUP BY 1) USING (threshold)
+         |ORDER BY threshold""".stripMargin,
     "dedup_ngram_jaccard_dfcut" ->
       s"""$SH, inv0 AS (
          |  SELECT doc_id, len(sh) AS n, unnest(sh) AS h FROM shs WHERE len(sh) > 0

@@ -471,6 +471,65 @@ object RelationalQueries {
           col("n_orders"), col("revenue_x100"))
         .orderBy("nation", "priority")
     },
+    // GROUPING SETS, mixed-plane form: one pass emitting two UNRELATED
+    // report planes — revenue by nation, and revenue by (priority, year)
+    // — the arbitrary-sets member of the grouping family next to
+    // agg_rollup (hierarchy) and olap_cube (full lattice). Spark expands
+    // each row into exactly the 2 requested sets map-side (not the 2^k
+    // lattice) and partial-aggregates before the one shuffle. The plane
+    // tag derives from which keys are non-null (all three are non-null
+    // in the data, so the marker is unambiguous) — no engine-specific
+    // GROUPING_ID convention to mirror.
+    "olap_grouping_sets" -> { (s: SparkSession, dir: String) =>
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val nat = s.read.parquet(s"$dir/nation.parquet")
+        .select(col("n_nationkey"), col("n_name"))
+      s.read.parquet(s"$dir/orders.parquet")
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("nation"), col("o_orderpriority").as("priority"),
+          year(col("o_orderdate")).cast("long").as("yr"),
+          floor(col("o_totalprice") * lit(100.0)).cast("long").as("cents"))
+        .groupingSets(
+          Seq(Seq(col("nation")), Seq(col("priority"), col("yr"))),
+          col("nation"), col("priority"), col("yr"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("revenue_x100"))
+        .select(
+          when(col("nation").isNotNull, lit("by_nation"))
+            .otherwise(lit("by_priority_year")).as("plane"),
+          coalesce(col("nation"), lit("ALL")).as("nation"),
+          coalesce(col("priority"), lit("ALL")).as("priority"),
+          coalesce(col("yr"), lit(-1L)).as("yr"),
+          col("n_orders"), col("revenue_x100"))
+        .orderBy("plane", "nation", "priority", "yr")
+    },
+    // SALTED SKEW JOIN: the compile-time skew treatment for a big-big
+    // SHUFFLE JOIN (the join complement of agg_salted_skew, and the tool
+    // when AQE's runtime split can't fire — e.g. a partitioning pinned
+    // by a downstream per-key operator). The probe side (lineitem)
+    // carries a deterministic salt in [0,8); the build side (orders)
+    // explodes ×8 so every (key, salt) cell of a hot key lands on its
+    // own reducer. The oracle is the DIRECT unsalted join — exact
+    // equivalence is the contract, like agg_salted_skew. Cost: 8× the
+    // BUILD side rows on the wire (orders here collapses to 2 columns),
+    // bought for an 8× reduction in worst-reducer row count on the hot
+    // key — the right trade exactly when one order key dominates.
+    "join_salted_skew" -> { (s: SparkSession, dir: String) =>
+      val S = 8
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"),
+          (col("l_linenumber") % S).cast("int").as("salt"),
+          floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * lit(100.0))
+            .cast("long").as("rev_x100"))
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .withColumn("salt", explode(array((0 until S).map(i => lit(i)): _*)))
+      li.join(ord, li("l_orderkey") === ord("o_orderkey") && li("salt") === ord("salt"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"), sum(col("rev_x100")).as("revenue_x100"))
+        .orderBy("o_orderpriority")
+    },
     "olap_promo_share" -> { (s: SparkSession, dir: String) =>
       val lo = lit("1996-01-01").cast("timestamp")
       val hi = lit("1996-04-01").cast("timestamp")
@@ -697,6 +756,25 @@ object RelationalQueries {
          |JOIN nation ON c_nationkey = n_nationkey
          |GROUP BY CUBE (n_name, o_orderpriority)
          |ORDER BY nation, priority""".stripMargin,
+    "olap_grouping_sets" ->
+      s"""SELECT
+         |  CASE WHEN n_name IS NOT NULL THEN 'by_nation' ELSE 'by_priority_year' END AS plane,
+         |  coalesce(n_name, 'ALL') AS nation,
+         |  coalesce(o_orderpriority, 'ALL') AS priority,
+         |  coalesce(CAST(year(o_orderdate) AS BIGINT), -1) AS yr,
+         |  count(*) AS n_orders,
+         |  CAST(sum(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS revenue_x100
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY GROUPING SETS ((n_name), (o_orderpriority, year(o_orderdate)))
+         |ORDER BY plane, nation, priority, yr""".stripMargin,
+    // the DIRECT (unsalted) join — the salted rewrite must be exactly
+    // equivalent, same contract as agg_salted_skew
+    "join_salted_skew" ->
+      s"""SELECT o_orderpriority, count(*) AS n_lines,
+         |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)) AS BIGINT) AS revenue_x100
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "olap_promo_share" ->
       s"""WITH j AS (
          |  SELECT p_type,

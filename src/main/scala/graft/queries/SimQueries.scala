@@ -333,10 +333,52 @@ object SimQueries {
     "sim_random_projection" -> { (s: SparkSession, dir: String) =>
       graft.sim.Linalg.randomProjection(Tables.emb(s, dir), DIM, 16)
         .orderBy("vec_id", "j")
+    },
+    // INTEGER LLOYD K-MEANS (2 full steps, k=4, first-k seed): the
+    // clustering primitive under IVF codebooks / semantic partitioning,
+    // in the deterministic integer form that lets BOTH engines replay
+    // every assignment and centroid update exactly (see
+    // graft.sim.Kmeans — quantized coordinates, truncated integer
+    // means, lowest-cid tie-break). Scale: centroids broadcast (k rows)
+    // into a map-side assignment; each update is one partial-aggregated
+    // (cid, dim) shuffle of k·d cells. Report: per-cluster size, exact
+    // integer SSE, lowest member id.
+    "sim_kmeans" -> { (s: SparkSession, dir: String) =>
+      graft.sim.Kmeans.lloydInt(Tables.emb(s, dir), k = 4, iters = 2)
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n_members"), sum(col("dist")).as("sse"),
+          min(col("vec_id")).as("min_id"))
+        .orderBy("cid")
     }
   )
 
   // ---- oracle SQL (mirrors Similarity's fold order exactly) ----
+
+  /** Exact integer squared-L2 between two int64 list expressions
+    * (mirrors Kmeans.sqDist's zip+fold). */
+  private def kmDistSql(qv: String, cv: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(1, len($qv) + 1),
+       |        i -> ($qv[i] - $cv[i]) * ($qv[i] - $cv[i]))),
+       |      (acc, v) -> acc + v)""".stripMargin
+
+  /** One unrolled Lloyd step: assignment aN under centroids cPrev, then
+    * recentered centroids cN (truncated integer per-dim means). */
+  private def kmStepSql(n: Int, cPrev: String): String =
+    s"""a$n AS (
+       |  SELECT vec_id, qv, cid, dist FROM (
+       |    SELECT q.vec_id, q.qv, c.cid,
+       |      ${kmDistSql("q.qv", "c.cv")} AS dist,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${kmDistSql("q.qv", "c.cv")}, c.cid) AS rk
+       |    FROM q, $cPrev c
+       |  ) WHERE rk = 1
+       |), u$n AS (
+       |  SELECT cid, u.i AS pos, sum(qv[u.i + 1]) // count(*) AS cv_i
+       |  FROM a$n, range($DIM) u(i) GROUP BY 1, 2
+       |), c$n AS (
+       |  SELECT cid, list(cv_i ORDER BY pos) AS cv FROM u$n GROUP BY cid
+       |)""".stripMargin
 
   /** Left-fold dot product over two vector expressions. */
   private def dotSql(a: String, b: String): String =
@@ -834,6 +876,28 @@ object SimQueries {
          |SELECT qid, CAST(rk AS BIGINT) AS rk, vec_id,
          |  CAST(floor(cos * 1000000.0) AS BIGINT) AS cos_x1e6
          |FROM sc WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+    // two Lloyd steps unrolled as CTE chains; the final assignment a3
+    // replays graft.sim.Kmeans.lloydInt's integer arithmetic exactly
+    "sim_kmeans" ->
+      s"""WITH q AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(floor(x * 1000.0) AS BIGINT)) AS qv
+         |  FROM embeddings
+         |), c0 AS (
+         |  SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < 4
+         |), ${kmStepSql(1, "c0")}, ${kmStepSql(2, "c1")},
+         |a3 AS (
+         |  SELECT vec_id, cid, dist FROM (
+         |    SELECT q.vec_id, c.cid,
+         |      ${kmDistSql("q.qv", "c.cv")} AS dist,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${kmDistSql("q.qv", "c.cv")}, c.cid) AS rk
+         |    FROM q, c2 c
+         |  ) WHERE rk = 1
+         |)
+         |SELECT cid, count(*) AS n_members, CAST(sum(dist) AS BIGINT) AS sse,
+         |  min(vec_id) AS min_id
+         |FROM a3 GROUP BY cid ORDER BY cid""".stripMargin,
     // quantized coordinates make every sum order-independent — the
     // oracle's arbitrary aggregation order matches the partitioned fold
     "sim_gram" ->

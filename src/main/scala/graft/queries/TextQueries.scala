@@ -303,6 +303,39 @@ object TextQueries {
         .orderBy(col("n").desc, col("bigram").asc)
         .limit(20)
     },
+    // COLLOCATION MINING (PMI lift + Dice): statistically-associated word
+    // pairs, the phrase-vocabulary op a tokenizer/corpus pipeline runs
+    // before adding multi-word units. Dice = 2·n12/(n1+n2); lift =
+    // P(w1w2)/(P(w1)·P(w2)) — both as exact staged integer arithmetic
+    // (dice_x1000, lift_x1000), so the ranking is engine-exact (no libm
+    // log). Scale: one bigram-count pass + one unigram-count pass (both
+    // partial-aggregated); the unigram table is vocab-sized → broadcast
+    // into the bigram counts (the corpus never joins itself); top-20
+    // fuses to TakeOrderedAndProject. The lift staging (div n1 first)
+    // keeps every intermediate ≤ 1000·N·(n12/n1)·N ≤ 1000·N² since
+    // n12 ≤ n1 by construction — no overflow at any corpus size where
+    // N² fits int64 (beyond that, the permille constants drop to 1).
+    "text_pmi" -> { (s: SparkSession, dir: String) =>
+      val toks = docs(s, dir).select(explode(tokens(col("text"))).as("tok"))
+      val uni = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+      val tot = toks.agg(count(lit(1)).as("n_tok"))
+      val bigC = docs(s, dir)
+        .select(explode(bigrams(col("text"))).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n12"))
+      val btot = bigC.agg(sum(col("n12")).as("n_big"))
+      bigC.filter(col("n12") >= 5)
+        .withColumn("w1", split(col("bigram"), " ").getItem(0))
+        .withColumn("w2", split(col("bigram"), " ").getItem(1))
+        .join(broadcast(uni.select(col("tok").as("w1"), col("n").as("n1"))), Seq("w1"))
+        .join(broadcast(uni.select(col("tok").as("w2"), col("n").as("n2"))), Seq("w2"))
+        .crossJoin(broadcast(tot)).crossJoin(broadcast(btot))
+        .select(col("bigram"), col("n12"), col("n1"), col("n2"),
+          expr("(2000 * n12) div (n1 + n2)").as("dice_x1000"),
+          expr("((((1000 * n12 * n_tok) div n1) * n_tok) div n2) div n_big")
+            .as("lift_x1000"))
+        .orderBy(col("dice_x1000").desc, col("bigram").asc)
+        .limit(20)
+    },
     // POSITIONAL PHRASE SEARCH: exact multi-word phrase lookup via the
     // positional inverted index — the index-join formulation (postings
     // for term i joined to term i+1 at pos+1), not a regex scan. The
@@ -762,6 +795,34 @@ object TextQueries {
         |)
         |SELECT bigram, count(*) AS n FROM b GROUP BY bigram
         |ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin,
+    // same staged integer arithmetic as the Spark form (div n1 before
+    // the second N multiply), so lift_x1000 is bit-equal by construction
+    "text_pmi" ->
+      """WITH t AS (
+        |  SELECT string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents
+        |), u AS (
+        |  SELECT unnest(toks) AS tok FROM t
+        |), uc AS (
+        |  SELECT tok, count(*) AS n FROM u GROUP BY tok
+        |), tot AS (
+        |  SELECT count(*) AS n_tok FROM u
+        |), b AS (
+        |  SELECT unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+        |    i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+        |  FROM t WHERE len(toks) >= 2
+        |), bc AS (
+        |  SELECT bigram, count(*) AS n12 FROM b GROUP BY bigram
+        |), btot AS (
+        |  SELECT CAST(sum(n12) AS BIGINT) AS n_big FROM bc
+        |)
+        |SELECT bigram, n12, u1.n AS n1, u2.n AS n2,
+        |  (2000 * n12) // (u1.n + u2.n) AS dice_x1000,
+        |  ((((1000 * n12 * n_tok) // u1.n) * n_tok) // u2.n) // n_big AS lift_x1000
+        |FROM bc, tot, btot, uc u1, uc u2
+        |WHERE u1.tok = string_split(bigram, ' ')[1]
+        |  AND u2.tok = string_split(bigram, ' ')[2]
+        |  AND n12 >= 5
+        |ORDER BY dice_x1000 DESC, bigram ASC LIMIT 20""".stripMargin,
     // the oracle scans token lists positionally (index arithmetic over
     // the split array) — same tokenization, same 0-based first_pos
     "text_phrase_search" ->

@@ -1,0 +1,66 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Integer-exact distributed Lloyd's k-means over an embedding corpus —
+ * the clustering primitive under semantic dedup / corpus partitioning /
+ * IVF codebook training, here as a fully ORACLE-CHECKABLE fixed-iteration
+ * form (the MLlib KMeans in [[Ivf]] trains real codebooks but its float
+ * arithmetic and init are not cross-engine reproducible; this one is).
+ *
+ * Determinism contract: coordinates quantize once to floor(x·1000) int64;
+ * distances are exact integer sums of squared diffs; centroid updates are
+ * per-dimension truncated integer means (sum div count — both engines
+ * truncate toward zero); ties in the argmin break to the lowest centroid
+ * id. Every step is therefore a pure function of the input SET —
+ * partitioning- and order-independent.
+ *
+ * Scale shape (the plan that survives 100 TB): the centroid table is k
+ * rows and BROADCASTS into a map-side assignment (corpus never shuffles
+ * to assign); the update is one partial-aggregated (cid, dim) shuffle of
+ * k·d cells; iterations are a driver loop over tiny plans. Empty clusters
+ * drop out (their centroid has no members to average), mirrored by the
+ * oracle's identical construction.
+ */
+object Kmeans {
+
+  /** Squared L2 distance between two equal-length int64 array columns. */
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+
+  /** Quantized corpus `(vec_id, qv: array<long>)`. */
+  def quantized(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+      transform(col("embedding"), x => floor(x * lit(1000.0)).cast("long")).as("qv"))
+
+  /** Map-side assignment of every vector to its nearest centroid:
+    * `(vec_id, qv, cid, dist)`; ties break to the lowest cid. */
+  def assign(q: DataFrame, centroids: DataFrame): DataFrame =
+    q.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("qv"), col("cid"), sqDist(col("qv"), col("cv")).as("dist"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("dist"), col("cid"), col("qv"))).as("m"))
+      .select(col("vec_id"), col("m.qv").as("qv"), col("m.cid").as("cid"),
+        col("m.dist").as("dist"))
+
+  /** `iters` full Lloyd steps (assign → recenter) from the first-k seed,
+    * then the final assignment under the last centroids. */
+  def lloydInt(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    val q = quantized(emb)
+    var centroids = q.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("qv").as("cv"))
+    for (_ <- 1 to iters) {
+      centroids = assign(q, centroids)
+        .select(col("cid"), posexplode(col("qv")))
+        .toDF("cid", "pos", "v")
+        .groupBy("cid", "pos")
+        .agg(expr("sum(v) div count(1)").as("cv_i"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv_i")))),
+          s => s.getField("cv_i")).as("cv"))
+    }
+    assign(q, centroids)
+  }
+}
