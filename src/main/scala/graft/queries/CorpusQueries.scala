@@ -400,6 +400,19 @@ object CorpusQueries {
           sum(when(abs(col("est") - col("n_common")) <= col("eu") * lit(0.05) + col("n_common") * lit(0.10), 1L)
             .otherwise(0L)).as("n_ok"))
         .select(lit("hll_overlap").as("check"), col("n_pairs"), col("n_ok"))
+    },
+    // DSIR IMPORTANCE RESAMPLING (Xie et al. 2023): score every document
+    // by a hashed bag-of-token target-vs-raw likelihood ratio (target
+    // domain = src0 here), then keep a deterministic hash-draw subset
+    // with acceptance ∝ weight — the data-selection op between raw crawl
+    // and training mix. Integer-exact mean-ratio variant (see
+    // graft.corpus.Importance — log-sums are libm/order-dependent).
+    // Scale: the two 256-bucket models partial-aggregate map-side and
+    // BROADCAST back; the corpus never shuffles; acceptance is the
+    // reproducible hash-threshold sampler.
+    "corpus_importance" -> { (s: SparkSession, dir: String) =>
+      graft.corpus.Importance.weights(docs(s, dir), targetSource = "src0")
+        .orderBy("doc_id")
     }
   )
 
@@ -832,7 +845,36 @@ object CorpusQueries {
          |)
          |SELECT doc_id, count(*) AS n_bench_hits,
          |       CAST(max(n_shared) AS BIGINT) AS max_shared
-         |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+         |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // replays Importance.weights' staged integer ratio arithmetic: same
+    // smoothing, same div order, same hash-threshold acceptance draw
+    "corpus_importance" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+         |  FROM documents
+         |), tb AS (
+         |  SELECT doc_id, source, ${fpSql("tok")} % 256 AS b FROM t
+         |), raw AS (
+         |  SELECT b, count(*) AS rc FROM tb GROUP BY b
+         |), tgt AS (
+         |  SELECT b, count(*) AS tc FROM tb WHERE source = 'src0' GROUP BY b
+         |), tot AS (
+         |  SELECT count(*) AS r_tot,
+         |    count(*) FILTER (source = 'src0') AS t_tot
+         |  FROM tb
+         |), model AS (
+         |  SELECT raw.b,
+         |    (1000000 * (coalesce(tc, 0) + 1) * (r_tot + 256))
+         |      // ((rc + 1) * (t_tot + 256)) AS s_x1e6
+         |  FROM raw LEFT JOIN tgt ON raw.b = tgt.b, tot
+         |), sc AS (
+         |  SELECT doc_id, count(*) AS n_toks, CAST(sum(s_x1e6) AS BIGINT) AS s_sum
+         |  FROM tb JOIN model USING (b) GROUP BY doc_id
+         |)
+         |SELECT doc_id, n_toks, s_sum // n_toks AS imp_x1e6,
+         |  CAST(${fpSql("doc_id::VARCHAR || '#dsir'")} % 2000000 < s_sum // n_toks AS INT) AS keep
+         |FROM sc ORDER BY doc_id""".stripMargin
   )
 
   val oracles: Map[String, String] =

@@ -303,6 +303,17 @@ object TextQueries {
         .orderBy(col("n").desc, col("bigram").asc)
         .limit(20)
     },
+    // DISTRIBUTED BPE MERGE TRAINING (Sennrich et al. 2016): the first 4
+    // learned merges over the corpus — the tokenizer-training op of an
+    // LLM pipeline. The corpus collapses ONCE to the word-frequency
+    // table; each round is a vocabulary-sized pair-count aggregation +
+    // a greedy left-to-right merge applied as an array-fold column
+    // expression; the driver sees one argmax row per round (see
+    // graft.corpus.Bpe). corpus_symbols_after pins that the merge
+    // APPLICATION is corpus-exact, not just the argmax choice.
+    "text_bpe_train" -> { (s: SparkSession, dir: String) =>
+      graft.corpus.Bpe.train(s, docs(s, dir), rounds = 4).orderBy("merge_round")
+    },
     // COLLOCATION MINING (PMI lift + Dice): statistically-associated word
     // pairs, the phrase-vocabulary op a tokenizer/corpus pipeline runs
     // before adding multi-word units. Dice = 2·n12/(n1+n2); lift =
@@ -795,6 +806,48 @@ object TextQueries {
         |)
         |SELECT bigram, count(*) AS n FROM b GROUP BY bigram
         |ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin,
+    // four unrolled BPE rounds: pair counts → argmax (count desc, l, r)
+    // → greedy left-to-right merge replayed as a separator-string fold
+    // (a merged symbol is strictly longer than its left part, so it can
+    // never re-merge within the round — same invariant as the Spark
+    // array fold)
+    "text_bpe_train" -> {
+      def round(n: Int, prev: String): String =
+        s"""p$n AS (
+           |  SELECT l, r, CAST(sum(wc) AS BIGINT) AS n FROM (
+           |    SELECT wc, syms[u.i] AS l, syms[u.i + 1] AS r
+           |    FROM $prev, unnest(range(1, len(syms))) u(i)
+           |  ) GROUP BY l, r
+           |), b$n AS (
+           |  SELECT l, r, n FROM p$n ORDER BY n DESC, l ASC, r ASC LIMIT 1
+           |), w$n AS (
+           |  SELECT string_split(list_reduce(list_prepend('', syms),
+           |    (acc, x) -> CASE
+           |      WHEN acc = '' THEN x
+           |      WHEN (acc = bl OR ends_with(acc, chr(1) || bl)) AND x = br
+           |        THEN acc || x
+           |      ELSE acc || chr(1) || x END), chr(1)) AS syms, wc
+           |  FROM $prev, (SELECT l AS bl, r AS br FROM b$n)
+           |)""".stripMargin
+      def row(n: Int): String =
+        s"""SELECT CAST($n AS BIGINT) AS merge_round, l AS left_sym, r AS right_sym,
+           |  n AS pair_n,
+           |  (SELECT CAST(sum(wc * len(syms)) AS BIGINT) FROM w$n) AS corpus_symbols_after
+           |FROM b$n""".stripMargin
+      s"""WITH wt AS (
+         |  SELECT w, count(*) AS wc FROM (
+         |    SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+         |    FROM documents
+         |  ) WHERE length(w) > 0 GROUP BY w
+         |), w0 AS (
+         |  SELECT list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)) AS syms,
+         |         wc
+         |  FROM wt
+         |), ${round(1, "w0")}, ${round(2, "w1")}, ${round(3, "w2")}, ${round(4, "w3")}
+         |SELECT * FROM (
+         |  ${row(1)} UNION ALL ${row(2)} UNION ALL ${row(3)} UNION ALL ${row(4)}
+         |) ORDER BY merge_round""".stripMargin
+    },
     // same staged integer arithmetic as the Spark form (div n1 before
     // the second N multiply), so lift_x1000 is bit-equal by construction
     "text_pmi" ->
