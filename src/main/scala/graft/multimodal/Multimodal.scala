@@ -16,6 +16,10 @@ final case class Frame(asset_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
 /** A fixed-width feature vector extracted from an asset. */
 final case class AssetFeatures(asset_id: Long, features: Array[Float])
 
+/** One (fake-)video frame's scalar feature (stub "luma" = exact integer
+  * code-point sum of the frame's slice of the payload). */
+final case class FrameEnergy(asset_id: Long, frame_idx: Int, energy: Long)
+
 /** A resized asset (STUB resize — see [[Multimodal.resize]]). */
 final case class AudioWindow(asset_id: Long, window_idx: Int, n_samples: Int,
                              energy: Long, peak: Long)
@@ -48,6 +52,7 @@ object Multimodal {
   implicit val decodedEnc: Encoder[Decoded] = Encoders.product[Decoded]
   implicit val frameEnc: Encoder[Frame] = Encoders.product[Frame]
   implicit val featEnc: Encoder[AssetFeatures] = Encoders.product[AssetFeatures]
+  implicit val frameEnergyEnc: Encoder[FrameEnergy] = Encoders.product[FrameEnergy]
   implicit val resizedEnc: Encoder[Resized] = Encoders.product[Resized]
   implicit val audioWinEnc: Encoder[AudioWindow] = Encoders.product[AudioWindow]
 
@@ -104,6 +109,27 @@ object Multimodal {
         val from = math.min(i * 8, a.bytes.length)
         val until = math.min(from + 8, a.bytes.length)
         Frame(a.asset_id, i, a.bytes.slice(from, until))
+      }
+    }
+
+  /** Per-frame scalar feature of every frame of each video asset — the
+    * input to shot/scene-boundary detection. A real implementation
+    * computes mean luma (or a frame histogram) from the decoded frame
+    * HERE and only here; the stub sums the frame's code-point slice so
+    * the value is exactly oracle-reproducible. Map-only flatMap; frames
+    * multiply rows map-side like [[sampleFrames]]. */
+  def frameEnergies(assets: Dataset[Asset], frameLen: Int = 8): Dataset[FrameEnergy] =
+    assets.filter(col("kind") === "video").flatMap { a =>
+      val d = decodeStub(a)
+      val cps = new String(a.bytes, java.nio.charset.StandardCharsets.UTF_8)
+        .codePoints().toArray
+      (0 until d.n_frames).map { i =>
+        val from = math.min(i * frameLen, cps.length)
+        val until = math.min(from + frameLen, cps.length)
+        var e = 0L
+        var j = from
+        while (j < until) { e += cps(j); j += 1 }
+        FrameEnergy(a.asset_id, i, e)
       }
     }
 

@@ -140,6 +140,33 @@ object LogQueries {
           countDistinct(col("stream")).as("n_streams"))
         .orderBy("bucket")
     },
+    // KEY-SKEW REPORT: the per-stream row-count distribution panel an
+    // operator reads BEFORE choosing a skew treatment (salting, AQE
+    // split, bucket rebalance) — total rows, key cardinality, max/p50/
+    // p99 per-key counts, and the skew ratio (max vs mean, ×1000). The
+    // log collapses to per-key counts in one partial-aggregated shuffle;
+    // the order statistics come from ONE sorted-array aggregate over the
+    // key-cardinality-sized count table (no global window — the repo
+    // sweep bans those); at key cardinalities where that array is too
+    // big, the bottom-k sample sketch supplies the same panel (the
+    // agg_winsorized_stats precedent).
+    "log_skew_report" -> { (s: SparkSession, dir: String) =>
+      Fixture.events(s, dir)
+        .groupBy("stream").agg(count(lit(1)).as("n"))
+        .agg(sort_array(collect_list(col("n"))).as("ns"),
+          sum(col("n")).as("n_events"), count(lit(1)).as("n_keys"),
+          max(col("n")).as("max_n"))
+        // empty log: the skew panel has no subject (and ANSI division /
+        // 1-based element_at would reject the degenerate row)
+        .filter(col("n_keys") > 0L)
+        .select(col("n_events"), col("n_keys"), col("max_n"),
+          element_at(col("ns"), expr("CAST((n_keys * 500 + 999) div 1000 AS INT)"))
+            .as("p50_n"),
+          element_at(col("ns"), expr("CAST((n_keys * 990 + 999) div 1000 AS INT)"))
+            .as("p99_n"),
+          expr("(1000 * n_events) div n_keys").as("mean_x1000"),
+          expr("(1000 * max_n * n_keys) div n_events").as("skew_x1000"))
+    },
     // event-time windowed aggregation (batch/backfill path of
     // graft.streaming.EventTimeStats; same expression tree as the
     // watermarked streaming variant)
@@ -344,6 +371,21 @@ object LogQueries {
          |SELECT bucket, count(*) AS n, min(position) AS min_pos,
          |       max(position) AS max_pos, count(DISTINCT stream) AS n_streams
          |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same rank arithmetic: p(q) = sorted_counts[ceil(q · n_keys)]
+    "log_skew_report" ->
+      s"""$EV, k AS (
+         |  SELECT stream, count(*) AS n FROM ev GROUP BY stream
+         |), a AS (
+         |  SELECT list_sort(list(n)) AS ns, CAST(sum(n) AS BIGINT) AS n_events,
+         |         count(*) AS n_keys, CAST(max(n) AS BIGINT) AS max_n
+         |  FROM k
+         |)
+         |SELECT n_events, n_keys, max_n,
+         |  ns[CAST((n_keys * 500 + 999) // 1000 AS INT)] AS p50_n,
+         |  ns[CAST((n_keys * 990 + 999) // 1000 AS INT)] AS p99_n,
+         |  (1000 * n_events) // n_keys AS mean_x1000,
+         |  (1000 * max_n * n_keys) // n_events AS skew_x1000
+         |FROM a""".stripMargin,
     "read_json_payload" ->
       s"""$EV SELECT position, stream, CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
          |FROM ev WHERE CAST(json_extract_string(props, '$$.k') AS BIGINT) >= 80

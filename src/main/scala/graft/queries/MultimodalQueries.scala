@@ -37,6 +37,24 @@ object MultimodalQueries {
           col("energy"), col("peak"))
         .orderBy("asset_id", "window_idx")
     },
+    // SCENE-CUT DETECTION: consecutive-frame feature deltas above a
+    // threshold — the shot-boundary pass of a video curation pipeline.
+    // The per-frame feature comes from the mapPartitions-tier stub
+    // decoder (real plumbing, fake luma); the boundary logic is a lag
+    // window PARTITIONED by asset (bounded by frames-per-asset, never
+    // corpus size). Fully oracled because the stub feature is an exact
+    // code-point sum.
+    "mm_scene_cuts" -> { (s: SparkSession, dir: String) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("asset_id").orderBy("frame_idx")
+      Multimodal.frameEnergies(Multimodal.documentsAsAssets(s, dir)).toDF()
+        .withColumn("e_prev", lag(col("energy"), 1).over(w))
+        .filter(col("e_prev").isNotNull && abs(col("energy") - col("e_prev")) > 64L)
+        .select(col("asset_id"), col("frame_idx"), col("e_prev"),
+          col("energy").as("e_cur"),
+          abs(col("energy") - col("e_prev")).as("delta"))
+        .orderBy("asset_id", "frame_idx")
+    },
     // feature stub = per-dim seeded code-point hash folds → fully oracled;
     // emitted as per-dim integer columns (features[i]*1000 is an exact
     // integer by construction, and a raw array<float> column would be
@@ -101,6 +119,27 @@ object MultimodalQueries {
         |  CAST(list_aggregate(list_slice(cps, off + 1, least(off + 64, n)), 'sum') AS BIGINT) AS energy,
         |  CAST(list_aggregate(list_slice(cps, off + 1, least(off + 64, n)), 'max') AS BIGINT) AS peak
         |FROM w ORDER BY asset_id, window_idx""".stripMargin,
+    // frame i's stub luma = sum of code points [i·8, i·8+8); boundary =
+    // |Δluma| > 64 between consecutive frames
+    "mm_scene_cuts" ->
+      """WITH c AS (
+        |  SELECT doc_id AS asset_id,
+        |    list_transform(string_split(text, ''), ch -> CAST(ascii(ch) AS BIGINT)) AS cps,
+        |    octet_length(encode(text)) AS n
+        |  FROM documents WHERE doc_id % 3 = 2
+        |), f AS (
+        |  SELECT asset_id, CAST(u.i AS INT) AS frame_idx,
+        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_slice(cps, u.i * 8 + 1, u.i * 8 + 8)), (a, b) -> a + b) AS BIGINT) AS e
+        |  FROM c, unnest(range(0, 1 + n % 7)) u(i)
+        |), d AS (
+        |  SELECT asset_id, frame_idx, e,
+        |    lag(e) OVER (PARTITION BY asset_id ORDER BY frame_idx) AS ep
+        |  FROM f
+        |)
+        |SELECT asset_id, frame_idx, ep AS e_prev, e AS e_cur, abs(e - ep) AS delta
+        |FROM d WHERE ep IS NOT NULL AND abs(e - ep) > 64
+        |ORDER BY asset_id, frame_idx""".stripMargin,
     "mm_resize" ->
       s"""$A SELECT asset_id, kind,
          |  CAST(LEAST(16 + n % 113, 32) AS INT) AS out_w,

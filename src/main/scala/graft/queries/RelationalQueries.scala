@@ -91,6 +91,36 @@ object RelationalQueries {
         .select(col("position"), col("stream"), col("n_clicks_10m"))
         .orderBy("position")
     },
+    // BUCKETED INTERVAL JOIN: the same clicks-in-the-10-minutes-before-
+    // purchase semantics as join_interval, executed as a pure EQUI-join —
+    // the strategy when the sweep-line's per-stream sort is unavailable
+    // (streaming state, or a partitioning pinned by a downstream op).
+    // Each click replicates to ITS time bucket and the next (bucket width
+    // = the window length, so every qualifying (click, purchase) pair
+    // shares exactly ONE bucket — no double count by construction); each
+    // purchase probes its own bucket; the exact range predicate filters
+    // the 2×-replicated candidates. Shares join_interval's oracle
+    // VERBATIM — exact equivalence is the contract.
+    "join_interval_buckets" -> { (s: SparkSession, dir: String) =>
+      val W = 600000000L // 10 minutes in µs = the bucket width
+      val base = ev(s, dir)
+        .select(col("stream"), col("position"), col("event_type"), micros.as("tus"))
+      val purchases = base.filter(col("event_type") === "purchase")
+        .select(col("stream"), col("position"), col("tus").as("tp"))
+        .withColumn("bucket", expr(s"tp div $W"))
+      val clicks = base.filter(col("event_type") === "click")
+        .select(col("stream").as("cstream"), col("tus").as("tc"))
+        .withColumn("bucket", explode(array(expr(s"tc div $W"), expr(s"tc div $W + 1"))))
+      purchases.join(clicks,
+          purchases("stream") === clicks("cstream") &&
+            purchases("bucket") === clicks("bucket") &&
+            col("tc") < col("tp") && col("tc") >= col("tp") - W,
+          "left")
+        .groupBy(col("stream"), col("position"))
+        .agg(count(col("tc")).as("n_clicks_10m"))
+        .select(col("position"), col("stream"), col("n_clicks_10m"))
+        .orderBy("position")
+    },
     // ANTI JOIN (data-quality: dimension rows never referenced by the
     // fact): customers with zero events. The log is first reduced to its
     // DISTINCT key set (a partial-aggregated shuffle of keys only — the
@@ -147,6 +177,42 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_gaps"), sum(col("gap")).as("sum_gap_us"),
           min(col("gap")).as("min_gap_us"), max(col("gap")).as("max_gap_us"))
         .orderBy("stream")
+    },
+    // WINDOW-FUNCTION SUITE: the full analytic-window surface an event
+    // store's SQL tier owes its users — lag/lead, full-frame first/last,
+    // rank vs dense_rank over a coarse value band (real ties), exact
+    // integer percent-rank and cume_dist, partitioned ntile — in ONE
+    // query. All five specs share the stream partitioning, so Catalyst
+    // plans one exchange + per-spec sorts; every spec has a partition
+    // key (the repo-wide WindowSweepSpec bans partitionBy-less windows).
+    // Ratios are integer permille from rank/count arithmetic — no IEEE
+    // percent_rank drift across engines.
+    "window_functions" -> { (s: SparkSession, dir: String) =>
+      val wPos = Window.partitionBy("stream").orderBy("position")
+      val wFull = wPos.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val wVb = Window.partitionBy("stream").orderBy(col("vb").desc)
+      val wCume = wVb.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy("stream")
+      ev(s, dir)
+        .select(col("stream"), col("position"),
+          floor(col("value") * lit(1000.0)).cast("long").as("v"))
+        .withColumn("vb", expr("v div 100"))
+        .withColumn("lag_v", lag(col("v"), 1).over(wPos))
+        .withColumn("lead_v", lead(col("v"), 1).over(wPos))
+        .withColumn("first_v", first(col("v")).over(wFull))
+        .withColumn("last_v", last(col("v")).over(wFull))
+        .withColumn("rk", rank().over(wVb).cast("long"))
+        .withColumn("drk", dense_rank().over(wVb).cast("long"))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("pct_x1000",
+          expr("CASE WHEN n > 1 THEN (1000 * (rk - 1)) div (n - 1) ELSE 0 END"))
+        .withColumn("cume_n", count(lit(1)).over(wCume))
+        .withColumn("cume_x1000", expr("(1000 * cume_n) div n"))
+        .withColumn("quartile", ntile(4).over(wPos).cast("long"))
+        .select(col("stream"), col("position"), col("v"), col("vb"),
+          col("lag_v"), col("lead_v"), col("first_v"), col("last_v"),
+          col("rk"), col("drk"), col("pct_x1000"), col("cume_x1000"), col("quartile"))
+        .orderBy("stream", "position")
     },
     // Latest-state snapshot (read-model compaction): the newest event per
     // stream via max(struct(position, ...)) — a PARTIAL-aggregated
@@ -606,6 +672,16 @@ object RelationalQueries {
          | AND epoch_us(c.ts) >= epoch_us(p.ts) - 600000000
          |WHERE p.event_type = 'purchase'
          |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    // the band-join statement of the same semantics — the bucketed
+    // rewrite must be exactly equivalent (join_interval's oracle verbatim)
+    "join_interval_buckets" ->
+      s"""$EV SELECT p.position, p.stream, count(c.position) AS n_clicks_10m
+         |FROM ev p LEFT JOIN ev c
+         |  ON c.stream = p.stream AND c.event_type = 'click'
+         | AND epoch_us(c.ts) < epoch_us(p.ts)
+         | AND epoch_us(c.ts) >= epoch_us(p.ts) - 600000000
+         |WHERE p.event_type = 'purchase'
+         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "join_anti_customers" ->
       s"""$EV SELECT c_custkey, c_name FROM customer
          |WHERE NOT EXISTS (
@@ -622,6 +698,34 @@ object RelationalQueries {
       s"""$EV SELECT coalesce(stream, '(all)') AS stream,
          |  coalesce(event_type, '(all)') AS event_type, count(*) AS n
          |FROM ev GROUP BY ROLLUP(stream, event_type) ORDER BY 1, 2""".stripMargin,
+    "window_functions" ->
+      s"""$EV, y AS (
+         |  SELECT stream, position, CAST(floor(value * 1000.0) AS BIGINT) AS v,
+         |         CAST(floor(value * 1000.0) AS BIGINT) // 100 AS vb
+         |  FROM ev
+         |)
+         |SELECT stream, position, v, vb,
+         |  lag(v, 1) OVER wp AS lag_v,
+         |  lead(v, 1) OVER wp AS lead_v,
+         |  first_value(v) OVER wf AS first_v,
+         |  last_value(v) OVER wf AS last_v,
+         |  CAST(rank() OVER wv AS BIGINT) AS rk,
+         |  CAST(dense_rank() OVER wv AS BIGINT) AS drk,
+         |  CASE WHEN count(*) OVER wn > 1
+         |    THEN (1000 * (CAST(rank() OVER wv AS BIGINT) - 1)) // (count(*) OVER wn - 1)
+         |    ELSE 0 END AS pct_x1000,
+         |  (1000 * count(*) OVER wc) // (count(*) OVER wn) AS cume_x1000,
+         |  CAST(ntile(4) OVER wp AS BIGINT) AS quartile
+         |FROM y
+         |WINDOW
+         |  wp AS (PARTITION BY stream ORDER BY position),
+         |  wf AS (PARTITION BY stream ORDER BY position
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+         |  wv AS (PARTITION BY stream ORDER BY vb DESC),
+         |  wc AS (PARTITION BY stream ORDER BY vb DESC
+         |         RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |  wn AS (PARTITION BY stream)
+         |ORDER BY stream, position""".stripMargin,
     // DuckDB sum(BIGINT) is HUGEINT — CAST back for schema parity
     "agg_interevent" ->
       s"""$EV, x AS (

@@ -77,6 +77,37 @@ object SeriesQueries {
           count(lit(1)).as("n_events"))
         .orderBy("stream", "day")
     },
+    // PAA + SAX SYMBOLIZATION (Lin et al. 2003): each stream's value
+    // series compresses to 8 equal-count segments (piecewise aggregate
+    // approximation) and each segment gets a quartile symbol a–d — the
+    // dimensionality reduction under whole-series similarity search and
+    // motif mining at scale (series compare by their 8-char SAX words,
+    // never raw points). Integer variant: segment assignment is rank
+    // arithmetic ((idx·8) div n — the standard balanced split), segment
+    // means are truncated integer division, and symbols come from a
+    // PARTITIONED ntile over each stream's 8 segment means (rank-based
+    // breakpoints instead of the float z-normal table — deterministic
+    // cross-engine). One per-stream window for the index + one (stream,
+    // seg) partial-agg shuffle; every window has a partition key.
+    "ts_sax" -> { (s: SparkSession, dir: String) =>
+      val wIdx = Window.partitionBy("stream").orderBy(col("tus"), col("position"))
+      val wN = Window.partitionBy("stream")
+      ev(s, dir)
+        .select(col("stream"), micros.as("tus"), col("position"),
+          floor(col("value") * lit(1000.0)).cast("long").as("v"))
+        .withColumn("idx", row_number().over(wIdx).cast("long") - 1L)
+        .withColumn("n", count(lit(1)).over(wN))
+        .withColumn("seg", expr("(idx * 8) div n"))
+        .groupBy(col("stream"), col("seg"))
+        .agg(count(lit(1)).as("n_pts"), sum(col("v")).as("sum_v"))
+        .withColumn("mean_v", expr("sum_v div n_pts"))
+        .withColumn("sax", expr(
+          "CASE ntile(4) OVER (PARTITION BY stream ORDER BY mean_v ASC, seg ASC) " +
+            "WHEN 1 THEN 'a' WHEN 2 THEN 'b' WHEN 3 THEN 'c' ELSE 'd' END"))
+        .select(col("stream"), col("seg"), col("n_pts"), col("sum_v"),
+          col("mean_v"), col("sax"))
+        .orderBy("stream", "seg")
+    },
     "ts_gapfill" -> { (s: SparkSession, dir: String) =>
       val obs = ev(s, dir)
         .select(col("stream"), micros.as("tus"), col("position"),
@@ -393,6 +424,25 @@ object SeriesQueries {
        |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ts_sax" ->
+      s"""$EV, x AS (
+         |  SELECT stream,
+         |    CAST(row_number() OVER (PARTITION BY stream
+         |      ORDER BY epoch_us(ts), position) - 1 AS BIGINT) AS idx,
+         |    count(*) OVER (PARTITION BY stream) AS n,
+         |    CAST(floor(value * 1000.0) AS BIGINT) AS v
+         |  FROM ev
+         |), g AS (
+         |  SELECT stream, (idx * 8) // n AS seg,
+         |    count(*) AS n_pts, CAST(sum(v) AS BIGINT) AS sum_v
+         |  FROM x GROUP BY 1, 2
+         |), m AS (
+         |  SELECT stream, seg, n_pts, sum_v, sum_v // n_pts AS mean_v FROM g
+         |)
+         |SELECT stream, seg, n_pts, sum_v, mean_v,
+         |  CASE ntile(4) OVER (PARTITION BY stream ORDER BY mean_v ASC, seg ASC)
+         |    WHEN 1 THEN 'a' WHEN 2 THEN 'b' WHEN 3 THEN 'c' ELSE 'd' END AS sax
+         |FROM m ORDER BY stream, seg""".stripMargin,
     "ts_ohlc" ->
       s"""$EV, m AS (
          |  SELECT stream, position, epoch_us(ts) // 86400000000 AS day,
