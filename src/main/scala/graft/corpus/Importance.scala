@@ -30,30 +30,71 @@ import org.apache.spark.sql.functions._
  */
 object Importance {
 
-  /** Per-document importance weights against `targetSource`:
-    * `(doc_id, n_toks, imp_x1e6, keep)`. `acceptBand` is the acceptance
-    * scale: a doc with imp_x1e6 >= acceptBand is always kept, others
-    * keep with probability imp_x1e6 / acceptBand. */
-  def weights(docs: DataFrame, targetSource: String, buckets: Int = 256,
-              acceptBand: Long = 2000000L): DataFrame = {
-    val toks = docs.select(col("doc_id"), col("source"),
-      explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
-      .withColumn("b", pmod(call_function("graft_polyhash", col("tok")), lit(buckets.toLong)))
+  /** The `(bucket, s_x1e6)` ratio model as a DataFrame (buckets rows). */
+  def modelDf(docs: DataFrame, targetSource: String, buckets: Int = 256): DataFrame = {
+    val toks = tokenBuckets(docs, buckets)
     val raw = toks.groupBy("b").agg(count(lit(1)).as("rc"))
     val tgt = toks.filter(col("source") === targetSource)
       .groupBy("b").agg(count(lit(1)).as("tc"))
     val rTot = toks.agg(count(lit(1)).as("r_tot"))
     val tTot = toks.filter(col("source") === targetSource).agg(count(lit(1)).as("t_tot"))
     // ratio model: s_x1e6 = (1e6 · (tc+1) · (Rtot+B)) div ((rc+1) · (Ttot+B))
-    val model = raw.join(tgt, Seq("b"), "left")
+    raw.join(tgt, Seq("b"), "left")
       .na.fill(0L, Seq("tc"))
       .crossJoin(broadcast(rTot)).crossJoin(broadcast(tTot))
       .select(col("b"),
         expr(s"(1000000 * (tc + 1) * (r_tot + $buckets)) div ((rc + 1) * (t_tot + $buckets))")
           .as("s_x1e6"))
-    toks.join(broadcast(model), Seq("b"))
+  }
+
+  private def tokenBuckets(docs: DataFrame, buckets: Int): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+      .withColumn("b", pmod(call_function("graft_polyhash", col("tok")), lit(buckets.toLong)))
+
+  /** Per-document importance weights against `targetSource`:
+    * `(doc_id, n_toks, imp_x1e6, keep)`. `acceptBand` is the acceptance
+    * scale: a doc with imp_x1e6 >= acceptBand is always kept, others
+    * keep with probability imp_x1e6 / acceptBand. */
+  def weights(docs: DataFrame, targetSource: String, buckets: Int = 256,
+              acceptBand: Long = 2000000L): DataFrame =
+    tokenBuckets(docs, buckets)
+      .join(broadcast(modelDf(docs, targetSource, buckets)), Seq("b"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_toks"), sum(col("s_x1e6")).as("s_sum"))
+      .select(col("doc_id"), col("n_toks"),
+        expr("s_sum div n_toks").as("imp_x1e6"))
+      .withColumn("keep",
+        (pmod(call_function("graft_polyhash",
+          concat(col("doc_id").cast("string"), lit("#dsir"))), lit(acceptBand))
+          < col("imp_x1e6")).cast("int"))
+
+  /** The trained model as a driver-side map (buckets entries — codebook
+    * tier, like the IVF/PQ codebooks) for [[score]]'s broadcast-literal
+    * serving form. */
+  def model(docs: DataFrame, targetSource: String, buckets: Int = 256): Map[Long, Long] =
+    modelDf(docs, targetSource, buckets).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** SERVING / STREAMING form: scores any frame with (doc_id, text)
+    * against a trained model as a PURE MAP EXPRESSION — no join, no
+    * shuffle, no state — so the same expression runs identically over a
+    * batch corpus or a readStream micro-batch (the ingest-time data
+    * selection gate). Tokens hashing to a bucket absent from the model
+    * (possible only for post-training vocabulary) score at the add-one-
+    * smoothed unseen ratio `unseenX1e6`. Output mirrors [[weights]]. */
+  def score(docs: DataFrame, model: Map[Long, Long], unseenX1e6: Long,
+            buckets: Int = 256, acceptBand: Long = 2000000L): DataFrame = {
+    val toks = split(trim(lower(col("text"))), "\\s+")
+    val scores = transform(toks, t =>
+      coalesce(
+        element_at(typedLit(model),
+          pmod(call_function("graft_polyhash", t), lit(buckets.toLong))),
+        lit(unseenX1e6)))
+    docs
+      .withColumn("n_toks", size(toks).cast("long"))
+      .filter(col("n_toks") > 0L)
+      .withColumn("s_sum", aggregate(scores, lit(0L), (acc, x) => acc + x))
       .select(col("doc_id"), col("n_toks"),
         expr("s_sum div n_toks").as("imp_x1e6"))
       .withColumn("keep",

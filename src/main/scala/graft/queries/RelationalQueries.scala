@@ -23,6 +23,24 @@ object RelationalQueries {
 
   private def ev(s: SparkSession, dir: String): DataFrame = Fixture.events(s, dir)
 
+  /** SCD2 validity segments of the per-stream event-type history
+    * (gaps-and-islands, one stream shuffle) — shared by the snapshot
+    * query and the as-of dimension join. */
+  private def scd2Segments(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("stream").orderBy("position")
+    ev(s, dir)
+      .select(col("stream"), col("position"), col("revision"), col("event_type"))
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(w).isNull
+          || col("event_type") =!= lag(col("event_type"), 1).over(w), 1L)
+          .otherwise(0L))
+      .withColumn("seg", sum(col("chg")).over(w))
+      .groupBy(col("stream"), col("seg"), col("event_type"))
+      .agg(min(col("position")).as("valid_from"),
+        max(col("position")).as("valid_to"),
+        count(lit(1)).as("n_events"))
+  }
+
   private def micros: org.apache.spark.sql.Column = unix_micros(col("ts"))
 
   /** stream "user-<id>" → entity key (the reverse of Fixture's mapping). */
@@ -286,25 +304,34 @@ object RelationalQueries {
     // ride that same partitioning, and the is_current window runs over
     // the already-collapsed segments (rows = #segments, not #events).
     "snapshot_scd2" -> { (s: SparkSession, dir: String) =>
-      val w = Window.partitionBy("stream").orderBy("position")
-      val seg = ev(s, dir)
-        .select(col("stream"), col("position"), col("revision"), col("event_type"))
-        .withColumn("chg",
-          when(lag(col("event_type"), 1).over(w).isNull
-            || col("event_type") =!= lag(col("event_type"), 1).over(w), 1L)
-            .otherwise(0L))
-        .withColumn("seg", sum(col("chg")).over(w))
-        .groupBy(col("stream"), col("seg"), col("event_type"))
-        .agg(min(col("position")).as("valid_from"),
-          max(col("position")).as("valid_to"),
-          count(lit(1)).as("n_events"))
-      seg
+      scd2Segments(s, dir)
         .withColumn("is_current",
           when(col("valid_to") === max(col("valid_to"))
             .over(Window.partitionBy("stream")), 1L).otherwise(0L))
         .select(col("stream"), col("event_type"), col("valid_from"),
           col("valid_to"), col("n_events"), col("is_current"))
         .orderBy("stream", "valid_from")
+    },
+    // SCD2 AS-OF DIMENSION JOIN: each purchase event picks up the SCD2
+    // validity segment current AT its position — the warehouse pattern
+    // of joining a fact to a slowly-changing dimension at event time,
+    // composed from two of the repo's own operators: snapshot_scd2's
+    // segment table feeds the NATIVE as-of join (graft.plans.AsOf, one
+    // co-partitioning shuffle per side + a streaming merge). Non-strict
+    // as-of on valid_from ≡ point-in-interval containment here, because
+    // validity segments tile each stream's positions — the oracle states
+    // the interval-containment form and the two must agree row-for-row.
+    "join_scd2_asof" -> { (s: SparkSession, dir: String) =>
+      val purchases = ev(s, dir).filter(col("event_type") === "purchase")
+        .select(col("position"), col("stream"))
+      val segs = scd2Segments(s, dir)
+        .select(col("stream").as("sstream"), col("event_type").as("seg_type"),
+          col("valid_from"), col("valid_to"))
+      graft.plans.AsOf.join(purchases, segs,
+          Seq("stream"), Seq("sstream"), "position", "valid_from", strict = false)
+        .select(col("position"), col("stream"), col("seg_type"),
+          col("valid_from"), col("valid_to"))
+        .orderBy("position")
     },
     // Retention-policy scan (EventStoreDB's $maxAge concept, absent in
     // the reference): per stream, how many events have aged past the
@@ -772,6 +799,28 @@ object RelationalQueries {
          |  CAST(CASE WHEN valid_to = max(valid_to) OVER (PARTITION BY stream)
          |    THEN 1 ELSE 0 END AS BIGINT) AS is_current
          |FROM g ORDER BY stream, valid_from""".stripMargin,
+    // the point-in-interval statement of the same join; the native
+    // as-of execution must agree row-for-row
+    "join_scd2_asof" ->
+      s"""$EV, x AS (
+         |  SELECT stream, position, event_type,
+         |    CASE WHEN lag(event_type) OVER (PARTITION BY stream ORDER BY position)
+         |      IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+         |  FROM ev
+         |), y AS (
+         |  SELECT *, sum(chg) OVER (PARTITION BY stream ORDER BY position) AS seg FROM x
+         |), g AS (
+         |  SELECT stream, seg, event_type, min(position) AS valid_from,
+         |    max(position) AS valid_to
+         |  FROM y GROUP BY 1, 2, 3
+         |)
+         |SELECT p.position, p.stream, g.event_type AS seg_type,
+         |  g.valid_from, g.valid_to
+         |FROM ev p JOIN g
+         |  ON g.stream = p.stream
+         | AND p.position BETWEEN g.valid_from AND g.valid_to
+         |WHERE p.event_type = 'purchase'
+         |ORDER BY p.position""".stripMargin,
     "snapshot_delta" ->
       s"""$EV, r AS (
          |  SELECT stream, position, revision, event_type FROM ev WHERE position <= 10000

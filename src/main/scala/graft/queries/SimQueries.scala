@@ -349,6 +349,24 @@ object SimQueries {
         .agg(count(lit(1)).as("n_members"), sum(col("dist")).as("sse"),
           min(col("vec_id")).as("min_id"))
         .orderBy("cid")
+    },
+    // FARTHEST-POINT SEEDING (Gonzalez k-center): the deterministic
+    // spread-out initialization that replaces k-means++'s random draws —
+    // each seed is the argmax of min-distance-to-chosen (ties to lowest
+    // vec_id), then one nearest-seed assignment pass. The running
+    // min-distance updates map-side against one broadcast seed per
+    // round; argmaxes are TakeOrderedAndProject; the corpus never
+    // shuffles. Report: per-seed cluster size + exact integer SSE.
+    "sim_kmeans_pp" -> { (s: SparkSession, dir: String) =>
+      val emb = Tables.emb(s, dir)
+      val seeds = graft.sim.Kmeans.farthestSeeds(emb, k = 4)
+      graft.sim.Kmeans.assign(graft.sim.Kmeans.quantized(emb),
+          seeds.select(col("cid"), col("cv")))
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n_members"), sum(col("dist")).as("sse"))
+        .join(broadcast(seeds.select(col("cid"), col("seed_id"))), Seq("cid"))
+        .select(col("cid"), col("seed_id"), col("n_members"), col("sse"))
+        .orderBy("cid")
     }
   )
 
@@ -876,6 +894,47 @@ object SimQueries {
          |SELECT qid, CAST(rk AS BIGINT) AS rk, vec_id,
          |  CAST(floor(cos * 1000000.0) AS BIGINT) AS cos_x1e6
          |FROM sc WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+    // farthest-point chain unrolled: m_j holds the running min-distance
+    // after j seeds; s_j is the argmax row (mind desc, vec_id asc)
+    "sim_kmeans_pp" -> {
+      def step(n: Int, prev: String): String =
+        s"""s$n AS (
+           |  SELECT CAST($n AS BIGINT) AS cid, vec_id AS seed_id, qv AS cv
+           |  FROM $prev ORDER BY mind DESC, vec_id ASC LIMIT 1
+           |), m${n + 1} AS (
+           |  SELECT p.vec_id, p.qv,
+           |    least(p.mind, ${kmDistSql("p.qv", "s.cv")}) AS mind
+           |  FROM $prev p, s$n s
+           |)""".stripMargin
+      s"""WITH q AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(floor(x * 1000.0) AS BIGINT)) AS qv
+         |  FROM embeddings
+         |), s0 AS (
+         |  SELECT CAST(0 AS BIGINT) AS cid, vec_id AS seed_id, qv AS cv
+         |  FROM q WHERE vec_id = 0
+         |), m1 AS (
+         |  SELECT q.vec_id, q.qv, ${kmDistSql("q.qv", "s.cv")} AS mind FROM q, s0 s
+         |), ${step(1, "m1")}, ${step(2, "m2")},
+         |s3 AS (
+         |  SELECT CAST(3 AS BIGINT) AS cid, vec_id AS seed_id, qv AS cv
+         |  FROM m3 ORDER BY mind DESC, vec_id ASC LIMIT 1
+         |), seeds AS (
+         |  SELECT * FROM s0 UNION ALL SELECT * FROM s1
+         |  UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
+         |), a AS (
+         |  SELECT vec_id, cid, dist FROM (
+         |    SELECT q.vec_id, s.cid, ${kmDistSql("q.qv", "s.cv")} AS dist,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${kmDistSql("q.qv", "s.cv")}, s.cid) AS rk
+         |    FROM q, seeds s
+         |  ) WHERE rk = 1
+         |)
+         |SELECT a.cid, s.seed_id, count(*) AS n_members,
+         |  CAST(sum(dist) AS BIGINT) AS sse
+         |FROM a JOIN seeds s USING (cid)
+         |GROUP BY 1, 2 ORDER BY a.cid""".stripMargin
+    },
     // two Lloyd steps unrolled as CTE chains; the final assignment a3
     // replays graft.sim.Kmeans.lloydInt's integer arithmetic exactly
     "sim_kmeans" ->

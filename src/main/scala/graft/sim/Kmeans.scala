@@ -45,6 +45,48 @@ object Kmeans {
       .select(col("vec_id"), col("m.qv").as("qv"), col("m.cid").as("cid"),
         col("m.dist").as("dist"))
 
+  /** Farthest-point (Gonzalez k-center) seeding: seed 0 is vec_id 0;
+    * each next seed is the vector FARTHEST from the chosen set (argmax
+    * of min-distance, ties to the lowest vec_id) — the deterministic
+    * spread-out init that replaces k-means++'s random draws. Returns
+    * `(cid, seed_id, cv)`. Scale shape: the running min-distance column
+    * updates map-side against the one new seed per round (broadcast as
+    * a literal — codebook tier, d values); the argmax is a
+    * TakeOrderedAndProject; the corpus never shuffles. On corpora with
+    * fewer than k distinct vectors the trailing seeds repeat the
+    * farthest point (mind 0) — degenerate but total, mirrored by the
+    * oracle's identical construction. */
+  def farthestSeeds(emb: DataFrame, k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val q = quantized(emb)
+    val first = q.filter(col("vec_id") === 0L)
+      .select(col("vec_id"), col("qv")).collect()
+    val schema = StructType(Seq(
+      StructField("cid", LongType, nullable = false),
+      StructField("seed_id", LongType, nullable = false),
+      StructField("cv", ArrayType(LongType, containsNull = false), nullable = false)))
+    if (first.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    val seeds = scala.collection.mutable.ArrayBuffer(
+      (0L, first(0).getLong(0), first(0).getSeq[Long](1)))
+    var cur = q.withColumn("mind",
+      sqDist(col("qv"), typedLit(seeds(0)._3))).localCheckpoint()
+    for (j <- 1L until k.toLong) {
+      val far = cur.orderBy(col("mind").desc, col("vec_id").asc).limit(1)
+        .select(col("vec_id"), col("qv")).collect()(0)
+      seeds += ((j, far.getLong(0), far.getSeq[Long](1)))
+      if (j < k - 1)
+        cur = cur.withColumn("mind",
+          least(col("mind"), sqDist(col("qv"), typedLit(seeds.last._3))))
+          .localCheckpoint()
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        seeds.toSeq.map { case (c, id, cv) => Row(c, id, cv) }, 1), schema)
+  }
+
   /** `iters` full Lloyd steps (assign → recenter) from the first-k seed,
     * then the final assignment under the last centroids. */
   def lloydInt(emb: DataFrame, k: Int, iters: Int): DataFrame = {

@@ -40,6 +40,19 @@ class KmeansSpec extends SparkSpec {
     assert(sse == Map(0L -> 2L, 1L -> 1L)) // c0: 1+0+1, c1: 0+1
   }
 
+  test("farthest-point seeding picks the spread, not the mass") {
+    // dense blob near 0 plus two far outliers: Gonzalez must pick the
+    // outliers as seeds 1 and 2 even though the blob holds the mass
+    val df = emb(
+      0L -> Seq(0.0f), 1L -> Seq(0.001f), 2L -> Seq(0.002f), 3L -> Seq(0.003f),
+      4L -> Seq(10.0f), 5L -> Seq(-10.0f))
+    val seeds = Kmeans.farthestSeeds(df, k = 3)
+      .select(col("cid"), col("seed_id")).as[(Long, Long)].collect().sortBy(_._1)
+    // seed 0 = vec 0 at 0; farthest from it: vec 4 (10000) and vec 5
+    // (-10000) tie in |.|² → lowest vec_id 4 first, then 5
+    assert(seeds.toSeq == Seq(0L -> 0L, 1L -> 4L, 2L -> 5L))
+  }
+
   test("the whole loop is partitioning-independent") {
     val base = (0L until 60L).map(i => i -> Seq((i % 7).toFloat, (i % 11).toFloat))
     val a = Kmeans.lloydInt(emb(base: _*).repartition(1), 4, 2)
