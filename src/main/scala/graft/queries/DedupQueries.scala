@@ -440,7 +440,11 @@ object DedupQueries {
 
   /** CTE chain ending in `pairs(a, b, jaccard_x1000)` — the verified
     * minhash near-dup pairs (shared by dedup_minhash_lsh/dedup_clusters). */
-  private[queries] val minhashPairCtes: String =
+  private[queries] val minhashPairCtes: String = minhashPairCtesAt(300)
+
+  /** Same chain at an arbitrary verify threshold (link prediction runs
+    * the graph ops on a LOOSER graph so open wedges exist). */
+  private[queries] def minhashPairCtesAt(thresholdX1000: Long): String =
     s"""$SHB, sig AS (
        |  SELECT doc_id, sh, len(sh) AS n,
        |    $sigExprs AS sig
@@ -458,7 +462,7 @@ object DedupQueries {
        |      CAST(floor(1000.0 * len(list_intersect(x.sh, y.sh))
        |           / (x.n + y.n - len(list_intersect(x.sh, y.sh)))) AS BIGINT) AS jaccard_x1000
        |    FROM cand c JOIN sig x ON c.a = x.doc_id JOIN sig y ON c.b = y.doc_id
-       |  ) WHERE jaccard_x1000 >= 300
+       |  ) WHERE jaccard_x1000 >= $thresholdX1000
        |)""".stripMargin
 
   /** CTEs ending in lines(doc_id, line_no, line, lh) + hot(lh) — the

@@ -623,6 +623,45 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_lines"), sum(col("rev_x100")).as("revenue_x100"))
         .orderBy("o_orderpriority")
     },
+    // MARKET SHARE (TPC-H Q8 shape): within one region's customer market,
+    // the per-year revenue share of a single supplier nation — the
+    // two-level conditional-share report. Every dimension chain
+    // (customer→nation→region; supplier→nation) collapses to a broadcast
+    // key set; the one big-big shuffle joins lineitem to the filtered
+    // orders; both the conditional and total sums come out of ONE
+    // aggregation per year; the share is exact integer permille.
+    "olap_market_share" -> { (s: SparkSession, dir: String) =>
+      val lo = lit("1995-01-01").cast("timestamp")
+      val hi = lit("1997-01-01").cast("timestamp")
+      val nat = s.read.parquet(s"$dir/nation.parquet")
+      val asiaCust = s.read.parquet(s"$dir/customer.parquet")
+        .join(broadcast(nat.filter(col("n_regionkey") === 2)
+          .select(col("n_nationkey"))), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"))
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        .join(broadcast(asiaCust), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("yr"))
+      val supp = s.read.parquet(s"$dir/supplier.parquet")
+        .join(broadcast(nat.select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * lit(100.0))
+            .cast("long").as("rev_x100"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("yr"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_2", col("rev_x100")).otherwise(0L))
+            .as("nation_x100"),
+          sum(col("rev_x100")).as("total_x100"),
+          count(lit(1)).as("n_lines"))
+        .select(col("yr"), col("nation_x100"), col("total_x100"), col("n_lines"),
+          expr("(1000 * nation_x100) div total_x100").as("share_permille"))
+        .orderBy("yr")
+    },
     "olap_promo_share" -> { (s: SparkSession, dir: String) =>
       val lo = lit("1996-01-01").cast("timestamp")
       val hi = lit("1996-04-01").cast("timestamp")
@@ -927,6 +966,24 @@ object RelationalQueries {
       s"""SELECT o_orderpriority, count(*) AS n_lines,
          |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)) AS BIGINT) AS revenue_x100
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "olap_market_share" ->
+      s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+         |  CAST(sum(CASE WHEN sn.n_name = 'NATION_2'
+         |    THEN CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)
+         |    ELSE 0 END) AS BIGINT) AS nation_x100,
+         |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)) AS BIGINT) AS total_x100,
+         |  count(*) AS n_lines,
+         |  CAST((1000 * sum(CASE WHEN sn.n_name = 'NATION_2'
+         |    THEN CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)
+         |    ELSE 0 END)) // sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)) AS BIGINT) AS share_permille
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation cn ON c_nationkey = cn.n_nationkey AND cn.n_regionkey = 2
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation sn ON s_nationkey = sn.n_nationkey
+         |WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "olap_promo_share" ->
       s"""WITH j AS (

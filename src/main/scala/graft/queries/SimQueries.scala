@@ -265,6 +265,35 @@ object SimQueries {
         .select(col("a"), col("rk"), col("b"), col("cos_x1e6"))
         .orderBy("a", "rk")
     },
+    // LINK PREDICTION over the kNN graph (common-neighbor / Jaccard
+    // coefficient): NON-edges whose endpoints share kNN neighbors — the
+    // standard graph-ML edge proposer (candidates an ANN index missed,
+    // weak-supervision edges). The directed top-3 edges canonicalize to
+    // undirected pairs, the pair set wedge-joins ITSELF on the shared
+    // endpoint (the graph_triangles shape — embeddings never move), real
+    // edges anti-join out, and the tiny node-degree table broadcasts in
+    // for the Jaccard score. Top-50 by (cn, jaccard) fuses to
+    // TakeOrderedAndProject.
+    "graph_link_pred" -> { (s: SparkSession, dir: String) =>
+      val pairs = knn(s, dir)
+        .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+        .distinct()
+      val adj = pairs.select(col("a").as("u"), col("b").as("x"))
+        .union(pairs.select(col("b").as("u"), col("a").as("x")))
+      val adjY = adj.toDF("u", "y")
+      val wedges = adj.join(adjY, "u")
+        .filter(col("x") < col("y"))
+        .groupBy("x", "y").agg(count(lit(1)).as("cn"))
+      val deg = adj.groupBy("u").agg(count(lit(1)).as("deg"))
+      wedges
+        .join(pairs, col("x") === col("a") && col("y") === col("b"), "left_anti")
+        .join(broadcast(deg.toDF("x", "dx")), "x")
+        .join(broadcast(deg.toDF("y", "dy")), "y")
+        .select(col("x").as("a"), col("y").as("b"), col("cn"),
+          expr("(1000 * cn) div (dx + dy - cn)").as("jaccard_x1000"))
+        .orderBy(col("cn").desc, col("jaccard_x1000").desc, col("a").asc, col("b").asc)
+        .limit(50)
+    },
     // SEED EXPANSION: bounded multi-source BFS over the kNN graph —
     // every vector within 3 hops of the curated seed set (vec_id % 50
     // == 0), with its minimum hop distance. The corpus-growing pattern:
@@ -830,6 +859,43 @@ object SimQueries {
          |SELECT a, CAST(rk AS BIGINT) AS rk, b,
          |  CAST(floor(cos * 1000000.0) AS BIGINT) AS cos_x1e6
          |FROM sc WHERE rk <= 3 ORDER BY a, rk""".stripMargin,
+    // the kNN edge chain (same CTEs as sim_knn_graph) canonicalized to
+    // undirected pairs, then the wedge/anti-join/degree arithmetic
+    "graph_link_pred" ->
+      s"""$N, bk AS (
+         |  SELECT vec_id, embedding, nrm, ${bucketsSql("embedding")} AS bks FROM n
+         |), bkx AS (
+         |  SELECT vec_id, u.t, bks[u.t + 1] AS bucket
+         |  FROM bk, unnest([0, 1, 2, 3]) AS u(t)
+         |), cand AS (
+         |  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+         |  FROM bkx l JOIN bkx r ON l.t = r.t AND l.bucket = r.bucket AND l.vec_id <> r.vec_id
+         |), sc AS (
+         |  SELECT a, b,
+         |    row_number() OVER (PARTITION BY a
+         |      ORDER BY (${dotSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm)) DESC, b ASC) AS rk
+         |  FROM cand JOIN n x ON cand.a = x.vec_id JOIN n y ON cand.b = y.vec_id
+         |), pairs AS (
+         |  SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b FROM sc WHERE rk <= 3
+         |), lp_adj AS (
+         |  SELECT a AS u, b AS x FROM pairs
+         |  UNION ALL SELECT b, a FROM pairs
+         |), lp_w AS (
+         |  SELECT l.x AS x, r.x AS y, count(*) AS cn
+         |  FROM lp_adj l JOIN lp_adj r ON l.u = r.u AND l.x < r.x
+         |  GROUP BY 1, 2
+         |), lp_cand AS (
+         |  SELECT x, y, cn FROM lp_w
+         |  WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.a = lp_w.x AND p.b = lp_w.y)
+         |), lp_deg AS (
+         |  SELECT u, count(*) AS deg FROM lp_adj GROUP BY u
+         |)
+         |SELECT lp_cand.x AS a, lp_cand.y AS b, cn,
+         |  (1000 * cn) // (dx.deg + dy.deg - cn) AS jaccard_x1000
+         |FROM lp_cand
+         |JOIN lp_deg dx ON dx.u = lp_cand.x
+         |JOIN lp_deg dy ON dy.u = lp_cand.y
+         |ORDER BY cn DESC, jaccard_x1000 DESC, a ASC, b ASC LIMIT 50""".stripMargin,
     "sim_seed_expand" ->
       s"""WITH RECURSIVE $NB, bk AS (
          |  SELECT vec_id, embedding, nrm, ${bucketsSql("embedding")} AS bks FROM n

@@ -314,6 +314,34 @@ object TextQueries {
     "text_bpe_train" -> { (s: SparkSession, dir: String) =>
       graft.corpus.Bpe.train(s, docs(s, dir), rounds = 4).orderBy("merge_round")
     },
+    // BPE APPLY (the inference side of text_bpe_train): segment the
+    // corpus with the learned merges and report per-source subword
+    // compression. The merge table is 4 rows (codebook tier); merges
+    // apply to the (source, word-TYPE) table — the fold runs once per
+    // distinct word per source, then frequencies weight the rollup.
+    "text_bpe_apply" -> { (s: SparkSession, dir: String) =>
+      val d = docs(s, dir)
+      val merges = graft.corpus.Bpe.train(s, d, rounds = 4)
+        .orderBy("merge_round").collect()
+      val types = d
+        .select(col("source"), explode(tokens(col("text"))).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("source", "w").agg(count(lit(1)).as("wc"))
+        .select(col("source"), col("wc"), length(col("w")).cast("long").as("n_chars"),
+          transform(sequence(lit(1), length(col("w"))),
+            i => col("w").substr(i, lit(1))).as("syms"))
+      val applied = merges.foldLeft(types) { (df, m) =>
+        df.withColumn("syms",
+          graft.corpus.Bpe.mergeExpr(col("syms"), m.getString(1), m.getString(2)))
+      }
+      applied.groupBy("source")
+        .agg(sum(col("wc")).as("n_words"),
+          sum(col("wc") * col("n_chars")).as("n_chars"),
+          sum(col("wc") * size(col("syms"))).as("n_subwords"))
+        .withColumn("compression_permille",
+          expr("(1000 * n_subwords) div n_chars"))
+        .orderBy("source")
+    },
     // COLLOCATION MINING (PMI lift + Dice): statistically-associated word
     // pairs, the phrase-vocabulary op a tokenizer/corpus pipeline runs
     // before adding multi-word units. Dice = 2·n12/(n1+n2); lift =
@@ -570,6 +598,56 @@ object TextQueries {
       |      '\b(customer|key)\b', '<MASKED>', 'g')""".stripMargin
 
   /** Rolling polynomial hash of lower(trim(expr)) — graft_polyhash. */
+  /** One unrolled BPE round over the global word-type table: pair counts
+    * pN, argmax bN, merged segmentation wN (greedy left-to-right as a
+    * separator-string fold — a merged symbol is strictly longer than its
+    * left part, so it can never re-merge within the round, the same
+    * invariant as Bpe.mergeExpr's array fold). */
+  private def bpeRoundSql(n: Int, prev: String): String =
+    s"""p$n AS (
+       |  SELECT l, r, CAST(sum(wc) AS BIGINT) AS n FROM (
+       |    SELECT wc, syms[u.i] AS l, syms[u.i + 1] AS r
+       |    FROM $prev, unnest(range(1, len(syms))) u(i)
+       |  ) GROUP BY l, r
+       |), b$n AS (
+       |  SELECT l, r, n FROM p$n ORDER BY n DESC, l ASC, r ASC LIMIT 1
+       |), w$n AS (
+       |  SELECT string_split(list_reduce(list_prepend('', syms),
+       |    (acc, x) -> CASE
+       |      WHEN acc = '' THEN x
+       |      WHEN (acc = bl OR ends_with(acc, chr(1) || bl)) AND x = br
+       |        THEN acc || x
+       |      ELSE acc || chr(1) || x END), chr(1)) AS syms, wc
+       |  FROM $prev, (SELECT l AS bl, r AS br FROM b$n)
+       |)""".stripMargin
+
+  /** The full 4-round training chain (wt word table → w0 chars → b1..b4 +
+    * w1..w4), shared by the train and apply oracles. */
+  private def bpeCtes: String =
+    s"""wt AS (
+       |  SELECT w, count(*) AS wc FROM (
+       |    SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+       |    FROM documents
+       |  ) WHERE length(w) > 0 GROUP BY w
+       |), w0 AS (
+       |  SELECT list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)) AS syms,
+       |         wc
+       |  FROM wt
+       |), ${bpeRoundSql(1, "w0")}, ${bpeRoundSql(2, "w1")},
+       |${bpeRoundSql(3, "w2")}, ${bpeRoundSql(4, "w3")}""".stripMargin
+
+  /** Apply round n's already-learned merge bN to a per-source chain. */
+  private def bpeApplySql(n: Int, prev: String): String =
+    s"""s$n AS (
+       |  SELECT source, wc, n_chars, string_split(list_reduce(list_prepend('', syms),
+       |    (acc, x) -> CASE
+       |      WHEN acc = '' THEN x
+       |      WHEN (acc = bl OR ends_with(acc, chr(1) || bl)) AND x = br
+       |        THEN acc || x
+       |      ELSE acc || chr(1) || x END), chr(1)) AS syms
+       |  FROM $prev, (SELECT l AS bl, r AS br FROM b$n)
+       |)""".stripMargin
+
   private def fpSql(expr: String): String =
     s"""list_reduce(
        |    list_prepend(CAST(0 AS BIGINT),
@@ -812,42 +890,37 @@ object TextQueries {
     // never re-merge within the round — same invariant as the Spark
     // array fold)
     "text_bpe_train" -> {
-      def round(n: Int, prev: String): String =
-        s"""p$n AS (
-           |  SELECT l, r, CAST(sum(wc) AS BIGINT) AS n FROM (
-           |    SELECT wc, syms[u.i] AS l, syms[u.i + 1] AS r
-           |    FROM $prev, unnest(range(1, len(syms))) u(i)
-           |  ) GROUP BY l, r
-           |), b$n AS (
-           |  SELECT l, r, n FROM p$n ORDER BY n DESC, l ASC, r ASC LIMIT 1
-           |), w$n AS (
-           |  SELECT string_split(list_reduce(list_prepend('', syms),
-           |    (acc, x) -> CASE
-           |      WHEN acc = '' THEN x
-           |      WHEN (acc = bl OR ends_with(acc, chr(1) || bl)) AND x = br
-           |        THEN acc || x
-           |      ELSE acc || chr(1) || x END), chr(1)) AS syms, wc
-           |  FROM $prev, (SELECT l AS bl, r AS br FROM b$n)
-           |)""".stripMargin
       def row(n: Int): String =
         s"""SELECT CAST($n AS BIGINT) AS merge_round, l AS left_sym, r AS right_sym,
            |  n AS pair_n,
            |  (SELECT CAST(sum(wc * len(syms)) AS BIGINT) FROM w$n) AS corpus_symbols_after
            |FROM b$n""".stripMargin
-      s"""WITH wt AS (
-         |  SELECT w, count(*) AS wc FROM (
-         |    SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
-         |    FROM documents
-         |  ) WHERE length(w) > 0 GROUP BY w
-         |), w0 AS (
-         |  SELECT list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)) AS syms,
-         |         wc
-         |  FROM wt
-         |), ${round(1, "w0")}, ${round(2, "w1")}, ${round(3, "w2")}, ${round(4, "w3")}
+      s"""WITH $bpeCtes
          |SELECT * FROM (
          |  ${row(1)} UNION ALL ${row(2)} UNION ALL ${row(3)} UNION ALL ${row(4)}
          |) ORDER BY merge_round""".stripMargin
     },
+    // the learned merges applied per (source, word-type): the same b1..b4
+    // argmax CTEs drive a parallel fold chain that keeps source and word
+    // frequency; compression is subwords-per-char in exact permille
+    "text_bpe_apply" ->
+      s"""WITH $bpeCtes, st AS (
+         |  SELECT source, w, count(*) AS wc FROM (
+         |    SELECT source, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+         |    FROM documents
+         |  ) WHERE length(w) > 0 GROUP BY 1, 2
+         |), s0 AS (
+         |  SELECT source, wc, length(w) AS n_chars,
+         |    list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)) AS syms
+         |  FROM st
+         |), ${bpeApplySql(1, "s0")}, ${bpeApplySql(2, "s1")},
+         |${bpeApplySql(3, "s2")}, ${bpeApplySql(4, "s3")}
+         |SELECT source, CAST(sum(wc) AS BIGINT) AS n_words,
+         |  CAST(sum(wc * n_chars) AS BIGINT) AS n_chars,
+         |  CAST(sum(wc * len(syms)) AS BIGINT) AS n_subwords,
+         |  (1000 * CAST(sum(wc * len(syms)) AS BIGINT))
+         |    // CAST(sum(wc * n_chars) AS BIGINT) AS compression_permille
+         |FROM s4 GROUP BY source ORDER BY source""".stripMargin,
     // same staged integer arithmetic as the Spark form (div n1 before
     // the second N multiply), so lift_x1000 is bit-equal by construction
     "text_pmi" ->

@@ -591,4 +591,39 @@ class QueryPlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"expected the best-id join to broadcast in:\n$plan")
   }
+
+  test("text_pmi: vocab-sized unigram tables broadcast into the bigram counts") {
+    val plan = TextQueries.queries("text_pmi")(spark, dir)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the unigram joins to broadcast in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the bigram table must never shuffle for the vocab joins:\n$plan")
+  }
+
+  test("corpus_importance: the bucket ratio model broadcasts; the corpus never sort-merge-joins") {
+    val plan = graft.corpus.Importance
+      .weights(spark.read.parquet(s"$dir/documents.parquet"), "src0")
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the 256-bucket model to broadcast in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"token stream must join the model map-side:\n$plan")
+  }
+
+  test("sim_kmeans: centroid assignment is a broadcast, never a shuffled cartesian") {
+    val plan = SimQueries.queries("sim_kmeans")(spark, dir)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"expected the k-row centroid table to broadcast in:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"assignment must never plan a shuffled cartesian:\n$plan")
+  }
+
+  test("join_interval_buckets: the bucketed rewrite is an equi-join, never a band nested-loop") {
+    val plan = RelationalQueries.queries("join_interval_buckets")(spark, dir)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("NestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"the bucket keys must make this a hash-joinable equi-join:\n$plan")
+  }
 }
