@@ -44,7 +44,10 @@ object ScaleProbe {
     "dedup_embedding_cosine", "sim_dup_clusters", "sim_knn_graph",
     // round-8 pair-family additions: diagonal run detection, weighted
     // all-pairs cosine, and the label flood over the minhash pair graph
-    "dedup_longest_span", "text_sparse_cosine", "graph_label_prop")
+    "dedup_longest_span", "text_sparse_cosine", "graph_label_prop",
+    // part-6 additions with pair-shaped cost: the 9-threshold sweep over
+    // the loosest exact pair table, and the kNN wedge join
+    "dedup_threshold_curve", "graph_link_pred")
 
   /** queries that only touch documents.parquet / embeddings.parquet —
     * the only tables the mirror dir materializes. */
