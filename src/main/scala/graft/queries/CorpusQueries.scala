@@ -401,6 +401,26 @@ object CorpusQueries {
             .otherwise(0L)).as("n_ok"))
         .select(lit("hll_overlap").as("check"), col("n_pairs"), col("n_ok"))
     },
+    // TEMPERATURE-SCALED MIXTURE (the mC4/XLM-R multilingual sampling
+    // rule, T=2): per-source sampling shares ∝ (token mass)^(1/2) — the
+    // flattening that keeps low-resource sources represented. Exponent
+    // 1/2 because IEEE sqrt is CORRECTLY ROUNDED (exp/ln p^α for general
+    // α is libm-dependent and would drift cross-engine); the integer
+    // weight is floor(sqrt(n)) and every share is exact integer permille
+    // of the weight sum. One partial-agg shuffle on the source key; the
+    // 1-row totals broadcast.
+    "corpus_mix_temperature" -> { (s: SparkSession, dir: String) =>
+      val perSrc = docs(s, dir)
+        .select(col("source"), TextFunctions.tokenCount(col("text")).cast("long").as("nt"))
+        .groupBy("source").agg(sum(col("nt")).as("n_toks"))
+        .withColumn("w", floor(sqrt(col("n_toks").cast("double"))).cast("long"))
+      val tot = perSrc.agg(sum(col("n_toks")).as("tot_toks"), sum(col("w")).as("tot_w"))
+      perSrc.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_toks"), col("w"),
+          expr("(1000 * n_toks) div tot_toks").as("raw_share_permille"),
+          expr("(1000 * w) div tot_w").as("temp_share_permille"))
+        .orderBy("source")
+    },
     // DSIR IMPORTANCE RESAMPLING (Xie et al. 2023): score every document
     // by a hashed bag-of-token target-vs-raw likelihood ratio (target
     // domain = src0 here), then keep a deterministic hash-draw subset
@@ -846,6 +866,25 @@ object CorpusQueries {
          |SELECT doc_id, count(*) AS n_bench_hits,
          |       CAST(max(n_shared) AS BIGINT) AS max_shared
          |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // IEEE sqrt is correctly rounded, so floor(sqrt(n)) is engine-exact;
+    // every share is integer permille of integer sums
+    "corpus_mix_temperature" ->
+      s"""WITH t AS (
+         |  SELECT source, CAST(sum($NT) AS BIGINT) AS n_toks
+         |  FROM documents GROUP BY source
+         |), w AS (
+         |  SELECT source, n_toks,
+         |    CAST(floor(sqrt(CAST(n_toks AS DOUBLE))) AS BIGINT) AS w
+         |  FROM t
+         |), tot AS (
+         |  SELECT CAST(sum(n_toks) AS BIGINT) AS tot_toks,
+         |         CAST(sum(w) AS BIGINT) AS tot_w
+         |  FROM w
+         |)
+         |SELECT source, n_toks, w,
+         |  (1000 * n_toks) // tot_toks AS raw_share_permille,
+         |  (1000 * w) // tot_w AS temp_share_permille
+         |FROM w, tot ORDER BY source""".stripMargin,
     // replays Importance.weights' staged integer ratio arithmetic: same
     // smoothing, same div order, same hash-threshold acceptance draw
     "corpus_importance" ->

@@ -77,6 +77,26 @@ object SeriesQueries {
           count(lit(1)).as("n_events"))
         .orderBy("stream", "day")
     },
+    // SEASONALITY PROFILE: the (day-of-week × hour) activity heatmap —
+    // the panel behind load forecasting and anomaly baselines. Day/hour
+    // derive from pure integer epoch arithmetic ((days+4) % 7 pins
+    // Sunday=0 off 1970-01-01 being a Thursday — no engine calendar/
+    // locale involved); shares are integer permille of the global and
+    // per-day totals. One ≤168-key partial-agg shuffle; the totals
+    // broadcast back.
+    "agg_seasonality" -> { (s: SparkSession, dir: String) =>
+      val g = ev(s, dir).select(micros.as("tus"))
+        .select(expr("((tus div 86400000000) + 4) % 7").as("dow"),
+          expr("(tus div 3600000000) % 24").as("hour"))
+        .groupBy("dow", "hour").agg(count(lit(1)).as("n"))
+      val tot = g.agg(sum(col("n")).as("n_tot"))
+      val dowTot = g.groupBy("dow").agg(sum(col("n")).as("n_dow"))
+      g.join(broadcast(dowTot), "dow").crossJoin(broadcast(tot))
+        .select(col("dow"), col("hour"), col("n"),
+          expr("(1000 * n) div n_tot").as("share_permille"),
+          expr("(1000 * n) div n_dow").as("dow_share_permille"))
+        .orderBy("dow", "hour")
+    },
     // PAA + SAX SYMBOLIZATION (Lin et al. 2003): each stream's value
     // series compresses to 8 equal-count segments (piecewise aggregate
     // approximation) and each segment gets a quartile symbol a–d — the
@@ -424,6 +444,22 @@ object SeriesQueries {
        |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "agg_seasonality" ->
+      s"""$EV, g AS (
+         |  SELECT ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow,
+         |         (epoch_us(ts) // 3600000000) % 24 AS hour,
+         |         count(*) AS n
+         |  FROM ev GROUP BY 1, 2
+         |), tot AS (
+         |  SELECT CAST(sum(n) AS BIGINT) AS n_tot FROM g
+         |), dt AS (
+         |  SELECT dow, CAST(sum(n) AS BIGINT) AS n_dow FROM g GROUP BY dow
+         |)
+         |SELECT g.dow, g.hour, n,
+         |  (1000 * n) // n_tot AS share_permille,
+         |  (1000 * n) // n_dow AS dow_share_permille
+         |FROM g JOIN dt ON g.dow = dt.dow, tot
+         |ORDER BY g.dow, g.hour""".stripMargin,
     "ts_sax" ->
       s"""$EV, x AS (
          |  SELECT stream,

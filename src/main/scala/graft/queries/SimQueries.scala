@@ -396,6 +396,37 @@ object SimQueries {
         .join(broadcast(seeds.select(col("cid"), col("seed_id"))), Seq("cid"))
         .select(col("cid"), col("seed_id"), col("n_members"), col("sse"))
         .orderBy("cid")
+    },
+    // CLUSTER-SEPARATION MARGINS (the integer silhouette stand-in): per
+    // vector, the gap between its best and second-best centroid distance
+    // under the farthest-point seed set; rolled up per cluster (count,
+    // total, truncated mean, minimum). A collapsing margin is the
+    // clustering-quality drift alarm next to sim_cell_sse's SSE profile.
+    // Distances to the k broadcast seeds; the 2-smallest pick is an
+    // array-sort over k entries per vector (k rows, never a window over
+    // the corpus); one partial-agg rollup per cluster.
+    "sim_cluster_margin" -> { (s: SparkSession, dir: String) =>
+      val emb = Tables.emb(s, dir)
+      val seeds = graft.sim.Kmeans.farthestSeeds(emb, k = 4)
+        .select(col("cid"), col("cv"))
+      val top2 = graft.sim.Kmeans.quantized(emb)
+        .crossJoin(broadcast(seeds))
+        .select(col("vec_id"), col("cid"),
+          graft.sim.Kmeans.sqDist(col("qv"), col("cv")).as("dist"))
+        .groupBy("vec_id")
+        .agg(slice(array_sort(collect_list(struct(col("dist"), col("cid")))),
+          lit(1), lit(2)).as("top2"))
+        .select(col("vec_id"),
+          col("top2").getItem(0).getField("cid").as("cid"),
+          (col("top2").getItem(1).getField("dist")
+            - col("top2").getItem(0).getField("dist")).as("margin"))
+      top2.groupBy("cid")
+        .agg(count(lit(1)).as("n_members"), sum(col("margin")).as("sum_margin"),
+          min(col("margin")).as("min_margin"))
+        .withColumn("mean_margin", expr("sum_margin div n_members"))
+        .select(col("cid"), col("n_members"), col("sum_margin"),
+          col("mean_margin"), col("min_margin"))
+        .orderBy("cid")
     }
   )
 
@@ -408,6 +439,39 @@ object SimQueries {
        |      list_transform(range(1, len($qv) + 1),
        |        i -> ($qv[i] - $cv[i]) * ($qv[i] - $cv[i]))),
        |      (acc, v) -> acc + v)""".stripMargin
+
+  /** The farthest-point seeding chain: quantized corpus `q`, running
+    * min-distance tables m1..m3, argmax seeds s0..s3, unioned `seeds`
+    * (cid, seed_id, cv) — shared by sim_kmeans_pp and
+    * sim_cluster_margin. */
+  private def ppSeedCtes: String = {
+    def step(n: Int, prev: String): String =
+      s"""s$n AS (
+         |  SELECT CAST($n AS BIGINT) AS cid, vec_id AS seed_id, qv AS cv
+         |  FROM $prev ORDER BY mind DESC, vec_id ASC LIMIT 1
+         |), m${n + 1} AS (
+         |  SELECT p.vec_id, p.qv,
+         |    least(p.mind, ${kmDistSql("p.qv", "s.cv")}) AS mind
+         |  FROM $prev p, s$n s
+         |)""".stripMargin
+    s"""q AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(x * 1000.0) AS BIGINT)) AS qv
+       |  FROM embeddings
+       |), s0 AS (
+       |  SELECT CAST(0 AS BIGINT) AS cid, vec_id AS seed_id, qv AS cv
+       |  FROM q WHERE vec_id = 0
+       |), m1 AS (
+       |  SELECT q.vec_id, q.qv, ${kmDistSql("q.qv", "s.cv")} AS mind FROM q, s0 s
+       |), ${step(1, "m1")}, ${step(2, "m2")},
+       |s3 AS (
+       |  SELECT CAST(3 AS BIGINT) AS cid, vec_id AS seed_id, qv AS cv
+       |  FROM m3 ORDER BY mind DESC, vec_id ASC LIMIT 1
+       |), seeds AS (
+       |  SELECT * FROM s0 UNION ALL SELECT * FROM s1
+       |  UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
+       |)""".stripMargin
+  }
 
   /** One unrolled Lloyd step: assignment aN under centroids cPrev, then
     * recentered centroids cN (truncated integer per-dim means). */
@@ -962,33 +1026,25 @@ object SimQueries {
          |FROM sc WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
     // farthest-point chain unrolled: m_j holds the running min-distance
     // after j seeds; s_j is the argmax row (mind desc, vec_id asc)
-    "sim_kmeans_pp" -> {
-      def step(n: Int, prev: String): String =
-        s"""s$n AS (
-           |  SELECT CAST($n AS BIGINT) AS cid, vec_id AS seed_id, qv AS cv
-           |  FROM $prev ORDER BY mind DESC, vec_id ASC LIMIT 1
-           |), m${n + 1} AS (
-           |  SELECT p.vec_id, p.qv,
-           |    least(p.mind, ${kmDistSql("p.qv", "s.cv")}) AS mind
-           |  FROM $prev p, s$n s
-           |)""".stripMargin
-      s"""WITH q AS (
-         |  SELECT vec_id,
-         |    list_transform(embedding, x -> CAST(floor(x * 1000.0) AS BIGINT)) AS qv
-         |  FROM embeddings
-         |), s0 AS (
-         |  SELECT CAST(0 AS BIGINT) AS cid, vec_id AS seed_id, qv AS cv
-         |  FROM q WHERE vec_id = 0
-         |), m1 AS (
-         |  SELECT q.vec_id, q.qv, ${kmDistSql("q.qv", "s.cv")} AS mind FROM q, s0 s
-         |), ${step(1, "m1")}, ${step(2, "m2")},
-         |s3 AS (
-         |  SELECT CAST(3 AS BIGINT) AS cid, vec_id AS seed_id, qv AS cv
-         |  FROM m3 ORDER BY mind DESC, vec_id ASC LIMIT 1
-         |), seeds AS (
-         |  SELECT * FROM s0 UNION ALL SELECT * FROM s1
-         |  UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
-         |), a AS (
+    // same seed chain; rk1/rk2 join replays the 2-smallest pick (the
+    // array_sort on struct(dist, cid) is the same (dist, cid) ordering)
+    "sim_cluster_margin" ->
+      s"""WITH $ppSeedCtes, d AS (
+         |  SELECT q.vec_id, s.cid, ${kmDistSql("q.qv", "s.cv")} AS dist,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${kmDistSql("q.qv", "s.cv")}, s.cid) AS rk
+         |  FROM q, seeds s
+         |), m AS (
+         |  SELECT d1.vec_id, d1.cid, d2.dist - d1.dist AS margin
+         |  FROM (SELECT * FROM d WHERE rk = 1) d1
+         |  JOIN (SELECT * FROM d WHERE rk = 2) d2 USING (vec_id)
+         |)
+         |SELECT cid, count(*) AS n_members, CAST(sum(margin) AS BIGINT) AS sum_margin,
+         |  CAST(sum(margin) AS BIGINT) // count(*) AS mean_margin,
+         |  CAST(min(margin) AS BIGINT) AS min_margin
+         |FROM m GROUP BY cid ORDER BY cid""".stripMargin,
+    "sim_kmeans_pp" ->
+      s"""WITH $ppSeedCtes, a AS (
          |  SELECT vec_id, cid, dist FROM (
          |    SELECT q.vec_id, s.cid, ${kmDistSql("q.qv", "s.cv")} AS dist,
          |      row_number() OVER (PARTITION BY q.vec_id
@@ -999,8 +1055,7 @@ object SimQueries {
          |SELECT a.cid, s.seed_id, count(*) AS n_members,
          |  CAST(sum(dist) AS BIGINT) AS sse
          |FROM a JOIN seeds s USING (cid)
-         |GROUP BY 1, 2 ORDER BY a.cid""".stripMargin
-    },
+         |GROUP BY 1, 2 ORDER BY a.cid""".stripMargin,
     // two Lloyd steps unrolled as CTE chains; the final assignment a3
     // replays graft.sim.Kmeans.lloydInt's integer arithmetic exactly
     "sim_kmeans" ->

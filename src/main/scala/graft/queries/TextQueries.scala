@@ -293,6 +293,30 @@ object TextQueries {
         .agg(countDistinct(col("tok")).as("n_vocab"), count(lit(1)).as("n_tokens"))
         .orderBy("source")
     },
+    // VOCABULARY COVERAGE CURVE: what share of all token OCCURRENCES the
+    // top-k vocabulary types cover, for k ∈ {10, 100, 1000} — the panel
+    // that sizes a tokenizer/embedding vocab before training. Vocabulary
+    // ranks come from the DISTRIBUTED rank helper (range-repartition +
+    // per-partition offsets — no partitionBy-less window even though the
+    // vocab table is small here, because at corpus scale it isn't); the
+    // three coverage points are conditional sums in ONE aggregation, no
+    // prefix-sum window.
+    "text_vocab_coverage" -> { (s: SparkSession, dir: String) =>
+      val vocab = docs(s, dir)
+        .select(explode(tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .withColumn("negn", -col("n"))
+      val ranked = graft.corpus.Ranking.globalRank(vocab, Seq(), Seq("negn", "tok"), "rk")
+      ranked.agg(
+          count(lit(1)).as("n_vocab"), sum(col("n")).as("n_occ"),
+          sum(when(col("rk") <= 10L, col("n")).otherwise(0L)).as("occ_top10"),
+          sum(when(col("rk") <= 100L, col("n")).otherwise(0L)).as("occ_top100"),
+          sum(when(col("rk") <= 1000L, col("n")).otherwise(0L)).as("occ_top1000"))
+        .select(col("n_vocab"), col("n_occ"),
+          expr("(1000 * occ_top10) div n_occ").as("cov10_permille"),
+          expr("(1000 * occ_top100) div n_occ").as("cov100_permille"),
+          expr("(1000 * occ_top1000) div n_occ").as("cov1000_permille"))
+    },
     // corpus heavy hitters: top-20 bigrams by frequency. Scale: map-side
     // bigram explode → partially-aggregated groupBy → TakeOrdered top-k
     // (per-partition top-k + driver merge, no global sort)
@@ -921,6 +945,25 @@ object TextQueries {
          |  (1000 * CAST(sum(wc * len(syms)) AS BIGINT))
          |    // CAST(sum(wc * n_chars) AS BIGINT) AS compression_permille
          |FROM s4 GROUP BY source ORDER BY source""".stripMargin,
+    // the oracle may use a global window (it is not a Spark plan); ranks
+    // must match the distributed-rank helper's (n desc, tok asc) order
+    "text_vocab_coverage" ->
+      """WITH u AS (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents
+        |), v AS (
+        |  SELECT tok, count(*) AS n FROM u GROUP BY tok
+        |), r AS (
+        |  SELECT n, row_number() OVER (ORDER BY n DESC, tok ASC) AS rk FROM v
+        |)
+        |SELECT count(*) AS n_vocab, CAST(sum(n) AS BIGINT) AS n_occ,
+        |  (1000 * CAST(sum(CASE WHEN rk <= 10 THEN n ELSE 0 END) AS BIGINT))
+        |    // CAST(sum(n) AS BIGINT) AS cov10_permille,
+        |  (1000 * CAST(sum(CASE WHEN rk <= 100 THEN n ELSE 0 END) AS BIGINT))
+        |    // CAST(sum(n) AS BIGINT) AS cov100_permille,
+        |  (1000 * CAST(sum(CASE WHEN rk <= 1000 THEN n ELSE 0 END) AS BIGINT))
+        |    // CAST(sum(n) AS BIGINT) AS cov1000_permille
+        |FROM r""".stripMargin,
     // same staged integer arithmetic as the Spark form (div n1 before
     // the second N multiply), so lift_x1000 is bit-equal by construction
     "text_pmi" ->

@@ -27,7 +27,7 @@ import org.apache.spark.sql.functions._
 object Kmeans {
 
   /** Squared L2 distance between two equal-length int64 array columns. */
-  private def sqDist(a: Column, b: Column): Column =
+  def sqDist(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
 
   /** Quantized corpus `(vec_id, qv: array<long>)`. */
