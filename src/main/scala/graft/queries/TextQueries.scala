@@ -293,6 +293,44 @@ object TextQueries {
         .agg(countDistinct(col("tok")).as("n_vocab"), count(lit(1)).as("n_tokens"))
         .orderBy("source")
     },
+    // RAKE KEYPHRASE EXTRACTION (Rose et al. 2010): candidate phrases
+    // are maximal stopword-free token runs; word score = degree/freq
+    // over phrase co-occurrence (×1000 integer); phrase score = Σ word
+    // scores; top-15 corpus-wide. Plan: one per-doc window assigns
+    // phrase ids (partitioned by doc — bounded by doc length), the
+    // vocab-sized word-stats table broadcasts back into the members,
+    // and the final ranking fuses to TakeOrderedAndProject.
+    "text_rake_keyphrases" -> { (s: SparkSession, dir: String) =>
+      import org.apache.spark.sql.expressions.Window
+      val toks = docs(s, dir)
+        .select(col("doc_id"), posexplode(tokens(col("text"))))
+        .toDF("doc_id", "pos", "tok")
+        .filter(length(col("tok")) > 0)
+        .withColumn("is_stop", col("tok").isin(stopwords: _*))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val members = toks
+        .withColumn("pid", sum(when(col("is_stop"), 1L).otherwise(0L)).over(w))
+        .filter(!col("is_stop"))
+      val plens = members.groupBy("doc_id", "pid").agg(count(lit(1)).as("plen"))
+      val withLen = members.join(plens, Seq("doc_id", "pid"))
+      val wordStats = withLen.groupBy("tok")
+        .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+        .withColumn("wscore_x1000", expr("(1000 * deg) div freq"))
+      val phrases = withLen
+        .join(broadcast(wordStats.select(col("tok"), col("wscore_x1000"))), Seq("tok"))
+        .groupBy("doc_id", "pid")
+        .agg(
+          concat_ws(" ", transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok"))).as("phrase"),
+          count(lit(1)).as("n_words"),
+          sum(col("wscore_x1000")).as("score_x1000"))
+      phrases.groupBy("phrase")
+        .agg(count(lit(1)).as("n_occ"), max(col("n_words")).as("n_words"),
+          max(col("score_x1000")).as("score_x1000"))
+        .orderBy(col("score_x1000").desc, col("phrase").asc)
+        .limit(15)
+        .select(col("phrase"), col("n_words"), col("n_occ"), col("score_x1000"))
+    },
     // VOCABULARY COVERAGE CURVE: what share of all token OCCURRENCES the
     // top-k vocabulary types cover, for k ∈ {10, 100, 1000} — the panel
     // that sizes a tokenizer/embedding vocab before training. Vocabulary
@@ -945,6 +983,45 @@ object TextQueries {
          |  (1000 * CAST(sum(wc * len(syms)) AS BIGINT))
          |    // CAST(sum(wc * n_chars) AS BIGINT) AS compression_permille
          |FROM s4 GROUP BY source ORDER BY source""".stripMargin,
+    // same phrase segmentation (stopword-break running sum), same integer
+    // degree/freq arithmetic, same (pos-ordered) phrase text
+    "text_rake_keyphrases" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+         |  FROM documents
+         |), t AS (
+         |  SELECT doc_id, u.i AS pos, toks[u.i] AS tok,
+         |    list_contains($stopList, toks[u.i]) AS is_stop
+         |  FROM d, unnest(range(1, len(toks) + 1)) u(i)
+         |  WHERE length(toks[u.i]) > 0
+         |), p AS (
+         |  SELECT doc_id, pos, tok, is_stop,
+         |    sum(CASE WHEN is_stop THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY pos) AS pid
+         |  FROM t
+         |), m AS (
+         |  SELECT doc_id, pid, pos, tok FROM p WHERE NOT is_stop
+         |), pl AS (
+         |  SELECT doc_id, pid, count(*) AS plen FROM m GROUP BY 1, 2
+         |), wl AS (
+         |  SELECT m.doc_id, m.pid, m.pos, m.tok, pl.plen
+         |  FROM m JOIN pl ON m.doc_id = pl.doc_id AND m.pid = pl.pid
+         |), ws AS (
+         |  SELECT tok, count(*) AS freq, CAST(sum(plen) AS BIGINT) AS deg,
+         |    (1000 * CAST(sum(plen) AS BIGINT)) // count(*) AS wscore_x1000
+         |  FROM wl GROUP BY tok
+         |), ph AS (
+         |  SELECT wl.doc_id, wl.pid,
+         |    string_agg(wl.tok, ' ' ORDER BY wl.pos) AS phrase,
+         |    count(*) AS n_words,
+         |    CAST(sum(ws.wscore_x1000) AS BIGINT) AS score_x1000
+         |  FROM wl JOIN ws ON wl.tok = ws.tok
+         |  GROUP BY 1, 2
+         |)
+         |SELECT phrase, CAST(max(n_words) AS BIGINT) AS n_words,
+         |  count(*) AS n_occ, CAST(max(score_x1000) AS BIGINT) AS score_x1000
+         |FROM ph GROUP BY phrase
+         |ORDER BY score_x1000 DESC, phrase ASC LIMIT 15""".stripMargin,
     // the oracle may use a global window (it is not a Spark plan); ranks
     // must match the distributed-rank helper's (n desc, tok asc) order
     "text_vocab_coverage" ->
