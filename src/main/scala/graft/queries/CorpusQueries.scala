@@ -401,6 +401,29 @@ object CorpusQueries {
             .otherwise(0L)).as("n_ok"))
         .select(lit("hll_overlap").as("check"), col("n_pairs"), col("n_ok"))
     },
+    // CROSS-SOURCE CONTAMINATION MATRIX: verbatim 8-token spans shared
+    // between source pairs — the provenance audit that catches one crawl
+    // mirroring another (and the source-grain rollup of the decontam
+    // family). Distinct (source, span) FIRST bounds the self-join fanout
+    // at the source cardinality regardless of span hotness; the
+    // source-count table broadcasts back; overlap is permille of the
+    // SMALLER side's span set.
+    "corpus_source_contamination" -> { (s: SparkSession, dir: String) =>
+      val src = docs(s, dir).select(col("doc_id").as("id"), col("source"))
+      val spans = Tables.spanPostings(s, dir).join(src, "id")
+        .select(col("source"), col("span_h")).distinct()
+      val cnt = spans.groupBy("source").agg(count(lit(1)).as("n_spans"))
+      val a = spans.toDF("source_a", "span_h")
+      val b = spans.toDF("source_b", "span_h")
+      a.join(b, "span_h").filter(col("source_a") < col("source_b"))
+        .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_shared"))
+        .join(broadcast(cnt.toDF("source_a", "a_spans")), "source_a")
+        .join(broadcast(cnt.toDF("source_b", "b_spans")), "source_b")
+        .select(col("source_a"), col("source_b"), col("n_shared"),
+          col("a_spans"), col("b_spans"),
+          expr("(1000 * n_shared) div least(a_spans, b_spans)").as("overlap_permille"))
+        .orderBy("source_a", "source_b")
+    },
     // TEMPERATURE-SCALED MIXTURE (the mC4/XLM-R multilingual sampling
     // rule, T=2): per-source sampling shares ∝ (token mass)^(1/2) — the
     // flattening that keeps low-resource sources represented. Exponent
@@ -866,6 +889,27 @@ object CorpusQueries {
          |SELECT doc_id, count(*) AS n_bench_hits,
          |       CAST(max(n_shared) AS BIGINT) AS max_shared
          |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // distinct (source, span) before the self-join, same as the Spark
+    // plan; overlap permille of the smaller side
+    "corpus_source_contamination" ->
+      s"""${DedupQueries.SPANS}, src AS (
+         |  SELECT doc_id AS id, source FROM documents
+         |), dsp AS (
+         |  SELECT DISTINCT s.source, p.span_h
+         |  FROM post p JOIN src s ON p.doc_id = s.id
+         |), cnt AS (
+         |  SELECT source, count(*) AS n_spans FROM dsp GROUP BY source
+         |), j AS (
+         |  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+         |  FROM dsp a JOIN dsp b ON a.span_h = b.span_h AND a.source < b.source
+         |  GROUP BY 1, 2
+         |)
+         |SELECT j.source_a, j.source_b, n_shared,
+         |  ca.n_spans AS a_spans, cb.n_spans AS b_spans,
+         |  (1000 * n_shared) // least(ca.n_spans, cb.n_spans) AS overlap_permille
+         |FROM j JOIN cnt ca ON ca.source = j.source_a
+         |JOIN cnt cb ON cb.source = j.source_b
+         |ORDER BY 1, 2""".stripMargin,
     // IEEE sqrt is correctly rounded, so floor(sqrt(n)) is engine-exact;
     // every share is integer permille of integer sums
     "corpus_mix_temperature" ->

@@ -37,6 +37,29 @@ object MultimodalQueries {
           col("energy"), col("peak"))
         .orderBy("asset_id", "window_idx")
     },
+    // CROSS-VIDEO FRAME DEDUP: frames whose content fingerprint repeats
+    // in MORE THAN ONE asset — the video-corpus near-dup primitive
+    // (mirrored uploads, shared intros/outros). The fingerprint is the
+    // engine's own codegen'd graft_polyhash over each frame's slice of
+    // the payload (a real pipeline swaps in pHash at the same spot);
+    // only (fp, asset) pairs shuffle — frames themselves never move.
+    "mm_frame_dedup" -> { (s: SparkSession, dir: String) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") % 3 === 2)
+        .select(col("doc_id").as("asset_id"), col("text"),
+          length(encode(col("text"), "UTF-8")).as("n"))
+        .select(col("asset_id"), col("text"),
+          explode(sequence(lit(0), expr("CAST(n % 7 AS INT)"))).as("i"))
+        .select(col("asset_id"),
+          expr("substring(text, i * 8 + 1, 8)").as("sl"))
+        .filter(length(col("sl")) > 0)
+        .select(col("asset_id"), call_function("graft_polyhash", col("sl")).as("fp"))
+        .groupBy("fp")
+        .agg(countDistinct(col("asset_id")).as("n_assets"),
+          count(lit(1)).as("n_frames"), min(col("asset_id")).as("min_asset"))
+        .filter(col("n_assets") >= 2L)
+        .orderBy("fp")
+    },
     // SCENE-CUT DETECTION: consecutive-frame feature deltas above a
     // threshold — the shot-boundary pass of a video curation pipeline.
     // The per-frame feature comes from the mapPartitions-tier stub
@@ -77,7 +100,31 @@ object MultimodalQueries {
       |  FROM documents
       |)""".stripMargin
 
+  /** Exact SQL mirror of graft_polyhash (base-31 rolling hash mod 2^31-1
+    * of lower(trim(s))) — same as the TextQueries/CorpusQueries mirrors. */
+  private def fpSql(expr: String): String =
+    s"""list_reduce(
+       |    list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(lower(trim($expr)), ''), c -> CAST(ascii(c) AS BIGINT))),
+       |    (h, c) -> (h * 31 + c) % 2147483647)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // frame i covers chars [i·8, i·8+8); fingerprint = the polyhash
+    // mirror; only cross-asset repeats survive the HAVING
+    "mm_frame_dedup" ->
+      s"""WITH v AS (
+         |  SELECT doc_id AS asset_id, text, octet_length(encode(text)) AS n
+         |  FROM documents WHERE doc_id % 3 = 2
+         |), f AS (
+         |  SELECT asset_id, substr(text, u.i * 8 + 1, 8) AS sl
+         |  FROM v, unnest(range(0, 1 + n % 7)) u(i)
+         |), g AS (
+         |  SELECT ${fpSql("sl")} AS fp, asset_id FROM f WHERE length(sl) > 0
+         |)
+         |SELECT fp, CAST(count(DISTINCT asset_id) AS BIGINT) AS n_assets,
+         |  count(*) AS n_frames, min(asset_id) AS min_asset
+         |FROM g GROUP BY fp HAVING count(DISTINCT asset_id) >= 2
+         |ORDER BY fp""".stripMargin,
     "mm_decode" ->
       s"""$A SELECT asset_id, kind,
          |  CAST(16 + n % 113 AS INT) AS width,

@@ -77,6 +77,28 @@ object SeriesQueries {
           count(lit(1)).as("n_events"))
         .orderBy("stream", "day")
     },
+    // SEASONAL-BASELINE ANOMALIES: each (day, hour) cell's event count
+    // against its (dow, hour) seasonal baseline (the mean over all same
+    // dow-hour cells), flagging cells ≥ 1.2× baseline — the alerting
+    // layer ON TOP of agg_seasonality's profile, with the baseline
+    // derived in-query. Integer throughout: deviation is
+    // (1000·n·n_days) div total over the cell's history; the baseline
+    // table is ≤168 rows and broadcasts back.
+    "anomaly_seasonal" -> { (s: SparkSession, dir: String) =>
+      val g = ev(s, dir).select(micros.as("tus"))
+        .select(expr("tus div 86400000000").as("day"),
+          expr("(tus div 3600000000) % 24").as("hour"))
+        .withColumn("dow", expr("(day + 4) % 7"))
+        .groupBy("day", "dow", "hour").agg(count(lit(1)).as("n"))
+      val base = g.groupBy("dow", "hour")
+        .agg(sum(col("n")).as("tot"), count(lit(1)).as("n_days"))
+      g.join(broadcast(base), Seq("dow", "hour"))
+        .select(col("day"), col("dow"), col("hour"), col("n"),
+          expr("(1000 * tot) div n_days").as("baseline_x1000"),
+          expr("(1000 * n * n_days) div tot").as("dev_permille"))
+        .filter(col("dev_permille") >= 1200L)
+        .orderBy("day", "hour")
+    },
     // SEASONALITY PROFILE: the (day-of-week × hour) activity heatmap —
     // the panel behind load forecasting and anomaly baselines. Day/hour
     // derive from pure integer epoch arithmetic ((days+4) % 7 pins
@@ -444,6 +466,23 @@ object SeriesQueries {
        |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "anomaly_seasonal" ->
+      s"""$EV, g AS (
+         |  SELECT epoch_us(ts) // 86400000000 AS day,
+         |    ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow,
+         |    (epoch_us(ts) // 3600000000) % 24 AS hour,
+         |    count(*) AS n
+         |  FROM ev GROUP BY 1, 2, 3
+         |), b AS (
+         |  SELECT dow, hour, CAST(sum(n) AS BIGINT) AS tot, count(*) AS n_days
+         |  FROM g GROUP BY 1, 2
+         |)
+         |SELECT g.day, g.dow, g.hour, n,
+         |  (1000 * tot) // n_days AS baseline_x1000,
+         |  (1000 * n * n_days) // tot AS dev_permille
+         |FROM g JOIN b ON g.dow = b.dow AND g.hour = b.hour
+         |WHERE (1000 * n * n_days) // tot >= 1200
+         |ORDER BY g.day, g.hour""".stripMargin,
     "agg_seasonality" ->
       s"""$EV, g AS (
          |  SELECT ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow,
