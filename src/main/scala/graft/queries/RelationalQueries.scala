@@ -623,6 +623,58 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_lines"), sum(col("rev_x100")).as("revenue_x100"))
         .orderBy("o_orderpriority")
     },
+    // MIN-COST SUPPLIER (TPC-H Q2 shape, the correlated-subquery
+    // pattern): for every part, the supplier selling it at the lowest
+    // observed unit price — a per-group argmin executed as min(struct)
+    // over the (part, supplier) aggregate (NO window sort, the
+    // snapshot_latest trick), then part/supplier dims broadcast in.
+    // Unit price is exact integer cents-per-unit (staged floors both
+    // engines).
+    "olap_min_cost_supplier" -> { (s: SparkSession, dir: String) =>
+      val offers = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_partkey"), col("l_suppkey"),
+          floor(col("l_extendedprice") * lit(100.0)).cast("long").as("cents"),
+          floor(col("l_quantity")).cast("long").as("units"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(sum(col("cents")).as("cents"), sum(col("units")).as("units"),
+          count(lit(1)).as("n_lines"))
+        .filter(col("units") > 0L)
+        .withColumn("cpu", expr("cents div units"))
+      val best = offers
+        .groupBy("l_partkey")
+        .agg(min(struct(col("cpu"), col("l_suppkey"), col("n_lines"))).as("m"))
+        .select(col("l_partkey"), col("m.l_suppkey").as("suppkey"),
+          col("m.cpu").as("cents_per_unit"), col("m.n_lines").as("n_lines"))
+      val part = s.read.parquet(s"$dir/part.parquet")
+        .select(col("p_partkey"), col("p_type"))
+      val supp = s.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey"), col("s_name"))
+      best.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supp), col("suppkey") === col("s_suppkey"))
+        .select(col("l_partkey").as("partkey"), col("p_type"), col("suppkey"),
+          col("s_name"), col("cents_per_unit"), col("n_lines"))
+        .orderBy("partkey")
+    },
+    // TOLERANCE-BOUNDED AS-OF JOIN (the financial asof variant): each
+    // purchase matches its latest prior click ONLY if that click is
+    // within 10 minutes — staleness beyond the tolerance yields no
+    // match. Same sweep shape as join_interval (one RANGE-frame window
+    // per stream, max of a (time, position) struct = latest-in-band);
+    // the oracle states the band join + row_number form.
+    "join_asof_tolerance" -> { (s: SparkSession, dir: String) =>
+      val w = Window.partitionBy("stream").orderBy("tus")
+        .rangeBetween(-600000000L, -1L)
+      ev(s, dir)
+        .select(col("stream"), col("position"), col("event_type"), micros.as("tus"))
+        .withColumn("lc",
+          max(when(col("event_type") === "click",
+            struct(col("tus"), col("position")))).over(w))
+        .filter(col("event_type") === "purchase" && col("lc").isNotNull)
+        .select(col("position"), col("stream"),
+          col("lc.position").as("click_pos"),
+          (col("tus") - col("lc.tus")).as("staleness_us"))
+        .orderBy("position")
+    },
     // MARKET SHARE (TPC-H Q8 shape): within one region's customer market,
     // the per-year revenue share of a single supplier nation — the
     // two-level conditional-share report. Every dimension chain
@@ -967,6 +1019,41 @@ object RelationalQueries {
          |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)) AS BIGINT) AS revenue_x100
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "olap_min_cost_supplier" ->
+      s"""WITH o AS (
+         |  SELECT l_partkey, l_suppkey,
+         |    CAST(sum(CAST(floor(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS cents,
+         |    CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS units,
+         |    count(*) AS n_lines
+         |  FROM lineitem GROUP BY 1, 2
+         |), c AS (
+         |  SELECT l_partkey, l_suppkey, cents // units AS cpu, n_lines
+         |  FROM o WHERE units > 0
+         |), b AS (
+         |  SELECT l_partkey, l_suppkey, cpu, n_lines FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY l_partkey
+         |      ORDER BY cpu, l_suppkey) AS rk
+         |    FROM c
+         |  ) WHERE rk = 1
+         |)
+         |SELECT l_partkey AS partkey, p_type, l_suppkey AS suppkey, s_name,
+         |  cpu AS cents_per_unit, n_lines
+         |FROM b JOIN part ON l_partkey = p_partkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |ORDER BY partkey""".stripMargin,
+    // band join + row_number states the same latest-within-tolerance
+    // semantics as the RANGE-frame sweep
+    "join_asof_tolerance" ->
+      s"""$EV SELECT position, stream, click_pos, staleness_us FROM (
+         |  SELECT p.position, p.stream, c.position AS click_pos,
+         |    epoch_us(p.ts) - epoch_us(c.ts) AS staleness_us,
+         |    row_number() OVER (PARTITION BY p.position
+         |      ORDER BY epoch_us(c.ts) DESC, c.position DESC) AS rk
+         |  FROM ev p JOIN ev c ON c.stream = p.stream AND c.event_type = 'click'
+         |    AND epoch_us(c.ts) < epoch_us(p.ts)
+         |    AND epoch_us(c.ts) >= epoch_us(p.ts) - 600000000
+         |  WHERE p.event_type = 'purchase'
+         |) WHERE rk = 1 ORDER BY position""".stripMargin,
     "olap_market_share" ->
       s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
          |  CAST(sum(CASE WHEN sn.n_name = 'NATION_2'

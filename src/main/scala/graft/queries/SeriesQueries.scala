@@ -77,6 +77,33 @@ object SeriesQueries {
           count(lit(1)).as("n_events"))
         .orderBy("stream", "day")
     },
+    // AUTOCORRELATION (lags 1..7) of the global daily event-count
+    // series — the periodicity detector under forecast-model selection.
+    // Integer-exact centering: with S = Σx and n = #days, use
+    // (n·x_t − S) so no rational mean ever materializes; acf_x1000 =
+    // (1000·Σ(n·x_t−S)(n·x_{t+l}−S)) div Σ(n·x_t−S)² (both engines
+    // truncate toward zero). The daily series is day-cardinality-sized,
+    // so the lag alignment is a tiny self-join on day+l (NO global
+    // window); the 1-row denominator broadcasts.
+    "ts_acf" -> { (s: SparkSession, dir: String) =>
+      val daily = ev(s, dir).select(micros.as("tus"))
+        .select(expr("tus div 86400000000").as("day"))
+        .groupBy("day").agg(count(lit(1)).as("x"))
+      val tot = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+      val c = daily.crossJoin(broadcast(tot))
+        .select(col("day"), expr("n * x - sx").as("cx"))
+      val den = c.agg(sum(expr("cx * cx")).as("den"))
+      val lagged = c
+        .withColumn("l", explode(array((1 to 7).map(i => lit(i.toLong)): _*)))
+        .withColumn("day2", col("day") + col("l"))
+        .join(c.select(col("day").as("day2"), col("cx").as("cy")), "day2")
+      lagged.groupBy("l")
+        .agg(count(lit(1)).as("n_terms"), sum(expr("cx * cy")).as("num"))
+        .crossJoin(broadcast(den))
+        .select(col("l").as("lag"), col("n_terms"),
+          expr("(1000 * num) div den").as("acf_x1000"))
+        .orderBy("lag")
+    },
     // SEASONAL-BASELINE ANOMALIES: each (day, hour) cell's event count
     // against its (dow, hour) seasonal baseline (the mean over all same
     // dow-hour cells), flagging cells ≥ 1.2× baseline — the alerting
@@ -466,6 +493,24 @@ object SeriesQueries {
        |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ts_acf" ->
+      s"""$EV, d AS (
+         |  SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS x
+         |  FROM ev GROUP BY 1
+         |), t AS (
+         |  SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx FROM d
+         |), c AS (
+         |  SELECT day, n * x - sx AS cx FROM d, t
+         |), dn AS (
+         |  SELECT CAST(sum(cx * cx) AS BIGINT) AS den FROM c
+         |), j AS (
+         |  SELECT u.l AS lag, a.cx AS cx, b.cx AS cy
+         |  FROM c a, unnest([1, 2, 3, 4, 5, 6, 7]) u(l), c b
+         |  WHERE b.day = a.day + u.l
+         |)
+         |SELECT CAST(lag AS BIGINT) AS lag, count(*) AS n_terms,
+         |  (1000 * CAST(sum(cx * cy) AS BIGINT)) // den AS acf_x1000
+         |FROM j, dn GROUP BY lag, den ORDER BY lag""".stripMargin,
     "anomaly_seasonal" ->
       s"""$EV, g AS (
          |  SELECT epoch_us(ts) // 86400000000 AS day,

@@ -294,6 +294,32 @@ object SimQueries {
         .orderBy(col("cn").desc, col("jaccard_x1000").desc, col("a").asc, col("b").asc)
         .limit(50)
     },
+    // RESOURCE-ALLOCATION LINK SCORING (Zhou et al. 2009): the
+    // common-neighbor predictor weighted by 1/deg of each shared
+    // neighbor — rare hubs count more than promiscuous ones (the
+    // integer-exact stand-in for Adamic–Adar's 1/log deg, which would
+    // be libm-dependent). Same wedge join as graph_link_pred with the
+    // neighbor's degree joined in BEFORE the (x, y) rollup; top-50
+    // fuses to TakeOrderedAndProject.
+    "graph_resource_alloc" -> { (s: SparkSession, dir: String) =>
+      val pairs = knn(s, dir)
+        .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+        .distinct()
+      val adj = pairs.select(col("a").as("u"), col("b").as("x"))
+        .union(pairs.select(col("b").as("u"), col("a").as("x")))
+      val adjY = adj.toDF("u", "y")
+      val deg = adj.groupBy("u").agg(count(lit(1)).as("degu"))
+      val wedges = adj.join(adjY, "u")
+        .filter(col("x") < col("y"))
+        .join(broadcast(deg), "u")
+        .groupBy("x", "y")
+        .agg(count(lit(1)).as("cn"), sum(expr("1000000 div degu")).as("ra_x1e6"))
+      wedges
+        .join(pairs, col("x") === col("a") && col("y") === col("b"), "left_anti")
+        .select(col("x").as("a"), col("y").as("b"), col("cn"), col("ra_x1e6"))
+        .orderBy(col("ra_x1e6").desc, col("cn").desc, col("a").asc, col("b").asc)
+        .limit(50)
+    },
     // SEED EXPANSION: bounded multi-source BFS over the kNN graph —
     // every vector within 3 hops of the curated seed set (vec_id % 50
     // == 0), with its minimum hop distance. The corpus-growing pattern:
@@ -923,6 +949,42 @@ object SimQueries {
          |SELECT a, CAST(rk AS BIGINT) AS rk, b,
          |  CAST(floor(cos * 1000000.0) AS BIGINT) AS cos_x1e6
          |FROM sc WHERE rk <= 3 ORDER BY a, rk""".stripMargin,
+    // same kNN pair chain; the neighbor's degree joins into the wedge
+    // BEFORE the rollup, RA = Σ (1e6 div deg(u))
+    "graph_resource_alloc" ->
+      s"""$N, bk AS (
+         |  SELECT vec_id, embedding, nrm, ${bucketsSql("embedding")} AS bks FROM n
+         |), bkx AS (
+         |  SELECT vec_id, u.t, bks[u.t + 1] AS bucket
+         |  FROM bk, unnest([0, 1, 2, 3]) AS u(t)
+         |), cand AS (
+         |  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+         |  FROM bkx l JOIN bkx r ON l.t = r.t AND l.bucket = r.bucket AND l.vec_id <> r.vec_id
+         |), sc AS (
+         |  SELECT a, b,
+         |    row_number() OVER (PARTITION BY a
+         |      ORDER BY (${dotSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm)) DESC, b ASC) AS rk
+         |  FROM cand JOIN n x ON cand.a = x.vec_id JOIN n y ON cand.b = y.vec_id
+         |), pairs AS (
+         |  SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b FROM sc WHERE rk <= 3
+         |), lp_adj AS (
+         |  SELECT a AS u, b AS x FROM pairs
+         |  UNION ALL SELECT b, a FROM pairs
+         |), lp_deg AS (
+         |  SELECT u, count(*) AS degu FROM lp_adj GROUP BY u
+         |), lp_w AS (
+         |  SELECT l.x AS x, r.x AS y, count(*) AS cn,
+         |    CAST(sum(1000000 // degu) AS BIGINT) AS ra_x1e6
+         |  FROM lp_adj l JOIN lp_adj r ON l.u = r.u AND l.x < r.x
+         |  JOIN lp_deg d ON d.u = l.u
+         |  GROUP BY 1, 2
+         |), lp_cand AS (
+         |  SELECT x, y, cn, ra_x1e6 FROM lp_w
+         |  WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.a = lp_w.x AND p.b = lp_w.y)
+         |)
+         |SELECT x AS a, y AS b, cn, ra_x1e6
+         |FROM lp_cand
+         |ORDER BY ra_x1e6 DESC, cn DESC, a ASC, b ASC LIMIT 50""".stripMargin,
     // the kNN edge chain (same CTEs as sim_knn_graph) canonicalized to
     // undirected pairs, then the wedge/anti-join/degree arithmetic
     "graph_link_pred" ->
