@@ -100,6 +100,9 @@ object SeriesQueries {
       lagged.groupBy("l")
         .agg(count(lit(1)).as("n_terms"), sum(expr("cx * cy")).as("num"))
         .crossJoin(broadcast(den))
+        // a perfectly flat series has zero variance — no correlation to
+        // report (and ANSI division would reject the degenerate row)
+        .filter(col("den") =!= 0L)
         .select(col("l").as("lag"), col("n_terms"),
           expr("(1000 * num) div den").as("acf_x1000"))
         .orderBy("lag")
@@ -510,7 +513,7 @@ object SeriesQueries {
          |)
          |SELECT CAST(lag AS BIGINT) AS lag, count(*) AS n_terms,
          |  (1000 * CAST(sum(cx * cy) AS BIGINT)) // den AS acf_x1000
-         |FROM j, dn GROUP BY lag, den ORDER BY lag""".stripMargin,
+         |FROM j, dn WHERE den <> 0 GROUP BY lag, den ORDER BY lag""".stripMargin,
     "anomaly_seasonal" ->
       s"""$EV, g AS (
          |  SELECT epoch_us(ts) // 86400000000 AS day,
