@@ -36,8 +36,11 @@ object Importance {
     val raw = toks.groupBy("b").agg(count(lit(1)).as("rc"))
     val tgt = toks.filter(col("source") === targetSource)
       .groupBy("b").agg(count(lit(1)).as("tc"))
-    val rTot = toks.agg(count(lit(1)).as("r_tot"))
-    val tTot = toks.filter(col("source") === targetSource).agg(count(lit(1)).as("t_tot"))
+    // totals fold the 256-row bucket tables, NOT the corpus — the model
+    // build costs exactly two token-explode passes (raw + target), like
+    // the oracle's single `tot` CTE
+    val rTot = raw.agg(coalesce(sum(col("rc")), lit(0L)).as("r_tot"))
+    val tTot = tgt.agg(coalesce(sum(col("tc")), lit(0L)).as("t_tot"))
     // ratio model: s_x1e6 = (1e6 · (tc+1) · (Rtot+B)) div ((rc+1) · (Ttot+B))
     raw.join(tgt, Seq("b"), "left")
       .na.fill(0L, Seq("tc"))

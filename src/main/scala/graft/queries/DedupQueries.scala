@@ -56,10 +56,14 @@ object DedupQueries {
     // engines by the same construction).
     "dedup_threshold_curve" -> { (s: SparkSession, dir: String) =>
       val ts = (100L to 900L by 100L).map(lit(_))
+      // localCheckpoint: the pair table feeds TWO rollups — without it
+      // the inverted-index self-join would execute twice (ReuseExchange
+      // only dedups the shuffle subtrees, not the join above them)
       val base = Dedup
         .ngramJaccardPairsFromSets(Tables.shingleSets(s, dir), thresholdX1000 = 100)
         .select(col("a"), col("b"),
           explode(filter(array(ts: _*), t => col("jaccard_x1000") >= t)).as("threshold"))
+        .localCheckpoint()
       val nPairs = base.groupBy("threshold").agg(count(lit(1)).as("n_pairs"))
       val nDocs = base
         .select(col("threshold"), explode(array(col("a"), col("b"))).as("doc"))
@@ -440,11 +444,7 @@ object DedupQueries {
 
   /** CTE chain ending in `pairs(a, b, jaccard_x1000)` — the verified
     * minhash near-dup pairs (shared by dedup_minhash_lsh/dedup_clusters). */
-  private[queries] val minhashPairCtes: String = minhashPairCtesAt(300)
-
-  /** Same chain at an arbitrary verify threshold (link prediction runs
-    * the graph ops on a LOOSER graph so open wedges exist). */
-  private[queries] def minhashPairCtesAt(thresholdX1000: Long): String =
+  private[queries] val minhashPairCtes: String =
     s"""$SHB, sig AS (
        |  SELECT doc_id, sh, len(sh) AS n,
        |    $sigExprs AS sig
@@ -462,7 +462,7 @@ object DedupQueries {
        |      CAST(floor(1000.0 * len(list_intersect(x.sh, y.sh))
        |           / (x.n + y.n - len(list_intersect(x.sh, y.sh)))) AS BIGINT) AS jaccard_x1000
        |    FROM cand c JOIN sig x ON c.a = x.doc_id JOIN sig y ON c.b = y.doc_id
-       |  ) WHERE jaccard_x1000 >= $thresholdX1000
+       |  ) WHERE jaccard_x1000 >= 300
        |)""".stripMargin
 
   /** CTEs ending in lines(doc_id, line_no, line, lh) + hot(lh) — the

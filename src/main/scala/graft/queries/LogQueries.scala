@@ -385,7 +385,7 @@ object LogQueries {
          |  ns[CAST((n_keys * 990 + 999) // 1000 AS INT)] AS p99_n,
          |  (1000 * n_events) // n_keys AS mean_x1000,
          |  (1000 * max_n * n_keys) // n_events AS skew_x1000
-         |FROM a""".stripMargin,
+         |FROM a WHERE n_keys > 0""".stripMargin,
     "read_json_payload" ->
       s"""$EV SELECT position, stream, CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
          |FROM ev WHERE CAST(json_extract_string(props, '$$.k') AS BIGINT) >= 80

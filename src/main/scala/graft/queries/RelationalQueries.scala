@@ -601,18 +601,21 @@ object RelationalQueries {
     // SHUFFLE JOIN (the join complement of agg_salted_skew, and the tool
     // when AQE's runtime split can't fire — e.g. a partitioning pinned
     // by a downstream per-key operator). The probe side (lineitem)
-    // carries a deterministic salt in [0,8); the build side (orders)
-    // explodes ×8 so every (key, salt) cell of a hot key lands on its
-    // own reducer. The oracle is the DIRECT unsalted join — exact
-    // equivalence is the contract, like agg_salted_skew. Cost: 8× the
-    // BUILD side rows on the wire (orders here collapses to 2 columns),
-    // bought for an 8× reduction in worst-reducer row count on the hot
-    // key — the right trade exactly when one order key dominates.
+    // carries a deterministic HASH salt covering all of [0,8) (a column
+    // like l_linenumber ∈ [1,7] would leave one cell permanently empty
+    // — 1/8 of the replicated build rows dead on the wire); the build
+    // side (orders) explodes ×8 so every (key, salt) cell of a hot key
+    // lands on its own reducer. The oracle is the DIRECT unsalted join —
+    // exact equivalence is the contract, like agg_salted_skew. Cost: 8×
+    // the BUILD side rows on the wire (orders here collapses to 2
+    // columns), bought for an 8× reduction in worst-reducer row count on
+    // the hot key — the right trade exactly when one order key
+    // dominates.
     "join_salted_skew" -> { (s: SparkSession, dir: String) =>
       val S = 8
       val li = s.read.parquet(s"$dir/lineitem.parquet")
         .select(col("l_orderkey"),
-          (col("l_linenumber") % S).cast("int").as("salt"),
+          pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(S)).cast("int").as("salt"),
           floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * lit(100.0))
             .cast("long").as("rev_x100"))
       val ord = s.read.parquet(s"$dir/orders.parquet")

@@ -58,6 +58,18 @@ object SimQueries {
     knnCache.getOrElseUpdate((s, dir),
       Similarity.knnGraphFromNormed(Tables.normedEmb(s, dir), 3).localCheckpoint())
 
+  /** The kNN graph as canonical UNDIRECTED pairs (a < b) plus its
+    * doubled adjacency — shared by the two link predictors so their
+    * graph construction can never drift. */
+  private def knnPairsAdj(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val pairs = knn(s, dir)
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    val adj = pairs.select(col("a").as("u"), col("b").as("x"))
+      .union(pairs.select(col("b").as("u"), col("a").as("x")))
+    (pairs, adj)
+  }
+
   /** IVF-routed PQ ADC top-k (shared by `sim_topk_ivfpq` and `sim_recall`). */
   private def ivfPqTopK(s: SparkSession, dir: String): DataFrame = {
     val ivfIdx = ivf(s, dir)
@@ -275,11 +287,7 @@ object SimQueries {
     // for the Jaccard score. Top-50 by (cn, jaccard) fuses to
     // TakeOrderedAndProject.
     "graph_link_pred" -> { (s: SparkSession, dir: String) =>
-      val pairs = knn(s, dir)
-        .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
-        .distinct()
-      val adj = pairs.select(col("a").as("u"), col("b").as("x"))
-        .union(pairs.select(col("b").as("u"), col("a").as("x")))
+      val (pairs, adj) = knnPairsAdj(s, dir)
       val adjY = adj.toDF("u", "y")
       val wedges = adj.join(adjY, "u")
         .filter(col("x") < col("y"))
@@ -302,11 +310,7 @@ object SimQueries {
     // neighbor's degree joined in BEFORE the (x, y) rollup; top-50
     // fuses to TakeOrderedAndProject.
     "graph_resource_alloc" -> { (s: SparkSession, dir: String) =>
-      val pairs = knn(s, dir)
-        .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
-        .distinct()
-      val adj = pairs.select(col("a").as("u"), col("b").as("x"))
-        .union(pairs.select(col("b").as("u"), col("a").as("x")))
+      val (pairs, adj) = knnPairsAdj(s, dir)
       val adjY = adj.toDF("u", "y")
       val deg = adj.groupBy("u").agg(count(lit(1)).as("degu"))
       val wedges = adj.join(adjY, "u")
@@ -465,6 +469,30 @@ object SimQueries {
        |      list_transform(range(1, len($qv) + 1),
        |        i -> ($qv[i] - $cv[i]) * ($qv[i] - $cv[i]))),
        |      (acc, v) -> acc + v)""".stripMargin
+
+  /** The kNN-graph oracle chain ending in `pairs(a, b)` (canonical
+    * undirected top-3 edges) and `lp_adj(u, x)` (doubled adjacency) —
+    * shared by the two link-predictor oracles. */
+  private def knnPairChainSql: String =
+    s"""bk AS (
+       |  SELECT vec_id, embedding, nrm, ${bucketsSql("embedding")} AS bks FROM n
+       |), bkx AS (
+       |  SELECT vec_id, u.t, bks[u.t + 1] AS bucket
+       |  FROM bk, unnest([0, 1, 2, 3]) AS u(t)
+       |), cand AS (
+       |  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+       |  FROM bkx l JOIN bkx r ON l.t = r.t AND l.bucket = r.bucket AND l.vec_id <> r.vec_id
+       |), sc AS (
+       |  SELECT a, b,
+       |    row_number() OVER (PARTITION BY a
+       |      ORDER BY (${dotSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm)) DESC, b ASC) AS rk
+       |  FROM cand JOIN n x ON cand.a = x.vec_id JOIN n y ON cand.b = y.vec_id
+       |), pairs AS (
+       |  SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b FROM sc WHERE rk <= 3
+       |), lp_adj AS (
+       |  SELECT a AS u, b AS x FROM pairs
+       |  UNION ALL SELECT b, a FROM pairs
+       |)""".stripMargin
 
   /** The farthest-point seeding chain: quantized corpus `q`, running
     * min-distance tables m1..m3, argmax seeds s0..s3, unioned `seeds`
@@ -952,25 +980,7 @@ object SimQueries {
     // same kNN pair chain; the neighbor's degree joins into the wedge
     // BEFORE the rollup, RA = Σ (1e6 div deg(u))
     "graph_resource_alloc" ->
-      s"""$N, bk AS (
-         |  SELECT vec_id, embedding, nrm, ${bucketsSql("embedding")} AS bks FROM n
-         |), bkx AS (
-         |  SELECT vec_id, u.t, bks[u.t + 1] AS bucket
-         |  FROM bk, unnest([0, 1, 2, 3]) AS u(t)
-         |), cand AS (
-         |  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
-         |  FROM bkx l JOIN bkx r ON l.t = r.t AND l.bucket = r.bucket AND l.vec_id <> r.vec_id
-         |), sc AS (
-         |  SELECT a, b,
-         |    row_number() OVER (PARTITION BY a
-         |      ORDER BY (${dotSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm)) DESC, b ASC) AS rk
-         |  FROM cand JOIN n x ON cand.a = x.vec_id JOIN n y ON cand.b = y.vec_id
-         |), pairs AS (
-         |  SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b FROM sc WHERE rk <= 3
-         |), lp_adj AS (
-         |  SELECT a AS u, b AS x FROM pairs
-         |  UNION ALL SELECT b, a FROM pairs
-         |), lp_deg AS (
+      s"""$N, $knnPairChainSql, lp_deg AS (
          |  SELECT u, count(*) AS degu FROM lp_adj GROUP BY u
          |), lp_w AS (
          |  SELECT l.x AS x, r.x AS y, count(*) AS cn,
@@ -988,25 +998,7 @@ object SimQueries {
     // the kNN edge chain (same CTEs as sim_knn_graph) canonicalized to
     // undirected pairs, then the wedge/anti-join/degree arithmetic
     "graph_link_pred" ->
-      s"""$N, bk AS (
-         |  SELECT vec_id, embedding, nrm, ${bucketsSql("embedding")} AS bks FROM n
-         |), bkx AS (
-         |  SELECT vec_id, u.t, bks[u.t + 1] AS bucket
-         |  FROM bk, unnest([0, 1, 2, 3]) AS u(t)
-         |), cand AS (
-         |  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
-         |  FROM bkx l JOIN bkx r ON l.t = r.t AND l.bucket = r.bucket AND l.vec_id <> r.vec_id
-         |), sc AS (
-         |  SELECT a, b,
-         |    row_number() OVER (PARTITION BY a
-         |      ORDER BY (${dotSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm)) DESC, b ASC) AS rk
-         |  FROM cand JOIN n x ON cand.a = x.vec_id JOIN n y ON cand.b = y.vec_id
-         |), pairs AS (
-         |  SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b FROM sc WHERE rk <= 3
-         |), lp_adj AS (
-         |  SELECT a AS u, b AS x FROM pairs
-         |  UNION ALL SELECT b, a FROM pairs
-         |), lp_w AS (
+      s"""$N, $knnPairChainSql, lp_w AS (
          |  SELECT l.x AS x, r.x AS y, count(*) AS cn
          |  FROM lp_adj l JOIN lp_adj r ON l.u = r.u AND l.x < r.x
          |  GROUP BY 1, 2

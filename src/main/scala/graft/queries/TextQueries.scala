@@ -664,7 +664,13 @@ object TextQueries {
     * pN, argmax bN, merged segmentation wN (greedy left-to-right as a
     * separator-string fold — a merged symbol is strictly longer than its
     * left part, so it can never re-merge within the round, the same
-    * invariant as Bpe.mergeExpr's array fold). */
+    * invariant as Bpe.mergeExpr's array fold). The LEFT JOIN ON TRUE
+    * keeps the chain total when training exhausts early (empty bN →
+    * null bl/br → the CASE falls through to append-unmerged), matching
+    * Bpe.train's early stop. ORACLE-ONLY limitation: the string fold
+    * uses chr(1) as its symbol separator, so a token containing U+0001
+    * would diverge — the ENGINE's array fold has no such assumption;
+    * this is a test-harness encoding choice, not a library contract. */
   private def bpeRoundSql(n: Int, prev: String): String =
     s"""p$n AS (
        |  SELECT l, r, CAST(sum(wc) AS BIGINT) AS n FROM (
@@ -680,7 +686,7 @@ object TextQueries {
        |      WHEN (acc = bl OR ends_with(acc, chr(1) || bl)) AND x = br
        |        THEN acc || x
        |      ELSE acc || chr(1) || x END), chr(1)) AS syms, wc
-       |  FROM $prev, (SELECT l AS bl, r AS br FROM b$n)
+       |  FROM $prev LEFT JOIN (SELECT l AS bl, r AS br FROM b$n) ON TRUE
        |)""".stripMargin
 
   /** The full 4-round training chain (wt word table → w0 chars → b1..b4 +
@@ -707,7 +713,7 @@ object TextQueries {
        |      WHEN (acc = bl OR ends_with(acc, chr(1) || bl)) AND x = br
        |        THEN acc || x
        |      ELSE acc || chr(1) || x END), chr(1)) AS syms
-       |  FROM $prev, (SELECT l AS bl, r AS br FROM b$n)
+       |  FROM $prev LEFT JOIN (SELECT l AS bl, r AS br FROM b$n) ON TRUE
        |)""".stripMargin
 
   private def fpSql(expr: String): String =
