@@ -24,6 +24,21 @@ object DedupQueries {
     "dedup_exact" -> { (s: SparkSession, dir: String) =>
       Dedup.exact(Tables.docs(s, dir)).orderBy("content_md5")
     },
+    // NORMALIZED exact dedup — the variant every production pipeline
+    // runs FIRST: lowercase, punctuation stripped, whitespace runs
+    // collapsed, so trivially-reformatted copies (case, spacing,
+    // trailing punctuation) collapse into one md5 group that raw
+    // dedup_exact misses. Same map-only + one keys-shuffle plan; the
+    // normalization is a codegen'd regexp chain, no UDF.
+    "dedup_exact_norm" -> { (s: SparkSession, dir: String) =>
+      val norm = regexp_replace(
+        regexp_replace(lower(trim(col("text"))), "[.,!?;:]", ""), "\\s+", " ")
+      Tables.docs(s, dir)
+        .select(col("doc_id"), md5(norm).as("content_md5"))
+        .groupBy("content_md5")
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+        .orderBy("content_md5")
+    },
     "dedup_ngram_jaccard" -> { (s: SparkSession, dir: String) =>
       Dedup.ngramJaccardPairsFromSets(Tables.shingleSets(s, dir), thresholdX1000 = 300)
         .orderBy("a", "b")
@@ -557,6 +572,13 @@ object DedupQueries {
          |ORDER BY chunk_md5""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS content_md5, min(doc_id) AS keeper, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // DuckDB regexp_replace needs the 'g' flag for replace-all (Spark's
+    // default)
+    "dedup_exact_norm" ->
+      """SELECT md5(regexp_replace(regexp_replace(lower(trim(text)),
+        |    '[.,!?;:]', '', 'g'), '\s+', ' ', 'g')) AS content_md5,
+        |  min(doc_id) AS keeper, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""$SH, inv AS (

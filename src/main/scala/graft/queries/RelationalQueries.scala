@@ -626,6 +626,24 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_lines"), sum(col("rev_x100")).as("revenue_x100"))
         .orderBy("o_orderpriority")
     },
+    // CUSTOMER ORDER DISTRIBUTION (TPC-H Q13 shape — the outer-join +
+    // re-aggregation pattern): how many customers placed exactly k
+    // orders, INCLUDING the zero-order customers only a LEFT join can
+    // see. First level collapses orders to the customer grain (count of
+    // the nullable join key counts matches only); second level is a
+    // ≤max-orders-key rollup. The classic two-level histogram an
+    // engagement dashboard reads.
+    "olap_cust_order_dist" -> { (s: SparkSession, dir: String) =>
+      val cust = s.read.parquet(s"$dir/customer.parquet").select(col("c_custkey"))
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"))
+      cust.join(ord, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .groupBy(col("n_orders"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("n_customers").desc, col("n_orders").desc)
+    },
     // MIN-COST SUPPLIER (TPC-H Q2 shape, the correlated-subquery
     // pattern): for every part, the supplier selling it at the lowest
     // observed unit price — a per-group argmin executed as min(struct)
@@ -1022,6 +1040,14 @@ object RelationalQueries {
          |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)) AS BIGINT) AS revenue_x100
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "olap_cust_order_dist" ->
+      s"""WITH pc AS (
+         |  SELECT c_custkey, count(o_orderkey) AS n_orders
+         |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         |  GROUP BY 1
+         |)
+         |SELECT n_orders, count(*) AS n_customers
+         |FROM pc GROUP BY 1 ORDER BY n_customers DESC, n_orders DESC""".stripMargin,
     "olap_min_cost_supplier" ->
       s"""WITH o AS (
          |  SELECT l_partkey, l_suppkey,
