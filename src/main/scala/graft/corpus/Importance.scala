@@ -26,7 +26,9 @@ import org.apache.spark.sql.functions._
  * The acceptance draw is the hash-threshold sampler of
  * [[Sampling]] — reproducible across engines, retries, and cluster
  * sizes. At data scales where 1e6·tokens² overflows int64, drop the
- * ratio scale to 1e3 (documented, like the sketch permille constants).
+ * ratio scale to 1e3 (like the sketch permille constants) — the model
+ * build GUARDS this bound with an in-expression assert_true and fails
+ * loudly rather than silently serving wrapped weights.
  */
 object Importance {
 
@@ -41,12 +43,22 @@ object Importance {
     // the oracle's single `tot` CTE
     val rTot = raw.agg(coalesce(sum(col("rc")), lit(0L)).as("r_tot"))
     val tTot = tgt.agg(coalesce(sum(col("tc")), lit(0L)).as("t_tot"))
-    // ratio model: s_x1e6 = (1e6 · (tc+1) · (Rtot+B)) div ((rc+1) · (Ttot+B))
+    // ratio model: s_x1e6 = (1e6 · (tc+1) · (Rtot+B)) div ((rc+1) · (Ttot+B)).
+    // The numerator wraps int64 once (tc+1)·(r_tot+B) reaches ~9.2e12
+    // (≈3e6 tokens in both corpus and target) — fail LOUDLY there instead
+    // of silently serving wrapped weights: the assert_true rides inside
+    // the s_x1e6 expression so column pruning can never drop it, and it
+    // costs one comparison per bucket row (256 rows, not the corpus).
     raw.join(tgt, Seq("b"), "left")
       .na.fill(0L, Seq("tc"))
       .crossJoin(broadcast(rTot)).crossJoin(broadcast(tTot))
       .select(col("b"),
-        expr(s"(1000000 * (tc + 1) * (r_tot + $buckets)) div ((rc + 1) * (t_tot + $buckets))")
+        expr(
+          s"""(1000000 * (tc + 1) * (r_tot + $buckets)) div ((rc + 1) * (t_tot + $buckets))
+             | + coalesce(CAST(assert_true(
+             |     (tc + 1) <= (${Long.MaxValue}L div 1000000) div (r_tot + $buckets),
+             |     'graft.corpus.Importance: the 1e6 ratio scale would overflow int64 at this corpus token count; rebuild the model with a smaller scale constant') AS BIGINT), 0)
+             |""".stripMargin)
           .as("s_x1e6"))
   }
 

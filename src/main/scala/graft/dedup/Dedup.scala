@@ -195,12 +195,20 @@ object Dedup {
     * expression keys degrade the join to a nested-loop with per-pair
     * recomputation of the whole minhash pipeline. */
   def bandedSignatures(sets: DataFrame): DataFrame = {
+    minhashPassCount.incrementAndGet()
     val sig = sets.withColumn("sig", graft.functions.Fast.minhashFast(col("sh")))
       .select(col("id"), col("sig")).localCheckpoint()
     // compact long keys only — the shingle arrays do NOT ride the
     // candidate join
     bandsFromSig(sig)
   }
+
+  /** Count of minhash signature passes (each one a full-corpus scan +
+    * eager localCheckpoint) executed since JVM start. Test-only
+    * observability: `QueryPlanSpec` pins the incremental-cluster gate to
+    * exactly one pass per input side — the structural guarantee behind
+    * the `FromBanded` variants. */
+  private[graft] val minhashPassCount = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Band keys sliced out of an already-materialized `(id, sig)` table —
     * shared so callers that carry the signature column for other work
@@ -219,8 +227,17 @@ object Dedup {
     ).select(col("id"), col("band"), col("bk.r0").as("r0"), col("bk.r1").as("r1"))
 
   /** Same, over a precomputed [[shingleSets]] table (share it across ops). */
-  def minhashLshPairsFromSets(sets: DataFrame, thresholdX1000: Long): DataFrame = {
-    val banded = bandedSignatures(sets)
+  def minhashLshPairsFromSets(sets: DataFrame, thresholdX1000: Long): DataFrame =
+    minhashLshPairsFromBanded(bandedSignatures(sets), sets, thresholdX1000)
+
+  /** Self-join candidate generation + exact verify over an ALREADY-banded
+    * `(id, band, r0, r1)` table from [[bandedSignatures]]. Callers that
+    * feed ONE signature pass into several pair passes (the incremental
+    * gate runs old×old, new×corpus AND new×new over the same two sides)
+    * use this so each side's minhash pass — a full-corpus scan plus an
+    * eager `localCheckpoint` — happens once, not once per call. */
+  def minhashLshPairsFromBanded(banded: DataFrame, sets: DataFrame,
+                                thresholdX1000: Long): DataFrame = {
     val l = banded.select(col("id").as("a"), col("band"), col("r0"), col("r1"))
     val r = banded.select(col("id").as("b"), col("band").as("band_r"),
       col("r0").as("r0_r"), col("r1").as("r1_r"))
@@ -254,6 +271,7 @@ object Dedup {
    * Returns (a, b, n_match_rows, est_x1000, jaccard_x1000, err_x1000).
    */
   def minhashEstimatePairsFromSets(sets: DataFrame): DataFrame = {
+    minhashPassCount.incrementAndGet()
     val sig = sets.withColumn("sig", graft.functions.Fast.minhashFast(col("sh")))
       .select(col("id"), col("sh"), col("n_sh"), col("sig")).localCheckpoint()
     // band keys sliced from THIS sig table — not bandedSignatures(sets),
@@ -296,10 +314,20 @@ object Dedup {
    * (a = new id, b = corpus id, jaccard_x1000) verified by exact Jaccard.
    */
   def minhashLshPairsBetween(newSets: DataFrame, corpusSets: DataFrame,
-                             thresholdX1000: Long): DataFrame = {
-    val l = bandedSignatures(newSets)
+                             thresholdX1000: Long): DataFrame =
+    minhashLshPairsBetweenBanded(
+      bandedSignatures(newSets), newSets,
+      bandedSignatures(corpusSets), corpusSets, thresholdX1000)
+
+  /** Batch-vs-corpus candidate generation + exact verify over ALREADY-
+    * banded sides — the shared-signature twin of [[minhashLshPairsBetween]]
+    * (see [[minhashLshPairsFromBanded]] for why the split exists). */
+  def minhashLshPairsBetweenBanded(newBanded: DataFrame, newSets: DataFrame,
+                                   corpusBanded: DataFrame, corpusSets: DataFrame,
+                                   thresholdX1000: Long): DataFrame = {
+    val l = newBanded
       .select(col("id").as("a"), col("band"), col("r0"), col("r1"))
-    val r = bandedSignatures(corpusSets)
+    val r = corpusBanded
       .select(col("id").as("b"), col("band").as("band_r"),
         col("r0").as("r0_r"), col("r1").as("r1_r"))
     val cands = l

@@ -153,11 +153,19 @@ object DedupQueries {
       val sets = Tables.shingleSets(s, dir)
       val oldSets = sets.filter(col("id") % 10 =!= 0)
       val newSets = sets.filter(col("id") % 10 === 0)
+      // ONE minhash pass (full scan + eager localCheckpoint) per side —
+      // the banded tables feed all three pair passes (old×old between-,
+      // and new×new) via the FromBanded variants; QueryPlanSpec pins the
+      // pass count to exactly 2
+      val oldBanded = Dedup.bandedSignatures(oldSets)
+      val newBanded = Dedup.bandedSignatures(newSets)
       val oldLabels = Dedup.duplicateClustersAltStar(
-        Dedup.minhashLshPairsFromSets(oldSets, thresholdX1000 = 300))
+        Dedup.minhashLshPairsFromBanded(oldBanded, oldSets, thresholdX1000 = 300))
       val delta = Dedup
-        .minhashLshPairsBetween(newSets, oldSets, thresholdX1000 = 300)
-        .unionByName(Dedup.minhashLshPairsFromSets(newSets, thresholdX1000 = 300))
+        .minhashLshPairsBetweenBanded(newBanded, newSets, oldBanded, oldSets,
+          thresholdX1000 = 300)
+        .unionByName(
+          Dedup.minhashLshPairsFromBanded(newBanded, newSets, thresholdX1000 = 300))
       Dedup.incrementalClusters(oldLabels, delta).orderBy("id")
     },
     // same clusters via alternating large-star/small-star (Kiveris et al.)

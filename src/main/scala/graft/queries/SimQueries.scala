@@ -514,7 +514,7 @@ object SimQueries {
        |  FROM embeddings
        |), s0 AS (
        |  SELECT CAST(0 AS BIGINT) AS cid, vec_id AS seed_id, qv AS cv
-       |  FROM q WHERE vec_id = 0
+       |  FROM q ORDER BY vec_id ASC LIMIT 1
        |), m1 AS (
        |  SELECT q.vec_id, q.qv, ${kmDistSql("q.qv", "s.cv")} AS mind FROM q, s0 s
        |), ${step(1, "m1")}, ${step(2, "m2")},

@@ -45,7 +45,10 @@ object Kmeans {
       .select(col("vec_id"), col("m.qv").as("qv"), col("m.cid").as("cid"),
         col("m.dist").as("dist"))
 
-  /** Farthest-point (Gonzalez k-center) seeding: seed 0 is vec_id 0;
+  /** Farthest-point (Gonzalez k-center) seeding: seed 0 is the vector
+    * with the LOWEST vec_id (a deterministic pick that exists on every
+    * non-empty corpus — a literal id would silently return no seeds on
+    * corpora whose ids don't start at 0);
     * each next seed is the vector FARTHEST from the chosen set (argmax
     * of min-distance, ties to the lowest vec_id) — the deterministic
     * spread-out init that replaces k-means++'s random draws. Returns
@@ -61,7 +64,7 @@ object Kmeans {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val q = quantized(emb)
-    val first = q.filter(col("vec_id") === 0L)
+    val first = q.orderBy(col("vec_id").asc).limit(1)
       .select(col("vec_id"), col("qv")).collect()
     val schema = StructType(Seq(
       StructField("cid", LongType, nullable = false),

@@ -47,4 +47,43 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.train(spark, corpus(), rounds = 2).count() == 0)
     assert(Bpe.train(spark, corpus("a b c", "a"), rounds = 2).count() == 0)
   }
+
+  private def table(df: org.apache.spark.sql.DataFrame): Seq[(Long, String, String, Long, Long)] =
+    df.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4))).toSeq
+
+  test("batched training produces the IDENTICAL merge table to sequential") {
+    // the well-known batching subtlety: a merge changes neighbouring pair
+    // counts, so only a provably non-interacting prefix may share one
+    // snapshot. Stress it with tie-heavy, interaction-heavy random
+    // corpora over tiny alphabets (the worst case for the safety rule)
+    // plus the Sennrich ladder.
+    val ladder = corpus("newest newest newest widest widest lowest")
+    assert(table(Bpe.train(spark, ladder, rounds = 6))
+      == table(Bpe.trainSequential(spark, ladder, rounds = 6)))
+    for (seed <- 1 to 12) {
+      val rnd = new scala.util.Random(seed)
+      val alphabet = "abc"
+      val words = Seq.fill(25)(
+        Seq.fill(1 + rnd.nextInt(6))(alphabet(rnd.nextInt(alphabet.length))).mkString)
+      val docs = corpus(words.grouped(5).map(_.mkString(" ")).toSeq: _*)
+      val batched = table(Bpe.train(spark, docs, rounds = 10))
+      val seq = table(Bpe.trainSequential(spark, docs, rounds = 10))
+      assert(batched == seq, s"seed $seed: batched $batched != sequential $seq")
+    }
+  }
+
+  test("batching cuts driver rounds below the merge count on a skewed corpus") {
+    // sharply decaying pair counts (the Zipfian shape of real text) let
+    // the safe prefix take several merges per driver round
+    val words = (0 until 8).flatMap { i =>
+      Seq.fill(1 << (8 - i))(s"${('a' + 2 * i).toChar}${('b' + 2 * i).toChar}")
+    }
+    val docs = corpus(words.grouped(16).map(_.mkString(" ")).toSeq: _*)
+    val out = Bpe.train(spark, docs, rounds = 8)
+    assert(table(out) == table(Bpe.trainSequential(spark, docs, rounds = 8)))
+    assert(out.count() == 8L)
+    assert(Bpe.lastDriverRounds < 8,
+      s"expected batching to need fewer driver rounds than merges, got ${Bpe.lastDriverRounds}")
+  }
 }

@@ -626,4 +626,16 @@ class QueryPlanSpec extends SparkSpec {
     assert(!plan.contains("NestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"the bucket keys must make this a hash-joinable equi-join:\n$plan")
   }
+
+  test("dedup_clusters_incr: exactly one minhash pass per side (2 total)") {
+    // Each bandedSignatures call is a full-corpus signature scan + eager
+    // localCheckpoint. The gate feeds three pair passes (old self, new
+    // between corpus, new self) from TWO banded tables — the FromBanded
+    // variants must keep it at one pass per side, not one per call.
+    val before = graft.dedup.Dedup.minhashPassCount.get()
+    DedupQueries.queries("dedup_clusters_incr")(spark, dir).count()
+    val passes = graft.dedup.Dedup.minhashPassCount.get() - before
+    assert(passes == 2L,
+      s"expected exactly 2 minhash signature passes (one per side), got $passes")
+  }
 }
