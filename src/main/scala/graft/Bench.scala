@@ -90,15 +90,39 @@ object Bench {
           histRe.findAllMatchIn(body).map(m => m.group(1) -> m.group(2).toDouble).toMap
         }
       } else Map.empty
-    val regressions = results.collect {
+    val flagged = results.collect {
       case (k, v) if hist.get(k).exists(h => v > 2 * h && v - h > 0.25) =>
         k -> (v, hist(k))
     }
-    regressions.foreach { case (k, (now, best)) =>
-      System.err.println(f"[bench] REGRESSION $k: $now%.3fs vs historical best $best%.3fs (>2x)")
+    // SELF-VERIFYING ratchet: every flagged query re-runs in ISOLATION
+    // (after the sweep, quiet JVM — no 230-query back-to-back contention)
+    // and only isolation-CONFIRMED regressions count. This VM's
+    // hypervisor steal lands multi-second stalls on random queries
+    // during the full sweep; a flag that clears when the query runs
+    // alone is noise, and the artifact now records that determination
+    // instead of asserting it.
+    val isolated: Map[String, Double] = flagged.keys.map { k =>
+      def one(): Double = {
+        val t0 = System.nanoTime()
+        queries(k)(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      k -> math.min(one(), one())
+    }.toMap
+    val regressions = flagged.filter { case (k, (_, best)) =>
+      isolated.get(k).exists(v => v > 2 * best && v - best > 0.25)
+    }
+    flagged.foreach { case (k, (now, best)) =>
+      val iso = isolated(k)
+      if (regressions.contains(k))
+        System.err.println(
+          f"[bench] REGRESSION $k: $now%.3fs (isolated $iso%.3fs) vs historical best $best%.3fs (>2x, CONFIRMED in isolation)")
+      else
+        System.err.println(
+          f"[bench] flag cleared: $k $now%.3fs in-sweep but $iso%.3fs isolated vs best $best%.3fs — sweep contention, not a regression")
     }
     val newHist = (hist.keySet ++ results.keySet).map { k =>
-      val best = (hist.get(k).toSeq ++ results.get(k).toSeq).min
+      val best = (hist.get(k).toSeq ++ results.get(k).toSeq ++ isolated.get(k).toSeq).min
       k -> best
     }.toMap
     try {
@@ -115,21 +139,28 @@ object Bench {
         .map { case (sf, body) => q(sf) + ":{" + body + "}" }.mkString("{", ",", "}")
       java.nio.file.Files.write(histPath, (full + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () } // history is best-effort
-    val regs = regressions.map { case (k, (now, best)) =>
-      q(k) + ":" + s"""{"now":${r3(now)},"best":${r3(best)}}""" }.mkString("{", ",", "}")
+    // full flag record: every flagged query with its isolated re-run and
+    // the confirmed verdict — n_regressions counts only confirmed ones
+    val regs = flagged.map { case (k, (now, best)) =>
+      q(k) + ":" + s"""{"now":${r3(now)},"best":${r3(best)},"isolated_rerun_s":${r3(isolated(k))},"confirmed":${regressions.contains(k)}}"""
+    }.mkString("{", ",", "}")
     val json =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":${q(sfDir)},"n_queries":${results.size},"n_errors":${errors.size},"n_regressions":${regressions.size},"cold_total":${r3(coldTotal)},"queries":$qs,"errors":$errsShort,"detail":"bench_detail.json"}"""
     val cqs = cold.map { case (k, v) => q(k) + ":" + v }.mkString("{", ",", "}")
     // scaling exponents from tools.ScaleProbe (run on demand; committed
     // artifact) ride along in the per-round detail record
-    val scaling = {
-      val p = java.nio.file.Paths.get("scale_probe.json")
+    def sideArtifact(name: String): String = {
+      val p = java.nio.file.Paths.get(name)
       if (java.nio.file.Files.exists(p))
         new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
       else "null"
     }
+    val scaling = sideArtifact("scale_probe.json")
+    // ingest-path throughput (tools.IngestProbe: single dense sink vs
+    // bucketed PartitionedLog sinks) rides along the same way
+    val ingest = sideArtifact("ingest_probe.json")
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${results.map { case (k, v) => q(k) + ":" + v }.mkString("{", ",", "}")},"errors":$errs,"n_errors":${errors.size},"sf":${q(sfDir)},"cold_total":$coldTotal,"n_regressions":${regressions.size},"regressions":$regs,"cold_queries":$cqs,"scaling":$scaling}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${results.map { case (k, v) => q(k) + ":" + v }.mkString("{", ",", "}")},"errors":$errs,"n_errors":${errors.size},"sf":${q(sfDir)},"cold_total":$coldTotal,"n_regressions":${regressions.size},"regressions":$regs,"cold_queries":$cqs,"scaling":$scaling,"ingest":$ingest}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
       (detail + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () } // detail dump is best-effort

@@ -177,12 +177,33 @@ object Appender {
         throw EventConflict(s, u)
       }
     val log = readLog(spark, logDir)
-    var maxPos = {
-      val r = log.agg(max(col("position"))).head()
-      if (r.isNullAt(0)) 0L else r.getLong(0)
-    }
     val created = (nowNanos / 100L).toString
     import spark.implicits._
+    // Precondition state for ALL touched streams in TWO jobs (not three
+    // per stream): one grouped aggregation for global max position +
+    // per-touched-stream current revision + tombstone flag (untouched
+    // streams collapse into one null group that still feeds the position
+    // max), and one broadcast join for (stream, uuid) conflicts. The
+    // checks themselves then replay driver-side in batch order, so which
+    // precondition throws first is exactly the sequential semantics —
+    // but a 1,500-stream micro-batch costs 2 Spark jobs, not 4,500 (the
+    // ingest probe's single-sink numbers were unusable before this).
+    val touched = batches.map(_._1).distinct
+    val aggRows = log
+      .groupBy(when(col("stream").isin(touched: _*), col("stream")).as("s"))
+      .agg(max(col("revision")).as("rev"), max(col("position")).as("pos"),
+        max(when(col("event_type") === TombstoneMarker, 1L).otherwise(0L)).as("tomb"))
+      .collect()
+    var maxPos = if (aggRows.isEmpty) 0L else aggRows.map(_.getLong(2)).max
+    val streamInfo: Map[String, (Long, Boolean)] = aggRows
+      .filter(!_.isNullAt(0))
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3) == 1L)).toMap
+    val proposedPairs = batches
+      .flatMap { case (s, es, _) => es.map(e => (s, e.uuid)) }.distinct
+    val conflictPairs: Set[(String, String)] = log
+      .join(broadcast(proposedPairs.toDF("stream", "uuid")), Seq("stream", "uuid"))
+      .select("stream", "uuid").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
     val results = Seq.newBuilder[(String, AppendResult)]
     val rows =
       Seq.newBuilder[(String, String, String, String, Map[String, String], Option[String], Long, Long)]
@@ -190,10 +211,15 @@ object Appender {
     // two batches of one call continues its dense sequence (one tx)
     val revs = scala.collection.mutable.Map.empty[String, Long]
     batches.foreach { case (stream, events, expected) =>
-      if (isTombstoned(log, stream)) throw StreamDeleted(stream)
-      val currentRev = revs.getOrElse(stream, currentState(log, stream)._1)
+      if (streamInfo.get(stream).exists(_._2)) throw StreamDeleted(stream)
+      val currentRev = revs.getOrElse(stream, streamInfo.get(stream).fold(-1L)(_._1))
       checkRevision(stream, currentRev, expected)
-      checkConflicts(log, stream, events)
+      events.groupBy(_.uuid).collectFirst { case (u, es) if es.size > 1 =>
+        throw EventConflict(stream, u)
+      }
+      events.collectFirst {
+        case e if conflictPairs((stream, e.uuid)) => throw EventConflict(stream, e.uuid)
+      }
       events.zipWithIndex.foreach { case (e, i) =>
         rows += ((stream, e.uuid, e.eventType, e.data,
           e.metadata + ("created" -> created), e.customMetadata,
@@ -204,8 +230,18 @@ object Appender {
       revs(stream) = currentRev + events.size
       maxPos += events.size
     }
-    rows.result().toDF("stream", "uuid", "event_type", "data", "metadata", "custom_metadata",
-      "revision", "position")
+    // parallelize, NOT a local Seq toDF: a LocalRelation embeds every row
+    // in the serialized plan and encodes+writes them in ONE task, which
+    // at throughput-tier triggers (100k+ rows) makes the parquet encode
+    // the sink's bottleneck. An RDD ships rows as blocks and spreads the
+    // encode/write across tasks — position/revision assignment above
+    // stays the sequential driver fold (the single-writer contract), but
+    // nothing downstream of it needs to be single-threaded.
+    val assigned = rows.result()
+    val slices = math.max(1, math.min(8, assigned.size / 10000))
+    spark.sparkContext.parallelize(assigned, slices)
+      .toDF("stream", "uuid", "event_type", "data", "metadata", "custom_metadata",
+        "revision", "position")
       .write.mode("append").parquet(logDir)
     results.result()
   }

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+
+/**
+ * Streaming near-dup CLUSTER MAINTENANCE — the live twin of the batch
+ * delta-merge [[graft.dedup.Dedup.incrementalClusters]], completing the
+ * pipeline-stage story [[IngestDedup]] starts: where `nearDupSuspects`
+ * only FLAGS arriving documents whose bands collide with the corpus,
+ * this maintains the actual duplicate-cluster LABEL TABLE across
+ * micro-batches, so the serving side always has the current
+ * (id, keeper) clustering without ever re-running connected components
+ * over the corpus pair history.
+ *
+ * Per micro-batch (drive from `foreachBatch` — the cross-batch state
+ * here is two append-only signature tables plus the label table, not a
+ * keyed-state store, so `foreachBatch` + `localCheckpoint` is the right
+ * Structured Streaming shape):
+ *
+ *  1. shingle + minhash-band the arriving documents (ONE signature pass
+ *     — the `FromBanded` discipline of the batch gate);
+ *  2. delta pairs = new×corpus band collisions + new×new self-collisions,
+ *     both exact-Jaccard verified — identical generators to the batch
+ *     nightly;
+ *  3. fold yesterday's labels + delta through `incrementalClusters`
+ *     (stars(labels) ∪ delta is connectivity-equivalent to the full
+ *     pair history, so the result IS the full-recompute labeling —
+ *     `StreamingSpec` pins streaming-final == batch recompute exactly);
+ *  4. append the batch's signatures to the corpus side.
+ *
+ * Scale shape: per-trigger cost tracks the BATCH pair volume (band
+ * collisions of the arriving docs), never the corpus pair history; the
+ * corpus-side state is band keys + shingle sets (bytes per doc, the
+ * same artifact the batch pipeline persists), which at 100 TB lives as
+ * a parquet/Delta table the job appends to — here `localCheckpoint`
+ * stands in for that store, with lineage truncated every batch.
+ */
+final class StreamingClusters(thresholdX1000: Long) {
+
+  private var corpusSets: Option[DataFrame] = None   // (id, sh, n_sh)
+  private var corpusBands: Option[DataFrame] = None  // (id, band, r0, r1)
+  private var labelTable: Option[DataFrame] = None   // (id, keeper)
+
+  /** Current clustering: (id, keeper) for every id in >=1 near-dup pair. */
+  def labels(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    labelTable.getOrElse {
+      import spark.implicits._
+      Seq.empty[(Long, Long)].toDF("id", "keeper")
+    }
+
+  /** Absorb one micro-batch of (doc_id, text) rows. Synchronized: one
+    * trigger at a time mutates the state tables (foreachBatch already
+    * serializes triggers; this guards ad-hoc callers). */
+  def processBatch(docs: DataFrame): Unit = synchronized {
+    if (docs.isEmpty) return
+    val newSets = Dedup.shingleSets(docs).localCheckpoint()
+    val newBands = Dedup.bandedSignatures(newSets)
+    val delta = corpusSets.zip(corpusBands) match {
+      case Some((cSets, cBands)) =>
+        Dedup.minhashLshPairsBetweenBanded(newBands, newSets, cBands, cSets, thresholdX1000)
+          .unionByName(
+            Dedup.minhashLshPairsFromBanded(newBands, newSets, thresholdX1000))
+      case None =>
+        Dedup.minhashLshPairsFromBanded(newBands, newSets, thresholdX1000)
+    }
+    val pairs = delta.select(col("a"), col("b"))
+    val next = labelTable match {
+      case Some(old) => Dedup.incrementalClusters(old, pairs)
+      case None      => Dedup.duplicateClustersAltStar(pairs)
+    }
+    labelTable = Some(next.localCheckpoint())
+    corpusSets = Some(corpusSets.fold(newSets)(_.unionByName(newSets).localCheckpoint()))
+    corpusBands = Some(corpusBands.fold(newBands)(_.unionByName(newBands).localCheckpoint()))
+  }
+
+  /** Attach to a streaming (doc_id, text) source: every micro-batch is
+    * folded into the label table. */
+  def sink(stream: DataFrame): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      processBatch(batch)
+    }
+}

@@ -47,11 +47,35 @@ object ScaleProbe {
     "dedup_longest_span", "text_sparse_cosine", "graph_label_prop",
     // part-6 additions with pair-shaped cost: the 9-threshold sweep over
     // the loosest exact pair table, and the kNN wedge join
-    "dedup_threshold_curve", "graph_link_pred")
+    "dedup_threshold_curve", "graph_link_pred",
+    // round-9 widening — docs/embeddings families whose candidate/state
+    // growth is least obvious: the LSH-recall anti-join panel (exact
+    // side by definition), wedge-join RA scoring, the minhash-graph
+    // triangle count, RAKE's phrase explosion, the verbatim-span
+    // source-pair self-join, DSIR model+score, k-means assignment,
+    // distributed BPE rounds, and the MG sketch merge
+    "dedup_lsh_recall", "graph_resource_alloc", "graph_triangles",
+    "text_rake_keyphrases", "corpus_source_contamination",
+    "corpus_importance", "sim_kmeans", "text_bpe_train", "text_heavy_hitters")
 
   /** queries that only touch documents.parquet / embeddings.parquet —
     * the only tables the mirror dir materializes. */
   private val mirrorQueries = probeQueries
+
+  /** Natural-ladder-only panel over the OTHER tables (events + TPC-H
+    * dims — the mirror dir doesn't materialize them, and the mirror
+    * pathology is a document-duplication story anyway): the join/graph/
+    * olap/projection/series families the round-8 probe left unmeasured.
+    * graph_pagerank iterates the event type graph; join_interval /
+    * join_scd2_asof / join_asof_tolerance are the range/as-of joins
+    * whose candidate growth depends on interval overlap; proj_state_all
+    * folds N stored projections in one scan; olap_cust_order_dist is
+    * the TPC-H Q13 outer-join histogram; corpus_funnel and
+    * mm_frame_dedup close the corpus/multimodal families. */
+  private val ladderOnlyQueries = Seq(
+    "graph_pagerank", "join_interval", "join_scd2_asof", "join_asof_tolerance",
+    "proj_state_all", "olap_cust_order_dist", "olap_min_cost_supplier",
+    "agg_sessions", "ts_acf", "corpus_funnel", "mm_frame_dedup")
 
   private def q(s: String): String = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 
@@ -103,18 +127,21 @@ object ScaleProbe {
         name -> (t, rows)
       }.toMap
 
-    val sSmall = runAll(small, probeQueries)
-    val sBig = runAll(big, probeQueries)
+    val allLadder = probeQueries ++ ladderOnlyQueries
+    val sSmall = runAll(small, allLadder)
+    val sBig = runAll(big, allLadder)
     val sMirror = runAll(mirrorDir, mirrorQueries)
 
     def ln(x: Double) = math.log(math.max(x, 1e-9))
-    val entries = probeQueries.map { name =>
+    val entries = allLadder.map { name =>
       val (ts, rs) = sSmall(name)
       val (tb, rb) = sBig(name)
       val eT = ln(tb / ts) / ln(ratio)
       val eR = ln(math.max(rb, 1).toDouble / math.max(rs, 1)) / ln(ratio)
-      val (tm, rm) = sMirror(name)
-      s"""${q(name)}:{"t_small":${f(ts)},"t_big":${f(tb)},"rows_small":$rs,"rows_big":$rb,"exp_time":${f(eT)},"exp_rows":${f(eR)},"t_mirror10x":${f(tm)},"rows_mirror10x":$rm,"mirror_vs_natural_rows":${f(rm.toDouble / math.max(rb, 1))}}"""
+      val mirror = sMirror.get(name).map { case (tm, rm) =>
+        s""","t_mirror10x":${f(tm)},"rows_mirror10x":$rm,"mirror_vs_natural_rows":${f(rm.toDouble / math.max(rb, 1))}"""
+      }.getOrElse("")
+      s"""${q(name)}:{"t_small":${f(ts)},"t_big":${f(tb)},"rows_small":$rs,"rows_big":$rb,"exp_time":${f(eT)},"exp_rows":${f(eR)}$mirror}"""
     }
     val json =
       s"""{"n_small":${nSmall.toLong},"n_big":${nBig.toLong},"scale_ratio":${f(ratio)},"mirror_copies":$copies,"note":"exp_* from the natural sf ladder (t ~ n^e); mirror10x = small unioned ${copies}x with remapped ids (duplication pathology at the big row count)","queries":{${entries.mkString(",")}}}"""

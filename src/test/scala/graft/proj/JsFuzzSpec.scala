@@ -23,7 +23,10 @@ import JsProjection.JsVal
  *     IndexOutOfBounds would surface as an opaque 500 instead of the
  *     clean "invalid projection source" error.
  */
-class JsFuzzSpec extends AnyFunSuite {
+/** Seeded generator over the supported restricted-JS grammar — shared by
+  * [[JsFuzzSpec]] (compile/reject totality) and [[JsDifferentialSpec]]
+  * (local fold == distributed ProjectionBatch semantics). */
+object JsFuzzGen {
 
   private val stmtPool = Vector(
     "state.c += 1",
@@ -44,7 +47,7 @@ class JsFuzzSpec extends AnyFunSuite {
     Seq.fill(1 + rnd.nextInt(3))(stmtPool(rnd.nextInt(stmtPool.size)))
       .mkString("\n            ", "\n            ", "\n          ")
 
-  private def genProgram(rnd: scala.util.Random): String = {
+  def genProgram(rnd: scala.util.Random): String = {
     val selector = rnd.nextInt(3) match {
       case 0 => "fromAll()"
       case 1 => s"fromStream('s-${rnd.nextInt(3)}')"
@@ -79,6 +82,10 @@ class JsFuzzSpec extends AnyFunSuite {
     val out = if (rnd.nextBoolean()) "\n        .outputState()" else ""
     s"$selector$routing$when$transform$filter$out"
   }
+}
+
+class JsFuzzSpec extends AnyFunSuite {
+  import JsFuzzGen.genProgram
 
   private val events: Seq[ProjEvent] = (0 until 16).map { i =>
     val tpe = Seq("tA", "tB", "tC")(i % 3)

@@ -775,4 +775,33 @@ class StreamingSpec extends SparkSpec {
       assert(streamed == batch)
     } finally q.stop()
   }
+
+  test("streaming cluster maintenance: label table across micro-batches == full batch recompute") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.dedup.Dedup
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val all = docs.as[DocRow].collect().sortBy(_.doc_id)
+    // full-recompute expectation over the complete pair set
+    val expect = Dedup.duplicateClustersAltStar(
+        Dedup.minhashLshPairsFromSets(Dedup.shingleSets(docs), thresholdX1000 = 300))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+
+    val maintainer = new StreamingClusters(thresholdX1000 = 300)
+    val mem = MemoryStream[DocRow]
+    val q = maintainer.sink(mem.toDF())
+      .outputMode(OutputMode.Update()).start()
+    try {
+      val third = all.length / 3
+      Seq(all.slice(0, third), all.slice(third, 2 * third), all.slice(2 * third, all.length))
+        .foreach { b => mem.addData(b.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    val got = maintainer.labels(spark)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.nonEmpty, "the sf0.001 corpus has near-dup pairs; labels must be non-empty")
+    assert(got.toSeq == expect.toSeq,
+      s"streaming-maintained labels must equal the full batch recompute")
+  }
 }
