@@ -456,8 +456,59 @@ object CorpusQueries {
     "corpus_importance" -> { (s: SparkSession, dir: String) =>
       graft.corpus.Importance.weights(docs(s, dir), targetSource = "src0")
         .orderBy("doc_id")
+    },
+    // THE END-TO-END CURATION PIPELINE as ONE query: normalize → exact
+    // dedup (keeper = min id per normalized md5) → minhash-LSH clusters
+    // AMONG the exact survivors → quality-aware keep-best per cluster →
+    // quality gate (>= 550) → benchmark decontamination → temperature-
+    // scaled mixture over the final token mass. Every stage is
+    // individually oracled elsewhere; this gate pins the COMPOSITION
+    // (stage order + survivor-set threading), where operator-boundary
+    // bugs hide. Stage composition note: per-doc minhash signatures are
+    // corpus-independent, so clustering "among survivors" = the full
+    // signature table semi-joined to the survivor ids — the banding/
+    // verify machinery is reused unchanged (the oracle mirrors this with
+    // the member-filtered sig CTE). Scale shape: one doc scan computes
+    // all per-doc stage flags; the exact-keeper join shuffles md5 keys
+    // (merge hint — the keeper table is corpus-sized at 100 TB, never
+    // broadcastable); survivor ids+quality are localCheckpointed once
+    // (16 B/doc) and feed both the cluster pass and the keep-best argmax;
+    // cluster losers and contaminated sets are dup/overlap-mass sized and
+    // broadcast; the final rollup is one shuffle on source + a 1-row
+    // totals broadcast.
+    "corpus_e2e_curate" -> { (s: SparkSession, dir: String) =>
+      e2eCurate(docs(s, dir), Tables.shingleSets(s, dir), Tables.winnowPostings(s, dir))
+    },
+    // the pipeline on the deterministic 25% subset (doc_id % 4 == 0) —
+    // the sf0.1 scale-validation form (the parent's cluster oracle is
+    // recursive and cannot finish at sf0.1; same convention as
+    // corpus_funnel_sub)
+    "corpus_e2e_curate_sub" -> { (s: SparkSession, dir: String) =>
+      e2eCurate(
+        docs(s, dir).filter(col("doc_id") % 4 === 0),
+        Tables.shingleSets(s, dir).filter(col("id") % 4 === 0),
+        Tables.winnowPostings(s, dir).filter(col("doc_id") % 4 === 0))
     }
   )
+
+  /** The end-to-end curation pipeline over the given corpus slice (see
+    * the `corpus_e2e_curate` entry for stage semantics and scale shape;
+    * the metadata pass and report tail live in [[graft.corpus.Curation]],
+    * shared verbatim with the streaming twin
+    * [[graft.streaming.StreamingCuration]]). */
+  private[graft] def e2eCurate(d: DataFrame, sets: DataFrame, posts: DataFrame): DataFrame = {
+      val meta = graft.corpus.Curation.docMeta(d)
+      val ek = meta.groupBy("h").agg(min("doc_id").as("keep_id"))
+      // survivor ids are checkpointed once (8 B/doc) so the exact-dedup
+      // shuffle is not recomputed inside the cluster pass
+      val eIds = meta.join(ek, Seq("h"))
+        .filter(col("doc_id") === col("keep_id"))
+        .select(col("doc_id").as("id")).localCheckpoint()
+      val labels = Dedup.duplicateClusters(
+        Dedup.minhashLshPairsFromSets(
+          sets.join(eIds, Seq("id"), "left_semi"), thresholdX1000 = 300))
+      graft.corpus.Curation.report(meta, ek, labels, posts)
+  }
 
   /** The per-source curation funnel over the given corpus slice (see the
     * `corpus_funnel` entry for the stage semantics and scale shape). */
@@ -957,9 +1008,92 @@ object CorpusQueries {
          |)
          |SELECT doc_id, n_toks, s_sum // n_toks AS imp_x1e6,
          |  CAST(${fpSql("doc_id::VARCHAR || '#dsir'")} % 2000000 < s_sum // n_toks AS INT) AS keep
-         |FROM sc ORDER BY doc_id""".stripMargin
+         |FROM sc ORDER BY doc_id""".stripMargin,
+    // the full pipeline composition, stage for stage: normalized-md5
+    // keepers (ek/ex), the member-filtered minhash pair chain (sig
+    // restricted to ex — per-doc signatures are corpus-independent, so
+    // this equals re-running the chain on the survivors), recursive
+    // transitive closure → quality-argmax keep-best, then the quality
+    // cutoff, winnow-overlap decontamination, and the sqrt temperature
+    // mix over the surviving token mass
+    "corpus_e2e_curate" ->
+      s"""WITH RECURSIVE fl AS (
+         |  SELECT doc_id, source,
+         |    md5(regexp_replace(regexp_replace(lower(trim(text)),
+         |      '[.,!?;:]', '', 'g'), '\\s+', ' ', 'g')) AS h,
+         |    $QUAL AS qx, CAST(len(toks) AS BIGINT) AS nt
+         |  FROM (SELECT doc_id, source, text,
+         |          string_split_regex(trim(lower(text)), '\\s+') AS toks
+         |        FROM documents)
+         |), ek AS (
+         |  SELECT h, min(doc_id) AS keep_id FROM fl GROUP BY h
+         |), ex AS (
+         |  SELECT doc_id FROM fl JOIN ek USING (h) WHERE doc_id = keep_id
+         |), ${DedupQueries.minhashPairCtesAmong("ex")}, edges AS (
+         |  SELECT a AS src, b AS dst FROM pairs
+         |  UNION SELECT b, a FROM pairs
+         |), reach AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, g.dst FROM reach r JOIN edges g ON r.dst = g.src
+         |), cl AS (
+         |  SELECT src AS id, least(src, min(dst)) AS cluster
+         |  FROM reach GROUP BY src
+         |), m AS (
+         |  SELECT cl.id, cl.cluster, fl.qx FROM cl JOIN fl ON cl.id = fl.doc_id
+         |), bq AS (
+         |  SELECT cluster, max(qx) AS best_qx FROM m GROUP BY 1
+         |), bid AS (
+         |  SELECT m.cluster, min(m.id) AS best_id
+         |  FROM m JOIN bq ON m.cluster = bq.cluster AND m.qx = bq.best_qx
+         |  GROUP BY 1
+         |), losers AS (
+         |  SELECT m.id FROM m JOIN bid ON m.cluster = bid.cluster
+         |  WHERE m.id <> bid.best_id
+         |), ${DedupQueries.winnowTail}, bench AS (
+         |  SELECT doc_id AS bench_id, fp FROM post WHERE doc_id % 50 = 0
+         |), contam AS (
+         |  SELECT DISTINCT doc_id FROM (
+         |    SELECT c.doc_id FROM
+         |      (SELECT doc_id, fp FROM post WHERE doc_id % 50 <> 0) c
+         |      JOIN bench b USING (fp)
+         |    GROUP BY c.doc_id, b.bench_id HAVING count(*) >= 2
+         |  )
+         |), st AS (
+         |  SELECT f.source, f.nt,
+         |    f.doc_id = k.keep_id AS s_exact,
+         |    f.doc_id = k.keep_id
+         |      AND f.doc_id NOT IN (SELECT id FROM losers) AS s_kb,
+         |    f.doc_id = k.keep_id
+         |      AND f.doc_id NOT IN (SELECT id FROM losers)
+         |      AND f.qx >= 550 AS s_q,
+         |    f.doc_id = k.keep_id
+         |      AND f.doc_id NOT IN (SELECT id FROM losers)
+         |      AND f.qx >= 550
+         |      AND f.doc_id NOT IN (SELECT doc_id FROM contam) AS s_clean
+         |  FROM fl f JOIN ek k USING (h)
+         |), per AS (
+         |  SELECT source, count(*) AS n_raw,
+         |    CAST(sum(CASE WHEN s_exact THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+         |    CAST(sum(CASE WHEN s_kb THEN 1 ELSE 0 END) AS BIGINT) AS n_keepbest,
+         |    CAST(sum(CASE WHEN s_q THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+         |    CAST(sum(CASE WHEN s_clean THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+         |    CAST(sum(CASE WHEN s_clean THEN nt ELSE 0 END) AS BIGINT) AS n_toks
+         |  FROM st GROUP BY source
+         |), mx AS (
+         |  SELECT per.*, CAST(floor(sqrt(CAST(n_toks AS DOUBLE))) AS BIGINT) AS w
+         |  FROM per
+         |), tw AS (
+         |  SELECT CAST(sum(w) AS BIGINT) AS tot_w FROM mx
+         |)
+         |SELECT source, n_raw, n_exact, n_keepbest, n_quality, n_clean, n_toks, w,
+         |  CASE WHEN tot_w = 0 THEN 0
+         |       ELSE (1000 * w) // tot_w END AS temp_share_permille
+         |FROM mx, tw ORDER BY source""".stripMargin
   )
 
   val oracles: Map[String, String] =
-    baseOracles + ("corpus_funnel_sub" -> docs20(baseOracles("corpus_funnel")))
+    baseOracles +
+      ("corpus_funnel_sub" -> docs20(baseOracles("corpus_funnel"))) +
+      ("corpus_e2e_curate_sub" -> docs20(baseOracles("corpus_e2e_curate")))
 }

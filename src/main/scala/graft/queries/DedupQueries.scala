@@ -465,14 +465,10 @@ object DedupQueries {
       .map { case (a, b) => s"list_min(list_transform(sh, h -> ($a * h + $b) % $P))" }
       .mkString("[", ",\n      ", "]")
 
-  /** CTE chain ending in `pairs(a, b, jaccard_x1000)` — the verified
-    * minhash near-dup pairs (shared by dedup_minhash_lsh/dedup_clusters). */
-  private[queries] val minhashPairCtes: String =
-    s"""$SHB, sig AS (
-       |  SELECT doc_id, sh, len(sh) AS n,
-       |    $sigExprs AS sig
-       |  FROM shs WHERE len(sh) > 0
-       |), band AS (
+  /** band → cand → pairs tail over a `sig(doc_id, sh, n, sig)` CTE —
+    * shared by the full-corpus chain and the member-filtered one. */
+  private val bandCandPairsCtes: String =
+    s"""band AS (
        |  SELECT doc_id, u.band, sig[u.band * 2 + 1] AS r0, sig[u.band * 2 + 2] AS r1
        |  FROM sig, unnest([0, 1, 2, 3]) AS u(band)
        |), cand AS (
@@ -487,6 +483,29 @@ object DedupQueries {
        |    FROM cand c JOIN sig x ON c.a = x.doc_id JOIN sig y ON c.b = y.doc_id
        |  ) WHERE jaccard_x1000 >= 300
        |)""".stripMargin
+
+  /** CTE chain ending in `pairs(a, b, jaccard_x1000)` — the verified
+    * minhash near-dup pairs (shared by dedup_minhash_lsh/dedup_clusters). */
+  private[queries] val minhashPairCtes: String =
+    s"""$SHB, sig AS (
+       |  SELECT doc_id, sh, len(sh) AS n,
+       |    $sigExprs AS sig
+       |  FROM shs WHERE len(sh) > 0
+       |), $bandCandPairsCtes""".stripMargin
+
+  /** Same chain, pair generation restricted to the doc ids of
+    * `$memberCte` (which must be defined earlier in the WITH list) — the
+    * pipeline-composition form: per-doc signatures are corpus-independent,
+    * so banding the full-corpus signature table filtered to a survivor
+    * set equals re-running the whole chain on the survivors. Used by the
+    * end-to-end curation oracle (CorpusQueries). */
+  private[queries] def minhashPairCtesAmong(memberCte: String): String =
+    s"""$SHB, sig AS (
+       |  SELECT doc_id, sh, len(sh) AS n,
+       |    $sigExprs AS sig
+       |  FROM shs WHERE len(sh) > 0
+       |    AND doc_id IN (SELECT doc_id FROM $memberCte)
+       |), $bandCandPairsCtes""".stripMargin
 
   /** CTEs ending in lines(doc_id, line_no, line, lh) + hot(lh) — the
     * CCNet line grain: 4-token spans, md5 keys, df >= 3 hot set (mirrors

@@ -43,6 +43,17 @@ class BpeSpec extends SparkSpec {
     assert(sizes.toSeq == sizes.sorted(Ordering[Long].reverse).toSeq)
   }
 
+  // The text_bpe_train/apply ORACLE encodes symbol lists as chr(1)-joined
+  // strings (a DuckDB-side encoding choice — the engine's array fold has
+  // no such assumption). This pins that the fixture corpus the gate runs
+  // on contains no U+0001, so the oracle's encoding provably covers the
+  // full merge-application contract on the gated data.
+  test("fixture corpus is U+0001-free (BPE oracle separator never collides)") {
+    val n = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("text").contains("\u0001")).count()
+    assert(n == 0L)
+  }
+
   test("empty and single-char corpora terminate with an empty merge table") {
     assert(Bpe.train(spark, corpus(), rounds = 2).count() == 0)
     assert(Bpe.train(spark, corpus("a b c", "a"), rounds = 2).count() == 0)

@@ -33,6 +33,9 @@ case class SCount(count: Long)
 
 case class DocRow(doc_id: Long, text: String)
 
+/** Sourced document row for streaming-curation tests. */
+case class CurRow(doc_id: Long, source: String, text: String)
+
 /**
  * Streaming semantics mirrored from the reference's subscription tests
  * (`streams_test.go:482-564`: catch-up history, then live events, other
@@ -803,5 +806,88 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty, "the sf0.001 corpus has near-dup pairs; labels must be non-empty")
     assert(got.toSeq == expect.toSeq,
       s"streaming-maintained labels must equal the full batch recompute")
+  }
+
+  // ---- streaming end-to-end curation ----
+
+  private def reportRows(df: org.apache.spark.sql.DataFrame): Seq[(String, Long, Long, Long, Long, Long, Long, Long, Long)] =
+    df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8))).toSeq
+
+  private def runCuration(rows: Seq[CurRow], nBatches: Int): StreamingCuration = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val cur = new StreamingCuration(thresholdX1000 = 300)
+    val mem = MemoryStream[CurRow]
+    val q = cur.sink(mem.toDF()).outputMode(OutputMode.Update()).start()
+    try {
+      val per = (rows.length + nBatches - 1) / nBatches
+      rows.grouped(per).foreach { b => mem.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    cur
+  }
+
+  test("streaming e2e curation: report and labels across micro-batches == batch pipeline") {
+    import spark.implicits._
+    import graft.dedup.Dedup
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+    val all = docs.as[CurRow].collect().toSeq
+
+    // expectation: the ORACLE-VALIDATED gate query itself
+    val expectReport = reportRows(
+      graft.queries.CorpusQueries.queries("corpus_e2e_curate")(spark, dir))
+    // batch labels among the final exact survivors (sf0.001 has zero
+    // normalized-exact dup groups, so E = all docs here)
+    val expectLabels = Dedup.duplicateClustersAltStar(
+        Dedup.minhashLshPairsFromSets(Dedup.shingleSets(docs), thresholdX1000 = 300))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+
+    val shuffled = new scala.util.Random(7).shuffle(all)
+    val cur = runCuration(shuffled, nBatches = 4)
+    val gotLabels = cur.labels(spark)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(gotLabels.nonEmpty && gotLabels == expectLabels)
+    assert(reportRows(cur.report(spark)) == expectReport)
+  }
+
+  test("streaming e2e curation: keeper dethronement (node removal) still lands on the batch labeling") {
+    import spark.implicits._
+    import graft.dedup.{Dedup, Winnow}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+    val orig = docs.as[CurRow].collect().toSeq
+    // uppercase twins: SAME normalized md5 (lower() folds the case) and
+    // IDENTICAL shingle sets (tokenization lowercases), so while a twin
+    // is the keeper it joins the near-dup graph exactly where its
+    // original will — then the original's arrival dethrones it and the
+    // component must be repaired
+    val twins = orig.filter(_.doc_id % 12 == 0)
+      .map(r => CurRow(r.doc_id + 1000000L, r.source, r.text.toUpperCase))
+    val aug = orig ++ twins
+    val augDf = aug.toDF()
+
+    // batch expectation: the SAME composition the gate runs, over the
+    // augmented corpus (twins are all dethroned in the final state, so
+    // labels equal the originals-only clustering; the report still
+    // counts twins in n_raw)
+    val expectReport = reportRows(graft.queries.CorpusQueries.e2eCurate(
+      augDf, Dedup.shingleSets(augDf), Winnow.postings(augDf)))
+    val expectLabels = Dedup.duplicateClustersAltStar(
+        Dedup.minhashLshPairsFromSets(Dedup.shingleSets(docs), thresholdX1000 = 300))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+
+    // descending doc_id: every twin arrives BEFORE its original and is
+    // dethroned by it (maximal removal pressure); then a seeded shuffle
+    // for same-batch and out-of-order interleavings
+    for (order <- Seq(aug.sortBy(-_.doc_id), new scala.util.Random(13).shuffle(aug))) {
+      val cur = runCuration(order, nBatches = 4)
+      val gotLabels = cur.labels(spark)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(gotLabels == expectLabels,
+        "labels after dethronement repair must equal the batch among-survivors clustering")
+      assert(reportRows(cur.report(spark)) == expectReport)
+    }
   }
 }
