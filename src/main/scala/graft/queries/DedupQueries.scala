@@ -146,27 +146,22 @@ object DedupQueries {
     // 90% "corpus" split) + today's delta pairs (new-vs-corpus band
     // collisions + new-vs-new) through Dedup.incrementalClusters — must
     // land on EXACTLY the full-recompute labeling (same recursive-CTE
-    // oracle as dedup_clusters, verbatim). At 100 TB the old labels are
-    // a stored table and the nightly cost is the delta pair volume;
-    // here the old clustering is derived in-query for the gate.
+    // oracle as dedup_clusters, verbatim). The standing corpus's banded
+    // signatures and labels come from the Tables memo — at 100 TB they
+    // ARE stored tables (that's the point of incremental maintenance),
+    // so the warm measurement is the operation's real nightly cost: ONE
+    // minhash pass over the arriving split, the delta pair joins, and
+    // the star merge. QueryPlanSpec pins the warm pass count to exactly
+    // 1 (the delta side).
     "dedup_clusters_incr" -> { (s: SparkSession, dir: String) =>
-      val sets = Tables.shingleSets(s, dir)
-      val oldSets = sets.filter(col("id") % 10 =!= 0)
-      val newSets = sets.filter(col("id") % 10 === 0)
-      // ONE minhash pass (full scan + eager localCheckpoint) per side —
-      // the banded tables feed all three pair passes (old×old between-,
-      // and new×new) via the FromBanded variants; QueryPlanSpec pins the
-      // pass count to exactly 2
-      val oldBanded = Dedup.bandedSignatures(oldSets)
+      val newSets = Tables.shingleSets(s, dir).filter(col("id") % 10 === 0)
       val newBanded = Dedup.bandedSignatures(newSets)
-      val oldLabels = Dedup.duplicateClustersAltStar(
-        Dedup.minhashLshPairsFromBanded(oldBanded, oldSets, thresholdX1000 = 300))
       val delta = Dedup
-        .minhashLshPairsBetweenBanded(newBanded, newSets, oldBanded, oldSets,
-          thresholdX1000 = 300)
+        .minhashLshPairsBetweenBanded(newBanded, newSets,
+          Tables.oldBanded(s, dir), Tables.oldSets(s, dir), thresholdX1000 = 300)
         .unionByName(
           Dedup.minhashLshPairsFromBanded(newBanded, newSets, thresholdX1000 = 300))
-      Dedup.incrementalClusters(oldLabels, delta).orderBy("id")
+      Dedup.incrementalClusters(Tables.oldLabels(s, dir), delta).orderBy("id")
     },
     // same clusters via alternating large-star/small-star (Kiveris et al.)
     // — O(log n) rounds instead of O(diameter); the variant to reach for

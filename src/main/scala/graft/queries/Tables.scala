@@ -68,4 +68,33 @@ object Tables {
   def docLines(s: SparkSession, dir: String): DataFrame =
     memo(s, dir, "docLines")(
       Dedup.docLines(docs(s, dir), wordsPerLine = 4).localCheckpoint())
+
+  // ---- "yesterday's" incremental-clustering state (doc_id % 10 != 0,
+  // the 90% standing-corpus split of the dedup_clusters_incr gate) ----
+  //
+  // At 100 TB these ARE stored tables: the entire point of incremental
+  // cluster maintenance is that the nightly job reads yesterday's banded
+  // signatures and labels instead of recomputing them. The memo is the
+  // in-session stand-in for that store, so the warm bench measures the
+  // operation's actual nightly cost — the delta side's signature pass +
+  // delta pairs + the label merge; the first touch (the "initial load")
+  // is recorded by the bench's cold pass as usual.
+
+  /** Shingle sets of the standing-corpus split. */
+  def oldSets(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "oldSets")(
+      shingleSets(s, dir).filter(org.apache.spark.sql.functions.col("id") % 10 =!= 0))
+
+  /** Stored banded minhash signatures of the standing corpus. */
+  def oldBanded(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "oldBanded")(
+      Dedup.bandedSignatures(oldSets(s, dir)).localCheckpoint())
+
+  /** Stored (id, keeper) labeling of the standing corpus — min-id
+    * clustering of its banded near-dup pairs. */
+  def oldLabels(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "oldLabels")(
+      Dedup.duplicateClustersAltStar(
+        Dedup.minhashLshPairsFromBanded(oldBanded(s, dir), oldSets(s, dir),
+          thresholdX1000 = 300)).localCheckpoint())
 }

@@ -56,7 +56,12 @@ object ScaleProbe {
     // distributed BPE rounds, and the MG sketch merge
     "dedup_lsh_recall", "graph_resource_alloc", "graph_triangles",
     "text_rake_keyphrases", "corpus_source_contamination",
-    "corpus_importance", "sim_kmeans", "text_bpe_train", "text_heavy_hitters")
+    "corpus_importance", "sim_kmeans", "text_bpe_train", "text_heavy_hitters",
+    // the end-to-end curation composition: its cost should track the
+    // cluster pass + one metadata scan, so the exponent must stay ~1
+    // even though seven stages chain (a super-linear reading here means
+    // a stage boundary leaks corpus-squared work)
+    "corpus_e2e_curate")
 
   /** queries that only touch documents.parquet / embeddings.parquet —
     * the only tables the mirror dir materializes. */

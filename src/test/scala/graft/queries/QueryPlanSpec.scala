@@ -627,15 +627,30 @@ class QueryPlanSpec extends SparkSpec {
       s"the bucket keys must make this a hash-joinable equi-join:\n$plan")
   }
 
-  test("dedup_clusters_incr: exactly one minhash pass per side (2 total)") {
+  test("dedup_clusters_incr: the warm nightly run pays exactly one minhash pass (the delta side)") {
     // Each bandedSignatures call is a full-corpus signature scan + eager
-    // localCheckpoint. The gate feeds three pair passes (old self, new
-    // between corpus, new self) from TWO banded tables — the FromBanded
-    // variants must keep it at one pass per side, not one per call.
+    // localCheckpoint. The standing corpus's banded table and labels are
+    // stored state (Tables memo — at scale, yesterday's tables); the
+    // first touch loads them (one old-side pass), after which every run
+    // must band ONLY the arriving split. The FromBanded variants keep
+    // the three pair passes (old self at load, new-between, new self)
+    // riding the two banded tables, never re-banding per call.
+    DedupQueries.queries("dedup_clusters_incr")(spark, dir).count() // state load
     val before = graft.dedup.Dedup.minhashPassCount.get()
     DedupQueries.queries("dedup_clusters_incr")(spark, dir).count()
     val passes = graft.dedup.Dedup.minhashPassCount.get() - before
-    assert(passes == 2L,
-      s"expected exactly 2 minhash signature passes (one per side), got $passes")
+    assert(passes == 1L,
+      s"expected exactly 1 warm minhash signature pass (delta side only), got $passes")
+  }
+
+  test("corpus_e2e_curate: the seven-stage composition pays exactly one minhash pass") {
+    // The pipeline's cluster stage bands the exact survivors once; no
+    // other stage may trigger a signature scan (a second pass would mean
+    // a stage boundary recomputes the corpus-wide sketch).
+    val before = graft.dedup.Dedup.minhashPassCount.get()
+    CorpusQueries.queries("corpus_e2e_curate")(spark, dir).count()
+    val passes = graft.dedup.Dedup.minhashPassCount.get() - before
+    assert(passes == 1L,
+      s"expected exactly 1 minhash signature pass for the composed pipeline, got $passes")
   }
 }
