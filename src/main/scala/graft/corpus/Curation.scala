@@ -45,9 +45,15 @@ object Curation {
    * funnel plus the sqrt-temperature mixture share of the surviving
    * token mass. Scale shape: the exact-keeper join shuffles md5 keys
    * (merge hint — the keeper table is corpus-sized at 100 TB, never
-   * broadcastable); cluster losers and contaminated sets are dup/
-   * overlap-mass sized and broadcast; one rollup shuffle on source +
-   * a 1-row totals broadcast.
+   * broadcastable). The near-dup LOSER side gets the same treatment:
+   * at real web-corpus dup rates 30-50% of documents are near-dup
+   * losers (the C4/CCNet regime), so the loser set — and the per-
+   * cluster argmax table feeding it — is corpus-scale and must
+   * shuffle-join on doc/cluster id, never broadcast (fixture-scale
+   * stats would pick a broadcast that OOMs every executor at 100 TB).
+   * Only the genuinely benchmark-overlap-sized sides broadcast: the
+   * bench posting set, the contaminated-id set, and the 1-row totals;
+   * one rollup shuffle on source closes the report.
    */
   def report(meta: DataFrame, exactKeep: DataFrame, labels: DataFrame,
              posts: DataFrame): DataFrame = {
@@ -58,7 +64,10 @@ object Curation {
     val best = m.groupBy("cluster")
       .agg(max(struct(col("qx").as("qx"), (col("id") * lit(-1L)).as("nid"))).as("b"))
       .select(col("cluster"), (col("b.nid") * lit(-1L)).as("best_id"))
-    val losers = m.join(broadcast(best), "cluster")
+    // best is one row per CLUSTER — cluster count scales with dup mass,
+    // i.e. corpus-scale at real dup rates; the merge join reuses the
+    // cluster partitioning the groupBy just produced
+    val losers = m.join(best.hint("merge"), "cluster")
       .filter(col("id") =!= col("best_id")).select(col("id").as("nd_id"))
     val contam = {
       val bench = posts.filter(col("doc_id") % 50 === 0)
@@ -70,7 +79,7 @@ object Curation {
         .select(col("doc_id").as("ct_id")).distinct()
     }
     val perSrc = withExact
-      .join(broadcast(losers), col("doc_id") === col("nd_id"), "left")
+      .join(losers.hint("merge"), col("doc_id") === col("nd_id"), "left")
       .withColumn("s_kb", col("s_exact") && col("nd_id").isNull)
       .withColumn("s_q", col("s_kb") && col("qx") >= 550)
       .join(broadcast(contam), col("doc_id") === col("ct_id"), "left")

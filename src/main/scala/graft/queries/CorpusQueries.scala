@@ -216,9 +216,11 @@ object CorpusQueries {
     // docs sharing >= 2 winnow fps with the bench subset). One scan
     // computes all per-doc flags; the exact-keeper join shuffles 16-byte
     // md5 keys (NOT broadcast — at 100 TB the dup mass is unbounded);
-    // loser/contaminated sets are small by nature and broadcast; one
-    // rollup shuffle on source. The report a curation run publishes to
-    // show where the data went
+    // the near-dup loser set is likewise corpus-scale at real web dup
+    // rates (30-50% of docs) and shuffle-joins on doc id; only the
+    // benchmark-overlap-sized contaminated set broadcasts; one rollup
+    // shuffle on source. The report a curation run publishes to show
+    // where the data went
     "corpus_funnel" -> { (s: SparkSession, dir: String) =>
       funnel(docs(s, dir), Tables.shingleSets(s, dir), Tables.winnowPostings(s, dir))
     },
@@ -473,9 +475,11 @@ object CorpusQueries {
     // (merge hint — the keeper table is corpus-sized at 100 TB, never
     // broadcastable); survivor ids+quality are localCheckpointed once
     // (16 B/doc) and feed both the cluster pass and the keep-best argmax;
-    // cluster losers and contaminated sets are dup/overlap-mass sized and
-    // broadcast; the final rollup is one shuffle on source + a 1-row
-    // totals broadcast.
+    // cluster losers and the per-cluster argmax are dup-mass sized —
+    // corpus-scale at real web dup rates — and shuffle-join on doc/
+    // cluster id (never broadcast); only the benchmark-overlap-sized
+    // contaminated set broadcasts; the final rollup is one shuffle on
+    // source + a 1-row totals broadcast.
     "corpus_e2e_curate" -> { (s: SparkSession, dir: String) =>
       e2eCurate(docs(s, dir), Tables.shingleSets(s, dir), Tables.winnowPostings(s, dir))
     },
@@ -530,11 +534,12 @@ object CorpusQueries {
           .filter(col("n_shared") >= 2)
           .select(col("doc_id").as("ct_id")).distinct()
       }
-      // merge hint: the keeper table is every distinct content hash of the
-      // quality survivors — corpus-sized at 100 TB, never broadcastable;
-      // fixture-scale stats would otherwise pick a broadcast here
+      // merge hints: the keeper table is every distinct content hash of the
+      // quality survivors, and the near-dup loser set is 30-50% of documents
+      // at real web-corpus dup rates — both corpus-sized at 100 TB, never
+      // broadcastable; fixture-scale stats would otherwise pick broadcasts
       fl.join(keepers.hint("merge"), Seq("h"), "left")
-        .join(broadcast(nearLosers), col("doc_id") === col("nd_id"), "left")
+        .join(nearLosers.hint("merge"), col("doc_id") === col("nd_id"), "left")
         .join(broadcast(contam), col("doc_id") === col("ct_id"), "left")
         .withColumn("s2", col("q_ok") && col("doc_id") === col("keep_id"))
         .withColumn("s3", col("s2") && col("nd_id").isNull)

@@ -45,8 +45,9 @@ object LogSink {
       // driver-side sort, not a cluster orderBy: the batch is already
       // driver-bounded, and skipping the range shuffle saves a whole
       // Spark stage per trigger (the fixed cost the ingest probe showed
-      // dominating small triggers)
-      .sortBy(r => (r.getString(0), r.getLong(4)))
+      // dominating small triggers). A null ord sorts first (the
+      // cluster-side orderBy's nulls-first), not NPEs the trigger.
+      .sortBy(r => (r.getString(0), if (r.isNullAt(4)) Long.MinValue else r.getLong(4)))
     if (rows.nonEmpty) {
       val batches = rows
         .groupBy(_.getString(0)).toSeq.sortBy(_._1)

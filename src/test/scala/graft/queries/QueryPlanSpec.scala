@@ -635,12 +635,38 @@ class QueryPlanSpec extends SparkSpec {
     // must band ONLY the arriving split. The FromBanded variants keep
     // the three pair passes (old self at load, new-between, new self)
     // riding the two banded tables, never re-banding per call.
+    // NB: this (and the e2e test below) reads the JVM-global
+    // Dedup.minhashPassCount delta around a run — it assumes suites run
+    // SEQUENTIALLY in one JVM (sbt's default here; Test/fork parallelism
+    // or a concurrent memo invalidation would band in between and make
+    // the delta flaky). If forked-test parallelism is ever enabled,
+    // thread a recorder through the banding call sites instead.
     DedupQueries.queries("dedup_clusters_incr")(spark, dir).count() // state load
     val before = graft.dedup.Dedup.minhashPassCount.get()
     DedupQueries.queries("dedup_clusters_incr")(spark, dir).count()
     val passes = graft.dedup.Dedup.minhashPassCount.get() - before
     assert(passes == 1L,
       s"expected exactly 1 warm minhash signature pass (delta side only), got $passes")
+  }
+
+  test("curation report tail: the near-dup loser side NEVER broadcasts (corpus-scale at real dup rates)") {
+    // At real web-corpus dup rates 30-50% of documents are near-dup
+    // losers, so the loser set (and the per-cluster argmax feeding it)
+    // is corpus-scale at 100 TB — a forced broadcast of it OOMs every
+    // executor. The joins must be shuffle (merge-hinted) joins on doc/
+    // cluster id; only the benchmark-overlap-sized bench/contam sides
+    // may broadcast. The hint rides the logical plan, so AQE cannot
+    // demote the join back to broadcast at runtime.
+    for (name <- Seq("corpus_e2e_curate_sub", "corpus_funnel_sub")) {
+      val plan = CorpusQueries.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString()
+      val broadcastLines = plan.split('\n').filter(_.contains("BroadcastHashJoin"))
+      for (bad <- Seq("nd_id", "best_id"))
+        assert(!broadcastLines.exists(_.contains(bad)),
+          s"$name: the corpus-scale '$bad' side must shuffle-join, not broadcast:\n$plan")
+      assert(plan.contains("SortMergeJoin"),
+        s"$name: expected merge-hinted shuffle joins on the loser/keeper sides in:\n$plan")
+    }
   }
 
   test("corpus_e2e_curate: the seven-stage composition pays exactly one minhash pass") {
