@@ -847,6 +847,39 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /**
+   * Band-frequency-bounded 16-bit simhash pairs — the GATE form of the
+   * narrow fingerprint. The unbounded form's output is inherently
+   * quadratic: a 16-bit fingerprint space has 65,536 points, so birthday
+   * collisions alone produce ~n²/2^16 identical-signature pairs (the
+   * scale probe measured exp_rows 2.03 on the natural ladder — output
+   * mass, not algorithm waste). The fix is the same DF-cut discipline as
+   * the n-gram posting path: a (band, key) whose posting list exceeds
+   * `maxBandFreq` is birthday mass, not a near-dup cluster, and is
+   * dropped BEFORE the self-join — output is then bounded by
+   * 2·256·maxBandFreq²/2 pairs regardless of corpus size (the band-key
+   * SPACE is the bound, not the corpus). The cool-key table is ≤512 rows
+   * by construction — genuinely broadcastable at any scale. The
+   * unbounded form stays available for diagnostics ([[simhashPairsFromSigs]])
+   * and is spec-pinned; 62-bit [[simhashPairsWideFromSigs]] is the
+   * production shape for real corpora.
+   */
+  def simhashPairsFromSigsDfCut(sh: DataFrame, maxHamming: Int,
+                                maxBandFreq: Long): DataFrame = {
+    val banded = sh.select(col("id"), col("simhash"),
+      posexplode(array(col("lo"), col("hi"))).as(Seq("band", "bk")))
+    val cool = banded.groupBy("band", "bk").agg(count(lit(1)).as("n_post"))
+      .filter(col("n_post") <= maxBandFreq).select(col("band"), col("bk"))
+    val kept = banded.join(broadcast(cool), Seq("band", "bk"))
+    val l = kept.select(col("id").as("a"), col("simhash").as("sa"), col("band"), col("bk"))
+    val r = kept.select(col("id").as("b"), col("simhash").as("sb"),
+      col("band").as("band_r"), col("bk").as("bk_r"))
+    l.join(r, l("band") === r("band_r") && l("bk") === r("bk_r") && l("a") < r("b"))
+      .select(col("a"), col("b"), hamming(col("sa"), col("sb")).as("hamming"))
+      .dropDuplicates("a", "b")
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Same pair generation, over a precomputed [[simhashSigs]] table. */
   def simhashPairsFromSigs(sh: DataFrame, maxHamming: Int): DataFrame = {
     val banded = sh.select(col("id"), col("simhash"),

@@ -85,8 +85,18 @@ object DedupQueries {
         .groupBy("threshold").agg(countDistinct(col("doc")).as("n_docs"))
       nPairs.join(nDocs, Seq("threshold")).orderBy("threshold")
     },
-    "dedup_simhash" -> { (s: SparkSession, dir: String) =>
-      Dedup.simhashPairsFromSigs(Tables.simhashSigs(s, dir), maxHamming = 1).orderBy("a", "b")
+    // 16-bit simhash with the band-frequency (DF-cut) bound: posting
+    // lists over `maxBandFreq` are birthday mass in the 8-bit band key
+    // space, not near-dup clusters, and are dropped before the self-join
+    // — candidate output is bounded by the band-key SPACE (512·c²/2),
+    // not the corpus, so the gate stays sub-quadratic at any scale. The
+    // unbounded 16-bit form's output is inherently ~n²/2^16 (identical-
+    // signature birthday pairs — scale probe exp_rows 2.03) and is
+    // demoted to a spec-pinned diagnostic (DedupSpec); the 62-bit wide
+    // form below is the production shape.
+    "dedup_simhash_dfcut" -> { (s: SparkSession, dir: String) =>
+      Dedup.simhashPairsFromSigsDfCut(Tables.simhashSigs(s, dir),
+        maxHamming = 1, maxBandFreq = 16).orderBy("a", "b")
     },
     // the corpus-scale width: 62-bit fingerprint, 4 × 16-bit bands,
     // hamming <= 3. The 16-bit form's pair output grows ~n² on the
@@ -196,7 +206,11 @@ object DedupQueries {
         .agg(max(struct(col("qx").as("qx"), (col("id") * lit(-1L)).as("nid"))).as("b"))
         .select(col("cluster").as("bc"),
           (col("b.nid") * lit(-1L)).as("best_id"))
-      m.join(broadcast(best), col("cluster") === col("bc"))
+      // merge, not broadcast: the winner table is one row per CLUSTER —
+      // dup-mass sized, corpus-scale at real web dup rates (30-50% of
+      // docs are near-dup members); the merge join rides the cluster
+      // partitioning the argmax groupBy just produced
+      m.join(best.hint("merge"), col("cluster") === col("bc"))
         .select(col("id"), col("cluster"), col("qx"), col("best_id"),
           when(col("id") === col("best_id"), 1L).otherwise(0L).as("keep"))
         .orderBy("id")
@@ -207,7 +221,9 @@ object DedupQueries {
         .filter(col("id") =!= col("keeper"))
         .select(col("id"))
       Tables.docs(s, dir)
-        .join(broadcast(losers), col("doc_id") === col("id"), "left")
+        // merge, not broadcast: the loser set is corpus-scale at real
+        // web dup rates (same hazard class as the curation report tail)
+        .join(losers.hint("merge"), col("doc_id") === col("id"), "left")
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), count(col("id")).as("n_dupes"),
           expr("(1000 * count(id)) div count(1)").as("dup_permille"))
@@ -367,9 +383,9 @@ object DedupQueries {
         .select(col("a"), col("b"), col("c"))
         .orderBy("a", "b", "c")
     },
-    "dedup_simhash_sub" -> { (s: SparkSession, dir: String) =>
-      Dedup.simhashPairsFromSigs(sub4(Tables.simhashSigs(s, dir)), maxHamming = 1)
-        .orderBy("a", "b")
+    "dedup_simhash_dfcut_sub" -> { (s: SparkSession, dir: String) =>
+      Dedup.simhashPairsFromSigsDfCut(sub4(Tables.simhashSigs(s, dir)),
+        maxHamming = 1, maxBandFreq = 16).orderBy("a", "b")
     },
     "dedup_editdist" -> { (s: SparkSession, dir: String) =>
       import org.apache.spark.sql.functions.{col, levenshtein, substring}
@@ -953,13 +969,17 @@ object DedupQueries {
          |  CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS hamming
          |FROM sb l JOIN sb r ON l.band = r.band AND l.bk = r.bk AND l.doc_id < r.doc_id
          |WHERE bit_count(xor(l.simhash, r.simhash)) <= 3 ORDER BY a, b""".stripMargin,
-    "dedup_simhash" ->
+    "dedup_simhash_dfcut" ->
       s"""$SH, sim AS (
          |  SELECT doc_id, $simhashExpr AS simhash FROM thc
-         |), sb AS (
+         |), sb0 AS (
          |  SELECT doc_id, simhash, u.band,
          |    CASE WHEN u.band = 0 THEN simhash & 255 ELSE (simhash >> 8) & 255 END AS bk
          |  FROM sim, unnest([0, 1]) AS u(band)
+         |), cool AS (
+         |  SELECT band, bk FROM sb0 GROUP BY 1, 2 HAVING count(*) <= 16
+         |), sb AS (
+         |  SELECT sb0.* FROM sb0 JOIN cool USING (band, bk)
          |)
          |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
          |  CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS hamming
@@ -974,7 +994,7 @@ object DedupQueries {
     sql.replace("FROM documents", "FROM documents WHERE doc_id % 4 = 0")
 
   val oracles: Map[String, String] = baseOracles ++
-    Seq("dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_clusters", "dedup_simhash",
+    Seq("dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_clusters", "dedup_simhash_dfcut",
         "dedup_clusters_ls", "graph_triangles")
       .map(n => s"${n}_sub" -> docs20(baseOracles(n))) +
     // the prefix filter is lossless by theorem — identical oracle

@@ -580,8 +580,8 @@ object TextQueries {
     },
     // the end-to-end curation pipeline a pretraining corpus runs: quality
     // gate → drop near-duplicate cluster members (MinHash+LSH keepers
-    // win) → redact. Composes the operators above; the dedup anti-join is
-    // against the (small) loser set, broadcast by AQE.
+    // win) → redact. Composes the operators above; the dedup anti-join
+    // shuffles on doc id (the loser set is corpus-scale at real dup rates).
     "corpus_curate" -> { (s: SparkSession, dir: String) =>
       val losers = graft.dedup.Dedup
         .duplicateClusters(graft.dedup.Dedup
@@ -590,9 +590,10 @@ object TextQueries {
         .select(col("id").as("doc_id"))
       docs(s, dir)
         .filter(qualityScoreX1000(col("text")) >= 550)
-        // explicit hint: the loser set is derived (no stats pre-AQE) but
-        // near-dup losers are a small fraction of any corpus by nature
-        .join(broadcast(losers), Seq("doc_id"), "left_anti")
+        // merge, not broadcast: at real web-corpus dup rates 30-50% of
+        // documents are near-dup losers, so the anti-join side is
+        // corpus-scale at 100 TB and must shuffle on doc id
+        .join(losers.hint("merge"), Seq("doc_id"), "left_anti")
         .select(
           col("doc_id"),
           qualityScoreX1000(col("text")).as("quality_x1000"),

@@ -34,11 +34,16 @@ import graft.dedup.Dedup
  * Scale shape: per-trigger cost tracks the BATCH pair volume (band
  * collisions of the arriving docs), never the corpus pair history; the
  * corpus-side state is band keys + shingle sets (bytes per doc, the
- * same artifact the batch pipeline persists), which at 100 TB lives as
- * a parquet/Delta table the job appends to — here `localCheckpoint`
- * stands in for that store, with lineage truncated every batch.
+ * same artifact the batch pipeline persists). Where that state LIVES is
+ * the [[TwinStore]]'s decision: the default in-memory store keeps the
+ * original `localCheckpoint` shape; [[ParquetTwinStore]] appends the
+ * per-trigger deltas to on-disk tables (the 100 TB shape — both
+ * signature tables are append-only here, so every trigger's write is
+ * delta-sized) and `StreamingSpec` pins streaming-final == batch
+ * through both.
  */
-final class StreamingClusters(thresholdX1000: Long) {
+final class StreamingClusters(thresholdX1000: Long,
+                              store: TwinStore = new InMemoryTwinStore) {
 
   private var corpusSets: Option[DataFrame] = None   // (id, sh, n_sh)
   private var corpusBands: Option[DataFrame] = None  // (id, band, r0, r1)
@@ -71,9 +76,9 @@ final class StreamingClusters(thresholdX1000: Long) {
       case Some(old) => Dedup.incrementalClusters(old, pairs)
       case None      => Dedup.duplicateClustersAltStar(pairs)
     }
-    labelTable = Some(next.localCheckpoint())
-    corpusSets = Some(corpusSets.fold(newSets)(_.unionByName(newSets).localCheckpoint()))
-    corpusBands = Some(corpusBands.fold(newBands)(_.unionByName(newBands).localCheckpoint()))
+    labelTable = Some(store.replace("labels", next))
+    corpusSets = Some(store.append("corpusSets", newSets))
+    corpusBands = Some(store.append("corpusBands", newBands))
   }
 
   /** Attach to a streaming (doc_id, text) source: every micro-batch is

@@ -39,18 +39,24 @@ import graft.dedup.{Dedup, Winnow}
  * Per micro-batch cost therefore tracks the batch's own pair volume
  * plus the dup-mass of components touched by dethronements — never the
  * corpus pair history. State tables are id-keyed columnar frames
- * (bytes/doc); at 100 TB they live as parquet/Delta tables the job
- * merges into — `localCheckpoint` stands in for that store here, with
- * lineage truncated every trigger. The report itself is the serving
- * refresh: one scan over the metadata store through the identical tail
- * the batch gate runs (publish nightly or on demand; making the
- * per-source counters delta-maintained under flag flips is the next
- * increment, and would serve the same numbers).
+ * (bytes/doc); WHERE they live is the [[TwinStore]]'s decision: the
+ * default in-memory store keeps the original `localCheckpoint` shape,
+ * [[ParquetTwinStore]] holds them on disk — `meta` and `posts` are
+ * append-only (delta-sized trigger writes); the exact-keeper map,
+ * survivor signature store and label table go through the `replace`
+ * verb, whose parquet form rewrites and whose production form is a
+ * keyed Delta/Iceberg MERGE (update-mass-sized). `StreamingSpec` pins
+ * streaming-final == batch through both stores. The report itself is
+ * the serving refresh: one scan over the metadata store through the
+ * identical tail the batch gate runs (publish nightly or on demand;
+ * making the per-source counters delta-maintained under flag flips is
+ * the next increment, and would serve the same numbers).
  *
  * Ingest contract: exactly-once doc ids (replays would double-count
  * `n_raw` — dedupe upstream or by id at the sink).
  */
-final class StreamingCuration(thresholdX1000: Long) {
+final class StreamingCuration(thresholdX1000: Long,
+                              store: TwinStore = new InMemoryTwinStore) {
 
   private var meta: Option[DataFrame] = None       // docMeta: (doc_id, source, h, qx, nt)
   private var exactKeep: Option[DataFrame] = None  // (h, keep_id)
@@ -87,17 +93,14 @@ final class StreamingCuration(thresholdX1000: Long) {
   def processBatch(docs: DataFrame): Unit = synchronized {
     if (docs.isEmpty) return
     val bm = Curation.docMeta(docs).localCheckpoint()
-    meta = Some(meta.fold(bm)(_.unionByName(bm).localCheckpoint()))
-    posts = {
-      val bp = Winnow.postings(docs).localCheckpoint()
-      Some(posts.fold(bp)(_.unionByName(bp).localCheckpoint()))
-    }
+    meta = Some(store.append("meta", bm))
+    posts = Some(store.append("posts", Winnow.postings(docs)))
 
     // ---- exact-keeper merge + survivor-set deltas ----
     val bMin = bm.groupBy("h").agg(min(col("doc_id")).as("new_id"))
     val (nextEk, entered, exited) = exactKeep match {
       case None =>
-        (bMin.select(col("h"), col("new_id").as("keep_id")).localCheckpoint(),
+        (store.replace("exactKeep", bMin.select(col("h"), col("new_id").as("keep_id"))),
           bMin.select(col("new_id").as("id")).localCheckpoint(),
           None)
       case Some(old) =>
@@ -106,7 +109,7 @@ final class StreamingCuration(thresholdX1000: Long) {
           .select(col("h"), col("keep_id").as("old_keep"), col("new_id"))
           .withColumn("keep_id", least(col("old_keep"), col("new_id")))
           .localCheckpoint()
-        (merged.select(col("h"), col("keep_id")).localCheckpoint(),
+        (store.replace("exactKeep", merged.select(col("h"), col("keep_id"))),
           // a changed keeper is ALWAYS a batch doc (min ids only decrease)
           merged.filter(col("old_keep").isNull || col("keep_id") < col("old_keep"))
             .select(col("keep_id").as("id")).localCheckpoint(),
@@ -163,15 +166,15 @@ final class StreamingCuration(thresholdX1000: Long) {
     val next =
       if (repaired != null) Dedup.incrementalClusters(repaired, pairs)
       else Dedup.duplicateClustersAltStar(pairs)
-    labelTable = Some(next.localCheckpoint())
+    labelTable = Some(store.replace("labels", next))
 
     // ---- survivor signature store: removals already applied, add batch ----
-    eSets = Some(
-      if (prevSets != null) prevSets.unionByName(enteredSets).localCheckpoint()
-      else enteredSets)
-    eBands = Some(
-      if (prevBands != null) prevBands.unionByName(enteredBands).localCheckpoint()
-      else enteredBands)
+    // `replace`, not `append`: dethronement REMOVES rows, so the survivor
+    // tables are merged state (a keyed MERGE/delete at 100 TB)
+    eSets = Some(store.replace("eSets",
+      if (prevSets != null) prevSets.unionByName(enteredSets) else enteredSets))
+    eBands = Some(store.replace("eBands",
+      if (prevBands != null) prevBands.unionByName(enteredBands) else enteredBands))
   }
 
   /** Attach to a streaming (doc_id, source, text) source. */

@@ -45,9 +45,12 @@ object IngestProbe {
   private def freshDir(): String =
     java.nio.file.Files.createTempDirectory("graft-ingest").toString
 
-  /** (singleSecs, bucketSecs, nEvents) for one regime, in its own session. */
+  /** (singleSecs, bucketSecs, nEvents) for one regime, in its own session.
+    * `includeSingle = false` skips the single-sink half (for the bucket
+    * ladder, where the single-sink time is bucket-count-independent and
+    * already measured by the main regime). */
   private def regime(sfDir: String, nBuckets: Int, nMicroBatches: Int,
-                     copies: Int): (Double, Double, Long) = {
+                     copies: Int, includeSingle: Boolean = true): (Double, Double, Long) = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -95,7 +98,7 @@ object IngestProbe {
 
       val singleDir = freshDir()
       val t0 = System.nanoTime()
-      (0 until nMicroBatches).foreach { i =>
+      if (includeSingle) (0 until nMicroBatches).foreach { i =>
         timed(s"single mb$i") {
           graft.streaming.LogSink.applyBatch(spark, s"$singleDir/log", window(src, i), "ord")
         }
@@ -117,7 +120,8 @@ object IngestProbe {
       val bucketSecs = (System.nanoTime() - t1) / 1e9
 
       // sanity: no events lost
-      val gotSingle = spark.read.parquet(s"$singleDir/log").count()
+      val gotSingle =
+        if (includeSingle) spark.read.parquet(s"$singleDir/log").count() else n
       val gotBuckets = (0 until nBuckets)
         .map(b => spark.read.parquet(s"$bucketDir/b$b").count()).sum
       require(gotSingle == n && gotBuckets == n,
@@ -147,10 +151,29 @@ object IngestProbe {
       if (only10) (1.0, 1.0, 0L) else best2(nmb = 2, copies = 1)
     val (bigS, bigB, n10) = best2(nmb = 2, copies = 10)
 
+    // bucket LADDER at the 10x throughput regime: does the speedup keep
+    // growing with bucket count, and where does it saturate against the
+    // Amdahl ceiling + the shared local[N] core pool? The single-sink
+    // side is bucket-count-independent (bigS above); only the bucketed
+    // half re-runs per nb, min-of-2 fresh sessions each.
+    def bestBucketed2(nb: Int): Double = {
+      val (_, b1, _) = regime(sfDir, nb, nMicroBatches = 2, copies = 10, includeSingle = false)
+      val (_, b2, _) = regime(sfDir, nb, nMicroBatches = 2, copies = 10, includeSingle = false)
+      math.min(b1, b2)
+    }
+    val ladder = Seq(2, 4, 8, 16).map { nb =>
+      val b = if (nb == nBuckets) bigB else bestBucketed2(nb)
+      System.err.println(s"[ingest] ladder nb=$nb: ${f(b)}s (speedup ${f(bigS / b)}x)")
+      nb -> b
+    }
+    val ladderJson = ladder.map { case (nb, b) =>
+      s""""$nb":{"bucketed_secs":${f(b)},"bucketed_eps":${f(n10 / b)},"speedup_vs_single":${f(bigS / b)}}"""
+    }.mkString("{", ",", "}")
+
     def part(tag: String, total: Long, nmb: Int, s: Double, b: Double): String =
       s""""$tag":{"n_events":$total,"micro_batches":$nmb,"single_sink_secs":${f(s)},"single_sink_eps":${f(total / s)},"bucketed_secs":${f(b)},"bucketed_eps":${f(total / b)},"speedup":${f(s / b)}}"""
     val json =
-      s"""{"n_events":$n,"n_buckets":$nBuckets,${part("small_triggers", n, 8, latS, latB)},${part("large_triggers", n, 2, thrS, thrB)},${part("volume10x_large_triggers", n10, 2, bigS, bigB)},"note":"single sink = one dense global sequence (driver-bounded by contract); bucketed = $nBuckets PartitionedLog-style bucket sinks with independent dense sequences running concurrently per trigger; each regime min-of-2 fresh SparkSessions. Bottleneck accounting: after batching the precondition checks (2 jobs per trigger instead of 3 per touched stream) and distributing the parquet encode (parallelize, not a LocalRelation plan), the encode/write half of the sink is parallel in BOTH topologies, so bucketing now only multiplies the remaining sequential-per-sink work (collect deserialization + the dense-assignment fold) - Amdahl caps the ratio below the naive nBuckets x while absolute single-sink throughput roughly doubled; on this box both topologies are further flattened by one shared local[N] core pool, which a real cluster's one-driver-per-bucket deployment does not share"}"""
+      s"""{"n_events":$n,"n_buckets":$nBuckets,${part("small_triggers", n, 8, latS, latB)},${part("large_triggers", n, 2, thrS, thrB)},${part("volume10x_large_triggers", n10, 2, bigS, bigB)},"bucket_ladder_10x":$ladderJson,"note":"single sink = one dense global sequence (driver-bounded by contract); bucketed = PartitionedLog-style bucket sinks with independent dense sequences running concurrently per trigger; each regime min-of-2 fresh SparkSessions; bucket_ladder_10x sweeps nBuckets at the 10x regime against the same single-sink time. Bottleneck accounting: after batching the precondition checks (2 jobs per trigger instead of 3 per touched stream) and distributing the parquet encode (parallelize, not a LocalRelation plan), the encode/write half of the sink is parallel in BOTH topologies, so bucketing now only multiplies the remaining sequential-per-sink work (collect deserialization + the dense-assignment fold) - Amdahl caps the ratio below the naive nBuckets x while absolute single-sink throughput roughly doubled; on this box both topologies are further flattened by one shared local[N] core pool, which a real cluster's one-driver-per-bucket deployment does not share"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(out), (json + "\n").getBytes("UTF-8"))
     System.err.println(
       s"[ingest] small single ${f(latS)}s vs bucketed ${f(latB)}s; large single ${f(thrS)}s vs bucketed ${f(thrB)}s; 10x single ${f(bigS)}s vs bucketed ${f(bigB)}s -> $out")

@@ -39,7 +39,7 @@ object ScaleProbe {
 
   private val probeQueries = Seq(
     "dedup_ngram_jaccard", "dedup_ngram_jaccard_dfcut", "dedup_jaccard_prefix",
-    "dedup_containment", "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_wide",
+    "dedup_containment", "dedup_minhash_lsh", "dedup_simhash_dfcut", "dedup_simhash_wide",
     "dedup_clusters", "dedup_clusters_ls", "dedup_clusters_incr", "dedup_keep_best",
     "dedup_embedding_cosine", "sim_dup_clusters", "sim_knn_graph",
     // round-8 pair-family additions: diagonal run detection, weighted
@@ -60,8 +60,11 @@ object ScaleProbe {
     // the end-to-end curation composition: its cost should track the
     // cluster pass + one metadata scan, so the exponent must stay ~1
     // even though seven stages chain (a super-linear reading here means
-    // a stage boundary leaks corpus-squared work)
-    "corpus_e2e_curate")
+    // a stage boundary leaks corpus-squared work); the _sub form is the
+    // sf0.1-oracled gate and gets the same mirror-pathology columns —
+    // a dup-heavy corpus is exactly what stresses its keep-best/loser
+    // machinery
+    "corpus_e2e_curate", "corpus_e2e_curate_sub")
 
   /** queries that only touch documents.parquet / embeddings.parquet —
     * the only tables the mirror dir materializes. */
@@ -89,6 +92,76 @@ object ScaleProbe {
     val t0 = System.nanoTime(); val r = f(); val d1 = (System.nanoTime() - t0) / 1e9
     val t1 = System.nanoTime(); f(); val d2 = (System.nanoTime() - t1) / 1e9
     (math.min(d1, d2), r)
+  }
+
+  private def time1[A](f: () => A): (Double, A) = {
+    val t0 = System.nanoTime(); val r = f()
+    ((System.nanoTime() - t0) / 1e9, r)
+  }
+
+  /**
+   * Streaming-twin scaling evidence (two claims the batch probe can't
+   * test):
+   *
+   *  1. FLAT PER-TRIGGER COST — [[graft.streaming.StreamingCuration]]
+   *     through the disk-backed [[graft.streaming.ParquetTwinStore]],
+   *     20 equal triggers over the big corpus: per-trigger seconds must
+   *     not grow with the accumulated corpus state (append verbs are
+   *     delta-sized; the replace verbs are the Delta-MERGE stand-ins —
+   *     their parquet rewrite is the only state-proportional term, and
+   *     the series shows how much it costs at this scale).
+   *  2. DETHRONEMENT REPAIR COST — keeper removal triggers component-
+   *     local cluster repair; its cost must track the REPAIRED-COMPONENT
+   *     mass, not the corpus pair history. Construction at 1x and 10x
+   *     (the natural sf ladder): trigger 1 lands the corpus with every
+   *     doc_id % 3 == 0 replaced by an uppercase twin (same normalized
+   *     md5, same shingles); trigger 2 lands just those originals — each
+   *     dethrones its twin. t(trigger 2) and the pre-trigger mass of the
+   *     twin-containing components give the repair exponent and the
+   *     mass-normalized cost.
+   */
+  private def streamingSection(spark: SparkSession, small: String, big: String,
+                               ratio: Double): String = {
+    import graft.streaming.{ParquetTwinStore, StreamingCuration}
+    def corpus(dir: String) = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+
+    // ---- 1. flat-cost ladder: 20 triggers, disk-backed state ----
+    val nTriggers = 20
+    val root = java.nio.file.Files.createTempDirectory("graft-twinprobe").toString
+    val cur = new StreamingCuration(300, new ParquetTwinStore(root))
+    val bigDocs = corpus(big).localCheckpoint()
+    val perTrigger = (0 until nTriggers).map { i =>
+      val (t, _) = time1(() => cur.processBatch(
+        bigDocs.filter(pmod(col("doc_id"), lit(nTriggers.toLong)) === i.toLong)))
+      System.err.println(f"[scale] twin trigger $i: $t%.2fs")
+      t
+    }
+    val firstHalf = perTrigger.take(nTriggers / 2).sum / (nTriggers / 2)
+    val secondHalf = perTrigger.drop(nTriggers / 2).sum / (nTriggers - nTriggers / 2)
+
+    // ---- 2. dethronement repair at 1x and 10x ----
+    def dethrone(dir: String): (Double, Long, Long) = {
+      val docs = corpus(dir).localCheckpoint()
+      val twins = docs.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + lit(10000000L)).as("doc_id"), col("source"),
+          upper(col("text")).as("text"))
+      val c = new StreamingCuration(300)
+      c.processBatch(docs.filter(col("doc_id") % 3 =!= 0).unionByName(twins))
+      val pre = c.labels(spark).localCheckpoint()
+      // mass of the components trigger 2 will repair: every component
+      // containing a twin (twin ids are >= 10M by construction)
+      val hit = pre.filter(col("id") >= 10000000L || col("keeper") >= 10000000L)
+        .select(col("keeper")).distinct()
+      val mass = pre.join(hit, Seq("keeper"), "left_semi").count()
+      val (t, _) = time1(() => c.processBatch(docs.filter(col("doc_id") % 3 === 0)))
+      (t, mass, c.labels(spark).count())
+    }
+    val (t1x, m1x, _) = dethrone(small)
+    val (t10x, m10x, _) = dethrone(big)
+    def ln(x: Double) = math.log(math.max(x, 1e-9))
+    val eRepair = ln(t10x / t1x) / ln(ratio)
+    s""""streaming":{"flat_cost_probe":{"n_triggers":$nTriggers,"store":"parquet","per_trigger_s":[${perTrigger.map(f).mkString(",")}],"first_half_mean_s":${f(firstHalf)},"second_half_mean_s":${f(secondHalf)},"growth":${f(secondHalf / firstHalf)}},"dethronement":{"t_1x_s":${f(t1x)},"t_10x_s":${f(t10x)},"exp_time":${f(eRepair)},"repaired_mass_1x":$m1x,"repaired_mass_10x":$m10x,"t_per_mass_1x_ms":${f(1000 * t1x / math.max(m1x, 1))},"t_per_mass_10x_ms":${f(1000 * t10x / math.max(m10x, 1))}}}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -148,8 +221,16 @@ object ScaleProbe {
       }.getOrElse("")
       s"""${q(name)}:{"t_small":${f(ts)},"t_big":${f(tb)},"rows_small":$rs,"rows_big":$rb,"exp_time":${f(eT)},"exp_rows":${f(eR)}$mirror}"""
     }
+    val streaming = streamingSection(spark, small, big, ratio)
+    // documented output bounds for the queries whose ROW exponent
+    // legitimately exceeds ~1.2 — in every case the growth is the true
+    // answer mass on this generator, not candidate waste (the one
+    // pathological case, 16-bit simhash's birthday mass, was bounded by
+    // the dfcut gate swap)
+    val bounds =
+      s""""exp_rows_bounds":{"dedup_simhash_wide":"output = verified hamming<=3 pairs; growth is the fixture's true near-dup mass (mirror column shows the expected dup scaling); candidate mass stays banded","text_sparse_cosine":"output = all doc pairs above the cosine threshold; the fixture's shared-template docs make the TRUE answer ~n^2 at these sf; threshold/top-k bounds it in production","mm_frame_dedup":"output = duplicated frame groups; grows with the fixture's planted dup mass"}"""
     val json =
-      s"""{"n_small":${nSmall.toLong},"n_big":${nBig.toLong},"scale_ratio":${f(ratio)},"mirror_copies":$copies,"note":"exp_* from the natural sf ladder (t ~ n^e); mirror10x = small unioned ${copies}x with remapped ids (duplication pathology at the big row count)","queries":{${entries.mkString(",")}}}"""
+      s"""{"n_small":${nSmall.toLong},"n_big":${nBig.toLong},"scale_ratio":${f(ratio)},"mirror_copies":$copies,"note":"exp_* from the natural sf ladder (t ~ n^e); mirror10x = small unioned ${copies}x with remapped ids (duplication pathology at the big row count)",$bounds,$streaming,"queries":{${entries.mkString(",")}}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(out), (json + "\n").getBytes("UTF-8"))
     System.err.println(s"[scale] wrote $out")
     spark.stop()

@@ -220,4 +220,40 @@ class DedupSpec extends SparkSpec {
     assert(sh(1L) == sh(2L))
     assert(java.lang.Long.bitCount(sh(1L) ^ sh(3L)) > 0)
   }
+
+  test("simhash band-frequency cut: drops exactly the pairs whose ONLY shared bands are hot") {
+    // The unbounded 16-bit form's output is inherently quadratic
+    // (birthday mass in a 65,536-point signature space) and is a
+    // diagnostic only; the gate runs the DF-cut form. Semantics pin on a
+    // real corpus slice: a pair survives the cut iff it shares at least
+    // one band key whose posting list is within the cutoff.
+    val sigs = Dedup.simhashSigs(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+    val cutoff = 4L
+    val unbounded = Dedup.simhashPairsFromSigs(sigs, maxHamming = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val cut = Dedup.simhashPairsFromSigsDfCut(sigs, maxHamming = 1, maxBandFreq = cutoff)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // subset with identical hamming values (the cut changes candidate
+    // generation, never the verified distance)
+    cut.foreach { case (k, h) =>
+      assert(unbounded.get(k).contains(h), s"dfcut invented or re-scored pair $k")
+    }
+    // reference hot-key set computed independently from the signatures
+    val sigRows = sigs.collect().map(r => (r.getAs[Long]("id"),
+      r.getAs[Long]("simhash"), r.getAs[Long]("lo"), r.getAs[Long]("hi")))
+    val postings = sigRows.flatMap { case (id, _, lo, hi) => Seq((0, lo) -> id, (1, hi) -> id) }
+      .groupBy(_._1).view.mapValues(_.length).toMap
+    def coolShared(a: Long, b: Long): Boolean = {
+      val sa = sigRows.find(_._1 == a).get; val sb = sigRows.find(_._1 == b).get
+      (sa._3 == sb._3 && postings((0, sa._3)) <= cutoff) ||
+        (sa._4 == sb._4 && postings((1, sa._4)) <= cutoff)
+    }
+    unbounded.keys.foreach { case (a, b) =>
+      assert(cut.contains((a, b)) == coolShared(a, b),
+        s"pair ($a,$b): dfcut membership must equal shares-a-cool-band")
+    }
+    // the cut must actually bite on this corpus (hot keys exist at df > 4)
+    assert(cut.size < unbounded.size, "expected the cutoff to prune at least one hot-band pair")
+  }
 }

@@ -814,10 +814,11 @@ class StreamingSpec extends SparkSpec {
     df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
       r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8))).toSeq
 
-  private def runCuration(rows: Seq[CurRow], nBatches: Int): StreamingCuration = {
+  private def runCuration(rows: Seq[CurRow], nBatches: Int,
+                          store: TwinStore = new InMemoryTwinStore): StreamingCuration = {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val cur = new StreamingCuration(thresholdX1000 = 300)
+    val cur = new StreamingCuration(thresholdX1000 = 300, store)
     val mem = MemoryStream[CurRow]
     val q = cur.sink(mem.toDF()).outputMode(OutputMode.Update()).start()
     try {
@@ -889,5 +890,67 @@ class StreamingSpec extends SparkSpec {
         "labels after dethronement repair must equal the batch among-survivors clustering")
       assert(reportRows(cur.report(spark)) == expectReport)
     }
+  }
+
+  test("streaming e2e curation through the PARQUET state store == batch (incl. dethronement)") {
+    import spark.implicits._
+    import graft.dedup.{Dedup, Winnow}
+    // the disk-backed twin runs the IDENTICAL maintenance logic through
+    // TwinStore verbs — this pins the store swap itself: appends
+    // accumulate correctly across triggers, replaces version correctly,
+    // and the final report/labels still equal the batch recompute under
+    // the adversarial (dethronement-heavy, descending-id) arrival order
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+    val orig = docs.as[CurRow].collect().toSeq
+    val twins = orig.filter(_.doc_id % 12 == 0)
+      .map(r => CurRow(r.doc_id + 1000000L, r.source, r.text.toUpperCase))
+    val aug = orig ++ twins
+    val augDf = aug.toDF()
+    val expectReport = reportRows(graft.queries.CorpusQueries.e2eCurate(
+      augDf, Dedup.shingleSets(augDf), Winnow.postings(augDf)))
+    val expectLabels = Dedup.duplicateClustersAltStar(
+        Dedup.minhashLshPairsFromSets(Dedup.shingleSets(docs), thresholdX1000 = 300))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+
+    val root = java.nio.file.Files.createTempDirectory("graft-twinstore").toString
+    val cur = runCuration(aug.sortBy(-_.doc_id), nBatches = 4, new ParquetTwinStore(root))
+    val gotLabels = cur.labels(spark)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(gotLabels == expectLabels)
+    assert(reportRows(cur.report(spark)) == expectReport)
+    // the state genuinely lives on disk: append-only tables are plain
+    // directories, replace tables are versioned with old versions GC'd
+    val files = new java.io.File(root).listFiles().map(_.getName).toSet
+    assert(files.contains("meta") && files.contains("posts"))
+    assert(files.exists(_.startsWith("labels-v")))
+    assert(files.count(_.startsWith("exactKeep-v")) <= 2,
+      s"old replace versions must be GC'd, saw $files")
+  }
+
+  test("streaming cluster maintenance through the PARQUET state store == batch recompute") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.dedup.Dedup
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val all = docs.as[DocRow].collect().sortBy(_.doc_id)
+    val expect = Dedup.duplicateClustersAltStar(
+        Dedup.minhashLshPairsFromSets(Dedup.shingleSets(docs), thresholdX1000 = 300))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val root = java.nio.file.Files.createTempDirectory("graft-twinstore-cl").toString
+    val maintainer = new StreamingClusters(thresholdX1000 = 300, new ParquetTwinStore(root))
+    val mem = MemoryStream[DocRow]
+    val q = maintainer.sink(mem.toDF()).outputMode(OutputMode.Update()).start()
+    try {
+      val third = all.length / 3
+      Seq(all.slice(0, third), all.slice(third, 2 * third), all.slice(2 * third, all.length))
+        .foreach { b => mem.addData(b.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    val got = maintainer.labels(spark)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.toSeq == expect.toSeq)
+    val files = new java.io.File(root).listFiles().map(_.getName).toSet
+    assert(files.contains("corpusSets") && files.contains("corpusBands"))
   }
 }
