@@ -48,18 +48,33 @@ final class StreamingClusters(thresholdX1000: Long,
   private var corpusSets: Option[DataFrame] = None   // (id, sh, n_sh)
   private var corpusBands: Option[DataFrame] = None  // (id, band, r0, r1)
   private var labelTable: Option[DataFrame] = None   // (id, keeper)
+  private var resumed = false
+
+  /** A restarted maintainer resumes from whatever the store holds — the
+    * crash-recovery half of the disk-backed state story (no-op for a
+    * fresh store). Runs once, before the first state access. */
+  private def resume(spark: org.apache.spark.sql.SparkSession): Unit =
+    if (!resumed) {
+      resumed = true
+      corpusSets = store.load(spark, "corpusSets")
+      corpusBands = store.load(spark, "corpusBands")
+      labelTable = store.load(spark, "labels")
+    }
 
   /** Current clustering: (id, keeper) for every id in >=1 near-dup pair. */
-  def labels(spark: org.apache.spark.sql.SparkSession): DataFrame =
+  def labels(spark: org.apache.spark.sql.SparkSession): DataFrame = synchronized {
+    resume(spark)
     labelTable.getOrElse {
       import spark.implicits._
       Seq.empty[(Long, Long)].toDF("id", "keeper")
     }
+  }
 
   /** Absorb one micro-batch of (doc_id, text) rows. Synchronized: one
     * trigger at a time mutates the state tables (foreachBatch already
     * serializes triggers; this guards ad-hoc callers). */
   def processBatch(docs: DataFrame): Unit = synchronized {
+    resume(docs.sparkSession)
     if (docs.isEmpty) return
     val newSets = Dedup.shingleSets(docs).localCheckpoint()
     val newBands = Dedup.bandedSignatures(newSets)

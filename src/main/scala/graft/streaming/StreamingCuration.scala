@@ -64,10 +64,31 @@ final class StreamingCuration(thresholdX1000: Long,
   private var eBands: Option[DataFrame] = None     // (id, band, r0, r1) — same membership
   private var labelTable: Option[DataFrame] = None // (id, keeper) among exact survivors
   private var posts: Option[DataFrame] = None      // (doc_id, fp) winnow postings
+  private var resumed = false
+
+  /** A restarted pipeline resumes every state table from the store —
+    * the crash-recovery half of the disk-backed state story (no-op for
+    * a fresh store). Runs once, before the first state access. NB
+    * Structured Streaming redelivers the last uncommitted micro-batch
+    * on restart; the ingest contract (exactly-once doc ids) therefore
+    * requires the redelivered batch be deduplicated upstream or by id
+    * against `meta` before it reaches processBatch. */
+  private def resume(spark: SparkSession): Unit =
+    if (!resumed) {
+      resumed = true
+      meta = store.load(spark, "meta")
+      posts = store.load(spark, "posts")
+      exactKeep = store.load(spark, "exactKeep")
+      eSets = store.load(spark, "eSets")
+      eBands = store.load(spark, "eBands")
+      labelTable = store.load(spark, "labels")
+    }
 
   /** Current near-dup clustering among the exact survivors. */
-  def labels(spark: SparkSession): DataFrame =
+  def labels(spark: SparkSession): DataFrame = synchronized {
+    resume(spark)
     labelTable.getOrElse(emptyLabels(spark))
+  }
 
   private def emptyLabels(spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -77,7 +98,8 @@ final class StreamingCuration(thresholdX1000: Long,
   /** The batch pipeline's per-source report over the current state —
     * byte-identical semantics to `corpus_e2e_curate` by construction
     * (same [[Curation.report]] tail). */
-  def report(spark: SparkSession): DataFrame = {
+  def report(spark: SparkSession): DataFrame = synchronized {
+    resume(spark)
     import spark.implicits._
     val m = meta.getOrElse(
       Seq.empty[(Long, String, String, Long, Long)]
@@ -91,6 +113,7 @@ final class StreamingCuration(thresholdX1000: Long,
     * foreachBatch already serializes triggers; this guards ad-hoc
     * callers. */
   def processBatch(docs: DataFrame): Unit = synchronized {
+    resume(docs.sparkSession)
     if (docs.isEmpty) return
     val bm = Curation.docMeta(docs).localCheckpoint()
     meta = Some(store.append("meta", bm))

@@ -7,7 +7,7 @@ import org.apache.spark.sql.DataFrame
  * ([[StreamingClusters]], [[StreamingCuration]]) — the piece that was
  * previously an in-memory `localCheckpoint` union chain with a scaladoc
  * CLAIM that "at 100 TB this is a parquet/Delta table". The claim is now
- * an implementation: the twins speak two verbs and the store decides
+ * an implementation: the twins speak three verbs and the store decides
  * where state lives.
  *
  *  - `append(name, delta)` — for APPEND-ONLY tables (doc metadata,
@@ -20,6 +20,12 @@ import org.apache.spark.sql.DataFrame
  *    with a keyed Delta/Iceberg MERGE so the write cost is update-mass,
  *    not table mass — the verb boundary is exactly the MERGE boundary,
  *    which is why it exists.
+ *  - `load(spark, name)` — how a RESTARTED twin resumes: both twins
+ *    lazily load every state table from the store before their first
+ *    state access, so a new incarnation over an existing parquet root
+ *    continues exactly where the last one stopped (`StreamingSpec`
+ *    pins a mid-stream restart, with dethronements crossing the
+ *    restart boundary, equal to the batch recompute).
  *
  * Both verbs return the CURRENT full table; callers never union state
  * themselves, so the in-memory and on-disk twins run the identical
@@ -32,6 +38,12 @@ trait TwinStore {
 
   /** Replace table `name` with `df`; returns the stored table. */
   def replace(name: String, df: DataFrame): DataFrame
+
+  /** The stored current table, if this store holds one — how a
+    * RESTARTED twin resumes where the previous incarnation stopped
+    * (None for a fresh store; always None for the in-memory store in a
+    * new JVM, which is exactly why the parquet store exists). */
+  def load(spark: org.apache.spark.sql.SparkSession, name: String): Option[DataFrame]
 }
 
 /** In-memory store: `localCheckpoint` unions, lineage truncated per
@@ -52,6 +64,9 @@ final class InMemoryTwinStore extends TwinStore {
     tables(name) = next
     next
   }
+
+  override def load(spark: org.apache.spark.sql.SparkSession, name: String): Option[DataFrame] =
+    synchronized(tables.get(name))
 }
 
 /**
@@ -74,6 +89,20 @@ final class ParquetTwinStore(root: String) extends TwinStore {
     walk(new java.io.File(path))
   }
 
+  /** Current version of a replace-table, surviving restarts: a fresh
+    * store instance over an existing root scans for `name-v*` so its
+    * next replace continues the sequence (instead of clobbering v1
+    * while v3 is live). */
+  private def currentVersion(name: String): Long =
+    versions.getOrElseUpdate(name, {
+      val fs = new java.io.File(root).listFiles()
+      val prefix = s"$name-v"
+      if (fs == null) 0L
+      else fs.iterator.map(_.getName).filter(_.startsWith(prefix))
+        .map(_.drop(prefix.length)).filter(_.forall(_.isDigit))
+        .map(_.toLong).foldLeft(0L)(math.max)
+    })
+
   override def append(name: String, delta: DataFrame): DataFrame = synchronized {
     val dir = s"$root/$name"
     delta.write.mode("append").parquet(dir)
@@ -81,10 +110,20 @@ final class ParquetTwinStore(root: String) extends TwinStore {
   }
 
   override def replace(name: String, df: DataFrame): DataFrame = synchronized {
-    val v = versions.getOrElse(name, 0L) + 1L
+    val v = currentVersion(name) + 1L
     df.write.mode("overwrite").parquet(s"$root/$name-v$v")
     versions(name) = v
     if (v >= 3L) rm(s"$root/$name-v${v - 2L}")
     df.sparkSession.read.parquet(s"$root/$name-v$v")
   }
+
+  override def load(spark: org.apache.spark.sql.SparkSession, name: String): Option[DataFrame] =
+    synchronized {
+      val plain = new java.io.File(s"$root/$name")
+      if (plain.isDirectory) Some(spark.read.parquet(plain.getPath))
+      else {
+        val v = currentVersion(name)
+        if (v > 0L) Some(spark.read.parquet(s"$root/$name-v$v")) else None
+      }
+    }
 }

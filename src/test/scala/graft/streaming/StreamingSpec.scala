@@ -928,6 +928,40 @@ class StreamingSpec extends SparkSpec {
       s"old replace versions must be GC'd, saw $files")
   }
 
+  test("RESTARTED parquet-store curation resumes from disk: final state == batch, dethronement across the restart") {
+    import spark.implicits._
+    import graft.dedup.{Dedup, Winnow}
+    // crash-recovery pin: twin A processes the first half of an
+    // adversarial (descending-id, twin-heavy) arrival order, is dropped,
+    // and a NEW instance over the SAME store root processes the rest —
+    // every dethronement whose twin arrived before the restart must
+    // still be repaired by the original arriving after it
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+    val orig = docs.as[CurRow].collect().toSeq
+    val twins = orig.filter(_.doc_id % 12 == 0)
+      .map(r => CurRow(r.doc_id + 1000000L, r.source, r.text.toUpperCase))
+    val aug = (orig ++ twins).sortBy(-_.doc_id) // twins first, originals dethrone later
+    val augDf = aug.toDF()
+    val expectReport = reportRows(graft.queries.CorpusQueries.e2eCurate(
+      augDf, Dedup.shingleSets(augDf), Winnow.postings(augDf)))
+    val expectLabels = Dedup.duplicateClustersAltStar(
+        Dedup.minhashLshPairsFromSets(Dedup.shingleSets(docs), thresholdX1000 = 300))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+
+    val root = java.nio.file.Files.createTempDirectory("graft-twinrestart").toString
+    val (firstHalf, secondHalf) = aug.splitAt(aug.length / 2)
+    runCuration(firstHalf, nBatches = 2, new ParquetTwinStore(root))
+    // new incarnation, same root: resumes every state table (incl. the
+    // replace-verb version sequence) from disk
+    val cur2 = runCuration(secondHalf, nBatches = 2, new ParquetTwinStore(root))
+    val gotLabels = cur2.labels(spark)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(gotLabels == expectLabels,
+      "restarted twin must land on the batch among-survivors clustering")
+    assert(reportRows(cur2.report(spark)) == expectReport)
+  }
+
   test("streaming cluster maintenance through the PARQUET state store == batch recompute") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
