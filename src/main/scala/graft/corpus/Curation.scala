@@ -91,6 +91,17 @@ object Curation {
         sum(when(col("s_q"), 1L).otherwise(0L)).as("n_quality"),
         sum(when(col("s_clean"), 1L).otherwise(0L)).as("n_clean"),
         sum(when(col("s_clean"), col("nt")).otherwise(0L)).as("n_toks"))
+    temperatureTail(perSrc)
+  }
+
+  /** The report's mixture tail over a per-source counter table
+    * `(source, n_raw, n_exact, n_keepbest, n_quality, n_clean, n_toks)`:
+    * sqrt-temperature weight, 1-row totals broadcast, permille share.
+    * Shared by the batch report above and the delta-maintained serving
+    * counters ([[graft.streaming.StreamingCuration.reportServed]]) so
+    * the formula lives in exactly one place. */
+  def temperatureTail(perSrcCounters: DataFrame): DataFrame = {
+    val perSrc = perSrcCounters
       .withColumn("w", floor(sqrt(col("n_toks").cast("double"))).cast("long"))
     val tot = perSrc.agg(sum(col("w")).as("tot_w"))
     perSrc.crossJoin(broadcast(tot))

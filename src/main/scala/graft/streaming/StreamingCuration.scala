@@ -46,11 +46,15 @@ import graft.dedup.{Dedup, Winnow}
  * survivor signature store and label table go through the `replace`
  * verb, whose parquet form rewrites and whose production form is a
  * keyed Delta/Iceberg MERGE (update-mass-sized). `StreamingSpec` pins
- * streaming-final == batch through both stores. The report itself is
- * the serving refresh: one scan over the metadata store through the
- * identical tail the batch gate runs (publish nightly or on demand;
- * making the per-source counters delta-maintained under flag flips is
- * the next increment, and would serve the same numbers).
+ * streaming-final == batch through both stores. Serving has two forms:
+ * [[report]] re-derives everything from the state tables through the
+ * identical tail the batch gate runs (the audit path), while
+ * [[reportServed]] reads the delta-maintained per-source counters —
+ * O(sources) rows, no corpus scan — kept current by
+ * [[maintainCounters]] folding per-doc flag FLIPS (dethronement,
+ * keep-best changes inside touched clusters, monotone contamination)
+ * into the counter table every trigger; the two are pinned equal after
+ * every trigger in `StreamingSpec`.
  *
  * Ingest contract: exactly-once doc ids (replays would double-count
  * `n_raw` — dedupe upstream or by id at the sink).
@@ -64,6 +68,11 @@ final class StreamingCuration(thresholdX1000: Long,
   private var eBands: Option[DataFrame] = None     // (id, band, r0, r1) — same membership
   private var labelTable: Option[DataFrame] = None // (id, keeper) among exact survivors
   private var posts: Option[DataFrame] = None      // (doc_id, fp) winnow postings
+  // per-doc curation ledger: every doc's current stage flags — the
+  // materialized "is this doc in the training set right now" table
+  private var flags: Option[DataFrame] = None      // (doc_id, source, h, qx, nt, s_exact, s_kb, s_q, contam, s_clean)
+  // per-source counter table the serving report reads (O(sources) rows)
+  private var counters: Option[DataFrame] = None   // (source, n_raw, n_exact, n_keepbest, n_quality, n_clean, n_toks)
   private var resumed = false
 
   /** A restarted pipeline resumes every state table from the store —
@@ -82,6 +91,8 @@ final class StreamingCuration(thresholdX1000: Long,
       eSets = store.load(spark, "eSets")
       eBands = store.load(spark, "eBands")
       labelTable = store.load(spark, "labels")
+      flags = store.load(spark, "flags")
+      counters = store.load(spark, "counters")
     }
 
   /** Current near-dup clustering among the exact survivors. */
@@ -115,9 +126,11 @@ final class StreamingCuration(thresholdX1000: Long,
   def processBatch(docs: DataFrame): Unit = synchronized {
     resume(docs.sparkSession)
     if (docs.isEmpty) return
+    val oldLabels = labelTable // pre-trigger labeling, for the counter diff
     val bm = Curation.docMeta(docs).localCheckpoint()
     meta = Some(store.append("meta", bm))
-    posts = Some(store.append("posts", Winnow.postings(docs)))
+    val bp = Winnow.postings(docs).localCheckpoint()
+    posts = Some(store.append("posts", bp))
 
     // ---- exact-keeper merge + survivor-set deltas ----
     val bMin = bm.groupBy("h").agg(min(col("doc_id")).as("new_id"))
@@ -198,6 +211,155 @@ final class StreamingCuration(thresholdX1000: Long,
       if (prevSets != null) prevSets.unionByName(enteredSets) else enteredSets))
     eBands = Some(store.replace("eBands",
       if (prevBands != null) prevBands.unionByName(enteredBands) else enteredBands))
+
+    maintainCounters(docs.sparkSession, bm, bp, oldLabels, exited, nextEk,
+      labelTable.get)
+  }
+
+  /**
+   * Delta-maintenance of the per-doc stage-flag ledger and the
+   * per-source serving counters — the "report without a corpus scan"
+   * increment: instead of re-deriving every doc's flags at serve time,
+   * each trigger re-evaluates flags ONLY for the AFFECTED set and folds
+   * the flag FLIPS into the counters, so [[reportServed]] reads an
+   * O(sources) table. The affected set is exactly the docs whose flags
+   * CAN change this trigger:
+   *
+   *  - the batch's own docs (new rows);
+   *  - dethroned keepers (lose `s_exact` and everything downstream);
+   *  - every member of every cluster the new labeling touches —
+   *    clusters of batch docs and of the dethroned docs' old
+   *    components — because keep-best is a cluster-local argmax and a
+   *    new member (or a removed best) flips OTHER members' `s_kb`;
+   *  - docs whose contamination newly crosses the >=2-shared-fp bound.
+   *    Contamination is monotone (postings only append, bench
+   *    membership is static), so candidates are the pairs with >=1 NEW
+   *    shared fingerprint, totals counted over the full posting store —
+   *    a pair can only reach the bound on the trigger that lands one of
+   *    its sides.
+   *
+   * Everything here is delta- or touched-component-sized except the
+   * keyed lookups into the ledger (semi/anti joins on doc id) and the
+   * ledger rewrite, which go through the store's replace verb — the
+   * Delta-MERGE stand-in, update-mass-sized in production.
+   * `StreamingSpec` pins `reportServed` == the full recomputed report
+   * after EVERY trigger under the adversarial orders.
+   */
+  private def maintainCounters(spark: SparkSession, bm: DataFrame, bp: DataFrame,
+                               oldLabels: Option[DataFrame], exited: Option[DataFrame],
+                               nextEk: DataFrame, nextLabels: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.broadcast
+    val fl0 = flags.getOrElse(emptyFlags(spark))
+    val bIds = bm.select(col("doc_id").as("id"))
+
+    // ---- newly contaminated docs (monotone flip) ----
+    val ps = posts.get
+    val psBench = ps.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("bench_id"), col("fp"))
+    val psNon = ps.filter(col("doc_id") % 50 =!= 0)
+    val bpBench = bp.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("bench_id"), col("fp"))
+    val bpNon = bp.filter(col("doc_id") % 50 =!= 0)
+    val cand = bpNon.join(broadcast(psBench), "fp").select(col("doc_id"), col("bench_id"))
+      .unionByName(psNon.join(broadcast(bpBench), "fp").select(col("doc_id"), col("bench_id")))
+      .distinct().localCheckpoint()
+    val newContam = cand
+      .join(psNon.select(col("doc_id"), col("fp")), "doc_id")
+      .join(psBench, Seq("bench_id", "fp"))
+      .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+      .select(col("doc_id").as("id")).distinct().localCheckpoint()
+
+    // ---- affected set ----
+    val xIds = exited.getOrElse(bIds.limit(0))
+    val oldHitMembers = (oldLabels, exited) match {
+      case (Some(ol), Some(x)) =>
+        val hitK = ol.join(x, Seq("id"), "left_semi").select(col("keeper")).distinct()
+        ol.join(hitK, Seq("keeper"), "left_semi").select(col("id"))
+      case _ => bIds.limit(0)
+    }
+    val a1 = bIds.unionByName(xIds).unionByName(oldHitMembers)
+      .unionByName(newContam).distinct().localCheckpoint()
+    // close over whole clusters in the NEW labeling: keep-best is a
+    // cluster-local argmax, so any touched cluster re-evaluates ALL its
+    // members
+    val k = nextLabels.join(a1, Seq("id"), "left_semi")
+      .select(col("keeper")).distinct()
+    val m = nextLabels.join(k, Seq("keeper"), "left_semi").localCheckpoint()
+    val aIds = a1.unionByName(m.select(col("id"))).distinct().localCheckpoint()
+
+    // ---- new flags for the affected set ----
+    val attrs = bm.select(col("doc_id"), col("source"), col("h"), col("qx"), col("nt"),
+        lit(false).as("contam0"))
+      .unionByName(fl0.select(col("doc_id"), col("source"), col("h"), col("qx"),
+        col("nt"), col("contam").as("contam0")))
+      .join(aIds, col("doc_id") === aIds("id"), "left_semi")
+    val qxAll = bm.select(col("doc_id").as("qid"), col("qx").as("q"))
+      .unionByName(fl0.select(col("doc_id").as("qid"), col("qx").as("q")))
+    val mq = m.join(qxAll, col("id") === col("qid")).select(col("id"), col("keeper"), col("q"))
+    val best = mq.groupBy("keeper")
+      .agg(max(struct(col("q").as("qx"), (col("id") * lit(-1L)).as("nid"))).as("b"))
+      .select(col("keeper"), (col("b.nid") * lit(-1L)).as("best_id"))
+    val losersA = mq.join(best.hint("merge"), Seq("keeper"))
+      .filter(col("id") =!= col("best_id")).select(col("id").as("nd_id"))
+    val nf = attrs
+      .join(nextEk.select(col("h"), col("keep_id")), Seq("h"))
+      .withColumn("s_exact", col("doc_id") === col("keep_id"))
+      .join(losersA.hint("merge"), col("doc_id") === col("nd_id"), "left")
+      .withColumn("s_kb", col("s_exact") && col("nd_id").isNull)
+      .withColumn("s_q", col("s_kb") && col("qx") >= 550)
+      .join(newContam.select(col("id").as("ct_id")), col("doc_id") === col("ct_id"), "left")
+      .withColumn("contam", col("contam0") || col("ct_id").isNotNull)
+      .withColumn("s_clean", col("s_q") && !col("contam"))
+      .select(col("doc_id"), col("source"), col("h"), col("qx"), col("nt"),
+        col("s_exact"), col("s_kb"), col("s_q"), col("contam"), col("s_clean"))
+      .localCheckpoint()
+
+    // ---- counter deltas = new-flag vectors minus old-flag vectors ----
+    // a NEW doc has no old row, so its +1 raw contribution survives the
+    // diff; an existing doc's raw contributions cancel to 0
+    def vec(df: DataFrame, sign: Long): DataFrame = df.select(col("source"),
+      lit(sign).as("d_raw"),
+      when(col("s_exact"), sign).otherwise(0L).as("d_exact"),
+      when(col("s_kb"), sign).otherwise(0L).as("d_kb"),
+      when(col("s_q"), sign).otherwise(0L).as("d_q"),
+      when(col("s_clean"), sign).otherwise(0L).as("d_clean"),
+      when(col("s_clean"), col("nt") * sign).otherwise(0L).as("d_toks"))
+    val oldA = fl0.join(aIds, fl0("doc_id") === aIds("id"), "left_semi")
+    val delta = vec(nf, 1L).unionByName(vec(oldA, -1L))
+    val prev = counters.getOrElse(emptyCounters(spark))
+      .select(col("source"), col("n_raw").as("d_raw"), col("n_exact").as("d_exact"),
+        col("n_keepbest").as("d_kb"), col("n_quality").as("d_q"),
+        col("n_clean").as("d_clean"), col("n_toks").as("d_toks"))
+    counters = Some(store.replace("counters",
+      prev.unionByName(delta).groupBy("source")
+        .agg(sum(col("d_raw")).as("n_raw"), sum(col("d_exact")).as("n_exact"),
+          sum(col("d_kb")).as("n_keepbest"), sum(col("d_q")).as("n_quality"),
+          sum(col("d_clean")).as("n_clean"), sum(col("d_toks")).as("n_toks"))))
+
+    // ---- ledger rewrite: unaffected rows + re-evaluated rows ----
+    flags = Some(store.replace("flags",
+      fl0.join(aIds, fl0("doc_id") === aIds("id"), "left_anti").unionByName(nf)))
+  }
+
+  private def emptyFlags(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, String, String, Long, Long, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .toDF("doc_id", "source", "h", "qx", "nt", "s_exact", "s_kb", "s_q", "contam", "s_clean")
+  }
+
+  private def emptyCounters(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(String, Long, Long, Long, Long, Long, Long)]
+      .toDF("source", "n_raw", "n_exact", "n_keepbest", "n_quality", "n_clean", "n_toks")
+  }
+
+  /** The serving report: the identical output to [[report]] read from
+    * the delta-maintained per-source counters — O(sources) rows through
+    * the shared [[Curation.temperatureTail]], no corpus scan. */
+  def reportServed(spark: SparkSession): DataFrame = synchronized {
+    resume(spark)
+    Curation.temperatureTail(counters.getOrElse(emptyCounters(spark)))
   }
 
   /** Attach to a streaming (doc_id, source, text) source. */

@@ -928,6 +928,29 @@ class StreamingSpec extends SparkSpec {
       s"old replace versions must be GC'd, saw $files")
   }
 
+  test("delta-maintained serving counters == fully recomputed report after EVERY trigger") {
+    import spark.implicits._
+    // the strongest pin the delta machinery can get: after each
+    // micro-batch of the adversarial (descending-id, twin-heavy) order,
+    // reportServed — the O(sources) counter read — must equal the full
+    // recomputation from the state tables, so every flag-flip class
+    // (arrival, dethronement, keep-best change inside a touched
+    // cluster, monotone contamination) is folded exactly once
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+    val orig = docs.as[CurRow].collect().toSeq
+    val twins = orig.filter(_.doc_id % 12 == 0)
+      .map(r => CurRow(r.doc_id + 1000000L, r.source, r.text.toUpperCase))
+    val order = (orig ++ twins).sortBy(-_.doc_id)
+    val cur = new StreamingCuration(thresholdX1000 = 300)
+    val per = (order.length + 3) / 4
+    order.grouped(per).zipWithIndex.foreach { case (b, i) =>
+      cur.processBatch(b.toDF())
+      assert(reportRows(cur.reportServed(spark)) == reportRows(cur.report(spark)),
+        s"served counters diverged from the recomputed report after trigger $i")
+    }
+  }
+
   test("RESTARTED parquet-store curation resumes from disk: final state == batch, dethronement across the restart") {
     import spark.implicits._
     import graft.dedup.{Dedup, Winnow}
@@ -960,6 +983,9 @@ class StreamingSpec extends SparkSpec {
     assert(gotLabels == expectLabels,
       "restarted twin must land on the batch among-survivors clustering")
     assert(reportRows(cur2.report(spark)) == expectReport)
+    // the delta-maintained counters also survive the restart (loaded
+    // from the store) and serve the same report
+    assert(reportRows(cur2.reportServed(spark)) == expectReport)
   }
 
   test("streaming cluster maintenance through the PARQUET state store == batch recompute") {
