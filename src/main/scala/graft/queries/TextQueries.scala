@@ -601,6 +601,23 @@ object TextQueries {
           call_function("graft_polyhash",
             redact(col("text"), Seq("customer", "key"))).as("fp_redacted"))
         .orderBy("doc_id")
+    },
+    // UNIGRAM-LM TOKENIZER TRAINING (Kudo 2018 / SentencePiece) — the
+    // top-down prune-trained counterpart to text_bpe_train: seed a large
+    // candidate vocabulary from substring frequencies, then two
+    // segment/count/prune hard-EM rounds of deterministic min-token
+    // Viterbi (integer-packed cost+backpointer, so the oracle replays
+    // the tie-break bit-exactly). One corpus collapse to word TYPES;
+    // every later pass is vocabulary-sized with the codebook-tier vocab
+    // broadcast. See graft.corpus.Unigram.
+    "text_unigram_train" -> { (s: SparkSession, dir: String) =>
+      graft.corpus.Unigram.train(docs(s, dir)).orderBy("rank")
+    },
+    // the inference side: tokenize with the trained vocabulary and
+    // report per-source subword compression (text_bpe_apply's shape).
+    // The Viterbi fold runs once per word TYPE, never per occurrence.
+    "text_unigram_apply" -> { (s: SparkSession, dir: String) =>
+      graft.corpus.Unigram.applyPerSource(docs(s, dir)).orderBy("source")
     }
   )
 
@@ -716,6 +733,75 @@ object TextQueries {
        |      ELSE acc || chr(1) || x END), chr(1)) AS syms
        |  FROM $prev LEFT JOIN (SELECT l AS bl, r AS br FROM b$n) ON TRUE
        |)""".stripMargin
+
+  /** One unigram segment/count round against vocabulary CTE `$v`:
+    * vocab-filtered match lists → packed min-token Viterbi (the same
+    * `cost*100000 + back` encoding as graft.corpus.Unigram, so
+    * `list_min` resolves cost then the longest-last-piece tie-break
+    * bit-exactly) → backtrace → word-frequency-weighted usage. The
+    * backtrace is a RECURSIVE CTE walking pos → back(pos), emitting one
+    * piece per step, NOT a list_reduce fold: DuckDB 1.0.0's list_reduce
+    * gives non-deterministic results under multi-threaded execution for
+    * this accumulator shape (list-of-varchar with CASE), observed
+    * directly — the recursive walk is stable. */
+  private def unigramRoundSql(n: Int, v: String): String =
+    s"""g$n AS (
+       |  SELECT sb.w AS w, min(sb.wc) AS wc,
+       |         list(struct_pack(s := sb.s, e := sb.e) ORDER BY sb.s, sb.e) AS ms
+       |  FROM subs sb JOIN $v USING (p) GROUP BY sb.w
+       |), d$n AS (
+       |  SELECT w, wc, list_reduce(
+       |    [[CAST(0 AS BIGINT)]] || list_transform(range(1, length(w)+1), i -> [CAST(i AS BIGINT)]),
+       |    (dp, x) -> dp || [list_min(list_transform(list_filter(ms, m -> m.e = x[1]),
+       |      m -> (dp[m.s + 1] // 100000 + 1) * 100000 + m.s))]) AS dp
+       |  FROM g$n
+       |), bt$n AS (
+       |  SELECT w, wc, dp, length(w) AS pos, CAST(NULL AS VARCHAR) AS piece FROM d$n
+       |  UNION ALL
+       |  SELECT w, wc, dp, CAST(dp[pos + 1] % 100000 AS INT) AS pos,
+       |         substr(w, CAST(dp[pos + 1] % 100000 AS INT) + 1,
+       |                pos - CAST(dp[pos + 1] % 100000 AS INT)) AS piece
+       |  FROM bt$n WHERE pos > 0
+       |), u$n AS (
+       |  SELECT piece AS p, CAST(sum(wc) AS BIGINT) AS usage
+       |  FROM bt$n WHERE piece IS NOT NULL GROUP BY piece
+       |)""".stripMargin
+
+  /** Unigram prune round: all single chars + top-60 multi-char pieces
+    * by (usage desc, piece asc), usage > 0. */
+  private def unigramPruneSql(n: Int): String =
+    s"""v$n AS (
+       |  SELECT p FROM chars UNION ALL
+       |  SELECT p FROM (SELECT p FROM u$n WHERE length(p) >= 2 AND usage > 0
+       |                 ORDER BY usage DESC, p LIMIT 60)
+       |)""".stripMargin
+
+  /** The full unigram training chain (word types → substring
+    * occurrences → seed v0 → two segment/prune rounds → final
+    * segmentation b3/u3), shared by the train and apply oracles.
+    * Constants mirror graft.corpus.Unigram.train defaults:
+    * maxLen 6, seedSize 200, keepK 60, minFreq 2, rounds 2. */
+  private def unigramCtes: String =
+    s"""uwt AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS wc FROM (
+       |    SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+       |    FROM documents
+       |  ) WHERE length(w) > 0 GROUP BY w
+       |), subs AS (
+       |  SELECT w, wc, u.m.s AS s, u.m.e AS e, u.m.p AS p FROM (
+       |    SELECT w, wc, unnest(flatten(list_transform(range(1, length(w)+1), i ->
+       |      list_transform(range(1, least(6, length(w)-i+1)+1), l ->
+       |        struct_pack(s := i-1, e := i+l-1, p := substr(w, i, l)))))) AS m
+       |    FROM uwt) u(w, wc, m)
+       |), chars AS (
+       |  SELECT DISTINCT p FROM subs WHERE e - s = 1
+       |), v0 AS (
+       |  SELECT p FROM chars UNION ALL
+       |  SELECT p FROM (SELECT p, sum(wc) AS f FROM subs WHERE length(p) >= 2
+       |                 GROUP BY p HAVING sum(wc) >= 2 ORDER BY f DESC, p LIMIT 200)
+       |), ${unigramRoundSql(1, "v0")}, ${unigramPruneSql(1)},
+       |${unigramRoundSql(2, "v1")}, ${unigramPruneSql(2)},
+       |${unigramRoundSql(3, "v2")}""".stripMargin
 
   private def fpSql(expr: String): String =
     s"""list_reduce(
@@ -1260,6 +1346,35 @@ object TextQueries {
          |  ${fpSql("red")} AS fp_redacted
          |FROM dq
          |WHERE $qualSql >= 550 AND doc_id NOT IN (SELECT id FROM losers)
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+    // the full two-round segment/count/prune chain replayed in SQL: the
+    // packed-BIGINT Viterbi makes the per-cell tie-break identical to
+    // the Spark fold, so the final vocabulary, usage counts and ranks
+    // are engine-exact
+    "text_unigram_train" ->
+      s"""WITH RECURSIVE $unigramCtes
+         |SELECT CAST(row_number() OVER (ORDER BY usage DESC, piece) AS BIGINT) AS rank,
+         |  piece, CAST(length(piece) AS BIGINT) AS piece_len, usage
+         |FROM (SELECT v2.p AS piece, coalesce(u3.usage, CAST(0 AS BIGINT)) AS usage
+         |      FROM v2 LEFT JOIN u3 ON v2.p = u3.p)
+         |ORDER BY rank""".stripMargin,
+    // same chain; the final backtrace walk bt3 yields per-word-TYPE token
+    // counts, joined to the per-(source, word) frequency table
+    "text_unigram_apply" ->
+      s"""WITH RECURSIVE $unigramCtes, stc AS (
+         |  SELECT source, w, CAST(count(*) AS BIGINT) AS swc FROM (
+         |    SELECT source, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+         |    FROM documents
+         |  ) WHERE length(w) > 0 GROUP BY source, w
+         |), tokn AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS n_tok
+         |  FROM bt3 WHERE piece IS NOT NULL GROUP BY w
+         |)
+         |SELECT source, CAST(sum(swc) AS BIGINT) AS n_words,
+         |  CAST(sum(swc * length(w)) AS BIGINT) AS n_chars,
+         |  CAST(sum(swc * n_tok) AS BIGINT) AS n_subwords,
+         |  (1000 * CAST(sum(swc * n_tok) AS BIGINT))
+         |    // CAST(sum(swc * length(w)) AS BIGINT) AS compression_permille
+         |FROM stc JOIN tokn USING (w) GROUP BY source ORDER BY source""".stripMargin
   )
 }

@@ -57,6 +57,10 @@ object ScaleProbe {
     "dedup_lsh_recall", "graph_resource_alloc", "graph_triangles",
     "text_rake_keyphrases", "corpus_source_contamination",
     "corpus_importance", "sim_kmeans", "text_bpe_train", "text_heavy_hitters",
+    // round-10: unigram tokenizer training — every EM pass runs on the
+    // word-TYPE table, so the exponent should sit near the corpus-scan
+    // cost alone (word types saturate on the fixture vocabulary)
+    "text_unigram_train",
     // the end-to-end curation composition: its cost should track the
     // cluster pass + one metadata scan, so the exponent must stay ~1
     // even though seven stages chain (a super-linear reading here means

@@ -692,4 +692,19 @@ class QueryPlanSpec extends SparkSpec {
     assert(passes == 1L,
       s"expected exactly 1 minhash signature pass for the composed pipeline, got $passes")
   }
+
+  test("text_unigram_train: the vocabulary side broadcasts; usage counts partial-aggregate") {
+    // Every unigram EM pass joins the substring-occurrence table against
+    // the CURRENT vocabulary — codebook-tier by construction (≤ seedSize
+    // + alphabet), so it must ride a broadcast join: a shuffle of the
+    // occurrence table per round would move the vocabulary-sized corpus
+    // collapse 3× at 100 TB. The word-type join stays adaptive (word
+    // types are millions at web scale — Spark may shuffle-join it).
+    val plan = TextQueries.queries("text_unigram_train")(spark, dir)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the vocab side of the match join to broadcast in:\n$plan")
+    assert(plan.contains("partial_sum"),
+      s"expected map-side combine on the usage counts in:\n$plan")
+  }
 }
