@@ -32,9 +32,10 @@ import org.apache.spark.sql.functions._
  * later passes run on that vocabulary-sized table: the substring
  * explode is |type| × O(len × maxPieceLen) rows, the candidate seed is
  * a top-K (`TakeOrderedAndProject`, no global sort materialized), and
- * each EM round is one BROADCAST join of the codebook-tier vocabulary
- * against the per-word match lists plus one partial-aggregated usage
- * count. The Viterbi DP itself is a per-row column expression (nested
+ * each EM round is ONE broadcast join of the codebook-tier vocabulary
+ * against the substring table, one word-keyed regroup (which carries
+ * the word frequency — no rejoin against the type table), and one
+ * partial-aggregated usage count. The Viterbi DP itself is a per-row column expression (nested
  * higher-order functions — no UDF, no driver participation): documents
  * are never re-read after the first collapse and the driver collects
  * nothing.
@@ -95,13 +96,17 @@ object Unigram {
 
   /** Min-token Viterbi segmentation of every word type under `vocab`:
     * `(w, wc, pieces)`. One broadcast join (vocab is codebook-tier by
-    * construction: ≤ seedSize + |alphabet|), one vocabulary-keyed
-    * regroup, then the DP + backtrace as per-row column expressions. */
-  def segment(subs: DataFrame, wt: DataFrame, vocab: DataFrame): DataFrame = {
-    val matches = subs.join(broadcast(vocab), "p")
+    * construction: ≤ seedSize + |alphabet|), one word-keyed regroup,
+    * then the DP + backtrace as per-row column expressions. `wc` rides
+    * the regroup as `min` (constant per word) — rejoining the word-type
+    * table here would add a word-type-sized shuffle join per EM round
+    * for a value the substring table already carries. Single-char
+    * pieces always match, so no word type drops out of the regroup. */
+  def segment(subs: DataFrame, vocab: DataFrame): DataFrame = {
+    subs.join(broadcast(vocab), "p")
       .groupBy("w")
-      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("ms"))
-    wt.join(matches, "w")
+      .agg(min(col("wc")).as("wc"),
+        sort_array(collect_list(struct(col("s"), col("e")))).as("ms"))
       // dp(i) = min tokens for prefix of length i, packed with the
       // winning back-pointer; array_min over the packed value resolves
       // cost first, then smallest back-pointer = longest last piece.
@@ -151,17 +156,16 @@ object Unigram {
     * window even for this codebook-tier table). */
   def train(docs: DataFrame, maxLen: Int = 6, seedSize: Int = 200,
             keepK: Int = 60, minFreq: Long = 2, rounds: Int = 2): DataFrame = {
-    val wt = wordTypes(docs).localCheckpoint()
-    val subs = substringOccurrences(wt, maxLen).localCheckpoint()
+    val subs = substringOccurrences(wordTypes(docs), maxLen).localCheckpoint()
     // the vocabulary is codebook-tier at every stage (≤ seedSize +
     // alphabet rows, bounded by construction at ANY corpus scale), so
     // each round's result collapses to one partition before the
     // checkpoint — 1 task instead of shuffle-partition-many.
     var vocab = seedVocab(subs, seedSize, minFreq).coalesce(1).localCheckpoint()
     for (_ <- 1 to rounds)
-      vocab = prune(vocab, usage(segment(subs, wt, vocab)), keepK)
+      vocab = prune(vocab, usage(segment(subs, vocab)), keepK)
         .coalesce(1).localCheckpoint()
-    val finalUse = usage(segment(subs, wt, vocab))
+    val finalUse = usage(segment(subs, vocab))
     val scored = vocab.join(finalUse, Seq("p"), "left")
       .select(col("p"), coalesce(col("usage"), lit(0L)).as("usage"))
       .withColumn("neg_usage", -col("usage"))
@@ -178,17 +182,16 @@ object Unigram {
     * word) frequency table — the fold never runs per occurrence. */
   def applyPerSource(docs: DataFrame, maxLen: Int = 6, seedSize: Int = 200,
                      keepK: Int = 60, minFreq: Long = 2, rounds: Int = 2): DataFrame = {
-    val wt = wordTypes(docs).localCheckpoint()
-    val subs = substringOccurrences(wt, maxLen).localCheckpoint()
+    val subs = substringOccurrences(wordTypes(docs), maxLen).localCheckpoint()
     // the vocabulary is codebook-tier at every stage (≤ seedSize +
     // alphabet rows, bounded by construction at ANY corpus scale), so
     // each round's result collapses to one partition before the
     // checkpoint — 1 task instead of shuffle-partition-many.
     var vocab = seedVocab(subs, seedSize, minFreq).coalesce(1).localCheckpoint()
     for (_ <- 1 to rounds)
-      vocab = prune(vocab, usage(segment(subs, wt, vocab)), keepK)
+      vocab = prune(vocab, usage(segment(subs, vocab)), keepK)
         .coalesce(1).localCheckpoint()
-    val tok = segment(subs, wt, vocab)
+    val tok = segment(subs, vocab)
       .select(col("w"), size(col("pieces")).cast("long").as("n_tok"))
     val st = docs
       .select(col("source"), explode(split(trim(lower(col("text"))), "\\s+")).as("w"))

@@ -22,7 +22,7 @@ class UnigramSpec extends SparkSpec {
     val wt = words.toDF("w", "wc").repartition(3)
     val subs = Unigram.substringOccurrences(wt, maxLen)
     val v = vocab.toSeq.toDF("p")
-    Unigram.segment(subs, wt, v)
+    Unigram.segment(subs, v)
       .select(col("w"), col("pieces"))
       .as[(String, Seq[String])].collect().toMap
   }
@@ -128,9 +128,9 @@ class UnigramSpec extends SparkSpec {
     val subs = Unigram.substringOccurrences(wt, maxLen)
     var vocab = Unigram.seedVocab(subs, seedSize, minFreq)
     for (_ <- 1 to rounds)
-      vocab = Unigram.prune(vocab, Unigram.usage(Unigram.segment(subs, wt, vocab)), keepK)
+      vocab = Unigram.prune(vocab, Unigram.usage(Unigram.segment(subs, vocab)), keepK)
         .localCheckpoint()
-    val finalUse = Unigram.usage(Unigram.segment(subs, wt, vocab))
+    val finalUse = Unigram.usage(Unigram.segment(subs, vocab))
     val dist = vocab.join(finalUse, Seq("p"), "left")
       .select(col("p"), coalesce(col("usage"), lit(0L)).as("u"))
       .as[(String, Long)].collect().sortBy { case (p, u) => (-u, p) }.toSeq

@@ -706,5 +706,11 @@ class QueryPlanSpec extends SparkSpec {
       s"expected the vocab side of the match join to broadcast in:\n$plan")
     assert(plan.contains("partial_sum"),
       s"expected map-side combine on the usage counts in:\n$plan")
+    // the word frequency rides the match regroup (min over a per-word
+    // constant) — rejoining the word-type table would cost a type-sized
+    // shuffle join per EM round, so the whole training plan must stay
+    // free of sort-merge joins
+    assert(!plan.contains("SortMergeJoin"),
+      s"training must never shuffle-join the word-type table:\n$plan")
   }
 }
