@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.log.Fixture
+import graft.plans.Hll
 import graft.streaming.Sessionize
 
 /**
@@ -503,6 +504,69 @@ object AnalyticsQueries {
         .select(lit("hll_daily_union").as("check"), lit(1L).as("n_groups"),
           when(abs(col("approx") - col("exact")) <= col("exact") * lit(0.10), 1L)
             .otherwise(0L).as("n_ok"))
+    },
+    // DETERMINISTIC HLL (graft.plans.Hll): register-sketch distinct
+    // count whose registers AND integer estimate replay bit-exactly in
+    // the oracle — the stronger contract the datasketches forms above
+    // cannot make (their registers are library-internal binaries, so
+    // they gate a tolerance invariant only). p=9 → 512 registers; the
+    // register build is one partial-aggregated groupBy-max, ≤512 rows
+    // per group at ANY corpus size.
+    "agg_hll_distinct" -> { (s: SparkSession, dir: String) =>
+      val hashed = ev(s, dir)
+        .select(col("event_type"), sketchHash(col("stream")).as("h"))
+      val regs = Hll.registers(hashed, Seq("event_type"), "h", 9)
+      val exact = hashed.groupBy("event_type")
+        .agg(countDistinct(col("h")).as("exact_distinct"))
+      Hll.estimate(regs, Seq("event_type"), 9)
+        .join(exact, "event_type")
+        .withColumn("err_permille",
+          expr("(abs(est_hll - exact_distinct) * 1000) div greatest(exact_distinct, 1)"))
+        .orderBy("event_type")
+    },
+    // HLL REGISTER ROLLUP: per-day register tables merged by
+    // groupBy-max over buckets — max is associative, so the merged
+    // sketch is EXACTLY the single-pass sketch and the gate pins
+    // est_merged == est_direct as VALUES (the KMV rollup's
+    // lossless-merge contract at fixed 2^p size). Daily register
+    // tables are the storable artifact: week/month/all-time rollups
+    // never touch raw data.
+    "agg_hll_rollup" -> { (s: SparkSession, dir: String) =>
+      val hashed = ev(s, dir)
+        .select(micros.as("tus"), sketchHash(col("stream")).as("h"))
+        .select(expr("tus div 86400000000").as("day"), col("h"))
+      val daily = Hll.registers(hashed, Seq("day"), "h", 9)
+      val merged = daily.groupBy("bucket").agg(max(col("r")).as("r"))
+      val direct = Hll.registers(hashed, Seq.empty, "h", 9)
+      Hll.estimate(merged, Seq.empty, 9)
+        .select(col("est_hll").as("est_merged"))
+        .crossJoin(daily.agg(countDistinct(col("day")).as("n_days")))
+        .crossJoin(Hll.estimate(direct, Seq.empty, 9)
+          .select(col("est_hll").as("est_direct")))
+        .select(col("n_days"), col("est_merged"), col("est_direct"),
+          when(col("est_merged") === col("est_direct"), 1L).otherwise(0L)
+            .as("lossless"))
+    },
+    // HLL PRECISION SWEEP: the same distinct count at p ∈ {4, 6, 8} —
+    // one hashed scan fanned per precision, every estimate
+    // value-oracled; the error column is the 1.04/√m standard-error
+    // story made measurable (and the small-range lc-table regime is
+    // exercised at p=8, where 256 registers put the fixture counts
+    // under the 2.5m threshold).
+    "agg_hll_precision" -> { (s: SparkSession, dir: String) =>
+      val hashed = ev(s, dir)
+        .select(sketchHash(col("stream")).as("h"))
+        .localCheckpoint()
+      val exact = hashed.agg(countDistinct(col("h")).as("exact_distinct"))
+      Seq(4, 6, 8).map { p =>
+        Hll.estimate(Hll.registers(hashed, Seq.empty, "h", p), Seq.empty, p)
+          .select(lit(p.toLong).as("p"), lit((1L << p)).as("m"),
+            col("n_registers"), col("zeros"), col("est_hll"))
+      }.reduce(_ unionAll _)
+        .crossJoin(exact)
+        .withColumn("err_permille",
+          expr("(abs(est_hll - exact_distinct) * 1000) div greatest(exact_distinct, 1)"))
+        .orderBy("p")
     }
   )
 
@@ -802,6 +866,92 @@ object AnalyticsQueries {
     // lands within tolerance (n_ok == n_groups) — drift fails the gate
     "agg_sketch_union" ->
       """SELECT 'hll_daily_union' AS check, CAST(1 AS BIGINT) AS n_groups,
-        |       CAST(1 AS BIGINT) AS n_ok""".stripMargin
+        |       CAST(1 AS BIGINT) AS n_ok""".stripMargin,
+    // deterministic HLL: the oracle recomputes registers (bucket =
+    // bottom p hash bits, rho via the identical minimal-width bin())
+    // and the identical pure-BIGINT estimate — sketch VALUES pinned,
+    // not a tolerance band (graft.plans.Hll builds this SQL from the
+    // same constants as the Spark side)
+    "agg_hll_distinct" ->
+      s"""$EV, t AS (
+         |  SELECT event_type, ${sketchHashSql("stream")} AS h
+         |  FROM ev
+         |), rb AS (
+         |  SELECT event_type, ${Hll.registerSql("h", 9)}
+         |  FROM t
+         |), regs AS (
+         |  SELECT event_type, bucket, max(rho) AS r FROM rb GROUP BY 1, 2
+         |), agg AS (
+         |  SELECT event_type, ${Hll.aggregateSql(9)}
+         |  FROM regs GROUP BY 1
+         |), est AS (
+         |  SELECT event_type, n_registers, ${Hll.estimateSql(9)}
+         |  FROM agg
+         |), ex AS (
+         |  SELECT event_type, count(DISTINCT h) AS exact_distinct FROM t GROUP BY 1
+         |)
+         |SELECT event_type, n_registers, zeros, est_hll,
+         |  CAST(exact_distinct AS BIGINT) AS exact_distinct,
+         |  (abs(est_hll - exact_distinct) * 1000) // greatest(exact_distinct, 1)
+         |    AS err_permille
+         |FROM est JOIN ex USING (event_type)
+         |ORDER BY event_type""".stripMargin,
+    // merged-vs-direct as VALUES: max over per-day registers must equal
+    // the single-pass register (associativity) — the oracle computes
+    // both paths independently and the lossless flag must be 1
+    "agg_hll_rollup" ->
+      s"""$EV, t AS (
+         |  SELECT epoch_us(ts) // 86400000000 AS day,
+         |    ${sketchHashSql("stream")} AS h
+         |  FROM ev
+         |), rb AS (
+         |  SELECT day, ${Hll.registerSql("h", 9)}
+         |  FROM t
+         |), daily AS (
+         |  SELECT day, bucket, max(rho) AS r FROM rb GROUP BY 1, 2
+         |), merged AS (
+         |  SELECT bucket, max(r) AS r FROM daily GROUP BY 1
+         |), magg AS (
+         |  SELECT ${Hll.aggregateSql(9)} FROM merged
+         |), mest AS (
+         |  SELECT est_hll AS est_merged FROM (
+         |    SELECT n_registers, ${Hll.estimateSql(9)} FROM magg)
+         |), direct AS (
+         |  SELECT bucket, max(rho) AS r FROM rb GROUP BY 1
+         |), dagg AS (
+         |  SELECT ${Hll.aggregateSql(9)} FROM direct
+         |), dest AS (
+         |  SELECT est_hll AS est_direct FROM (
+         |    SELECT n_registers, ${Hll.estimateSql(9)} FROM dagg)
+         |)
+         |SELECT (SELECT CAST(count(DISTINCT day) AS BIGINT) FROM daily) AS n_days,
+         |  est_merged, est_direct,
+         |  CAST(CASE WHEN est_merged = est_direct THEN 1 ELSE 0 END AS BIGINT) AS lossless
+         |FROM mest, dest""".stripMargin,
+    // one register build per precision over the same hashed scan; the
+    // p=8 row exercises the linear-counting lookup regime
+    "agg_hll_precision" -> {
+      val perP = Seq(4, 6, 8).map { p =>
+        s"""(SELECT CAST($p AS BIGINT) AS p, CAST(${1L << p} AS BIGINT) AS m,
+           |  n_registers, zeros, est_hll FROM (
+           |  SELECT n_registers, ${Hll.estimateSql(p)} FROM (
+           |    SELECT ${Hll.aggregateSql(p)} FROM (
+           |      SELECT bucket, max(rho) AS r FROM (
+           |        SELECT ${Hll.registerSql("h", p)} FROM t) GROUP BY 1))))"""
+          .stripMargin
+      }.mkString("\n  UNION ALL\n  ")
+      s"""$EV, t AS (
+         |  SELECT ${sketchHashSql("stream")} AS h FROM ev
+         |), ex AS (
+         |  SELECT count(DISTINCT h) AS exact_distinct FROM t
+         |), sweep AS (
+         |  $perP
+         |)
+         |SELECT p, m, n_registers, zeros, est_hll,
+         |  CAST(exact_distinct AS BIGINT) AS exact_distinct,
+         |  (abs(est_hll - exact_distinct) * 1000) // greatest(exact_distinct, 1)
+         |    AS err_permille
+         |FROM sweep, ex ORDER BY p""".stripMargin
+    }
   )
 }

@@ -713,4 +713,16 @@ class QueryPlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"),
       s"training must never shuffle-join the word-type table:\n$plan")
   }
+
+  test("agg_hll_distinct: the register build partial-aggregates map-side") {
+    // the register table is (group, bucket) -> max rho: the partial max
+    // must combine BEFORE the shuffle, so at 100 TB each map task ships
+    // at most |groups| * 2^p register rows, never its raw event count
+    val plan = AnalyticsQueries.queries("agg_hll_distinct")(spark, dir)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("partial_max"),
+      s"expected a map-side partial max on the register build in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the per-group exact join must broadcast (groups are event types):\n$plan")
+  }
 }
