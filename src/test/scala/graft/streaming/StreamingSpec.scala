@@ -742,6 +742,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental HLL registers: streaming-final estimate == batch gate exactly") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    // same (event_type, uniformized hash) rows the batch gate feeds
+    // Hll.registers
+    val all = graft.log.Fixture.events(spark, dir)
+      .select(col("event_type"),
+        (call_function("graft_polyhash", col("stream"))
+          * lit(2654435761L) % lit(2147483647L)).as("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val mem = MemoryStream[(String, Long)]
+    val q = StreamingHll.registers(mem.toDF().toDF("pop", "h"), p = 9)
+      .writeStream.format("memory").queryName("hll_stream")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      val third = all.length / 3
+      Seq(all.slice(0, third), all.slice(third, 2 * third), all.slice(2 * third, all.length))
+        .foreach { b => mem.addData(b.toSeq); q.processAllAvailable() }
+      // final register vector per pop → (pop, bucket, r) rows → the
+      // SAME declarative estimator the batch gate runs
+      val fin = spark.sql(
+          """select pop, regs from hll_stream t
+            |where ver = (select max(ver) from hll_stream x where x.pop = t.pop)
+            |""".stripMargin)
+        .collect().flatMap { r =>
+          r.getSeq[Long](1).zipWithIndex.collect {
+            case (rho, bucket) if rho > 0 => (r.getString(0), bucket.toLong, rho)
+          }
+        }.toSeq
+      val streamed = graft.plans.Hll
+        .estimate(fin.toDF("event_type", "bucket", "r"), Seq("event_type"), 9)
+        .orderBy("event_type")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val batch = graft.queries.AnalyticsQueries.queries("agg_hll_distinct")(spark, dir)
+        .select("event_type", "n_registers", "zeros", "est_hll")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(streamed.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
+
   test("incremental sampled quantiles: streaming final panel == batch sketch query") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
