@@ -618,6 +618,22 @@ object TextQueries {
     // The Viterbi fold runs once per word TYPE, never per occurrence.
     "text_unigram_apply" -> { (s: SparkSession, dir: String) =>
       graft.corpus.Unigram.applyPerSource(docs(s, dir)).orderBy("source")
+    },
+    // WORDPIECE (Wu 2016 / BERT) — the third tokenizer family: a
+    // frequency-seeded vocabulary of word-initial + ##-continuation
+    // pieces applied by maximal munch (longest match wins, no DP).
+    // Same distributed skeleton as unigram (one corpus collapse,
+    // vocab broadcast, per-word-TYPE fold); the greedy walk appends
+    // the farthest match end at the frontier. See graft.corpus.Wordpiece.
+    "text_wordpiece_vocab" -> { (s: SparkSession, dir: String) =>
+      graft.corpus.Wordpiece.vocabReport(docs(s, dir)).orderBy("rank")
+    },
+    // per-source compression under GREEDY segmentation — directly
+    // comparable to text_unigram_apply/text_bpe_apply on the same
+    // corpus (greedy ≥ Viterbi token counts, measurable in the gate
+    // outputs)
+    "text_wordpiece_apply" -> { (s: SparkSession, dir: String) =>
+      graft.corpus.Wordpiece.applyPerSource(docs(s, dir)).orderBy("source")
     }
   )
 
@@ -802,6 +818,64 @@ object TextQueries {
        |), ${unigramRoundSql(1, "v0")}, ${unigramPruneSql(1)},
        |${unigramRoundSql(2, "v1")}, ${unigramPruneSql(2)},
        |${unigramRoundSql(3, "v2")}""".stripMargin
+
+  /** WordPiece training+greedy chain shared by the vocab and apply
+    * oracles. Occurrences keyed positionally (`p` at s=0, `##p`
+    * inside); the greedy walk is the same list-of-BIGINT list_reduce
+    * accumulator shape as the unigram DP (the shape verified stable
+    * under DuckDB multi-threading — the VARCHAR+CASE shape is the one
+    * that wasn't), kept CASE-free by appending
+    * greatest(frontier, max match end): past the word end the filter
+    * is empty and the frontier repeats, and the pair filter `b > a`
+    * drops the repeats. Constants mirror Wordpiece defaults:
+    * maxLen 6, initK 40, contK 40, minFreq 2. */
+  private def wordpieceCtes: String =
+    s"""wwt AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS wc FROM (
+       |    SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+       |    FROM documents
+       |  ) WHERE length(w) > 0 GROUP BY w
+       |), wkeyed AS (
+       |  SELECT w, wc, u.m.s AS s, u.m.e AS e,
+       |    CASE WHEN u.m.s = 0 THEN u.m.p ELSE '##' || u.m.p END AS pk
+       |  FROM (
+       |    SELECT w, wc, unnest(flatten(list_transform(range(1, length(w)+1), i ->
+       |      list_transform(range(1, least(6, length(w)-i+1)+1), l ->
+       |        struct_pack(s := i-1, e := i+l-1, p := substr(w, i, l)))))) AS m
+       |    FROM wwt) u(w, wc, m)
+       |), wv AS (
+       |  SELECT DISTINCT pk FROM wkeyed WHERE e - s = 1
+       |  UNION ALL
+       |  SELECT pk FROM (SELECT pk, sum(wc) AS f FROM wkeyed
+       |                  WHERE e - s >= 2 AND s = 0 GROUP BY pk HAVING sum(wc) >= 2
+       |                  ORDER BY f DESC, pk LIMIT 40)
+       |  UNION ALL
+       |  SELECT pk FROM (SELECT pk, sum(wc) AS f FROM wkeyed
+       |                  WHERE e - s >= 2 AND s > 0 GROUP BY pk HAVING sum(wc) >= 2
+       |                  ORDER BY f DESC, pk LIMIT 40)
+       |), wg AS (
+       |  SELECT k.w AS w, min(k.wc) AS wc,
+       |         list(struct_pack(s := k.s, e := k.e) ORDER BY k.s, k.e) AS ms
+       |  FROM wkeyed k JOIN wv USING (pk) GROUP BY k.w
+       |), wcut AS (
+       |  SELECT w, wc, list_reduce(
+       |    [[CAST(0 AS BIGINT)]] || list_transform(range(1, length(w)+1), i -> [CAST(i AS BIGINT)]),
+       |    (st, x) -> st || [greatest(st[-1],
+       |      coalesce(list_max(list_transform(list_filter(ms, m -> m.s = st[-1]),
+       |        m -> CAST(m.e AS BIGINT))), CAST(0 AS BIGINT)))]) AS cuts
+       |  FROM wg
+       |), wpl AS (
+       |  SELECT w, wc, list_transform(
+       |    list_filter(list_transform(range(1, len(cuts)), i ->
+       |      struct_pack(a := cuts[i], b := cuts[i+1])), pr -> pr.b > pr.a),
+       |    pr -> CASE WHEN pr.a = 0 THEN substr(w, 1, CAST(pr.b AS INT))
+       |               ELSE '##' || substr(w, CAST(pr.a AS INT) + 1,
+       |                      CAST(pr.b - pr.a AS INT)) END) AS pieces
+       |  FROM wcut
+       |), wuse AS (
+       |  SELECT piece AS pk, CAST(sum(wc) AS BIGINT) AS usage FROM (
+       |    SELECT wc, unnest(pieces) AS piece FROM wpl) GROUP BY 1
+       |)""".stripMargin
 
   private def fpSql(expr: String): String =
     s"""list_reduce(
@@ -1360,6 +1434,31 @@ object TextQueries {
          |ORDER BY rank""".stripMargin,
     // same chain; the final backtrace walk bt3 yields per-word-TYPE token
     // counts, joined to the per-(source, word) frequency table
+    // WordPiece: the greedy maximal-munch walk replayed as the stable
+    // list-of-BIGINT fold; vocab, usage and ranks engine-exact
+    "text_wordpiece_vocab" ->
+      s"""WITH $wordpieceCtes
+         |SELECT CAST(row_number() OVER (ORDER BY usage DESC, piece) AS BIGINT) AS rank,
+         |  piece, CAST(length(regexp_replace(piece, '^##', '')) AS BIGINT) AS piece_len,
+         |  usage
+         |FROM (SELECT wv.pk AS piece, coalesce(wuse.usage, CAST(0 AS BIGINT)) AS usage
+         |      FROM wv LEFT JOIN wuse USING (pk))
+         |ORDER BY rank""".stripMargin,
+    "text_wordpiece_apply" ->
+      s"""WITH $wordpieceCtes, wstc AS (
+         |  SELECT source, w, CAST(count(*) AS BIGINT) AS swc FROM (
+         |    SELECT source, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+         |    FROM documents
+         |  ) WHERE length(w) > 0 GROUP BY source, w
+         |), wtokn AS (
+         |  SELECT w, CAST(len(pieces) AS BIGINT) AS n_tok FROM wpl
+         |)
+         |SELECT source, CAST(sum(swc) AS BIGINT) AS n_words,
+         |  CAST(sum(swc * length(w)) AS BIGINT) AS n_chars,
+         |  CAST(sum(swc * n_tok) AS BIGINT) AS n_subwords,
+         |  (1000 * CAST(sum(swc * n_tok) AS BIGINT))
+         |    // CAST(sum(swc * length(w)) AS BIGINT) AS compression_permille
+         |FROM wstc JOIN wtokn USING (w) GROUP BY source ORDER BY source""".stripMargin,
     "text_unigram_apply" ->
       s"""WITH RECURSIVE $unigramCtes, stc AS (
          |  SELECT source, w, CAST(count(*) AS BIGINT) AS swc FROM (
