@@ -140,12 +140,20 @@ object Packing {
 
   /** `(source, doc_id, n_tokens, bin)` — bins numbered from 0 per source,
     * documents visited in `doc_id` order. */
-  def packGreedy(docs: DataFrame, budget: Long = defaultBudget): DataFrame = {
-    val spark = docs.sparkSession
+  def packGreedy(docs: DataFrame, budget: Long = defaultBudget): DataFrame =
+    packGreedyByCount(
+      docs.select(col("source"), col("doc_id"),
+        size(Hashing.toks(col("text"))).cast("long").as("n_tokens")),
+      budget)
+
+  /** Same first-fit walk over PRECOMPUTED counts `(source, doc_id,
+    * n_tokens)` — the e2e tokenize pipeline packs by trained-tokenizer
+    * subword counts instead of whitespace tokens. */
+  def packGreedyByCount(counted: DataFrame, budget: Long): DataFrame = {
+    val spark = counted.sparkSession
     import spark.implicits._
-    docs
-      .select(col("source"), col("doc_id"),
-        size(Hashing.toks(col("text"))).cast("long").as("n_tokens"))
+    counted
+      .select(col("source"), col("doc_id"), col("n_tokens").cast("long"))
       .repartition(col("source"))
       .sortWithinPartitions("source", "doc_id")
       .as[(String, Long, Long)]

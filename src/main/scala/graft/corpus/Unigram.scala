@@ -180,8 +180,12 @@ object Unigram {
     * compression_permille)`. Per-word token counts come from ONE
     * segmentation of the word-TYPE table, then join the per-(source,
     * word) frequency table — the fold never runs per occurrence. */
-  def applyPerSource(docs: DataFrame, maxLen: Int = 6, seedSize: Int = 200,
-                     keepK: Int = 60, minFreq: Long = 2, rounds: Int = 2): DataFrame = {
+  /** Train on `docs` and return the per-word-TYPE token counts
+    * `(w, n_tok)` under the trained vocabulary — the reusable inference
+    * core ([[applyPerSource]] and the e2e tokenize pipeline both ride
+    * it; the fold never runs per occurrence). */
+  def tokenCounts(docs: DataFrame, maxLen: Int = 6, seedSize: Int = 200,
+                  keepK: Int = 60, minFreq: Long = 2, rounds: Int = 2): DataFrame = {
     val subs = substringOccurrences(wordTypes(docs), maxLen).localCheckpoint()
     // the vocabulary is codebook-tier at every stage (≤ seedSize +
     // alphabet rows, bounded by construction at ANY corpus scale), so
@@ -191,8 +195,13 @@ object Unigram {
     for (_ <- 1 to rounds)
       vocab = prune(vocab, usage(segment(subs, vocab)), keepK)
         .coalesce(1).localCheckpoint()
-    val tok = segment(subs, vocab)
+    segment(subs, vocab)
       .select(col("w"), size(col("pieces")).cast("long").as("n_tok"))
+  }
+
+  def applyPerSource(docs: DataFrame, maxLen: Int = 6, seedSize: Int = 200,
+                     keepK: Int = 60, minFreq: Long = 2, rounds: Int = 2): DataFrame = {
+    val tok = tokenCounts(docs, maxLen, seedSize, keepK, minFreq, rounds)
     val st = docs
       .select(col("source"), explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
       .filter(length(col("w")) > 0)

@@ -634,6 +634,40 @@ object TextQueries {
     // outputs)
     "text_wordpiece_apply" -> { (s: SparkSession, dir: String) =>
       graft.corpus.Wordpiece.applyPerSource(docs(s, dir)).orderBy("source")
+    },
+    // E2E TOKENIZE-AND-PACK — the pretraining tail as ONE query:
+    // quality gate (>= 550, corpus_curate's threshold) → unigram
+    // vocabulary trained on the KEPT subset (training must see the
+    // gated distribution, not the raw one) → per-doc subword counts
+    // (one fold per word TYPE, joined to per-doc word counts) →
+    // first-fit packing into 512-subword sequences per source →
+    // per-source packing report. Composes three verified chains
+    // (quality gate / unigram train / corpus_pack walk) under one
+    // independent DuckDB oracle, like corpus_e2e_curate does for the
+    // dedup tail.
+    "text_e2e_tokenize" -> { (s: SparkSession, dir: String) =>
+      import graft.corpus.{Packing, Unigram}
+      val kept = docs(s, dir)
+        .filter(graft.functions.TextFunctions.qualityScoreX1000(col("text")) >= 550)
+        .select("source", "doc_id", "text")
+        .localCheckpoint() // shared by train, tokenize and per-doc counts
+      val tokn = Unigram.tokenCounts(kept)
+      val perDoc = kept
+        .select(col("source"), col("doc_id"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("source", "doc_id", "w").agg(count(lit(1)).as("c"))
+        .join(tokn, "w") // word-type keyed; AQE picks the strategy
+        .groupBy("source", "doc_id")
+        .agg(sum(col("c") * col("n_tok")).as("n_tokens"))
+      Packing.packGreedyByCount(perDoc, budget = 512L)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_subwords"),
+          (max(col("bin")) + 1).as("n_bins"))
+        .withColumn("fill_permille",
+          expr("(1000 * n_subwords) div (n_bins * 512)"))
+        .orderBy("source")
     }
   )
 
@@ -797,11 +831,15 @@ object TextQueries {
     * segmentation b3/u3), shared by the train and apply oracles.
     * Constants mirror graft.corpus.Unigram.train defaults:
     * maxLen 6, seedSize 200, keepK 60, minFreq 2, rounds 2. */
-  private def unigramCtes: String =
+  private def unigramCtes: String = unigramCtesFrom("documents")
+
+  /** Same chain over an arbitrary docs relation (must expose `text`) —
+    * the e2e tokenize oracle trains on the quality-KEPT subset. */
+  private def unigramCtesFrom(src: String): String =
     s"""uwt AS (
        |  SELECT w, CAST(count(*) AS BIGINT) AS wc FROM (
        |    SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
-       |    FROM documents
+       |    FROM $src
        |  ) WHERE length(w) > 0 GROUP BY w
        |), subs AS (
        |  SELECT w, wc, u.m.s AS s, u.m.e AS e, u.m.p AS p FROM (
@@ -1459,6 +1497,47 @@ object TextQueries {
          |  (1000 * CAST(sum(swc * n_tok) AS BIGINT))
          |    // CAST(sum(swc * length(w)) AS BIGINT) AS compression_permille
          |FROM wstc JOIN wtokn USING (w) GROUP BY source ORDER BY source""".stripMargin,
+    // the pretraining tail replayed independently: quality-kept subset →
+    // the unigram chain trained on it → per-doc subword totals → the
+    // corpus_pack recursive first-fit walk at budget 512
+    "text_e2e_tokenize" ->
+      s"""WITH RECURSIVE dq AS (
+         |  SELECT doc_id, source, text,
+         |         string_split_regex(trim(lower(text)), '\\s+') AS toks
+         |  FROM documents
+         |), kept AS (
+         |  SELECT doc_id, source, text FROM dq WHERE $qualSql >= 550
+         |), ${unigramCtesFrom("kept")}, tokn AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS n_tok
+         |  FROM bt3 WHERE piece IS NOT NULL GROUP BY w
+         |), docw AS (
+         |  SELECT source, doc_id, w, CAST(count(*) AS BIGINT) AS c FROM (
+         |    SELECT source, doc_id,
+         |           unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+         |    FROM kept
+         |  ) WHERE length(w) > 0 GROUP BY 1, 2, 3
+         |), dtok AS (
+         |  SELECT source, doc_id, CAST(sum(c * n_tok) AS BIGINT) AS nt
+         |  FROM docw JOIN tokn USING (w) GROUP BY 1, 2
+         |), dd AS (
+         |  SELECT source, doc_id, nt,
+         |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+         |  FROM dtok
+         |), pk AS (
+         |  SELECT source, doc_id, nt, rn, CAST(0 AS BIGINT) AS bin, nt AS fill
+         |  FROM dd WHERE rn = 1
+         |  UNION ALL
+         |  SELECT dd.source, dd.doc_id, dd.nt, dd.rn,
+         |    CASE WHEN pk.fill + dd.nt <= 512 THEN pk.bin ELSE pk.bin + 1 END,
+         |    CASE WHEN pk.fill + dd.nt <= 512 THEN pk.fill + dd.nt ELSE dd.nt END
+         |  FROM pk JOIN dd ON dd.source = pk.source AND dd.rn = pk.rn + 1
+         |)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(nt) AS BIGINT) AS n_subwords,
+         |  CAST(max(bin) + 1 AS BIGINT) AS n_bins,
+         |  (1000 * CAST(sum(nt) AS BIGINT))
+         |    // (CAST(max(bin) + 1 AS BIGINT) * 512) AS fill_permille
+         |FROM pk GROUP BY source ORDER BY source""".stripMargin,
     "text_unigram_apply" ->
       s"""WITH RECURSIVE $unigramCtes, stc AS (
          |  SELECT source, w, CAST(count(*) AS BIGINT) AS swc FROM (
