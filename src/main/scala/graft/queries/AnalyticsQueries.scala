@@ -547,6 +547,30 @@ object AnalyticsQueries {
           when(col("est_merged") === col("est_direct"), 1L).otherwise(0L)
             .as("lossless"))
     },
+    // HLL SET OPS: audience overlap from two register sketches — union
+    // registers are the bucketwise max (exact sketch-union, no
+    // re-scan), intersection by inclusion–exclusion on the integer
+    // estimates, Jaccard in permille. The register-sketch mirror of
+    // agg_kmv_setops, equally value-oracled; at 100 TB both pops'
+    // sketches are stored artifacts and this query never touches raw
+    // events.
+    "agg_hll_setops" -> { (s: SparkSession, dir: String) =>
+      val hashed = ev(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_type").as("pop"), sketchHash(col("stream")).as("h"))
+      val regs = Hll.registers(hashed, Seq("pop"), "h", 9).localCheckpoint()
+      val per = Hll.estimate(regs, Seq("pop"), 9)
+      val a = per.filter(col("pop") === "click").select(col("est_hll").as("est_a"))
+      val b = per.filter(col("pop") === "purchase").select(col("est_hll").as("est_b"))
+      val u = Hll.estimate(
+          regs.groupBy("bucket").agg(max(col("r")).as("r")), Seq.empty, 9)
+        .select(col("est_hll").as("est_union"))
+      a.crossJoin(b).crossJoin(u) // three 1-row sides
+        .withColumn("est_intersect",
+          expr("greatest(est_a + est_b - est_union, CAST(0 AS BIGINT))"))
+        .withColumn("jaccard_x1000",
+          expr("(est_intersect * 1000) div greatest(est_union, 1)"))
+    },
     // HLL PRECISION SWEEP: the same distinct count at p ∈ {4, 6, 8} —
     // one hashed scan fanned per precision, every estimate
     // value-oracled; the error column is the 1.04/√m standard-error
@@ -928,6 +952,34 @@ object AnalyticsQueries {
          |  est_merged, est_direct,
          |  CAST(CASE WHEN est_merged = est_direct THEN 1 ELSE 0 END AS BIGINT) AS lossless
          |FROM mest, dest""".stripMargin,
+    // union = bucketwise max, intersection = inclusion–exclusion on the
+    // SAME integer estimates — every figure value-pinned
+    "agg_hll_setops" ->
+      s"""$EV, t AS (
+         |  SELECT event_type AS pop, ${sketchHashSql("stream")} AS h
+         |  FROM ev WHERE event_type IN ('click', 'purchase')
+         |), rb AS (
+         |  SELECT pop, ${Hll.registerSql("h", 9)}
+         |  FROM t
+         |), regs AS (
+         |  SELECT pop, bucket, max(rho) AS r FROM rb GROUP BY 1, 2
+         |), per AS (
+         |  SELECT pop, est_hll FROM (
+         |    SELECT pop, n_registers, ${Hll.estimateSql(9)} FROM (
+         |      SELECT pop, ${Hll.aggregateSql(9)} FROM regs GROUP BY 1))
+         |), uni AS (
+         |  SELECT est_hll AS est_union FROM (
+         |    SELECT n_registers, ${Hll.estimateSql(9)} FROM (
+         |      SELECT ${Hll.aggregateSql(9)} FROM (
+         |        SELECT bucket, max(r) AS r FROM regs GROUP BY 1)))
+         |)
+         |SELECT a.est_hll AS est_a, b.est_hll AS est_b, est_union,
+         |  greatest(a.est_hll + b.est_hll - est_union, CAST(0 AS BIGINT))
+         |    AS est_intersect,
+         |  (greatest(a.est_hll + b.est_hll - est_union, CAST(0 AS BIGINT)) * 1000)
+         |    // greatest(est_union, 1) AS jaccard_x1000
+         |FROM (SELECT est_hll FROM per WHERE pop = 'click') a,
+         |     (SELECT est_hll FROM per WHERE pop = 'purchase') b, uni""".stripMargin,
     // one register build per precision over the same hashed scan; the
     // p=8 row exercises the linear-counting lookup regime
     "agg_hll_precision" -> {
