@@ -247,6 +247,55 @@ object SimQueries {
         .select(col("vec_id"), col("cos_x1e6"), col("source"), col("n_chars"))
         .orderBy(col("cos_x1e6").desc, col("vec_id").asc)
     },
+    // HYBRID SEARCH (reciprocal-rank fusion, Cormack 2009): one query
+    // doc drives BOTH rankers — its top-3 terms through the tf-idf
+    // posting ranker and its embedding through brute cosine — and the
+    // two top-20 lists fuse by RRF (Σ 1e6 div (60 + rank), integer).
+    // The retrieval shape every curation pipeline serves: lexical
+    // catches what dense misses and vice versa. Rank assembly uses
+    // Ranking.globalRank (no partitionBy-less window even on 20 rows);
+    // at 100 TB each ranker reads its own stored index (postings /
+    // vectors) and fusion touches 40 rows.
+    "sim_hybrid_rrf" -> { (s: SparkSession, dir: String) =>
+      import graft.corpus.Ranking
+      val d = Tables.docs(s, dir)
+      val toks = graft.dedup.Hashing.toks(col("text"))
+      val qtoks = d.filter(col("doc_id") === 0)
+        .select(explode(toks).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("qtf"))
+        .orderBy(col("qtf").desc, col("tok").asc).limit(3).select("tok")
+      val tf = d.filter(col("doc_id") =!= 0)
+        .select(col("doc_id"), explode(toks).as("tok"))
+        .join(broadcast(qtoks), "tok")
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val dfq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val nn = d.agg(count(lit(1)).as("n_docs"))
+      val lexTop = tf.join(broadcast(dfq), "tok").join(broadcast(nn))
+        .withColumn("sc", expr("(1000 * tf * n_docs) div df"))
+        .groupBy("doc_id").agg(sum(col("sc")).as("score_x1000"))
+        .orderBy(col("score_x1000").desc, col("doc_id").asc).limit(20)
+        .withColumn("neg_s", -col("score_x1000"))
+      val lexR = Ranking.globalRank(lexTop, Seq.empty, Seq("neg_s", "doc_id"), "lex_rank")
+        .select(col("doc_id"), col("lex_rank"))
+      // query doc always tops its own brute list (cos = 1): ask for 21,
+      // drop self, rank the remaining 20 on the floored integer cosine
+      val denseTop = x1e6(Similarity.topKBruteForceFromNormed(
+          Tables.normedEmb(s, dir), queryRow(Tables.emb(s, dir)), 21))
+        .filter(col("vec_id") =!= 0)
+        .withColumn("neg_c", -col("cos_x1e6"))
+      val denseR = Ranking.globalRank(denseTop, Seq.empty, Seq("neg_c", "vec_id"), "dense_rank")
+        .select(col("vec_id").as("doc_id"), col("dense_rank"))
+      lexR.join(denseR, Seq("doc_id"), "full_outer") // two 20-row sides
+        .select(col("doc_id"),
+          coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+          coalesce(col("dense_rank"), lit(0L)).as("dense_rank"))
+        .withColumn("rrf_x1e6", expr(
+          """if(lex_rank > 0, 1000000 div (60 + lex_rank), CAST(0 AS BIGINT))
+            | + if(dense_rank > 0, 1000000 div (60 + dense_rank), CAST(0 AS BIGINT))"""
+            .stripMargin))
+        .orderBy(col("rrf_x1e6").desc, col("doc_id").asc)
+        .limit(10)
+    },
     // quantization-error profile: per-cell sum of squared distance to the
     // own centroid (floored to x1e6 integers per vector — engine-exact).
     // The other index-health number next to the membership histogram: a
@@ -651,6 +700,48 @@ object SimQueries {
          |FROM n, q
          |ORDER BY (${dotSql("embedding", "qv")} / (nrm * qn)) DESC, vec_id ASC
          |LIMIT $K""".stripMargin,
+    // both rankers replayed (postings tf-idf from the query doc's own
+    // top terms; brute cosine excluding self), fused by the identical
+    // integer RRF
+    "sim_hybrid_rrf" ->
+      s"""$N, dtk AS (
+         |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+         |  FROM documents
+         |), qt AS (
+         |  SELECT tok FROM (SELECT tok, count(*) AS qtf FROM dtk WHERE doc_id = 0 GROUP BY 1)
+         |  ORDER BY qtf DESC, tok LIMIT 3
+         |), tf AS (
+         |  SELECT doc_id, tok, count(*) AS tf FROM dtk JOIN qt USING (tok)
+         |  WHERE doc_id <> 0 GROUP BY 1, 2
+         |), dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+         |nn AS (SELECT count(*) AS n_docs FROM documents),
+         |lex AS (
+         |  SELECT doc_id, CAST(sum((1000 * tf * n_docs) // df) AS BIGINT) AS score
+         |  FROM tf JOIN dfq USING (tok) CROSS JOIN nn GROUP BY 1
+         |  ORDER BY score DESC, doc_id LIMIT 20
+         |), lexr AS (
+         |  SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rank
+         |  FROM lex
+         |), q AS (SELECT embedding AS qv, nrm AS qn FROM n WHERE vec_id = 0),
+         |dtop AS (
+         |  SELECT vec_id,
+         |    CAST(floor((${dotSql("embedding", "qv")} / (nrm * qn)) * 1000000.0) AS BIGINT) AS c6
+         |  FROM n, q WHERE vec_id <> 0
+         |  ORDER BY (${dotSql("embedding", "qv")} / (nrm * qn)) DESC, vec_id LIMIT 20
+         |), dnr AS (
+         |  SELECT vec_id AS doc_id,
+         |    CAST(row_number() OVER (ORDER BY c6 DESC, vec_id) AS BIGINT) AS dense_rank
+         |  FROM dtop
+         |)
+         |SELECT doc_id,
+         |  coalesce(lex_rank, 0) AS lex_rank,
+         |  coalesce(dense_rank, 0) AS dense_rank,
+         |  (CASE WHEN lex_rank IS NOT NULL THEN 1000000 // (60 + lex_rank) ELSE 0 END
+         |   + CASE WHEN dense_rank IS NOT NULL THEN 1000000 // (60 + dense_rank) ELSE 0 END)
+         |    AS rrf_x1e6
+         |FROM lexr FULL OUTER JOIN dnr USING (doc_id)
+         |ORDER BY rrf_x1e6 DESC, doc_id LIMIT 10""".stripMargin,
     "sim_topk_lsh" ->
       s"""$N, bk AS (
          |  SELECT vec_id, embedding, nrm, ${bucketsSql("embedding")} AS bks FROM n
