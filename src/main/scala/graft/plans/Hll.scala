@@ -72,21 +72,40 @@ object Hll {
     (1 to m).map(v => math.round(m * math.log(m.toDouble / v)))
   }
 
+  /** Per-row bucket column: bottom p bits of the hash. */
+  def bucketCol(h: String, p: Int): Column = col(h) % (1 << p)
+
+  /** Per-row rho column: leading-zero run of the 31-p suffix bits + 1
+    * (`bin()` has identical minimal-width semantics in both engines). */
+  def rhoCol(h: String, p: Int): Column = {
+    val maxRho = (32 - p).toLong
+    val suffix = expr(s"$h div ${1 << p}")
+    when(suffix === 0, lit(maxRho))
+      .otherwise(lit(maxRho) - length(bin(suffix)))
+  }
+
   /** Register table `(groupCols…, bucket, r)` from a pre-hashed column
     * (uniform on [0, 2^31), e.g. AnalyticsQueries.sketchHash): one
     * partial-aggregated groupBy-max, ≤ 2^p rows per group. */
-  def registers(hashed: DataFrame, groupCols: Seq[String], h: String, p: Int): DataFrame = {
-    val m = 1 << p
-    val maxRho = 32 - p
-    val suffix = expr(s"$h div $m")
+  def registers(hashed: DataFrame, groupCols: Seq[String], h: String, p: Int): DataFrame =
     hashed
-      .withColumn("bucket", col(h) % m)
-      .withColumn("rho",
-        when(suffix === 0, lit(maxRho.toLong))
-          .otherwise(lit(maxRho.toLong) - length(bin(suffix))))
+      .withColumn("bucket", bucketCol(h, p))
+      .withColumn("rho", rhoCol(h, p))
       .groupBy((groupCols :+ "bucket").map(col): _*)
       .agg(max(col("rho")).as("r"))
-  }
+
+  /** Multi-precision register table `(p, bucket, r)` in ONE pass: each
+    * row explodes to one (p, bucket, rho) triple per precision and the
+    * partial max combines map-side — the sweep never re-scans (or
+    * materializes) the corpus, and the result is Σ 2^p rows TOTAL. */
+  def registersMulti(hashed: DataFrame, h: String, ps: Seq[Int]): DataFrame =
+    hashed
+      .select(explode(array(ps.map(p =>
+        struct(lit(p.toLong).as("p"), bucketCol(h, p).as("bucket"),
+          rhoCol(h, p).as("rho"))): _*)).as("x"))
+      .select(col("x.p").as("p"), col("x.bucket").as("bucket"), col("x.rho").as("rho"))
+      .groupBy("p", "bucket")
+      .agg(max(col("rho")).as("r"))
 
   /** Estimate from a register table: `(groupCols…, n_registers, zeros,
     * est_hll)`. All-BIGINT; see the object doc for the formula. */

@@ -572,18 +572,20 @@ object AnalyticsQueries {
           expr("(est_intersect * 1000) div greatest(est_union, 1)"))
     },
     // HLL PRECISION SWEEP: the same distinct count at p ∈ {4, 6, 8} —
-    // one hashed scan fanned per precision, every estimate
-    // value-oracled; the error column is the 1.04/√m standard-error
-    // story made measurable (and the small-range lc-table regime is
-    // exercised at p=8, where 256 registers put the fixture counts
-    // under the 2.5m threshold).
+    // ONE corpus scan builds all three register sets (each row explodes
+    // to 3 (p, bucket, rho) triples, partial-max map-side → ≤336
+    // register rows total; no corpus-scale materialization or re-scan),
+    // every estimate value-oracled; the error column is the 1.04/√m
+    // standard-error story made measurable (and the small-range
+    // lc-table regime is exercised at p=8, where 256 registers put the
+    // fixture counts under the 2.5m threshold).
     "agg_hll_precision" -> { (s: SparkSession, dir: String) =>
-      val hashed = ev(s, dir)
-        .select(sketchHash(col("stream")).as("h"))
-        .localCheckpoint()
+      val hashed = ev(s, dir).select(sketchHash(col("stream")).as("h"))
       val exact = hashed.agg(countDistinct(col("h")).as("exact_distinct"))
+      val reg3 = Hll.registersMulti(hashed, "h", Seq(4, 6, 8)).localCheckpoint()
       Seq(4, 6, 8).map { p =>
-        Hll.estimate(Hll.registers(hashed, Seq.empty, "h", p), Seq.empty, p)
+        Hll.estimate(reg3.filter(col("p") === p.toLong).select("bucket", "r"),
+            Seq.empty, p)
           .select(lit(p.toLong).as("p"), lit((1L << p)).as("m"),
             col("n_registers"), col("zeros"), col("est_hll"))
       }.reduce(_ unionAll _)

@@ -61,6 +61,10 @@ object ScaleProbe {
     // word-TYPE table, so the exponent should sit near the corpus-scan
     // cost alone (word types saturate on the fixture vocabulary)
     "text_unigram_train",
+    // the tokenize-and-pack composition: gate + train + count + pack
+    // chain must stay ~linear (the train stages saturate with word
+    // types; the pack walk is one pass over kept docs)
+    "text_e2e_tokenize",
     // the end-to-end curation composition: its cost should track the
     // cluster pass + one metadata scan, so the exponent must stay ~1
     // even though seven stages chain (a super-linear reading here means
