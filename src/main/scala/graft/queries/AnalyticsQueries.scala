@@ -571,6 +571,36 @@ object AnalyticsQueries {
         .withColumn("jaccard_x1000",
           expr("(est_intersect * 1000) div greatest(est_union, 1)"))
     },
+    // ROLLING 7-DAY DISTINCT over stored register tables — the
+    // value-oracled form of the agg_rolling_wau_sketch promise ("at
+    // 100 TB this rides per-day HLL sketches"): per-day registers (the
+    // storable artifact) fan out to the ≤7 report days they serve, one
+    // groupBy-max per (report day, bucket), one integer estimate per
+    // day — raw events are read ONCE and the window arithmetic touches
+    // only register rows (≤ 2^p per day). Exact WAU rides the same
+    // fanout for the side-by-side error column.
+    "agg_hll_rolling" -> { (s: SparkSession, dir: String) =>
+      val hashed = ev(s, dir)
+        .select(micros.as("tus"), sketchHash(col("stream")).as("h"))
+        .select(expr("tus div 86400000000").as("day"), col("h"))
+      val daily = Hll.registers(hashed, Seq("day"), "h", 9)
+      val bounds = daily.agg(max(col("day")).as("d1"))
+      val windowRegs = daily
+        .select(explode(sequence(col("day"), col("day") + 6)).as("day"),
+          col("bucket"), col("r"))
+        .groupBy("day", "bucket").agg(max(col("r")).as("r"))
+      val exact = hashed.distinct()
+        .select(explode(sequence(col("day"), col("day") + 6)).as("day"), col("h"))
+        .groupBy("day").agg(countDistinct(col("h")).as("exact_wau"))
+      Hll.estimate(windowRegs, Seq("day"), 9)
+        .join(exact, "day")
+        .join(broadcast(bounds))
+        .filter(col("day") <= col("d1"))
+        .select(col("day"), col("est_hll").as("wau_hll"), col("exact_wau"),
+          expr("(abs(est_hll - exact_wau) * 1000) div greatest(exact_wau, 1)")
+            .as("err_permille"))
+        .orderBy("day")
+    },
     // HLL PRECISION SWEEP: the same distinct count at p ∈ {4, 6, 8} —
     // ONE corpus scan builds all three register sets (each row explodes
     // to 3 (p, bucket, rho) triples, partial-max map-side → ≤336
@@ -954,6 +984,33 @@ object AnalyticsQueries {
          |  est_merged, est_direct,
          |  CAST(CASE WHEN est_merged = est_direct THEN 1 ELSE 0 END AS BIGINT) AS lossless
          |FROM mest, dest""".stripMargin,
+    // per-day registers fanned to their ≤7 report days, window max,
+    // the identical integer estimate — rolling distinct as VALUES
+    "agg_hll_rolling" ->
+      s"""$EV, t AS (
+         |  SELECT epoch_us(ts) // 86400000000 AS day,
+         |    ${sketchHashSql("stream")} AS h
+         |  FROM ev
+         |), rb AS (
+         |  SELECT day, ${Hll.registerSql("h", 9)}
+         |  FROM t
+         |), daily AS (
+         |  SELECT day, bucket, max(rho) AS r FROM rb GROUP BY 1, 2
+         |), wreg AS (
+         |  SELECT daily.day + w.range AS day, bucket, max(r) AS r
+         |  FROM daily CROSS JOIN range(0, 7) w GROUP BY 1, 2
+         |), est AS (
+         |  SELECT day, n_registers, ${Hll.estimateSql(9)} FROM (
+         |    SELECT day, ${Hll.aggregateSql(9)} FROM wreg GROUP BY 1)
+         |), ex AS (
+         |  SELECT dh.day + w.range AS day, count(DISTINCT h) AS exact_wau
+         |  FROM (SELECT DISTINCT day, h FROM t) dh CROSS JOIN range(0, 7) w
+         |  GROUP BY 1
+         |), bd AS (SELECT max(day) AS d1 FROM daily)
+         |SELECT day, est_hll AS wau_hll, CAST(exact_wau AS BIGINT) AS exact_wau,
+         |  (abs(est_hll - exact_wau) * 1000) // greatest(exact_wau, 1) AS err_permille
+         |FROM est JOIN ex USING (day), bd WHERE day <= d1
+         |ORDER BY day""".stripMargin,
     // union = bucketwise max, intersection = inclusion–exclusion on the
     // SAME integer estimates — every figure value-pinned
     "agg_hll_setops" ->
