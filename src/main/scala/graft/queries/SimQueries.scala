@@ -257,7 +257,15 @@ object SimQueries {
     // at 100 TB each ranker reads its own stored index (postings /
     // vectors) and fusion touches 40 rows.
     "sim_hybrid_rrf" -> { (s: SparkSession, dir: String) =>
-      import graft.corpus.Ranking
+      // rank a ≤20-row top list: one single-group collect of the
+      // bounded list, sorted in-array, positions exploded — cheaper
+      // than the globalRank machinery and safe ONLY because the input
+      // is limit-bounded (codebook-tier single-group agg, no
+      // partitionBy-less window)
+      def rankBounded(top: DataFrame, key: String, ord: String, rank: String): DataFrame =
+        top.agg(sort_array(collect_list(struct(col(ord), col(key)))).as("xs"))
+          .select(posexplode(col("xs")).as(Seq("i", "x")))
+          .select(col(s"x.$key").as("doc_id"), (col("i") + 1).cast("long").as(rank))
       val d = Tables.docs(s, dir)
       val toks = graft.dedup.Hashing.toks(col("text"))
       val qtoks = d.filter(col("doc_id") === 0)
@@ -275,16 +283,14 @@ object SimQueries {
         .groupBy("doc_id").agg(sum(col("sc")).as("score_x1000"))
         .orderBy(col("score_x1000").desc, col("doc_id").asc).limit(20)
         .withColumn("neg_s", -col("score_x1000"))
-      val lexR = Ranking.globalRank(lexTop, Seq.empty, Seq("neg_s", "doc_id"), "lex_rank")
-        .select(col("doc_id"), col("lex_rank"))
+      val lexR = rankBounded(lexTop, "doc_id", "neg_s", "lex_rank")
       // query doc always tops its own brute list (cos = 1): ask for 21,
       // drop self, rank the remaining 20 on the floored integer cosine
       val denseTop = x1e6(Similarity.topKBruteForceFromNormed(
           Tables.normedEmb(s, dir), queryRow(Tables.emb(s, dir)), 21))
         .filter(col("vec_id") =!= 0)
         .withColumn("neg_c", -col("cos_x1e6"))
-      val denseR = Ranking.globalRank(denseTop, Seq.empty, Seq("neg_c", "vec_id"), "dense_rank")
-        .select(col("vec_id").as("doc_id"), col("dense_rank"))
+      val denseR = rankBounded(denseTop, "vec_id", "neg_c", "dense_rank")
       lexR.join(denseR, Seq("doc_id"), "full_outer") // two 20-row sides
         .select(col("doc_id"),
           coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
