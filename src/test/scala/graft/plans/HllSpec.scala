@@ -90,6 +90,20 @@ class HllSpec extends SparkSpec {
     }
   }
 
+  test("one-pass multi-precision registers == per-precision register builds") {
+    val rnd = new Random(59)
+    val hashes = Seq.fill(3000)(rnd.nextLong().abs % 2147483647L)
+    val df = hashes.toDF("h").repartition(4)
+    val multi = Hll.registersMulti(df, "h", Seq(4, 6, 8))
+      .collect().map(r => (r.getAs[Long]("p"), r.getAs[Long]("bucket"), r.getAs[Long]("r")))
+      .toSet
+    val perP = Seq(4, 6, 8).flatMap { p =>
+      Hll.registers(df, Seq.empty, "h", p)
+        .collect().map(r => (p.toLong, r.getAs[Long]("bucket"), r.getAs[Long]("r")))
+    }.toSet
+    assert(multi == perP)
+  }
+
   test("oracle SQL builders interpolate the same constants (spot values)") {
     // alpha rationals and lc tables are shared objects; the SQL strings
     // must carry exactly them (catches a drifted rewrite of either side)
