@@ -59,12 +59,19 @@ object Unigram {
   /** DP pack factor: `cost * F + back`. */
   val F = 100000L
 
-  /** Word-TYPE frequency table `(w, wc)` — the single corpus collapse. */
+  /** Word-TYPE frequency table `(w, wc)` — the single corpus collapse.
+    * The DP packing supports words under F chars (100k); a longer
+    * "word" is whitespace-starved junk, and the guard rides inside the
+    * aggregation (the Importance precedent) so the build fails LOUDLY
+    * instead of silently corrupting the packed tie-break. */
   def wordTypes(docs: DataFrame): DataFrame =
     docs
       .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
       .filter(length(col("w")) > 0)
-      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .groupBy("w").agg((count(lit(1)) + coalesce(expr(
+        s"""CAST(assert_true(length(w) < $F,
+           |  'unigram DP supports words under $F chars') AS BIGINT)"""
+          .stripMargin), lit(0L))).as("wc"))
 
   /** Every substring occurrence of every word type up to `maxLen`:
     * `(w, wc, s, e, p)` with 0-based start `s`, exclusive end `e`.

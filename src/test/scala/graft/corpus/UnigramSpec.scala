@@ -139,6 +139,20 @@ class UnigramSpec extends SparkSpec {
     assert(dist == seq)
   }
 
+  test("a word at the DP packing bound fails loudly, not silently") {
+    // the packed cost*F+back encoding supports words under F chars; the
+    // in-aggregate assert_true must surface, not corrupt tie-breaks
+    val docs = corpus("x".repeat(Unigram.F.toInt))
+    val e = intercept[Exception] {
+      Unigram.wordTypes(docs).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("unigram DP supports words under")),
+      s"expected the DP bound assert, got: $e")
+  }
+
   test("single-character pieces survive every prune: any word stays segmentable") {
     // keepK = 0 prunes ALL multi-char pieces; training must still
     // produce a full character vocabulary and apply must still tokenize

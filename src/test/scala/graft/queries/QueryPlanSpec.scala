@@ -714,6 +714,18 @@ class QueryPlanSpec extends SparkSpec {
       s"training must never shuffle-join the word-type table:\n$plan")
   }
 
+  test("text_wordpiece_vocab: the positional vocab broadcasts; no sort-merge join") {
+    // same contract as the unigram pin: the codebook-tier vocabulary
+    // must ride a broadcast into the keyed-occurrence join, and the
+    // word frequency rides the regroup (no type-table rejoin)
+    val plan = TextQueries.queries("text_wordpiece_vocab")(spark, dir)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the vocab side of the match join to broadcast in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the greedy walk must never shuffle-join the word-type table:\n$plan")
+  }
+
   test("agg_hll_distinct: the register build partial-aggregates map-side") {
     // the register table is (group, bucket) -> max rho: the partial max
     // must combine BEFORE the shuffle, so at 100 TB each map task ships
