@@ -3,7 +3,7 @@ package graft.streaming
 import java.nio.file.Files
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{call_function, col, countDistinct, explode, expr, lit, sequence}
+import org.apache.spark.sql.functions.{call_function, col, countDistinct, explode, expr, lit, max, sequence}
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.SparkSpec
@@ -780,6 +780,52 @@ class StreamingSpec extends SparkSpec {
       val batch = graft.queries.AnalyticsQueries.queries("agg_hll_distinct")(spark, dir)
         .select("event_type", "n_registers", "zeros", "est_hll")
         .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(streamed.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
+
+  test("incremental HLL keyed by day: streaming registers through the window fanout == batch rolling gate") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    // live WAU: per-DAY register state (pop = day), final vectors fed
+    // through the same ≤7-day fanout + estimate the batch gate runs
+    val all = graft.log.Fixture.events(spark, dir)
+      .select(expr("unix_micros(ts) div 86400000000").cast("string").as("day"),
+        (call_function("graft_polyhash", col("stream"))
+          * lit(2654435761L) % lit(2147483647L)).as("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val mem = MemoryStream[(String, Long)]
+    val q = StreamingHll.registers(mem.toDF().toDF("pop", "h"), p = 9)
+      .writeStream.format("memory").queryName("hll_day_stream")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      val third = all.length / 3
+      Seq(all.slice(0, third), all.slice(third, 2 * third), all.slice(2 * third, all.length))
+        .foreach { b => mem.addData(b.toSeq); q.processAllAvailable() }
+      val daily = spark.sql(
+          """select pop, regs from hll_day_stream t
+            |where ver = (select max(ver) from hll_day_stream x where x.pop = t.pop)
+            |""".stripMargin)
+        .collect().flatMap { r =>
+          r.getSeq[Long](1).zipWithIndex.collect {
+            case (rho, bucket) if rho > 0 => (r.getString(0).toLong, bucket.toLong, rho)
+          }
+        }.toSeq.toDF("day", "bucket", "r")
+      val maxDay = daily.agg(max(col("day"))).collect().head.getLong(0)
+      val windowRegs = daily
+        .select(explode(sequence(col("day"), col("day") + 6)).as("day"),
+          col("bucket"), col("r"))
+        .groupBy("day", "bucket").agg(max(col("r")).as("r"))
+        .filter(col("day") <= maxDay)
+      val streamed = graft.plans.Hll.estimate(windowRegs, Seq("day"), 9)
+        .select(col("day"), col("est_hll"))
+        .orderBy("day")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val batch = graft.queries.AnalyticsQueries.queries("agg_hll_rolling")(spark, dir)
+        .select("day", "wau_hll")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
       assert(streamed.toSeq == batch.toSeq)
     } finally q.stop()
   }
