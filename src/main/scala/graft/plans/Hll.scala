@@ -33,14 +33,25 @@ import org.apache.spark.sql.functions._
  *
  *   S  = Σ_present 2^(B-r)  +  (m - n_present) · 2^B
  *   Q  = (m² · 2^B · 2^10) div S          — 10 guard bits
- *   raw = (αnum · Q) div (αden · 2^10)
+ *   raw = (αnum · Q) div (αden · 2^10)        if Q ≤ qSafe
+ *       = (αnum · (Q div 2^10)) div αden      otherwise (guard bits dropped)
  *   est = lc[V]  if V > 0 and 2·raw ≤ 5m  else raw
  *
- * Every intermediate fits signed 64-bit by construction (worst case
- * αnum·Q ≤ 7.94e18 at p=10), so both engines run the identical BIGINT
- * arithmetic — the two-step division is a ~0.1% quantization of the
- * textbook estimator, irrelevant next to its 1.04/√m standard error,
- * and bit-identical across engines, which is the property that matters.
+ * Overflow bound: S ≥ m always (every register term is ≥ 1), so
+ * Q ≤ m·2^42/m·… = 2^42 — but αnum·Q can still exceed 2^63 once the
+ * sketch SATURATES (zeros = 0 and mean rho large pushes S below 2^B,
+ * e.g. ~2M+ distinct hashes per group at p=9). Two defenses, mirrored
+ * identically in [[estimateSql]] and [[estimateSequential]]:
+ * α is carried as the REDUCED fraction (the general case shares a
+ * factor 1000 — value-identical under the (k·a) div (k·b) = a div b
+ * identity), and when Q > qSafe = (2^63-1) div αnum the 10 guard bits
+ * are dropped from Q before the multiply (relative error ≤ 2^10/qSafe
+ * < 1e-9 there — far below the 1.04/√m standard error). With the
+ * reduction, αnum·(Q div 2^10) ≤ 7213·m·2^32 < 2^55 for every p ≤ 14,
+ * so both engines run the identical BIGINT arithmetic with no wrap —
+ * the two-step division is a ~0.1% quantization of the textbook
+ * estimator, irrelevant next to its 1.04/√m standard error, and
+ * bit-identical across engines, which is the property that matters.
  * The small-range (linear-counting) correction m·ln(m/V) is the one
  * non-integer: it is materialized ONCE as an integer lookup table
  * ([[lcTable]]) and the same literal integers are interpolated into the
@@ -56,13 +67,21 @@ object Hll {
   val GuardBits = 10
 
   /** α_m as an exact rational (αnum, αden): the standard small-m
-    * constants, then 0.7213/(1 + 1.079/m) in thousandths. */
+    * constants, then 0.7213/(1 + 1.079/m) in thousandths. The general
+    * case is REDUCED by the shared factor 1000 — (k·a) div (k·b) =
+    * a div b, so every raw estimate is unchanged while αnum·Q gains
+    * three decimal digits of 64-bit headroom (see the object doc's
+    * overflow bound). */
   def alpha(m: Int): (Long, Long) = m match {
     case 16 => (673L, 1000L)
     case 32 => (697L, 1000L)
     case 64 => (709L, 1000L)
-    case _  => (7213L * 1000L * m, 10000L * (1000L * m + 1079L))
+    case _  => (7213L * m, 10L * (1000L * m + 1079L))
   }
+
+  /** Largest Q for which αnum·Q fits signed 64-bit; above it the guard
+    * bits are dropped from Q before the multiply. */
+  def qSafe(m: Int): Long = Long.MaxValue / alpha(m)._1
 
   /** Linear-counting table: lc(v) = round(m·ln(m/v)), v ∈ [1, m].
     * Computed once HERE; the oracle SQL interpolates these SAME
@@ -125,7 +144,10 @@ object Hll {
       .withColumn("s_scaled", col("s_present") + col("zeros") * lit(1L << b))
       .withColumn("q",
         expr(s"CAST(${m.toLong * m * (1L << b) * (1L << GuardBits)} AS BIGINT) div s_scaled"))
-      .withColumn("raw_est", expr(s"($an * q) div (${ad * (1L << GuardBits)})"))
+      .withColumn("raw_est",
+        when(col("q") > lit(qSafe(m)),
+          expr(s"($an * (q div ${1L << GuardBits})) div $ad"))
+          .otherwise(expr(s"($an * q) div (${ad * (1L << GuardBits)})")))
       .withColumn("est_hll",
         when(col("zeros") > 0 && col("raw_est") * 2 <= lit(5L * m),
           element_at(typedlit(lc), col("zeros").cast("int")))
@@ -159,10 +181,17 @@ object Hll {
     val b = 32 - p
     val (an, ad) = alpha(m)
     val lcList = lcTable(p).mkString("[", ",", "]")
+    // Q, inlined wherever needed (SQL has no local bindings outside CTEs)
+    val qE =
+      s"""((${m.toLong * m * (1L << b) * (1L << GuardBits)}) //
+         |        (s_present + (CAST($m AS BIGINT) - n_registers) * ${1L << b}))"""
+        .stripMargin
+    // saturated-sketch overflow guard, mirroring `estimate` bit-exactly:
+    // above qSafe drop the guard bits before the alpha multiply
     val raw =
-      s"""($an * ((${m.toLong * m * (1L << b) * (1L << GuardBits)}) //
-         |        (s_present + (CAST($m AS BIGINT) - n_registers) * ${1L << b})))
-         |       // ${ad * (1L << GuardBits)}""".stripMargin
+      s"""(CASE WHEN $qE > ${qSafe(m)}
+         |      THEN ($an * ($qE // ${1L << GuardBits})) // $ad
+         |      ELSE ($an * $qE) // ${ad * (1L << GuardBits)} END)""".stripMargin
     s"""CAST($m AS BIGINT) - n_registers AS zeros,
        |  CAST(CASE WHEN CAST($m AS BIGINT) - n_registers > 0
        |             AND 2 * ($raw) <= ${5L * m}
@@ -199,7 +228,8 @@ object Hll {
     val zeros = m - nPresent
     val s = regs.filter(_ > 0).map(r => 1L << (b - r)).sum + zeros * (1L << b)
     val q = (m.toLong * m * (1L << b) * (1L << GuardBits)) / s
-    val raw = (an * q) / (ad * (1L << GuardBits))
+    val raw = if (q > qSafe(m)) (an * (q >> GuardBits)) / ad
+              else (an * q) / (ad * (1L << GuardBits))
     val est = if (zeros > 0 && 2 * raw <= 5L * m) lcTable(p)((zeros - 1).toInt) else raw
     (nPresent, zeros, est)
   }

@@ -104,10 +104,38 @@ class HllSpec extends SparkSpec {
     assert(multi == perP)
   }
 
+  test("saturated sketch (zeros = 0, large rho) stays in 64-bit and matches BigInt-exact") {
+    val p = 9
+    val m = 1 << p
+    val (an, ad) = Hll.alpha(m)
+    // every bucket at max rho (suffix 0): S = m, the smallest S possible —
+    // the regime where the unreduced/unguarded multiply wrapped signed-64
+    val sat = ((0 until m).map(_.toLong), m.toLong)
+    // odd buckets one step down (suffix 1, rho = 31-p, term 2): S = 3m/2
+    val mixed = ((0 until m).map(b => if (b % 2 == 0) b.toLong else b + m.toLong),
+      m.toLong / 2 * 3)
+    for ((hashes, s) <- Seq(sat, mixed)) {
+      val seq = Hll.estimateSequential(hashes, p)
+      val dist = estimateOf(hashes, p)
+      assert(dist == seq, s"S=$s: dist $dist vs seq $seq")
+      val (nPresent, zeros, est) = dist
+      assert(nPresent == m && zeros == 0L)
+      val q = (m.toLong * m * (1L << (32 - p)) * (1L << Hll.GuardBits)) / s
+      assert(q > Hll.qSafe(m), "case must exercise the overflow-guard branch")
+      // guard-dropped raw must stay positive (a wrap goes negative/garbage)
+      // and within one guard-quantum of the BigInt-exact two-step division
+      val exact = (BigInt(an) * q / (BigInt(ad) << Hll.GuardBits)).toLong
+      assert(est > 0 && math.abs(est - exact) <= math.max(1L, exact >> 9),
+        s"S=$s: est $est vs BigInt-exact $exact")
+    }
+  }
+
   test("oracle SQL builders interpolate the same constants (spot values)") {
     // alpha rationals and lc tables are shared objects; the SQL strings
     // must carry exactly them (catches a drifted rewrite of either side)
-    assert(Hll.alpha(16) == (673L, 1000L) && Hll.alpha(512)._1 == 7213L * 1000L * 512L)
+    // general-case alpha is the reduced rational (shared factor 1000
+    // cancelled — value-identical under (k·a) div (k·b) = a div b)
+    assert(Hll.alpha(16) == (673L, 1000L) && Hll.alpha(512)._1 == 7213L * 512L)
     assert(Hll.lcTable(4).head == math.round(16 * math.log(16.0)))
     val sql = Hll.estimateSql(9)
     assert(sql.contains(Hll.lcTable(9).mkString("[", ",", "]")))
