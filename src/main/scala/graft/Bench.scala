@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
 
   /** JSON string escape (same contract as Verify's). */
@@ -12,6 +13,28 @@ object Bench {
     case c if c < ' ' => f"\\u${c.toInt}%04x"
     case c => c.toString
   } + "\""
+
+  /** Process CPU time (ns, all JVM threads) — the steal-immune clock.
+    * This VM's hypervisor steal is bimodal (same workload 5.1s clean /
+    * 15-28s stolen); stolen cycles never appear in process CPU time, so
+    * CPU seconds are the stable per-query cost while wall seconds carry
+    * the noise. The ratchet floors and regression flags run on CPU time
+    * (wall kept as the headline + steal indicator). */
+  private val osBean = java.lang.management.ManagementFactory
+    .getOperatingSystemMXBean.asInstanceOf[com.sun.management.OperatingSystemMXBean]
+  private def cpuNs(): Long = osBean.getProcessCpuTime
+
+  /** (steal, total) jiffies from /proc/stat's aggregate cpu line —
+    * a direct host-level steal reading (field 8 = steal). */
+  private def stealJiffies(): (Long, Long) =
+    try {
+      val line = scala.io.Source.fromFile("/proc/stat").getLines().next()
+      val f = line.trim.split("\\s+").drop(1).map(_.toLong)
+      (if (f.length > 7) f(7) else 0L, f.sum)
+    } catch { case _: Throwable => (0L, 0L) }
+
+  /** Per-query timing: wall seconds + process-CPU seconds. */
+  final case class T(wall: Double, cpu: Double)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -29,12 +52,21 @@ object Bench {
     // dev: SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the set (bisecting)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val queries = only.fold(SparkEntry.queries)(ns => SparkEntry.queries.filter(kv => ns(kv._1)))
-    def pass(record: Boolean): Map[String, Double] =
-      queries.flatMap { case (name, fn) =>
-        val t0 = System.nanoTime()
+
+    def timeOne(name: String, onError: Throwable => Unit): Option[T] = {
+      val w0 = System.nanoTime(); val c0 = cpuNs()
+      try {
+        queries(name)(spark, sfDir).count()
+        Some(T((System.nanoTime() - w0) / 1e9, (cpuNs() - c0) / 1e9))
+      } catch { case e: Throwable => onError(e); None }
+    }
+
+    def pass(record: Boolean): Map[String, T] =
+      queries.keys.flatMap { name =>
+        val w0 = System.nanoTime(); val c0 = cpuNs()
         try {
-          fn(spark, sfDir).count()
-          Some(name -> (System.nanoTime() - t0) / 1e9)
+          queries(name)(spark, sfDir).count()
+          Some(name -> T((System.nanoTime() - w0) / 1e9, (cpuNs() - c0) / 1e9))
         } catch {
           case e: Throwable =>
             // a failed query must NOT look like a fast success: record the
@@ -44,96 +76,118 @@ object Bench {
             if (record) errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
             None
         }
-      }
+      }.toMap
+
     // one untimed warmup pass (JIT + codegen + shared fixture/signature
-    // materialization), then TWO timed passes reporting the per-query MIN:
-    // this VM shows sporadic multi-second hypervisor stalls that land on
-    // random queries (observed: the same query 2s in one run, 70s in the
-    // next, with an idle host) — min-of-2 reports the steady-state number
-    // a query actually achieves. The warmup pass total is cold_total.
+    // materialization), then TWO timed passes reporting the per-query MIN
+    // of wall AND of CPU independently: min-of-2 wall reports the
+    // steady-state number a query achieves through the bimodal steal;
+    // min CPU is the steal-immune floor. Each pass also brackets
+    // /proc/stat so host steal over the sweep is on the record.
+    val (st0, tot0) = stealJiffies()
     val cold = pass(record = false)
+    val (st1, tot1) = stealJiffies()
     val t1 = pass(record = true)
+    val (st2, tot2) = stealJiffies()
     val t2 = pass(record = true)
-    val results = t1.map { case (k, v) => k -> math.min(v, t2.getOrElse(k, v)) }
+    val (st3, tot3) = stealJiffies()
+    def stealPct(s0: Long, s1: Long, g0: Long, g1: Long): Double =
+      if (g1 > g0) 100.0 * (s1 - s0) / (g1 - g0) else 0.0
+    val stealCold = stealPct(st0, st1, tot0, tot1)
+    val stealWarm = stealPct(st1, st3, tot1, tot3)
+    val _ = (st2, tot2) // per-pass split available if ever needed
+    val results: Map[String, T] = t1.map { case (k, v) =>
+      val o = t2.get(k)
+      k -> T(math.min(v.wall, o.fold(v.wall)(_.wall)), math.min(v.cpu, o.fold(v.cpu)(_.cpu)))
+    }
     // The driver keeps only a bounded ~2000-char TAIL of stdout and parses
-    // the JSON from it. Every BENCH_r*.json so far has "parsed": null
-    // because the full per-query map (124 queries, ~3+ KB) pushed the JSON
-    // head — {"metric":"total","value":… — out of the tail window. So the
-    // stdout line is now a COMPACT summary guaranteed to fit the window
-    // whole: scalars + the 12 slowest queries only. The complete
-    // full-precision per-query record (warm + cold) goes to
-    // bench_detail.json on disk, which is what gets graded in depth.
+    // the JSON from it, so the stdout line is a COMPACT summary (scalars +
+    // the 12 slowest queries); the complete per-query record (warm wall +
+    // warm cpu + cold) goes to bench_detail.json on disk.
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val slowest = results.toSeq.sortBy(-_._2).take(12)
-    val qs = slowest.map { case (k, v) => q(k) + ":" + r3(v) }.mkString("{", ",", "}")
+    val slowest = results.toSeq.sortBy(-_._2.wall).take(12)
+    val qs = slowest.map { case (k, v) => q(k) + ":" + r3(v.wall) }.mkString("{", ",", "}")
     // cap the stdout error map too (first 3, short messages) — a mass
     // failure must not push the scalars out of the tail window either
     val errsShort = errors.take(3).map { case (k, v) => q(k) + ":" + q(v.take(100)) }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => q(k) + ":" + q(v) }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val coldTotal = if (cold.nonEmpty) cold.values.sum else 0.0
+    val total = results.values.map(_.wall).sum
+    val cpuTotal = results.values.map(_.cpu).sum
+    val coldTotal = cold.values.map(_.wall).sum
     // per-query regression tracking: bench_history.json keeps the best
-    // (MIN) warm time ever observed per query at this sf; a query at
-    // >2x its historical best is flagged loudly so hypervisor noise on
-    // the TOTAL stops masking real per-query regressions. History only
-    // ratchets down, so a noisy slow run never poisons the baseline.
+    // (MIN) time ever observed per query at this sf, in TWO sections —
+    // "<sfDir>" wall-seconds (legacy, still ratcheted for continuity) and
+    // "<sfDir>#cpu" process-CPU seconds. Flags raise on the steal-immune
+    // CPU floor when one exists (wall-only floors — pre-instrument
+    // history — fall back to wall so old regressions can't hide).
+    // History only ratchets down, so a noisy run never poisons baselines.
     val histPath = java.nio.file.Paths.get("bench_history.json")
     val histRe = """"([^"]+)":([0-9.eE+-]+)""".r
-    val hist: Map[String, Double] =
+    def histSection(key: String): Map[String, Double] =
       if (java.nio.file.Files.exists(histPath)) {
         val txt = new String(java.nio.file.Files.readAllBytes(histPath), "UTF-8")
-        val key = "\"" + sfDir + "\":{"
-        val i = txt.indexOf(key)
+        val k = "\"" + key + "\":{"
+        val i = txt.indexOf(k)
         if (i < 0) Map.empty
         else {
-          val body = txt.substring(i + key.length, txt.indexOf('}', i + key.length))
+          val body = txt.substring(i + k.length, txt.indexOf('}', i + k.length))
           histRe.findAllMatchIn(body).map(m => m.group(1) -> m.group(2).toDouble).toMap
         }
       } else Map.empty
+    val hist = histSection(sfDir)
+    val histCpu = histSection(sfDir + "#cpu")
+    // flag rule: >2x the floor AND an absolute margin (0.25s wall / 0.5
+    // cpu-s — cpu sums over 32 threads so small queries carry ~1-4 cpu-s)
     val flagged = results.collect {
-      case (k, v) if hist.get(k).exists(h => v > 2 * h && v - h > 0.25) =>
-        k -> (v, hist(k))
-    }
+      case (k, v) if histCpu.contains(k) =>
+        (k, v, histCpu(k), "cpu") // cpu floor exists: flag on cpu
+      case (k, v) if hist.contains(k) =>
+        (k, v, hist(k), "wall")
+    }.collect {
+      case (k, v, floor, "cpu") if v.cpu > 2 * floor && v.cpu - floor > 0.5 =>
+        k -> (v, floor, "cpu")
+      case (k, v, floor, "wall") if v.wall > 2 * floor && v.wall - floor > 0.25 =>
+        k -> (v, floor, "wall")
+    }.toMap
     // SELF-VERIFYING ratchet: every flagged query re-runs in ISOLATION
     // (after the sweep, quiet JVM — no 230-query back-to-back contention)
-    // and only isolation-CONFIRMED regressions count. This VM's
-    // hypervisor steal lands multi-second stalls on random queries
-    // during the full sweep; a flag that clears when the query runs
-    // alone is noise, and the artifact now records that determination
-    // instead of asserting it.
+    // and only isolation-CONFIRMED regressions count, judged on the same
+    // clock (cpu when a cpu floor exists) that raised the flag.
     // a flagged query that THROWS on the isolated re-run (late-run OOM,
     // flake) must not crash the whole bench after the sweep finished:
     // treat the flag as confirmed-by-default (it cannot clear itself by
     // failing) and record the error in the regs detail
     val isoErrors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val isolated: Map[String, Double] = flagged.keys.flatMap { k =>
-      def one(): Double = {
-        val t0 = System.nanoTime()
-        queries(k)(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
-      }
-      try Some(k -> math.min(one(), one()))
-      catch {
-        case e: Throwable =>
-          isoErrors(k) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
-          None
+    val isolated: Map[String, T] = flagged.keys.flatMap { k =>
+      def err(e: Throwable): Unit =
+        isoErrors(k) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+      (timeOne(k, err), timeOne(k, err)) match {
+        case (Some(a), Some(b)) =>
+          Some(k -> T(math.min(a.wall, b.wall), math.min(a.cpu, b.cpu)))
+        case _ => None
       }
     }.toMap
-    val regressions = flagged.filter { case (k, (_, best)) =>
+    val regressions = flagged.filter { case (k, (_, floor, clock)) =>
       isoErrors.contains(k) ||
-        isolated.get(k).exists(v => v > 2 * best && v - best > 0.25)
+        isolated.get(k).exists { iso =>
+          if (clock == "cpu") iso.cpu > 2 * floor && iso.cpu - floor > 0.5
+          else iso.wall > 2 * floor && iso.wall - floor > 0.25
+        }
     }
-    flagged.foreach { case (k, (now, best)) =>
+    flagged.foreach { case (k, (now, floor, clock)) =>
+      val nowV = if (clock == "cpu") now.cpu else now.wall
       (isolated.get(k), isoErrors.get(k)) match {
         case (_, Some(err)) =>
           System.err.println(
-            f"[bench] REGRESSION $k: $now%.3fs vs historical best $best%.3fs — isolated re-run FAILED ($err), flag kept")
+            f"[bench] REGRESSION $k ($clock): $nowV%.3fs vs best $floor%.3fs — isolated re-run FAILED ($err), flag kept")
         case (Some(iso), _) if regressions.contains(k) =>
+          val isoV = if (clock == "cpu") iso.cpu else iso.wall
           System.err.println(
-            f"[bench] REGRESSION $k: $now%.3fs (isolated $iso%.3fs) vs historical best $best%.3fs (>2x, CONFIRMED in isolation)")
+            f"[bench] REGRESSION $k ($clock): $nowV%.3fs (isolated $isoV%.3fs) vs best $floor%.3fs (>2x, CONFIRMED in isolation)")
         case (Some(iso), _) =>
+          val isoV = if (clock == "cpu") iso.cpu else iso.wall
           System.err.println(
-            f"[bench] flag cleared: $k $now%.3fs in-sweep but $iso%.3fs isolated vs best $best%.3fs — sweep contention, not a regression")
+            f"[bench] flag cleared: $k ($clock) $nowV%.3fs in-sweep but $isoV%.3fs isolated vs best $floor%.3fs — sweep contention, not a regression")
         case _ => ()
       }
     }
@@ -141,34 +195,43 @@ object Bench {
     // summary (a sweep-only slowdown is still a signal, just not a
     // confirmed per-query regression)
     val nFlagsCleared = flagged.size - regressions.size
-    val newHist = (hist.keySet ++ results.keySet).map { k =>
-      val best = (hist.get(k).toSeq ++ results.get(k).toSeq ++ isolated.get(k).toSeq).min
-      k -> best
-    }.toMap
+    def ratchet(old: Map[String, Double], now: Map[String, Double],
+                iso: Map[String, Double]): Map[String, Double] =
+      (old.keySet ++ now.keySet).map { k =>
+        k -> (old.get(k).toSeq ++ now.get(k).toSeq ++ iso.get(k).toSeq).min
+      }.toMap
+    val newHist = ratchet(hist, results.map { case (k, v) => k -> v.wall },
+      isolated.map { case (k, v) => k -> v.wall })
+    val newHistCpu = ratchet(histCpu, results.map { case (k, v) => k -> v.cpu },
+      isolated.map { case (k, v) => k -> v.cpu })
     try {
-      // merge this sf's section back into the (possibly multi-sf) file
+      // merge this sf's two sections back into the (possibly multi-sf) file
+      val mineKeys = Set(sfDir, sfDir + "#cpu")
       val others =
         if (java.nio.file.Files.exists(histPath)) {
           val txt = new String(java.nio.file.Files.readAllBytes(histPath), "UTF-8")
           """"(/[^"]+)":\{([^}]*)\}""".r.findAllMatchIn(txt)
-            .map(m => m.group(1) -> m.group(2)).filterNot(_._1 == sfDir).toMap
+            .map(m => m.group(1) -> m.group(2)).filterNot(kv => mineKeys(kv._1)).toMap
         } else Map.empty[String, String]
-      val mine = newHist.toSeq.sortBy(_._1)
-        .map { case (k, v) => q(k) + ":" + r3(v) }.mkString(",")
-      val full = (others.toSeq :+ (sfDir -> mine)).sortBy(_._1)
-        .map { case (sf, body) => q(sf) + ":{" + body + "}" }.mkString("{", ",", "}")
+      def body(m: Map[String, Double]): String =
+        m.toSeq.sortBy(_._1).map { case (k, v) => q(k) + ":" + r3(v) }.mkString(",")
+      val mine = Seq(sfDir -> body(newHist), (sfDir + "#cpu") -> body(newHistCpu))
+      val full = (others.toSeq ++ mine).sortBy(_._1)
+        .map { case (sf, b) => q(sf) + ":{" + b + "}" }.mkString("{", ",", "}")
       java.nio.file.Files.write(histPath, (full + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () } // history is best-effort
-    // full flag record: every flagged query with its isolated re-run and
-    // the confirmed verdict — n_regressions counts only confirmed ones
-    val regs = flagged.map { case (k, (now, best)) =>
-      val iso = isolated.get(k).map(v => s""""isolated_rerun_s":${r3(v)}""")
+    // full flag record: every flagged query with its clock, both readings,
+    // the isolated re-run, and the confirmed verdict
+    val regs = flagged.map { case (k, (now, floor, clock)) =>
+      val iso = isolated.get(k).map(v =>
+        s""""isolated_wall_s":${r3(v.wall)},"isolated_cpu_s":${r3(v.cpu)}""")
         .getOrElse(s""""isolated_rerun_error":${q(isoErrors(k))}""")
-      q(k) + ":" + s"""{"now":${r3(now)},"best":${r3(best)},$iso,"confirmed":${regressions.contains(k)}}"""
+      q(k) + ":" + s"""{"clock":${q(clock)},"now_wall":${r3(now.wall)},"now_cpu":${r3(now.cpu)},"best":${r3(floor)},$iso,"confirmed":${regressions.contains(k)}}"""
     }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":${q(sfDir)},"n_queries":${results.size},"n_errors":${errors.size},"n_regressions":${regressions.size},"n_flags_cleared":$nFlagsCleared,"cold_total":${r3(coldTotal)},"queries":$qs,"errors":$errsShort,"detail":"bench_detail.json"}"""
-    val cqs = cold.map { case (k, v) => q(k) + ":" + v }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":${q(sfDir)},"n_queries":${results.size},"n_errors":${errors.size},"n_regressions":${regressions.size},"n_flags_cleared":$nFlagsCleared,"cold_total":${r3(coldTotal)},"cpu_total":${r3(cpuTotal)},"steal_warm_pct":${r3(stealWarm)},"steal_cold_pct":${r3(stealCold)},"queries":$qs,"errors":$errsShort,"detail":"bench_detail.json"}"""
+    def jmap(m: Map[String, Double]): String =
+      m.map { case (k, v) => q(k) + ":" + v }.mkString("{", ",", "}")
     // scaling exponents from tools.ScaleProbe (run on demand; committed
     // artifact) ride along in the per-round detail record
     def sideArtifact(name: String): String = {
@@ -181,12 +244,12 @@ object Bench {
     // ingest-path throughput (tools.IngestProbe: single dense sink vs
     // bucketed PartitionedLog sinks) rides along the same way
     val ingest = sideArtifact("ingest_probe.json")
-    // root-cause notes for confirmed regressions (tools/Profile bisects,
-    // committed by hand) ride along so the verdict on a red number lives
-    // in the same artifact that raised it
+    // root-cause notes for confirmed regressions (tools/RegressionBisect
+    // runs, committed by hand) ride along so the verdict on a red number
+    // lives in the same artifact that raised it
     val regNotes = sideArtifact("regression_analysis.json")
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${results.map { case (k, v) => q(k) + ":" + v }.mkString("{", ",", "}")},"errors":$errs,"n_errors":${errors.size},"sf":${q(sfDir)},"cold_total":$coldTotal,"n_regressions":${regressions.size},"n_flags_cleared":$nFlagsCleared,"regressions":$regs,"regression_analysis":$regNotes,"cold_queries":$cqs,"scaling":$scaling,"ingest":$ingest}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results.map { case (k, v) => k -> v.wall })},"queries_cpu":${jmap(results.map { case (k, v) => k -> v.cpu })},"errors":$errs,"n_errors":${errors.size},"sf":${q(sfDir)},"cold_total":$coldTotal,"cpu_total":$cpuTotal,"steal_warm_pct":$stealWarm,"steal_cold_pct":$stealCold,"n_regressions":${regressions.size},"n_flags_cleared":$nFlagsCleared,"regressions":$regs,"regression_analysis":$regNotes,"cold_queries":${jmap(cold.map { case (k, v) => k -> v.wall })},"cold_queries_cpu":${jmap(cold.map { case (k, v) => k -> v.cpu })},"scaling":$scaling,"ingest":$ingest}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
       (detail + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () } // detail dump is best-effort
