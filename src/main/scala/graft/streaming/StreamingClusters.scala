@@ -87,11 +87,19 @@ final class StreamingClusters(thresholdX1000: Long,
         Dedup.minhashLshPairsFromBanded(newBands, newSets, thresholdX1000)
     }
     val pairs = delta.select(col("a"), col("b"))
-    val next = labelTable match {
-      case Some(old) => Dedup.incrementalClusters(old, pairs)
-      case None      => Dedup.duplicateClustersAltStar(pairs)
-    }
-    labelTable = Some(store.replace("labels", next))
+    // the label table goes through the store as an update-mass keyed
+    // MERGE: only the changed/new (id, keeper) rows — the components the
+    // batch's pairs touch — are written; ids never leave this table (no
+    // dethronement here), so there are no deletes
+    labelTable = Some(labelTable match {
+      case Some(old) =>
+        val nx = Dedup.incrementalClusters(old, pairs).localCheckpoint()
+        store.merge("labels", Seq("id"),
+          nx.join(old, Seq("id", "keeper"), "left_anti"), None)
+      case None =>
+        store.merge("labels", Seq("id"),
+          Dedup.duplicateClustersAltStar(pairs), None)
+    })
     corpusSets = Some(store.append("corpusSets", newSets))
     corpusBands = Some(store.append("corpusBands", newBands))
   }

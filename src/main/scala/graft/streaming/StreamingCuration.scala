@@ -43,9 +43,11 @@ import graft.dedup.{Dedup, Winnow}
  * default in-memory store keeps the original `localCheckpoint` shape,
  * [[ParquetTwinStore]] holds them on disk — `meta` and `posts` are
  * append-only (delta-sized trigger writes); the exact-keeper map,
- * survivor signature store and label table go through the `replace`
- * verb, whose parquet form rewrites and whose production form is a
- * keyed Delta/Iceberg MERGE (update-mass-sized). `StreamingSpec` pins
+ * survivor signature store, label table and flag ledger go through the
+ * `merge` verb (keyed MERGE: per-trigger writes are UPDATE-mass — the
+ * changed keys only — with the parquet form merge-on-read plus periodic
+ * compaction; only the O(sources) counter table uses table-mass
+ * `replace`). `StreamingSpec` pins
  * streaming-final == batch through both stores. Serving has two forms:
  * [[report]] re-derives everything from the state tables through the
  * identical tail the batch gate runs (the audit path), while
@@ -56,8 +58,10 @@ import graft.dedup.{Dedup, Winnow}
  * into the counter table every trigger; the two are pinned equal after
  * every trigger in `StreamingSpec`.
  *
- * Ingest contract: exactly-once doc ids (replays would double-count
- * `n_raw` — dedupe upstream or by id at the sink).
+ * Ingest contract: exactly-once doc ids — ENFORCED at the sink:
+ * [[processBatch]] anti-joins each batch against the stored metadata
+ * table by doc id, so a crash-redelivered micro-batch (or any replay)
+ * is absorbed as a no-op instead of double-counting `n_raw`.
  */
 final class StreamingCuration(thresholdX1000: Long,
                               store: TwinStore = new InMemoryTwinStore) {
@@ -77,11 +81,9 @@ final class StreamingCuration(thresholdX1000: Long,
 
   /** A restarted pipeline resumes every state table from the store —
     * the crash-recovery half of the disk-backed state story (no-op for
-    * a fresh store). Runs once, before the first state access. NB
-    * Structured Streaming redelivers the last uncommitted micro-batch
-    * on restart; the ingest contract (exactly-once doc ids) therefore
-    * requires the redelivered batch be deduplicated upstream or by id
-    * against `meta` before it reaches processBatch. */
+    * a fresh store). Runs once, before the first state access.
+    * Redelivered micro-batches are handled in [[processBatch]], which
+    * anti-joins arrivals against the resumed `meta` table by doc id. */
   private def resume(spark: SparkSession): Unit =
     if (!resumed) {
       resumed = true
@@ -122,9 +124,25 @@ final class StreamingCuration(thresholdX1000: Long,
 
   /** Absorb one micro-batch of (doc_id, source, text) rows. Synchronized:
     * foreachBatch already serializes triggers; this guards ad-hoc
-    * callers. */
-  def processBatch(docs: DataFrame): Unit = synchronized {
-    resume(docs.sparkSession)
+    * callers.
+    *
+    * Replay safety: Structured Streaming REDELIVERS the last uncommitted
+    * micro-batch after a crash, and the store's append verbs would then
+    * double-append `meta`/`posts` and the counters would double-fold —
+    * so the batch is anti-joined against the resumed metadata table on
+    * doc_id first (a cheap keyed lookup through the same state the
+    * trigger reads anyway). Already-absorbed rows drop out and a full
+    * replay becomes a no-op; this ENFORCES the exactly-once-doc-id
+    * ingest contract instead of documenting it (`StreamingSpec` pins a
+    * full-batch replay through the parquet store). */
+  def processBatch(rawDocs: DataFrame): Unit = synchronized {
+    resume(rawDocs.sparkSession)
+    val docs = meta match {
+      case Some(m) =>
+        rawDocs.join(m.select(col("doc_id")), Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+      case None => rawDocs
+    }
     if (docs.isEmpty) return
     val oldLabels = labelTable // pre-trigger labeling, for the counter diff
     val bm = Curation.docMeta(docs).localCheckpoint()
@@ -136,20 +154,24 @@ final class StreamingCuration(thresholdX1000: Long,
     val bMin = bm.groupBy("h").agg(min(col("doc_id")).as("new_id"))
     val (nextEk, entered, exited) = exactKeep match {
       case None =>
-        (store.replace("exactKeep", bMin.select(col("h"), col("new_id").as("keep_id"))),
+        (store.merge("exactKeep", Seq("h"),
+          bMin.select(col("h"), col("new_id").as("keep_id")), None),
           bMin.select(col("new_id").as("id")).localCheckpoint(),
           None)
       case Some(old) =>
-        // least() skips nulls, so a one-sided h keeps its only candidate
-        val merged = old.join(bMin, Seq("h"), "full_outer")
+        // least() skips nulls, so a one-sided h keeps its only candidate.
+        // Only the CHANGED keys (new h, or a dethroning smaller id) go
+        // through the store — the merge upsert is update-mass.
+        val changed = old.join(bMin, Seq("h"), "full_outer")
           .select(col("h"), col("keep_id").as("old_keep"), col("new_id"))
           .withColumn("keep_id", least(col("old_keep"), col("new_id")))
+          .filter(col("old_keep").isNull || col("keep_id") < col("old_keep"))
           .localCheckpoint()
-        (store.replace("exactKeep", merged.select(col("h"), col("keep_id"))),
+        (store.merge("exactKeep", Seq("h"),
+          changed.select(col("h"), col("keep_id")), None),
           // a changed keeper is ALWAYS a batch doc (min ids only decrease)
-          merged.filter(col("old_keep").isNull || col("keep_id") < col("old_keep"))
-            .select(col("keep_id").as("id")).localCheckpoint(),
-          Some(merged.filter(col("old_keep").isNotNull && col("keep_id") < col("old_keep"))
+          changed.select(col("keep_id").as("id")).localCheckpoint(),
+          Some(changed.filter(col("old_keep").isNotNull)
             .select(col("old_keep").as("id")).localCheckpoint()))
     }
     exactKeep = Some(nextEk)
@@ -202,15 +224,25 @@ final class StreamingCuration(thresholdX1000: Long,
     val next =
       if (repaired != null) Dedup.incrementalClusters(repaired, pairs)
       else Dedup.duplicateClustersAltStar(pairs)
-    labelTable = Some(store.replace("labels", next))
+    // labels go through the store as an update-mass MERGE: upserts are
+    // the changed/new (id, keeper) rows (touched components only),
+    // deletes the ids that left the table (dethroned, or their last
+    // partner dethroned — such an id may RE-ENTER later, which the
+    // store's sequence-ordered tombstones handle)
+    labelTable = Some(labelTable match {
+      case None => store.merge("labels", Seq("id"), next, None)
+      case Some(old) =>
+        val nx = next.localCheckpoint()
+        store.merge("labels", Seq("id"),
+          nx.join(old, Seq("id", "keeper"), "left_anti"),
+          Some(old.select(col("id"))
+            .join(nx.select(col("id")), Seq("id"), "left_anti")))
+    })
 
-    // ---- survivor signature store: removals already applied, add batch ----
-    // `replace`, not `append`: dethronement REMOVES rows, so the survivor
-    // tables are merged state (a keyed MERGE/delete at 100 TB)
-    eSets = Some(store.replace("eSets",
-      if (prevSets != null) prevSets.unionByName(enteredSets) else enteredSets))
-    eBands = Some(store.replace("eBands",
-      if (prevBands != null) prevBands.unionByName(enteredBands) else enteredBands))
+    // ---- survivor signature store: keyed MERGE — the batch's rows in,
+    // the dethroned ids out; the store never rewrites the standing mass
+    eSets = Some(store.merge("eSets", Seq("id"), enteredSets, exited))
+    eBands = Some(store.merge("eBands", Seq("id"), enteredBands, exited))
 
     maintainCounters(docs.sparkSession, bm, bp, oldLabels, exited, nextEk,
       labelTable.get)
@@ -337,9 +369,9 @@ final class StreamingCuration(thresholdX1000: Long,
           sum(col("d_kb")).as("n_keepbest"), sum(col("d_q")).as("n_quality"),
           sum(col("d_clean")).as("n_clean"), sum(col("d_toks")).as("n_toks"))))
 
-    // ---- ledger rewrite: unaffected rows + re-evaluated rows ----
-    flags = Some(store.replace("flags",
-      fl0.join(aIds, fl0("doc_id") === aIds("id"), "left_anti").unionByName(nf)))
+    // ---- ledger merge: the re-evaluated (affected-set) rows upsert by
+    // doc id; unaffected rows are never rewritten (update-mass write)
+    flags = Some(store.merge("flags", Seq("doc_id"), nf, None))
   }
 
   private def emptyFlags(spark: SparkSession): DataFrame = {

@@ -1,0 +1,111 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import graft.SparkSpec
+
+/**
+ * Pins the [[TwinStore]] merge verb — the keyed Delta-MERGE stand-in —
+ * on BOTH implementations: upsert-replaces whole key groups, deletes,
+ * re-insertion after deletion (sequence-ordered tombstones), multi-row
+ * key groups, parquet compaction past MaxDeltas, the deferred-GC
+ * retention window, and restart recovery of the merge sequence.
+ */
+class TwinStoreSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def rows(df: DataFrame): Set[(Long, String)] =
+    df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+  private def kv(pairs: (Long, String)*): DataFrame =
+    pairs.toSeq.toDF("id", "v")
+
+  private def keys(ids: Long*): DataFrame = ids.toSeq.toDF("id")
+
+  private def stores(): Seq[(String, TwinStore)] = Seq(
+    "in-memory" -> new InMemoryTwinStore,
+    "parquet" -> new ParquetTwinStore(
+      java.nio.file.Files.createTempDirectory("graft-tsspec").toString))
+
+  test("merge: upsert replaces the key group, delete removes, others untouched") {
+    for ((label, st) <- stores()) {
+      st.merge("t", Seq("id"), kv(1L -> "a", 2L -> "b", 3L -> "c"), None)
+      val cur = st.merge("t", Seq("id"), kv(2L -> "B"), Some(keys(3L)))
+      assert(rows(cur) == Set((1L, "a"), (2L, "B")), s"[$label]")
+    }
+  }
+
+  test("merge: a deleted key can re-enter on a later merge (tombstones are sequence-ordered)") {
+    for ((label, st) <- stores()) {
+      st.merge("t", Seq("id"), kv(1L -> "a", 2L -> "b"), None)
+      st.merge("t", Seq("id"), kv(), Some(keys(1L)))
+      val cur = st.merge("t", Seq("id"), kv(1L -> "a2"), None)
+      assert(rows(cur) == Set((1L, "a2"), (2L, "b")), s"[$label]")
+    }
+  }
+
+  test("merge: multi-row key groups are swapped whole") {
+    for ((label, st) <- stores()) {
+      // key 1 spans three rows (a doc's shingle set); the upsert replaces
+      // the whole group with a two-row group
+      st.merge("t", Seq("id"),
+        kv(1L -> "s1", 1L -> "s2", 1L -> "s3", 2L -> "x"), None)
+      val cur = st.merge("t", Seq("id"), kv(1L -> "n1", 1L -> "n2"), None)
+      assert(rows(cur) == Set((1L, "n1"), (1L, "n2"), (2L, "x")), s"[$label]")
+    }
+  }
+
+  test("parquet merge: compaction folds deltas into a base and the result is unchanged") {
+    val root = java.nio.file.Files.createTempDirectory("graft-tscompact").toString
+    val st = new ParquetTwinStore(root)
+    // MaxDeltas + 3 merges: enough to cross the compaction threshold
+    var expect = Map.empty[Long, String]
+    var cur: DataFrame = null
+    for (i <- 1 to ParquetTwinStore.MaxDeltas + 3) {
+      val id = (i % 5).toLong
+      expect += id -> s"v$i"
+      cur = st.merge("t", Seq("id"), kv(id -> s"v$i"), None)
+    }
+    assert(rows(cur) == expect.map { case (k, v) => (k, v) }.toSet)
+    val parts = new java.io.File(s"$root/t.m").listFiles().map(_.getName)
+    assert(parts.exists(_.startsWith("base-v")),
+      s"compaction must have produced a base, saw ${parts.toSeq}")
+    // live (post-compaction) delta count is bounded by MaxDeltas
+    // regardless of how many merges ran — the table never accumulates
+    // unbounded read amplification. (Consumed files linger one trigger
+    // for the retention window, so count dirs NEWER than the base.)
+    val baseSeq = parts.filter(_.startsWith("base-v")).map(_.drop(6).toLong).max
+    val liveDeltas = parts.filter(n => n.startsWith("d") && n.drop(1).forall(_.isDigit))
+      .map(_.drop(1).toLong).count(_ > baseSeq)
+    assert(liveDeltas < ParquetTwinStore.MaxDeltas,
+      s"live deltas must reset at compaction, saw ${parts.toSeq}")
+  }
+
+  test("parquet merge: retention — a table returned at trigger T is readable through trigger T+1") {
+    val root = java.nio.file.Files.createTempDirectory("graft-tsretain").toString
+    val st = new ParquetTwinStore(root)
+    var held: DataFrame = null
+    // drive straight through a compaction; at every step, the PREVIOUS
+    // trigger's returned DataFrame must still execute (deferred GC)
+    for (i <- 1 to ParquetTwinStore.MaxDeltas + 3) {
+      val next = st.merge("t", Seq("id"), kv(i.toLong -> s"v$i"), None)
+      if (held != null) assert(held.count() == (i - 1).toLong,
+        s"the previous trigger's table must survive trigger $i")
+      held = next
+    }
+  }
+
+  test("parquet merge: a restarted store resumes the sequence and load() resolves the merged table") {
+    val root = java.nio.file.Files.createTempDirectory("graft-tsrestart").toString
+    val st1 = new ParquetTwinStore(root)
+    st1.merge("t", Seq("id"), kv(1L -> "a", 2L -> "b"), None)
+    st1.merge("t", Seq("id"), kv(2L -> "B"), Some(keys(1L)))
+    // fresh instance over the same root: load() must see the merged
+    // state, and a further merge must continue the sequence (the newer
+    // upsert wins over the restart boundary)
+    val st2 = new ParquetTwinStore(root)
+    assert(rows(st2.load(spark, "t").get) == Set((2L, "B")))
+    val cur = st2.merge("t", Seq("id"), kv(1L -> "back", 2L -> "B2"), None)
+    assert(rows(cur) == Set((1L, "back"), (2L, "B2")))
+  }
+}
