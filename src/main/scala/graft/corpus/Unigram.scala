@@ -50,9 +50,9 @@ import org.apache.spark.sql.functions._
  * `cost*F + back` far below 2^63).
  *
  * Reference anchor: the reference engine ships no tokenizer (its JS
- * projections do whitespace splits only — eventstorm/internal/
- * projection/runtime.go); this operator extends the engine for
- * training-data curation per the brief.
+ * projection engine — eventstorm/internal/projections/projection.go —
+ * folds events without any text analysis); this operator extends the
+ * engine for training-data curation per the brief.
  */
 object Unigram {
 
@@ -156,22 +156,40 @@ object Unigram {
     chars.union(multi)
   }
 
+  /** Shared seed + EM-round loop over a substring-occurrence table:
+    * the single training path [[train]] and [[tokenCounts]] both ride
+    * (so the two can't drift apart). The vocabulary is codebook-tier at
+    * every stage (≤ seedSize + alphabet rows, bounded by construction
+    * at ANY corpus scale), so each round's result collapses to one
+    * partition before the checkpoint — 1 task instead of
+    * shuffle-partition-many. */
+  private def trainVocab(subs: DataFrame, seedSize: Int, keepK: Int,
+                         minFreq: Long, rounds: Int): DataFrame = {
+    var vocab = seedVocab(subs, seedSize, minFreq).coalesce(1).localCheckpoint()
+    for (_ <- 1 to rounds)
+      vocab = prune(vocab, usage(segment(subs, vocab)), keepK)
+        .coalesce(1).localCheckpoint()
+    vocab
+  }
+
   /** Train the unigram vocabulary: seed → `rounds` segment/count/prune
     * rounds → one final segmentation pass for reported usage. Returns
     * `(rank, piece, piece_len, usage)` — rank 1-based by (usage desc,
     * piece asc) via [[Ranking.globalRank]] (no partitionBy-less
     * window even for this codebook-tier table). */
   def train(docs: DataFrame, maxLen: Int = 6, seedSize: Int = 200,
-            keepK: Int = 60, minFreq: Long = 2, rounds: Int = 2): DataFrame = {
-    val subs = substringOccurrences(wordTypes(docs), maxLen).localCheckpoint()
-    // the vocabulary is codebook-tier at every stage (≤ seedSize +
-    // alphabet rows, bounded by construction at ANY corpus scale), so
-    // each round's result collapses to one partition before the
-    // checkpoint — 1 task instead of shuffle-partition-many.
-    var vocab = seedVocab(subs, seedSize, minFreq).coalesce(1).localCheckpoint()
-    for (_ <- 1 to rounds)
-      vocab = prune(vocab, usage(segment(subs, vocab)), keepK)
-        .coalesce(1).localCheckpoint()
+            keepK: Int = 60, minFreq: Long = 2, rounds: Int = 2): DataFrame =
+    trainFromTypes(wordTypes(docs), maxLen, seedSize, keepK, minFreq, rounds)
+
+  /** [[train]] from an ALREADY-COLLAPSED word-type frequency table
+    * `(w, wc)` — the entry point for callers that maintain the type
+    * table as stored state (the streaming vocabulary twin
+    * [[graft.streaming.StreamingVocab]]): training never re-reads the
+    * corpus, only the vocabulary-scale type table. */
+  def trainFromTypes(wt: DataFrame, maxLen: Int = 6, seedSize: Int = 200,
+                     keepK: Int = 60, minFreq: Long = 2, rounds: Int = 2): DataFrame = {
+    val subs = substringOccurrences(wt, maxLen).localCheckpoint()
+    val vocab = trainVocab(subs, seedSize, keepK, minFreq, rounds)
     val finalUse = usage(segment(subs, vocab))
     val scored = vocab.join(finalUse, Seq("p"), "left")
       .select(col("p"), coalesce(col("usage"), lit(0L)).as("usage"))
@@ -181,12 +199,6 @@ object Unigram {
         length(col("p")).cast("long").as("piece_len"), col("usage"))
   }
 
-  /** Tokenize the corpus with the trained vocabulary and report
-    * per-source subword compression — the inference side, mirroring
-    * `text_bpe_apply`'s shape: `(source, n_words, n_chars, n_subwords,
-    * compression_permille)`. Per-word token counts come from ONE
-    * segmentation of the word-TYPE table, then join the per-(source,
-    * word) frequency table — the fold never runs per occurrence. */
   /** Train on `docs` and return the per-word-TYPE token counts
     * `(w, n_tok)` under the trained vocabulary — the reusable inference
     * core ([[applyPerSource]] and the e2e tokenize pipeline both ride
@@ -194,18 +206,17 @@ object Unigram {
   def tokenCounts(docs: DataFrame, maxLen: Int = 6, seedSize: Int = 200,
                   keepK: Int = 60, minFreq: Long = 2, rounds: Int = 2): DataFrame = {
     val subs = substringOccurrences(wordTypes(docs), maxLen).localCheckpoint()
-    // the vocabulary is codebook-tier at every stage (≤ seedSize +
-    // alphabet rows, bounded by construction at ANY corpus scale), so
-    // each round's result collapses to one partition before the
-    // checkpoint — 1 task instead of shuffle-partition-many.
-    var vocab = seedVocab(subs, seedSize, minFreq).coalesce(1).localCheckpoint()
-    for (_ <- 1 to rounds)
-      vocab = prune(vocab, usage(segment(subs, vocab)), keepK)
-        .coalesce(1).localCheckpoint()
-    segment(subs, vocab)
+    segment(subs, trainVocab(subs, seedSize, keepK, minFreq, rounds))
       .select(col("w"), size(col("pieces")).cast("long").as("n_tok"))
   }
 
+  /** Tokenize the corpus with the trained vocabulary and report
+    * per-source subword compression — the inference side, mirroring
+    * `text_bpe_apply`'s shape: `(source, n_words, n_chars, n_subwords,
+    * compression_permille)`. Per-word token counts come from ONE
+    * segmentation of the word-TYPE table ([[tokenCounts]]), then join
+    * the per-(source, word) frequency table — the fold never runs per
+    * occurrence. */
   def applyPerSource(docs: DataFrame, maxLen: Int = 6, seedSize: Int = 200,
                      keepK: Int = 60, minFreq: Long = 2, rounds: Int = 2): DataFrame = {
     val tok = tokenCounts(docs, maxLen, seedSize, keepK, minFreq, rounds)

@@ -88,8 +88,16 @@ object Wordpiece {
     * (usage desc, piece asc); piece_len counts the RAW piece (## is
     * marking, not content). */
   def vocabReport(docs: DataFrame, maxLen: Int = 6, initK: Int = 40,
-                  contK: Int = 40, minFreq: Long = 2): DataFrame = {
-    val subs = Unigram.substringOccurrences(Unigram.wordTypes(docs), maxLen)
+                  contK: Int = 40, minFreq: Long = 2): DataFrame =
+    vocabReportFromTypes(Unigram.wordTypes(docs), maxLen, initK, contK, minFreq)
+
+  /** [[vocabReport]] from an already-collapsed word-type table `(w, wc)`
+    * — the stored-state entry point (see [[Unigram.trainFromTypes]]);
+    * the streaming vocabulary twin serves BOTH tokenizer families from
+    * one maintained type table. */
+  def vocabReportFromTypes(wt: DataFrame, maxLen: Int = 6, initK: Int = 40,
+                           contK: Int = 40, minFreq: Long = 2): DataFrame = {
+    val subs = Unigram.substringOccurrences(wt, maxLen)
       .localCheckpoint()
     val v = vocab(subs, initK, contK, minFreq).coalesce(1).localCheckpoint()
     val use = segment(subs, v)

@@ -1008,11 +1008,17 @@ class StreamingSpec extends SparkSpec {
     assert(gotLabels == expectLabels)
     assert(reportRows(cur.report(spark)) == expectReport)
     // the state genuinely lives on disk: append-only tables are plain
-    // directories, replace tables are versioned with old versions GC'd
+    // directories, merged tables are merge-on-read dirs whose per-trigger
+    // writes are sequence-numbered deltas, replace tables are versioned
+    // with old versions GC'd
     val files = new java.io.File(root).listFiles().map(_.getName).toSet
     assert(files.contains("meta") && files.contains("posts"))
-    assert(files.exists(_.startsWith("labels-v")))
-    assert(files.count(_.startsWith("exactKeep-v")) <= 2,
+    assert(files.contains("labels.m") && files.contains("exactKeep.m"),
+      s"merged tables must live in merge-on-read dirs, saw $files")
+    val labelParts = new java.io.File(s"$root/labels.m").listFiles().map(_.getName)
+    assert(labelParts.exists(_.startsWith("d")),
+      s"merged tables must accumulate per-trigger deltas, saw ${labelParts.toSeq}")
+    assert(files.count(_.startsWith("counters-v")) <= 2,
       s"old replace versions must be GC'd, saw $files")
   }
 
@@ -1074,6 +1080,23 @@ class StreamingSpec extends SparkSpec {
     // the delta-maintained counters also survive the restart (loaded
     // from the store) and serve the same report
     assert(reportRows(cur2.reportServed(spark)) == expectReport)
+
+    // crash-REDELIVERY pin: Structured Streaming re-runs the last
+    // uncommitted micro-batch after a restart, so a THIRD incarnation
+    // over the same root that replays the already-absorbed second half
+    // must absorb it as a no-op (processBatch anti-joins arrivals
+    // against the stored metadata by doc id) — n_raw and every
+    // downstream counter stay exactly once
+    val cur3 = new StreamingCuration(thresholdX1000 = 300, new ParquetTwinStore(root))
+    cur3.processBatch(secondHalf.toDF())
+    assert(reportRows(cur3.report(spark)) == expectReport,
+      "a redelivered micro-batch must not double-count the report")
+    assert(reportRows(cur3.reportServed(spark)) == expectReport,
+      "a redelivered micro-batch must not double-fold the serving counters")
+    val gotLabels3 = cur3.labels(spark)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(gotLabels3 == expectLabels,
+      "a redelivered micro-batch must not perturb the clustering")
   }
 
   test("streaming cluster maintenance through the PARQUET state store == batch recompute") {
@@ -1100,5 +1123,38 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == expect.toSeq)
     val files = new java.io.File(root).listFiles().map(_.getName).toSet
     assert(files.contains("corpusSets") && files.contains("corpusBands"))
+  }
+
+  test("streaming vocabulary twin: merged word-type state + retrain == batch tokenizer training (restart mid-stream)") {
+    import spark.implicits._
+    import graft.corpus.{Unigram, Wordpiece}
+    // both tokenizer trainers are deterministic functions of the ONE
+    // corpus collapse (the word-type frequency table), so the twin that
+    // merges per-batch type counts and retrains from the maintained
+    // table must land EXACTLY on the batch training output — including
+    // across a restart through the parquet store
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+    def vrows(df: org.apache.spark.sql.DataFrame): Seq[(Long, String, Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .sorted.toSeq
+    val expectUni = vrows(Unigram.train(docs))
+    val expectWp = vrows(Wordpiece.vocabReport(docs))
+
+    val all = docs.as[CurRow].collect().toSeq
+    val third = all.length / 3
+    val root = java.nio.file.Files.createTempDirectory("graft-svocab").toString
+    val sv1 = new StreamingVocab(new ParquetTwinStore(root))
+    sv1.processBatch(all.slice(0, third).toDF())
+    sv1.processBatch(all.slice(third, 2 * third).toDF())
+    // new incarnation over the same root: resumes the type table
+    val sv2 = new StreamingVocab(new ParquetTwinStore(root))
+    sv2.processBatch(all.slice(2 * third, all.length).toDF())
+    assert(vrows(sv2.unigramVocab(spark)) == expectUni,
+      "streaming unigram vocab must equal the batch training output")
+    assert(vrows(sv2.wordpieceVocab(spark)) == expectWp,
+      "streaming wordpiece vocab must equal the batch training output")
+    // the maintained state is the type table, merged on disk
+    assert(new java.io.File(s"$root/wordTypes.m").isDirectory)
   }
 }
