@@ -86,6 +86,10 @@ object Bench {
     // /proc/stat so host steal over the sweep is on the record.
     val (st0, tot0) = stealJiffies()
     val cold = pass(record = false)
+    // the cold pass builds every per-(session, sf-dir) memo as a side
+    // effect; the ledger decomposes cold_total into one-time memo builds
+    // vs first-run query cost (r10's cold numbers were unattributable)
+    val memoCosts = graft.util.MemoCost.snapshot
     val (st1, tot1) = stealJiffies()
     val t1 = pass(record = true)
     val (st2, tot2) = stealJiffies()
@@ -228,8 +232,9 @@ object Bench {
         .getOrElse(s""""isolated_rerun_error":${q(isoErrors(k))}""")
       q(k) + ":" + s"""{"clock":${q(clock)},"now_wall":${r3(now.wall)},"now_cpu":${r3(now.cpu)},"best":${r3(floor)},$iso,"confirmed":${regressions.contains(k)}}"""
     }.mkString("{", ",", "}")
+    val memoTotal = memoCosts.values.sum
     val json =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":${q(sfDir)},"n_queries":${results.size},"n_errors":${errors.size},"n_regressions":${regressions.size},"n_flags_cleared":$nFlagsCleared,"cold_total":${r3(coldTotal)},"cpu_total":${r3(cpuTotal)},"steal_warm_pct":${r3(stealWarm)},"steal_cold_pct":${r3(stealCold)},"queries":$qs,"errors":$errsShort,"detail":"bench_detail.json"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":${q(sfDir)},"n_queries":${results.size},"n_errors":${errors.size},"n_regressions":${regressions.size},"n_flags_cleared":$nFlagsCleared,"cold_total":${r3(coldTotal)},"memo_total_s":${r3(memoTotal)},"cpu_total":${r3(cpuTotal)},"steal_warm_pct":${r3(stealWarm)},"steal_cold_pct":${r3(stealCold)},"queries":$qs,"errors":$errsShort,"detail":"bench_detail.json"}"""
     def jmap(m: Map[String, Double]): String =
       m.map { case (k, v) => q(k) + ":" + v }.mkString("{", ",", "}")
     // scaling exponents from tools.ScaleProbe (run on demand; committed
@@ -249,7 +254,7 @@ object Bench {
     // lives in the same artifact that raised it
     val regNotes = sideArtifact("regression_analysis.json")
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results.map { case (k, v) => k -> v.wall })},"queries_cpu":${jmap(results.map { case (k, v) => k -> v.cpu })},"errors":$errs,"n_errors":${errors.size},"sf":${q(sfDir)},"cold_total":$coldTotal,"cpu_total":$cpuTotal,"steal_warm_pct":$stealWarm,"steal_cold_pct":$stealCold,"n_regressions":${regressions.size},"n_flags_cleared":$nFlagsCleared,"regressions":$regs,"regression_analysis":$regNotes,"cold_queries":${jmap(cold.map { case (k, v) => k -> v.wall })},"cold_queries_cpu":${jmap(cold.map { case (k, v) => k -> v.cpu })},"scaling":$scaling,"ingest":$ingest}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results.map { case (k, v) => k -> v.wall })},"queries_cpu":${jmap(results.map { case (k, v) => k -> v.cpu })},"errors":$errs,"n_errors":${errors.size},"sf":${q(sfDir)},"cold_total":$coldTotal,"cpu_total":$cpuTotal,"steal_warm_pct":$stealWarm,"steal_cold_pct":$stealCold,"n_regressions":${regressions.size},"n_flags_cleared":$nFlagsCleared,"regressions":$regs,"regression_analysis":$regNotes,"cold_queries":${jmap(cold.map { case (k, v) => k -> v.wall })},"cold_queries_cpu":${jmap(cold.map { case (k, v) => k -> v.cpu })},"memo_build_s":${jmap(memoCosts)},"memo_total_s":$memoTotal,"scaling":$scaling,"ingest":$ingest}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
       (detail + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () } // detail dump is best-effort

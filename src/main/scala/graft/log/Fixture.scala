@@ -63,12 +63,18 @@ object Fixture {
   /** Canonical event log with `revision` (one shuffle by stream, memoized
     * per session+dir and persisted). */
   def events(spark: SparkSession, sfDir: String): DataFrame =
-    cache.getOrElseUpdate((spark, sfDir), {
-      val w = Window.partitionBy("stream").orderBy("position")
-      eventsNoRevision(spark, sfDir)
-        .withColumn("revision", row_number().over(w).cast("long") - 1L)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    cache.getOrElseUpdate((spark, sfDir),
+      graft.util.MemoCost.timed("Fixture.events") {
+        val w = Window.partitionBy("stream").orderBy("position")
+        val df = eventsNoRevision(spark, sfDir)
+          .withColumn("revision", row_number().over(w).cast("long") - 1L)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // materialize eagerly so the build cost lands HERE (in the memo
+        // ledger), not inside whichever query's first action touches the
+        // lazy persist
+        df.count()
+        df
+      })
 
   /** Projection of the canonical columns used by read-path query outputs —
     * a stable column list keeps the DuckDB oracle schema-aligned. */

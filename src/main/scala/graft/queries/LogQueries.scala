@@ -41,11 +41,12 @@ object LogQueries {
   private val plogCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
   private def partitionedDir(s: SparkSession, dir: String): String =
-    plogCache.getOrElseUpdate((s, dir), {
-      val d = java.nio.file.Files.createTempDirectory("graft-plog").toString
-      graft.log.PartitionedLog.write(Fixture.events(s, dir), d)
-      d
-    })
+    plogCache.getOrElseUpdate((s, dir),
+      graft.util.MemoCost.timed("LogQueries.partitionedLog") {
+        val d = java.nio.file.Files.createTempDirectory("graft-plog").toString
+        graft.log.PartitionedLog.write(Fixture.events(s, dir), d)
+        d
+      })
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1+F3+O1+O2: $all forwards from a position, bounded

@@ -24,7 +24,8 @@ object Tables {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 
   private def memo(s: SparkSession, dir: String, key: String)(mk: => DataFrame): DataFrame =
-    cache.getOrElseUpdate((s, dir, key), mk)
+    cache.getOrElseUpdate((s, dir, key),
+      graft.util.MemoCost.timed(s"Tables.$key")(mk))
 
   def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
