@@ -45,12 +45,19 @@ object IngestProbe {
   private def freshDir(): String =
     java.nio.file.Files.createTempDirectory("graft-ingest").toString
 
-  /** (singleSecs, bucketSecs, nEvents) for one regime, in its own session.
-    * `includeSingle = false` skips the single-sink half (for the bucket
-    * ladder, where the single-sink time is bucket-count-independent and
-    * already measured by the main regime). */
+  /** One regime's measurements: wall + process-CPU seconds per topology,
+    * plus the host steal percentage over the whole regime run (the
+    * r10 16-bucket ladder point was uninterpretable without these). */
+  final case class Regime(singleSecs: Double, bucketSecs: Double, n: Long,
+                          singleCpu: Double, bucketCpu: Double, stealPct: Double)
+
+  /** Measurements for one regime, in its own session. `includeSingle =
+    * false` skips the single-sink half (for the bucket ladder, where the
+    * single-sink time is bucket-count-independent and already measured
+    * by the main regime). */
   private def regime(sfDir: String, nBuckets: Int, nMicroBatches: Int,
-                     copies: Int, includeSingle: Boolean = true): (Double, Double, Long) = {
+                     copies: Int, includeSingle: Boolean = true): Regime = {
+    val steal0 = graft.util.ProcStat.stealJiffies()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -97,16 +104,17 @@ object IngestProbe {
         df.filter(col("ord") >= i * step && col("ord") < (i + 1) * step)
 
       val singleDir = freshDir()
-      val t0 = System.nanoTime()
+      val t0 = System.nanoTime(); val c0 = graft.util.ProcStat.cpuNs()
       if (includeSingle) (0 until nMicroBatches).foreach { i =>
         timed(s"single mb$i") {
           graft.streaming.LogSink.applyBatch(spark, s"$singleDir/log", window(src, i), "ord")
         }
       }
       val singleSecs = (System.nanoTime() - t0) / 1e9
+      val singleCpu = (graft.util.ProcStat.cpuNs() - c0) / 1e9
 
       val bucketDir = freshDir()
-      val t1 = System.nanoTime()
+      val t1 = System.nanoTime(); val c1 = graft.util.ProcStat.cpuNs()
       (0 until nMicroBatches).foreach { i =>
         val threads = (0 until nBuckets).map { b =>
           val th = new Thread(() => timed(s"bucket$b mb$i") {
@@ -118,6 +126,7 @@ object IngestProbe {
         threads.foreach(_.join())
       }
       val bucketSecs = (System.nanoTime() - t1) / 1e9
+      val bucketCpu = (graft.util.ProcStat.cpuNs() - c1) / 1e9
 
       // sanity: no events lost
       val gotSingle =
@@ -126,7 +135,8 @@ object IngestProbe {
         .map(b => spark.read.parquet(s"$bucketDir/b$b").count()).sum
       require(gotSingle == n && gotBuckets == n,
         s"ingest lost rows: single=$gotSingle buckets=$gotBuckets expected=$n")
-      (singleSecs, bucketSecs, n)
+      Regime(singleSecs, bucketSecs, n, singleCpu, bucketCpu,
+        graft.util.ProcStat.stealPct(steal0, graft.util.ProcStat.stealJiffies()))
     } finally spark.stop()
   }
 
@@ -139,43 +149,55 @@ object IngestProbe {
     // min-of-2 independent sessions per regime: this VM's hypervisor
     // steal lands multi-second stalls on random runs (observed 9s-28s
     // for the identical bucketed 10x workload); the min is the
-    // steady-state number, the same discipline Bench uses
-    def best2(nmb: Int, copies: Int): (Double, Double, Long) = {
-      val (s1, b1, n1) = regime(sfDir, nBuckets, nmb, copies)
-      val (s2, b2, _) = regime(sfDir, nBuckets, nmb, copies)
-      (math.min(s1, s2), math.min(b1, b2), n1)
+    // steady-state number, the same discipline Bench uses. CPU seconds
+    // and the per-run steal bracket ride along so a ladder point taken
+    // in a stolen window is identifiable as such.
+    def best2(nmb: Int, copies: Int): Regime = {
+      val r1 = regime(sfDir, nBuckets, nmb, copies)
+      val r2 = regime(sfDir, nBuckets, nmb, copies)
+      Regime(math.min(r1.singleSecs, r2.singleSecs),
+        math.min(r1.bucketSecs, r2.bucketSecs), r1.n,
+        math.min(r1.singleCpu, r2.singleCpu),
+        math.min(r1.bucketCpu, r2.bucketCpu),
+        math.max(r1.stealPct, r2.stealPct))
     }
-    val (latS, latB, n) =
-      if (only10) (1.0, 1.0, 0L) else best2(nmb = 8, copies = 1)
-    val (thrS, thrB, _) =
-      if (only10) (1.0, 1.0, 0L) else best2(nmb = 2, copies = 1)
-    val (bigS, bigB, n10) = best2(nmb = 2, copies = 10)
+    val empty = Regime(1.0, 1.0, 0L, 1.0, 1.0, 0.0)
+    val lat = if (only10) empty else best2(nmb = 8, copies = 1)
+    val thr = if (only10) empty else best2(nmb = 2, copies = 1)
+    val big = best2(nmb = 2, copies = 10)
+    val (bigS, n10) = (big.singleSecs, big.n)
+    val n = lat.n
 
     // bucket LADDER at the 10x throughput regime: does the speedup keep
     // growing with bucket count, and where does it saturate against the
     // Amdahl ceiling + the shared local[N] core pool? The single-sink
     // side is bucket-count-independent (bigS above); only the bucketed
-    // half re-runs per nb, min-of-2 fresh sessions each.
-    def bestBucketed2(nb: Int): Double = {
-      val (_, b1, _) = regime(sfDir, nb, nMicroBatches = 2, copies = 10, includeSingle = false)
-      val (_, b2, _) = regime(sfDir, nb, nMicroBatches = 2, copies = 10, includeSingle = false)
-      math.min(b1, b2)
+    // half re-runs per nb, min-of-2 fresh sessions each. Wall picks the
+    // min; its CPU and the worst steal bracket ride along.
+    def bestBucketed2(nb: Int): (Double, Double, Double) = {
+      val r1 = regime(sfDir, nb, nMicroBatches = 2, copies = 10, includeSingle = false)
+      val r2 = regime(sfDir, nb, nMicroBatches = 2, copies = 10, includeSingle = false)
+      val pick = if (r1.bucketSecs <= r2.bucketSecs) r1 else r2
+      (pick.bucketSecs, pick.bucketCpu, math.max(r1.stealPct, r2.stealPct))
     }
     val ladder = Seq(2, 4, 8, 16).map { nb =>
-      val b = if (nb == nBuckets) bigB else bestBucketed2(nb)
-      System.err.println(s"[ingest] ladder nb=$nb: ${f(b)}s (speedup ${f(bigS / b)}x)")
-      nb -> b
+      val (b, bc, st) =
+        if (nb == nBuckets) (big.bucketSecs, big.bucketCpu, big.stealPct)
+        else bestBucketed2(nb)
+      System.err.println(
+        s"[ingest] ladder nb=$nb: ${f(b)}s wall / ${f(bc)} cpu-s, steal ${f(st)}% (speedup ${f(bigS / b)}x)")
+      (nb, b, bc, st)
     }
-    val ladderJson = ladder.map { case (nb, b) =>
-      s""""$nb":{"bucketed_secs":${f(b)},"bucketed_eps":${f(n10 / b)},"speedup_vs_single":${f(bigS / b)}}"""
+    val ladderJson = ladder.map { case (nb, b, bc, st) =>
+      s""""$nb":{"bucketed_secs":${f(b)},"bucketed_cpu_s":${f(bc)},"steal_pct":${f(st)},"bucketed_eps":${f(n10 / b)},"speedup_vs_single":${f(bigS / b)}}"""
     }.mkString("{", ",", "}")
 
-    def part(tag: String, total: Long, nmb: Int, s: Double, b: Double): String =
-      s""""$tag":{"n_events":$total,"micro_batches":$nmb,"single_sink_secs":${f(s)},"single_sink_eps":${f(total / s)},"bucketed_secs":${f(b)},"bucketed_eps":${f(total / b)},"speedup":${f(s / b)}}"""
+    def part(tag: String, total: Long, nmb: Int, r: Regime): String =
+      s""""$tag":{"n_events":$total,"micro_batches":$nmb,"single_sink_secs":${f(r.singleSecs)},"single_sink_cpu_s":${f(r.singleCpu)},"single_sink_eps":${f(total / r.singleSecs)},"bucketed_secs":${f(r.bucketSecs)},"bucketed_cpu_s":${f(r.bucketCpu)},"bucketed_eps":${f(total / r.bucketSecs)},"speedup":${f(r.singleSecs / r.bucketSecs)},"steal_pct":${f(r.stealPct)}}"""
     val json =
-      s"""{"n_events":$n,"n_buckets":$nBuckets,${part("small_triggers", n, 8, latS, latB)},${part("large_triggers", n, 2, thrS, thrB)},${part("volume10x_large_triggers", n10, 2, bigS, bigB)},"bucket_ladder_10x":$ladderJson,"note":"single sink = one dense global sequence (driver-bounded by contract); bucketed = PartitionedLog-style bucket sinks with independent dense sequences running concurrently per trigger; each regime min-of-2 fresh SparkSessions; bucket_ladder_10x sweeps nBuckets at the 10x regime against the same single-sink time. Bottleneck accounting: after batching the precondition checks (2 jobs per trigger instead of 3 per touched stream) and distributing the parquet encode (parallelize, not a LocalRelation plan), the encode/write half of the sink is parallel in BOTH topologies, so bucketing now only multiplies the remaining sequential-per-sink work (collect deserialization + the dense-assignment fold) - Amdahl caps the ratio below the naive nBuckets x while absolute single-sink throughput roughly doubled; on this box both topologies are further flattened by one shared local[N] core pool, which a real cluster's one-driver-per-bucket deployment does not share"}"""
+      s"""{"n_events":$n,"n_buckets":$nBuckets,${part("small_triggers", n, 8, lat)},${part("large_triggers", n, 2, thr)},${part("volume10x_large_triggers", n10, 2, big)},"bucket_ladder_10x":$ladderJson,"note":"single sink = one dense global sequence (driver-bounded by contract); bucketed = PartitionedLog-style bucket sinks with independent dense sequences running concurrently per trigger; each regime min-of-2 fresh SparkSessions; bucket_ladder_10x sweeps nBuckets at the 10x regime against the same single-sink time; cpu_s = process-CPU (steal-immune), steal_pct = worst /proc/stat steal bracket over the regime's runs. Bottleneck accounting: after batching the precondition checks (2 jobs per trigger instead of 3 per touched stream) and distributing the parquet encode (parallelize, not a LocalRelation plan), the encode/write half of the sink is parallel in BOTH topologies, so bucketing now only multiplies the remaining sequential-per-sink work (collect deserialization + the dense-assignment fold) - Amdahl caps the ratio below the naive nBuckets x while absolute single-sink throughput roughly doubled; on this box both topologies are further flattened by one shared local[N] core pool, which a real cluster's one-driver-per-bucket deployment does not share"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(out), (json + "\n").getBytes("UTF-8"))
     System.err.println(
-      s"[ingest] small single ${f(latS)}s vs bucketed ${f(latB)}s; large single ${f(thrS)}s vs bucketed ${f(thrB)}s; 10x single ${f(bigS)}s vs bucketed ${f(bigB)}s -> $out")
+      s"[ingest] small single ${f(lat.singleSecs)}s vs bucketed ${f(lat.bucketSecs)}s; large single ${f(thr.singleSecs)}s vs bucketed ${f(thr.bucketSecs)}s; 10x single ${f(bigS)}s vs bucketed ${f(big.bucketSecs)}s -> $out")
   }
 }

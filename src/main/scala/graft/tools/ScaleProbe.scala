@@ -135,18 +135,29 @@ object ScaleProbe {
       .select(col("doc_id"), col("source"), col("text"))
 
     // ---- 1. flat-cost ladder: 20 triggers, disk-backed state ----
+    // wall AND process-CPU per trigger (the r10 run's 1.168 growth was
+    // read on the wall clock alone — uninterpretable under this box's
+    // bimodal steal; CPU is the steal-immune trend), plus the steal
+    // bracket over the whole ladder
     val nTriggers = 20
+    val steal0 = graft.util.ProcStat.stealJiffies()
     val root = java.nio.file.Files.createTempDirectory("graft-twinprobe").toString
     val cur = new StreamingCuration(300, new ParquetTwinStore(root))
     val bigDocs = corpus(big).localCheckpoint()
     val perTrigger = (0 until nTriggers).map { i =>
+      val c0 = graft.util.ProcStat.cpuNs()
       val (t, _) = time1(() => cur.processBatch(
         bigDocs.filter(pmod(col("doc_id"), lit(nTriggers.toLong)) === i.toLong)))
-      System.err.println(f"[scale] twin trigger $i: $t%.2fs")
-      t
+      val c = (graft.util.ProcStat.cpuNs() - c0) / 1e9
+      System.err.println(f"[scale] twin trigger $i: $t%.2fs wall / $c%.2f cpu-s")
+      (t, c)
     }
-    val firstHalf = perTrigger.take(nTriggers / 2).sum / (nTriggers / 2)
-    val secondHalf = perTrigger.drop(nTriggers / 2).sum / (nTriggers - nTriggers / 2)
+    val ladderSteal = graft.util.ProcStat.stealPct(steal0, graft.util.ProcStat.stealJiffies())
+    def halves(xs: Seq[Double]): (Double, Double) =
+      (xs.take(nTriggers / 2).sum / (nTriggers / 2),
+        xs.drop(nTriggers / 2).sum / (nTriggers - nTriggers / 2))
+    val (firstHalf, secondHalf) = halves(perTrigger.map(_._1))
+    val (firstHalfCpu, secondHalfCpu) = halves(perTrigger.map(_._2))
 
     // ---- 2. dethronement repair at 1x and 10x ----
     def dethrone(dir: String): (Double, Long, Long) = {
@@ -169,7 +180,7 @@ object ScaleProbe {
     val (t10x, m10x, _) = dethrone(big)
     def ln(x: Double) = math.log(math.max(x, 1e-9))
     val eRepair = ln(t10x / t1x) / ln(ratio)
-    s""""streaming":{"flat_cost_probe":{"n_triggers":$nTriggers,"store":"parquet","per_trigger_s":[${perTrigger.map(f).mkString(",")}],"first_half_mean_s":${f(firstHalf)},"second_half_mean_s":${f(secondHalf)},"growth":${f(secondHalf / firstHalf)}},"dethronement":{"t_1x_s":${f(t1x)},"t_10x_s":${f(t10x)},"exp_time":${f(eRepair)},"repaired_mass_1x":$m1x,"repaired_mass_10x":$m10x,"t_per_mass_1x_ms":${f(1000 * t1x / math.max(m1x, 1))},"t_per_mass_10x_ms":${f(1000 * t10x / math.max(m10x, 1))}}}"""
+    s""""streaming":{"flat_cost_probe":{"n_triggers":$nTriggers,"store":"parquet","per_trigger_s":[${perTrigger.map(p => f(p._1)).mkString(",")}],"per_trigger_cpu_s":[${perTrigger.map(p => f(p._2)).mkString(",")}],"first_half_mean_s":${f(firstHalf)},"second_half_mean_s":${f(secondHalf)},"growth":${f(secondHalf / firstHalf)},"first_half_mean_cpu_s":${f(firstHalfCpu)},"second_half_mean_cpu_s":${f(secondHalfCpu)},"growth_cpu":${f(secondHalfCpu / firstHalfCpu)},"steal_pct":${f(ladderSteal)}},"dethronement":{"t_1x_s":${f(t1x)},"t_10x_s":${f(t10x)},"exp_time":${f(eRepair)},"repaired_mass_1x":$m1x,"repaired_mass_10x":$m10x,"t_per_mass_1x_ms":${f(1000 * t1x / math.max(m1x, 1))},"t_per_mass_10x_ms":${f(1000 * t10x / math.max(m10x, 1))}}}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -204,6 +215,20 @@ object ScaleProbe {
     val nSmall = docs.count().toDouble
     val nBig = spark.read.parquet(s"$big/documents.parquet").count().toDouble
     val ratio = nBig / nSmall
+
+    // dev mode: SPARK_GRAFT_SCALE_ONLY=streaming runs just the streaming
+    // section (flat-cost ladder + dethronement) and writes a partial
+    // artifact to /tmp — iterating on the twin-store cost profile without
+    // paying the full query ladder
+    if (sys.env.get("SPARK_GRAFT_SCALE_ONLY").contains("streaming")) {
+      val streamingOnly = streamingSection(spark, small, big, ratio)
+      val p = "/tmp/streaming_probe.json"
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        (s"{$streamingOnly}\n").getBytes("UTF-8"))
+      System.err.println(s"[scale] (streaming-only) wrote $p")
+      spark.stop()
+      return
+    }
 
     def runAll(dir: String, names: Seq[String]): Map[String, (Double, Long)] =
       names.map { name =>
