@@ -455,15 +455,28 @@ class QueryPlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"top-20 must fuse, no global sort:\n$plan")
   }
 
-  test("corpus_funnel: exact-keeper join shuffles md5 keys; loser/contam sets broadcast") {
-    val plan = CorpusQueries.queries("corpus_funnel")(spark, dir)
+  test("corpus_funnel + corpus_e2e_curate: md5 keeper join and loser/argmax sides shuffle; only bench/contam-tier sides broadcast") {
+    // The round-10 policy over the full (non-_sub) variants, mirroring
+    // the _sub pin below: the content-hash self-join and the near-dup
+    // loser/per-cluster-argmax joins are all dup-mass sized (30-50% of a
+    // web corpus), so they must ride merge-hinted shuffle joins that AQE
+    // cannot demote back to broadcast. The ONLY legitimate broadcast
+    // builds are benchmark-overlap-tier sides (the bench/contam sets).
+    val funnelPlan = CorpusQueries.queries("corpus_funnel")(spark, dir)
       .queryExecution.executedPlan.toString()
-    // the content-hash self-join must NOT broadcast (dup mass is unbounded
-    // at scale) — it rides a shuffle join on the 16-byte md5 key
-    assert(plan.contains("SortMergeJoin [h#") || plan.contains("SortMergeJoin [coalesce(h#"),
-      s"expected the keeper join to shuffle on the md5 key in:\n$plan")
-    assert(plan.contains("BroadcastHashJoin"),
-      s"expected the loser/contaminated sets to broadcast in:\n$plan")
+    assert(funnelPlan.contains("SortMergeJoin [h#") ||
+        funnelPlan.contains("SortMergeJoin [coalesce(h#"),
+      s"expected the keeper join to shuffle on the md5 key in:\n$funnelPlan")
+    for (name <- Seq("corpus_funnel", "corpus_e2e_curate")) {
+      val plan = CorpusQueries.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString()
+      val broadcastLines = plan.split('\n').filter(_.contains("BroadcastHashJoin"))
+      for (bad <- Seq("nd_id", "best_id"))
+        assert(!broadcastLines.exists(_.contains(bad)),
+          s"$name: the corpus-scale '$bad' side must shuffle-join, not broadcast:\n$plan")
+      assert(plan.contains("SortMergeJoin"),
+        s"$name: expected merge-hinted shuffle joins on the loser/keeper sides in:\n$plan")
+    }
   }
 
   test("agg_sessions_native: one stream-key shuffle feeds the merging session window") {
