@@ -292,9 +292,14 @@ final class ParquetTwinStore(root: String) extends TwinStore {
       // disk for retention, but excluded by reading the base directly)
       spark.read.parquet(s"$dir/base-v$baseSeq")
     } else {
-      // empty-table degenerate case (all merges so far wrote no rows):
-      // the empty upsert frame carries the right schema
-      resolveMerged(spark, name, keyCols).getOrElse(upserts)
+      // materialize the resolution ONCE per merge: callers run several
+      // actions per trigger against the returned table, and re-running
+      // the last-writer-wins window per action would multiply the MoR
+      // read amplification (durability still lives in the files — the
+      // checkpoint is a per-trigger read cache, exactly what a real
+      // MERGE's returned table version is). Empty-table degenerate case:
+      // the empty upsert frame carries the right schema.
+      resolveMerged(spark, name, keyCols).fold(upserts)(_.localCheckpoint())
     }
   }
 
