@@ -134,12 +134,12 @@ object ScaleProbe {
     def corpus(dir: String) = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("source"), col("text"))
 
-    // ---- 1. flat-cost ladder: 20 triggers, disk-backed state ----
+    // ---- 1. flat-cost ladder: disk-backed state ----
     // wall AND process-CPU per trigger (the r10 run's 1.168 growth was
     // read on the wall clock alone — uninterpretable under this box's
     // bimodal steal; CPU is the steal-immune trend), plus the steal
-    // bracket over the whole ladder
-    val nTriggers = 20
+    // bracket over the whole ladder.
+    val nTriggers = sys.env.get("SPARK_GRAFT_TWIN_TRIGGERS").map(_.toInt).getOrElse(20)
     val steal0 = graft.util.ProcStat.stealJiffies()
     val root = java.nio.file.Files.createTempDirectory("graft-twinprobe").toString
     val cur = new StreamingCuration(300, new ParquetTwinStore(root))
@@ -158,6 +158,25 @@ object ScaleProbe {
         xs.drop(nTriggers / 2).sum / (nTriggers - nTriggers / 2))
     val (firstHalf, secondHalf) = halves(perTrigger.map(_._1))
     val (firstHalfCpu, secondHalfCpu) = halves(perTrigger.map(_._2))
+    // STEADY-STATE growth: the raw halves metric mixes in (a) the cheap
+    // warm-up triggers of the first compaction cycle (tiny state, low
+    // read amplification) and (b) the periodic compaction triggers (the
+    // amortized table-mass fold, by design ~2x a normal trigger) — both
+    // bias it. Steady state = non-compaction triggers AFTER the first
+    // compaction; its half-over-half ratio is the honest "does
+    // per-trigger cost grow with accumulated state" number. Compaction
+    // fires on every MaxDeltas-th merge, i.e. trigger index ≡
+    // MaxDeltas-1 (mod MaxDeltas).
+    val cN = graft.streaming.ParquetTwinStore.MaxDeltas
+    val steadyIdx = (cN until nTriggers).filter(i => (i + 1) % cN != 0)
+    def steadyHalves(sel: ((Double, Double)) => Double): (Double, Double) = {
+      val xs = steadyIdx.map(i => sel(perTrigger(i)))
+      (xs.take(xs.length / 2).sum / math.max(xs.length / 2, 1),
+        xs.drop(xs.length / 2).sum / math.max(xs.length - xs.length / 2, 1))
+    }
+    val (sW1, sW2) = steadyHalves(_._1)
+    val (sC1, sC2) = steadyHalves(_._2)
+    val compactions = ((cN - 1) until nTriggers by cN).map(i => perTrigger(i)._1)
 
     // ---- 2. dethronement repair at 1x and 10x ----
     def dethrone(dir: String): (Double, Long, Long) = {
@@ -180,7 +199,7 @@ object ScaleProbe {
     val (t10x, m10x, _) = dethrone(big)
     def ln(x: Double) = math.log(math.max(x, 1e-9))
     val eRepair = ln(t10x / t1x) / ln(ratio)
-    s""""streaming":{"flat_cost_probe":{"n_triggers":$nTriggers,"store":"parquet","per_trigger_s":[${perTrigger.map(p => f(p._1)).mkString(",")}],"per_trigger_cpu_s":[${perTrigger.map(p => f(p._2)).mkString(",")}],"first_half_mean_s":${f(firstHalf)},"second_half_mean_s":${f(secondHalf)},"growth":${f(secondHalf / firstHalf)},"first_half_mean_cpu_s":${f(firstHalfCpu)},"second_half_mean_cpu_s":${f(secondHalfCpu)},"growth_cpu":${f(secondHalfCpu / firstHalfCpu)},"steal_pct":${f(ladderSteal)}},"dethronement":{"t_1x_s":${f(t1x)},"t_10x_s":${f(t10x)},"exp_time":${f(eRepair)},"repaired_mass_1x":$m1x,"repaired_mass_10x":$m10x,"t_per_mass_1x_ms":${f(1000 * t1x / math.max(m1x, 1))},"t_per_mass_10x_ms":${f(1000 * t10x / math.max(m10x, 1))}}}"""
+    s""""streaming":{"flat_cost_probe":{"n_triggers":$nTriggers,"store":"parquet","per_trigger_s":[${perTrigger.map(p => f(p._1)).mkString(",")}],"per_trigger_cpu_s":[${perTrigger.map(p => f(p._2)).mkString(",")}],"first_half_mean_s":${f(firstHalf)},"second_half_mean_s":${f(secondHalf)},"growth":${f(secondHalf / firstHalf)},"first_half_mean_cpu_s":${f(firstHalfCpu)},"second_half_mean_cpu_s":${f(secondHalfCpu)},"growth_cpu":${f(secondHalfCpu / firstHalfCpu)},"steady_growth":${f(sW2 / sW1)},"steady_growth_cpu":${f(sC2 / sC1)},"steady_mean_s":[${f(sW1)},${f(sW2)}],"compaction_trigger_s":[${compactions.map(f).mkString(",")}],"steal_pct":${f(ladderSteal)},"note":"raw growth mixes the cheap warm-up cycle and the periodic compaction spikes; steady_growth compares non-compaction triggers after the first compaction (the flat-state claim), compaction_trigger_s shows the amortized fold cost trend"},"dethronement":{"t_1x_s":${f(t1x)},"t_10x_s":${f(t10x)},"exp_time":${f(eRepair)},"repaired_mass_1x":$m1x,"repaired_mass_10x":$m10x,"t_per_mass_1x_ms":${f(1000 * t1x / math.max(m1x, 1))},"t_per_mass_10x_ms":${f(1000 * t10x / math.max(m10x, 1))}}}"""
   }
 
   def main(args: Array[String]): Unit = {
