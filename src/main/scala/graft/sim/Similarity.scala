@@ -119,12 +119,20 @@ object Similarity {
 
   /** Same, over a precomputed [[normed]] corpus. */
   def topKLshFromNormed(nc: DataFrame, query: DataFrame, k: Int, dim: Int,
-                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = nc.withColumn("cb", graft.functions.Fast.bucketsFast(col("v")))
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    topKLshFromIndexed(nc.withColumn("cb", graft.functions.Fast.bucketsFast(col("v"))),
+      query, k, dim, idCol, vecCol)
+
+  /** Same, over a STORED index `(id, v, nrm, cb)` whose bucket
+    * signatures were computed at ingest — the serving path of
+    * [[graft.streaming.StreamingAnnIndex]] (the index is a maintained
+    * artifact; queries pay only the membership filter + top-k). */
+  def topKLshFromIndexed(ci: DataFrame, query: DataFrame, k: Int, dim: Int,
+                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = broadcast(query.select(col(vecCol).as("q"))
       .withColumn("qn", graft.functions.Fast.normFast(col("q")))
       .withColumn("qb", graft.functions.Fast.bucketsFast(col("q"))))
-    c.join(q)
+    ci.join(q)
       .filter(exists(zip_with(col("cb"), col("qb"), (x, y) => x === y), identity))
       .select(col("id").as(idCol), (graft.functions.Fast.dotFast(col("v"), col("q")) / (col("nrm") * col("qn"))).as("cos"))
       .orderBy(col("cos").desc, col(idCol).asc)

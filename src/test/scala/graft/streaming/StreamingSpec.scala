@@ -1157,4 +1157,46 @@ class StreamingSpec extends SparkSpec {
     // the maintained state is the type table, merged on disk
     assert(new java.io.File(s"$root/wordTypes.m").isDirectory)
   }
+
+  test("streaming ANN index: topK/LSH/range over the maintained index == batch, restart mid-stream") {
+    import graft.sim.Similarity
+    // the index rows (norm + LSH bucket signature) are computed at
+    // ingest and appended through the store; every serving path is the
+    // batch operator over the same rows, so streaming must equal batch
+    // exactly — including when a new incarnation resumes the index from
+    // disk mid-stream
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val dim = emb.head().getSeq[Float](1).length
+    val query = emb.orderBy(col("vec_id").asc).limit(1).select(col("embedding"))
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val expectBrute = rows(Similarity.topKBruteForce(emb, query, 10))
+    val expectLsh = rows(Similarity.topKLsh(emb, query, 10, dim))
+    val expectRange = rows(
+      Similarity.rangeSearchFromNormed(Similarity.normed(emb), query, 0.4)
+        .orderBy(col("vec_id"))).toSet
+
+    val all = emb.collect()
+    val third = all.length / 3
+    val root = java.nio.file.Files.createTempDirectory("graft-sann").toString
+    val ix1 = new StreamingAnnIndex(new ParquetTwinStore(root))
+    import scala.jdk.CollectionConverters._
+    def batchDf(rs: Array[org.apache.spark.sql.Row]) =
+      spark.createDataFrame(rs.toSeq.asJava, emb.schema)
+    ix1.processBatch(batchDf(all.slice(0, third)))
+    ix1.processBatch(batchDf(all.slice(third, 2 * third)))
+    // restart: a fresh incarnation over the same root resumes the index
+    val ix2 = new StreamingAnnIndex(new ParquetTwinStore(root))
+    ix2.processBatch(batchDf(all.slice(2 * third, all.length)))
+    assert(rows(ix2.topK(spark, query, 10)) == expectBrute,
+      "streaming exact top-k must equal the batch result")
+    assert(rows(ix2.topKLsh(spark, query, 10, dim)) == expectLsh,
+      "streaming LSH top-k over stored buckets must equal the batch result")
+    assert(rows(ix2.rangeSearch(spark, query, 0.4).orderBy(col("vec_id"))).toSet
+        == expectRange,
+      "streaming range search must equal the batch result")
+    // the index genuinely lives on disk as an append-only table
+    assert(new java.io.File(s"$root/annIndex").isDirectory)
+  }
 }
