@@ -545,13 +545,17 @@ object Dedup {
   def docLines(docs: DataFrame, wordsPerLine: Int,
                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val k = wordsPerLine
-    val ws = split(col(textCol), " ")
-    val nChunks = ceil(size(ws).cast("double") / k).cast("int")
+    // bind the token array to a materialized column FIRST: embedding the
+    // split inside the chunk lambda re-evaluates it per chunk (O(L²/k)
+    // per doc — measured 21.9s for the sf0.1 memo build; the same
+    // Expression-level note as spanPostings' tokenHashes binding)
+    val nChunks = ceil(size(col("ws")).cast("double") / k).cast("int")
     docs
       .filter(length(col(textCol)) > 0)
-      .select(col(idCol).as("id"),
+      .select(col(idCol).as("id"), split(col(textCol), " ").as("ws"))
+      .select(col("id"),
         posexplode(transform(sequence(lit(0), nChunks - 1),
-          i => array_join(slice(ws, i * k + 1, lit(k)), " "))).as(Seq("line_no", "line")))
+          i => array_join(slice(col("ws"), i * k + 1, lit(k)), " "))).as(Seq("line_no", "line")))
   }
 
   /**
