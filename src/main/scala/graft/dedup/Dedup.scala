@@ -847,8 +847,12 @@ object Dedup {
       col("band").as("band_r"), col("bk").as("bk_r"))
     l.join(r, l("band") === r("band_r") && l("bk") === r("bk_r") && l("a") < r("b"))
       .select(col("a"), col("b"), hamming(col("sa"), col("sb")).as("hamming"))
-      .dropDuplicates("a", "b")
+      // verify BEFORE deduplicating: hamming is a function of the pair,
+      // so filtering first is value-identical while the dedup shuffle
+      // carries only verified near-dup mass instead of the full banded
+      // candidate mass (birthday collisions dominate the latter)
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("a", "b")
   }
 
   /**
@@ -880,8 +884,12 @@ object Dedup {
       col("band").as("band_r"), col("bk").as("bk_r"))
     l.join(r, l("band") === r("band_r") && l("bk") === r("bk_r") && l("a") < r("b"))
       .select(col("a"), col("b"), hamming(col("sa"), col("sb")).as("hamming"))
-      .dropDuplicates("a", "b")
+      // verify BEFORE deduplicating: hamming is a function of the pair,
+      // so filtering first is value-identical while the dedup shuffle
+      // carries only verified near-dup mass instead of the full banded
+      // candidate mass (birthday collisions dominate the latter)
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("a", "b")
   }
 
   /** Same pair generation, over a precomputed [[simhashSigs]] table. */
@@ -893,7 +901,11 @@ object Dedup {
       col("band").as("band_r"), col("bk").as("bk_r"))
     l.join(r, l("band") === r("band_r") && l("bk") === r("bk_r") && l("a") < r("b"))
       .select(col("a"), col("b"), hamming(col("sa"), col("sb")).as("hamming"))
-      .dropDuplicates("a", "b")
+      // verify BEFORE deduplicating: hamming is a function of the pair,
+      // so filtering first is value-identical while the dedup shuffle
+      // carries only verified near-dup mass instead of the full banded
+      // candidate mass (birthday collisions dominate the latter)
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("a", "b")
   }
 }
