@@ -90,6 +90,13 @@ object CorpusQueries {
     "text_lm_score" -> { (s: SparkSession, dir: String) =>
       LmScore.bigramLmScores(docs(s, dir)).orderBy("doc_id")
     },
+    // DoReMi-style multiplicative-weights domain reweighting over the
+    // bigram-LM hardness signal: 3 MW rounds on the per-domain summary
+    // (one corpus pass total; rounds are domain-cardinality aggregates,
+    // see graft.corpus.Doremi)
+    "corpus_mix_doremi" -> { (s: SparkSession, dir: String) =>
+      graft.corpus.Doremi.domainWeights(docs(s, dir)).orderBy("source")
+    },
     // Deequ-style data-validation checks as data: one aggregation pass
     // computes every violation count, stack() pivots to one row per check.
     // At 100 TB this is the pre-training corpus gate a pipeline runs
@@ -721,6 +728,55 @@ object CorpusQueries {
          |  coalesce(n_bigrams, 0) AS n_bigrams,
          |  coalesce(CAST(floor(1.0 * s / n_bigrams) AS BIGINT), 0) AS lm_x1e6
          |FROM d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // the same per-doc LM chain collapsed to per-domain means, then the
+    // three multiplicative-weights rounds unrolled — the wmean/excess/
+    // update arithmetic is pure BIGINT div/greatest, replaying
+    // Doremi.domainWeights bit-exactly
+    "corpus_mix_doremi" -> {
+      def round(n: Int, prev: String): String =
+        s"""t$n AS (
+           |  SELECT CAST(sum(w * mean_lm_x1e6) AS BIGINT) // CAST(sum(w) AS BIGINT) AS wmean
+           |  FROM $prev
+           |), dm$n AS (
+           |  SELECT source, n_docs, mean_lm_x1e6,
+           |    (w * (1000 + (500 * greatest(wmean - mean_lm_x1e6, 0)) // 1000000)) // 1000 AS w
+           |  FROM $prev, t$n
+           |)""".stripMargin
+      s"""WITH d AS (
+         |  SELECT doc_id, source, string_split_regex(trim(lower(text)), '\\s+') AS toks
+         |  FROM documents
+         |), p AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, len(toks)), i -> {'w1': toks[i], 'w2': toks[i+1]})) AS pr
+         |  FROM d WHERE len(toks) >= 2
+         |), pp AS (
+         |  SELECT doc_id, pr.w1 AS w1, pr.w2 AS w2 FROM p
+         |), big AS (
+         |  SELECT w1, w2, count(*) AS c_big FROM pp GROUP BY 1, 2
+         |), ctx AS (
+         |  SELECT w1, CAST(sum(c_big) AS BIGINT) AS c_ctx FROM big GROUP BY 1
+         |), terms AS (
+         |  SELECT pp.doc_id,
+         |    CAST(floor(1000000.0 * c_big / c_ctx) AS BIGINT) AS t
+         |  FROM pp JOIN big USING (w1, w2) JOIN ctx USING (w1)
+         |), agg AS (
+         |  SELECT doc_id, count(*) AS n_bigrams, CAST(sum(t) AS BIGINT) AS s
+         |  FROM terms GROUP BY 1
+         |), perdoc AS (
+         |  SELECT d.doc_id, d.source,
+         |    coalesce(CAST(floor(1.0 * s / n_bigrams) AS BIGINT), 0) AS lm
+         |  FROM d LEFT JOIN agg USING (doc_id)
+         |), dm0 AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(lm) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_lm_x1e6,
+         |    CAST(1000 AS BIGINT) AS w
+         |  FROM perdoc GROUP BY 1
+         |), ${round(1, "dm0")}, ${round(2, "dm1")}, ${round(3, "dm2")},
+         |tf AS (SELECT CAST(sum(w) AS BIGINT) AS twf FROM dm3)
+         |SELECT source, n_docs, mean_lm_x1e6, w AS w_mult,
+         |  (1000 * w) // twf AS weight_permille
+         |FROM dm3, tf ORDER BY source""".stripMargin
+    },
     "corpus_checks" ->
       s"""WITH m AS (
          |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
