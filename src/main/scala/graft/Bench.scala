@@ -174,8 +174,20 @@ object Bench {
     val regressions = flagged.filter { case (k, (_, floor, clock)) =>
       isoErrors.contains(k) ||
         isolated.get(k).exists { iso =>
-          if (clock == "cpu") iso.cpu > 2 * floor && iso.cpu - floor > 0.5
-          else iso.wall > 2 * floor && iso.wall - floor > 0.25
+          val overBar =
+            if (clock == "cpu") iso.cpu > 2 * floor && iso.cpu - floor > 0.5
+            else iso.wall > 2 * floor && iso.wall - floor > 0.25
+          // CPU-clock sanity guard: process CPU counts EVERY JVM thread,
+          // so for sub-second queries a long-lived sweep JVM bleeds
+          // concurrent-GC work into the attribution (bisected r11:
+          // join_anti_customers 7.1 cpu-s in-sweep vs 2.9 fresh-JVM, at
+          // the floor). A real slowdown must also show on the wall clock
+          // — and steal only ever INFLATES wall, so an isolated wall
+          // under 1.5x its own floor is proof the query did not slow
+          // down, whatever the cpu attribution says.
+          val gcBleed = clock == "cpu" &&
+            hist.get(k).exists(wf => iso.wall < 1.5 * wf)
+          overBar && !gcBleed
         }
     }
     flagged.foreach { case (k, (now, floor, clock)) =>
@@ -190,8 +202,12 @@ object Bench {
             f"[bench] REGRESSION $k ($clock): $nowV%.3fs (isolated $isoV%.3fs) vs best $floor%.3fs (>2x, CONFIRMED in isolation)")
         case (Some(iso), _) =>
           val isoV = if (clock == "cpu") iso.cpu else iso.wall
+          val why =
+            if (clock == "cpu" && hist.get(k).exists(wf => iso.wall < 1.5 * wf))
+              f"isolated wall ${iso.wall}%.3fs is under 1.5x its floor (gc-bleed cpu attribution)"
+            else "sweep contention"
           System.err.println(
-            f"[bench] flag cleared: $k ($clock) $nowV%.3fs in-sweep but $isoV%.3fs isolated vs best $floor%.3fs — sweep contention, not a regression")
+            f"[bench] flag cleared: $k ($clock) $nowV%.3fs in-sweep but $isoV%.3fs isolated vs best $floor%.3fs — $why, not a regression")
         case _ => ()
       }
     }
