@@ -751,10 +751,15 @@ object Dedup {
     val dfs = inv.groupBy("h").agg(count(lit(1)).as("hdf"))
     // rank each doc's shingles in the canonical order; one shuffle on the
     // shingle key (the df join) + one on the doc id (the per-doc window)
+    // materialized once: the prefix table feeds BOTH self-join sides, and
+    // without the checkpoint Spark re-executes the whole df-rank window
+    // chain per side (the alias difference defeats exchange reuse —
+    // plan-verified: two Window chains in the un-checkpointed plan)
     val pref = inv.join(dfs, "h")
       .withColumn("rk", row_number().over(Window.partitionBy("id").orderBy(col("hdf"), col("h"))))
       .filter(col("rk") <= col("n_sh") - expr(s"(($thresholdX1000 * n_sh + 999) div 1000)") + 1)
       .select(col("id"), col("h"))
+      .localCheckpoint()
     val a = pref.select(col("id").as("a"), col("h").as("ha"))
     val b = pref.select(col("id").as("b"), col("h").as("hb"))
     val cands = a.join(b, col("ha") === col("hb") && col("a") < col("b"))
