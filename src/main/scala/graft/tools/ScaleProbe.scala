@@ -48,6 +48,9 @@ object ScaleProbe {
     // part-6 additions with pair-shaped cost: the 9-threshold sweep over
     // the loosest exact pair table, and the kNN wedge join
     "dedup_threshold_curve", "graph_link_pred",
+    // round-11: the MW mixture rounds ride the bigram-LM corpus pass —
+    // the ladder checks the domain-round tail stays O(domains)
+    "corpus_mix_doremi",
     // round-9 widening — docs/embeddings families whose candidate/state
     // growth is least obvious: the LSH-recall anti-join panel (exact
     // side by definition), wedge-join RA scoring, the minhash-graph
