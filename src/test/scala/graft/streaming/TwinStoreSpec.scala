@@ -95,6 +95,43 @@ class TwinStoreSpec extends SparkSpec {
     }
   }
 
+  test("merge fuzz: random upsert/delete/re-insert sequences — parquet == in-memory == model, across compactions") {
+    // the merge-on-read resolution (last-writer-wins per key group,
+    // sequence-ordered tombstones, compaction folds, deferred GC) is
+    // exactly where subtle bugs live; drive both stores through long
+    // random op sequences and pin them to a plain Map model after EVERY
+    // merge. Sequences are > 2*MaxDeltas so every run crosses at least
+    // two compactions.
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val root = java.nio.file.Files.createTempDirectory(s"graft-tsfuzz$trial").toString
+      val pq = new ParquetTwinStore(root)
+      val mem = new InMemoryTwinStore
+      var model = Map.empty[Long, Set[String]] // key -> current row group
+      for (step <- 1 to 2 * ParquetTwinStore.MaxDeltas + 5) {
+        // pick disjoint upsert / delete key sets over a small key space
+        // (collisions + re-inserts guaranteed); multi-row groups included
+        val keys = rnd.shuffle((0L to 9L).toList)
+        val ups = keys.take(rnd.nextInt(3) + 1)
+          .map(k => k -> (1 to rnd.nextInt(2) + 1).map(i => s"t$trial-s$step-$i").toSet)
+        val dels = keys.drop(ups.size).take(rnd.nextInt(2))
+          .filter(k => model.contains(k) || rnd.nextBoolean())
+        val upDf = ups.flatMap { case (k, vs) => vs.map(v => (k, v)) }.toDF("id", "v")
+        val delDf = if (dels.isEmpty) None else Some(dels.toDF("id"))
+        model = (model -- dels) ++ ups
+        val gotPq = rows(pq.merge("t", Seq("id"), upDf, delDf))
+        val gotMem = rows(mem.merge("t", Seq("id"), upDf, delDf))
+        val want = model.toSeq.flatMap { case (k, vs) => vs.map(v => (k, v)) }.toSet
+        assert(gotPq == want, s"trial $trial step $step: parquet diverged from the model")
+        assert(gotMem == want, s"trial $trial step $step: in-memory diverged from the model")
+      }
+      // a fresh incarnation over the same root resolves the final state
+      val want = model.toSeq.flatMap { case (k, vs) => vs.map(v => (k, v)) }.toSet
+      assert(rows(new ParquetTwinStore(root).load(spark, "t").get) == want,
+        s"trial $trial: restarted store diverged from the model")
+    }
+  }
+
   test("parquet merge: a restarted store resumes the sequence and load() resolves the merged table") {
     val root = java.nio.file.Files.createTempDirectory("graft-tsrestart").toString
     val st1 = new ParquetTwinStore(root)
