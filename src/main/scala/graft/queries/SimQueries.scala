@@ -307,6 +307,39 @@ object SimQueries {
         .orderBy(col("rrf_x1e6").desc, col("doc_id").asc)
         .limit(10)
     },
+    // E2E RETRIEVAL PIPELINE — the serving-side tail next to
+    // corpus_e2e_curate (dedup) and text_e2e_tokenize (pretraining):
+    // quality-gate the documents, restrict the STORED index rows (norm +
+    // LSH bucket signature — the StreamingAnnIndex artifact) to the kept
+    // corpus by a keyed semi-join, then answer a 5-query panel with LSH
+    // top-3 each. The index materializes once and feeds both the query
+    // panel and the candidate filter; candidates ride the broadcast
+    // 5-row panel against a map-only bucket-membership filter (never a
+    // corpus self-join), and the rank window partitions by query id.
+    // Output: 15 rows (q_id, rank, hit_id, cos_x1e6).
+    "sim_e2e_retrieval" -> { (s: SparkSession, dir: String) =>
+      import org.apache.spark.sql.expressions.Window
+      val kept = Tables.docs(s, dir)
+        .filter(graft.functions.TextFunctions.qualityScoreX1000(col("text")) >= 550)
+        .select(col("doc_id").as("id"))
+      val ix = Tables.normedEmb(s, dir).join(kept, Seq("id"), "left_semi")
+        .withColumn("cb", graft.functions.Fast.bucketsFast(col("v")))
+        .localCheckpoint()
+      val qs = ix.orderBy(col("id").asc).limit(5)
+        .select(col("id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qn"), col("cb").as("qb"))
+      val scored = ix.join(broadcast(qs),
+          exists(zip_with(col("cb"), col("qb"), (x, y) => x === y), identity) &&
+            col("id") =!= col("q_id"))
+        .select(col("q_id"), col("id"),
+          (graft.functions.Fast.dotFast(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("cos"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("id").asc)
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("rank"), col("id").as("hit_id"),
+          floor(col("cos") * lit(1000000.0)).cast("long").as("cos_x1e6"))
+        .orderBy("q_id", "rank")
+    },
     // quantization-error profile: per-cell sum of squared distance to the
     // own centroid (floored to x1e6 integers per vector — engine-exact).
     // The other index-health number next to the membership histogram: a
@@ -711,6 +744,37 @@ object SimQueries {
          |FROM n, q
          |ORDER BY (${dotSql("embedding", "qv")} / (nrm * qn)) DESC, vec_id ASC
          |LIMIT $K""".stripMargin,
+    // the gate, the kept-corpus index restriction, the bucket-membership
+    // candidate filter and the per-query rank all replayed; the quality
+    // expression is TextQueries' shared qualSql over (text, toks)
+    "sim_e2e_retrieval" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text, string_split_regex(trim(lower(text)), '\\s+') AS toks
+         |  FROM documents
+         |), kept AS (
+         |  SELECT doc_id FROM d WHERE ${TextQueries.qualSql} >= 550
+         |), n AS (
+         |  SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS nrm
+         |  FROM embeddings WHERE vec_id IN (SELECT doc_id FROM kept)
+         |), ix AS (
+         |  SELECT vec_id, embedding, nrm, ${bucketsSql("embedding")} AS bks FROM n
+         |), qs AS (
+         |  SELECT vec_id AS q_id, embedding AS qv, nrm AS qn, bks AS qbks
+         |  FROM ix ORDER BY vec_id LIMIT 5
+         |), sc AS (
+         |  SELECT q.q_id, x.vec_id AS id,
+         |    ${dotSql("x.embedding", "q.qv")} / (x.nrm * q.qn) AS cos
+         |  FROM ix x, qs q
+         |  WHERE x.vec_id <> q.q_id AND (
+         |    ${(1 to graft.sim.Similarity.tables).map(t => s"x.bks[$t] = q.qbks[$t]").mkString(" OR ")})
+         |), rk AS (
+         |  SELECT q_id, id, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, id) AS rk
+         |  FROM sc
+         |)
+         |SELECT q_id, CAST(rk AS BIGINT) AS rank, id AS hit_id,
+         |  CAST(floor(cos * 1000000.0) AS BIGINT) AS cos_x1e6
+         |FROM rk WHERE rk <= 3 ORDER BY q_id, rank""".stripMargin,
     // both rankers replayed (postings tf-idf from the query doc's own
     // top terms; brute cosine excluding self), fused by the identical
     // integer RRF
