@@ -58,8 +58,8 @@ import org.apache.spark.sql.functions._
  * oracle SQL, so no float crosses an engine boundary.
  *
  * Reference anchor: the reference has no sketches at all (all
- * aggregation is delegated to SQL — eventstorm/internal/store); this is
- * north-star scale surface per SURVEY §2.8.
+ * aggregation is delegated to SQL — eventstorm/internal/backend/backend.go);
+ * this is north-star scale surface per SURVEY §2.8.
  */
 object Hll {
 
