@@ -124,30 +124,57 @@ final class InMemoryTwinStore extends TwinStore {
  *
  *  - APPEND tables are a single directory the trigger appends one delta
  *    file-set to (state survives the JVM; a restarted twin re-reads it).
- *  - MERGED tables (`$name.m/`) are MERGE-ON-READ: each merge writes the
- *    upserts as one sequence-numbered delta file-set (`d<seq>`) and the
- *    delete keys as a tombstone file-set (`t<seq>`) — update-mass, the
- *    only state-proportional write being periodic COMPACTION: once the
- *    live delta count passes [[ParquetTwinStore.MaxDeltas]], the
- *    resolved table is folded into a new base (`base-v<seq>`) and the
- *    consumed files are garbage-collected ONE TRIGGER LATER (deferred
- *    GC, so a DataFrame handed out at trigger T survives trigger T+1 —
- *    the retention contract on [[TwinStore]]). Read resolution is
- *    last-writer-wins per key group (max file sequence), then tombstone
- *    anti-join — the standard MoR trade: update-mass writes for
- *    read-side resolution, amortized by compaction.
+ *  - MERGED tables (`$name.m/`) are HASH-BUCKETED MERGE-ON-READ. The
+ *    table dir holds [[ParquetTwinStore.NumBuckets]] bucket dirs
+ *    (`b<k>/`, k = xxhash64(key cols) mod fanout, fanout persisted in a
+ *    `_fanout` marker so restarts route identically); each bucket is an
+ *    independent mini MoR table with its own sequence-numbered delta
+ *    (`d<seq>`), tombstone (`t<seq>`) and base (`base-v<seq>`) file
+ *    sets. A merge stages the upserts/delete-keys ONCE with a
+ *    `partitionBy` write and renames each staged partition into its
+ *    bucket — so the write is one Spark job and update-mass, and ONLY
+ *    the buckets the update's keys hash to are touched. Resolution
+ *    (last-writer-wins per key group by file sequence, tombstones
+ *    participating in the order) runs PER BUCKET: touched buckets are
+ *    re-resolved and re-materialized this trigger (one batched
+ *    `localCheckpoint` over all touched buckets — update-bucket mass,
+ *    not table mass); untouched buckets are served from their cached
+ *    prior resolution, or read lazily straight from their base file
+ *    when they carry no deltas. Compaction is BUCKET-LOCAL: once a
+ *    bucket's live delta count passes [[ParquetTwinStore.MaxDeltas]],
+ *    that bucket alone folds into a new `base-v<seq>` (written from the
+ *    already-checkpointed resolution — no second read) and its consumed
+ *    files are garbage-collected ONE TRIGGER LATER (deferred GC, so a
+ *    DataFrame handed out at trigger T survives trigger T+1 — the
+ *    retention contract on [[TwinStore]]). The deferred-GC list is
+ *    persisted (`_pending_rm` marker) so a JVM restart between the
+ *    compaction and the next merge still releases the consumed files.
+ *    Net effect at scale: per-trigger read AND write cost track the
+ *    buckets the update touches, not total state mass — fixed-size
+ *    updates against a growing table stay flat as long as their keys
+ *    don't spray across every bucket (fanout is the tuning knob; a
+ *    cluster deployment sizes it like any bucketed table's).
  *  - REPLACED tables are written to a fresh versioned directory per
  *    trigger, keeping the previous version alive until the NEXT replace
  *    (same retention window as merge), then deleted.
  */
-final class ParquetTwinStore(root: String) extends TwinStore {
+final class ParquetTwinStore(root: String,
+                             fanout: Int = ParquetTwinStore.NumBuckets)
+    extends TwinStore {
   import ParquetTwinStore.MaxDeltas
 
   private val versions = scala.collection.mutable.Map.empty[String, Long]
-  private val mergeSeqs = scala.collection.mutable.Map.empty[String, Long]
+  // (table, bucket) -> last used file sequence within that bucket
+  private val bucketSeqs = scala.collection.mutable.Map.empty[(String, Int), Long]
+  // (table, bucket) -> checkpointed current resolution of that bucket;
+  // invalidated when the bucket is touched, so untouched buckets never
+  // re-pay the merge-on-read window
+  private val bucketCache =
+    scala.collection.mutable.Map.empty[(String, Int), DataFrame]
   // files consumed by a compaction, physically deleted at the START of
   // the next merge on the same table (the deferred-GC half of the
-  // retention contract)
+  // retention contract); mirrored to a `_pending_rm` marker file so a
+  // restart between compaction and next merge still releases them
   private val pendingRm = scala.collection.mutable.Map.empty[String, Seq[String]]
 
   private def rm(path: String): Unit = {
@@ -191,29 +218,47 @@ final class ParquetTwinStore(root: String) extends TwinStore {
         .map(_.toLong).foldLeft(0L)(math.max)
     })
 
-  /** Next merge sequence for a merged table, surviving restarts (scans
-    * the table dir for the max seen base/delta/tombstone sequence). */
-  private def nextMergeSeq(name: String): Long = {
-    val dir = s"$root/$name.m"
-    val cur = mergeSeqs.getOrElseUpdate(name,
+  private def bucketDir(name: String, k: Int): String = s"$root/$name.m/b$k"
+
+  /** Next file sequence within one bucket, surviving restarts (scans
+    * the bucket dir for the max seen base/delta/tombstone sequence). */
+  private def nextBucketSeq(name: String, k: Int): Long = {
+    val dir = bucketDir(name, k)
+    val cur = bucketSeqs.getOrElseUpdate((name, k),
       (seqDirs(dir, "base-v") ++ seqDirs(dir, "d") ++ seqDirs(dir, "t"))
         .map(_._1).foldLeft(0L)(math.max))
-    mergeSeqs(name) = cur + 1L
+    bucketSeqs((name, k)) = cur + 1L
     cur + 1L
   }
 
-  /** Resolve a merged table: last-writer-wins per key group across
-    * base + deltas (max file sequence), with tombstones PARTICIPATING
-    * in the sequence order — a key is live iff its latest upsert is
-    * newer than its latest tombstone, so deletion and re-insertion
-    * interleave correctly. Returns None for a table with no live data
-    * files. */
-  private def resolveMerged(spark: SparkSession, name: String,
-                            keyCols: Seq[String]): Option[DataFrame] = {
-    val dir = s"$root/$name.m"
-    val parts = (seqDirs(dir, "base-v") ++ seqDirs(dir, "d"))
-      .filter(p => hasData(p._2))
+  /** Live (post-base) delta sequences of a bucket — the compaction
+    * trigger counts these, and resolution reads only these (files older
+    * than the newest base linger one trigger for retention but are
+    * excluded from reads). */
+  private def liveParts(dir: String): (Seq[(Long, String)], Seq[(Long, String)], Option[(Long, String)]) = {
+    val base = seqDirs(dir, "base-v").filter(p => hasData(p._2)).lastOption
+    val floor = base.fold(-1L)(_._1)
+    val ds = seqDirs(dir, "d").filter(p => p._1 > floor && hasData(p._2))
+    val ts = seqDirs(dir, "t").filter(p => p._1 > floor && hasData(p._2))
+    (ds, ts, base)
+  }
+
+  /** Resolve ONE bucket: last-writer-wins per key group across its base
+    * + deltas (max file sequence), with tombstones PARTICIPATING in the
+    * sequence order — a key is live iff its latest upsert is newer than
+    * its latest tombstone, so deletion and re-insertion interleave
+    * correctly. Returns None for a bucket with no live data files; a
+    * bucket with only a base resolves to the plain base read (no window
+    * — this is what makes untouched buckets free). */
+  private def resolveBucket(spark: SparkSession, name: String,
+                            k: Int): Option[DataFrame] = {
+    val dir = bucketDir(name, k)
+    val (ds, ts, base) = liveParts(dir)
+    val parts = base.toSeq ++ ds
     if (parts.isEmpty) return None
+    if (ds.isEmpty && ts.isEmpty) return Some(spark.read.parquet(base.get._2))
+    val keyCols = readKeys(name).getOrElse(
+      throw new IllegalStateException(s"merged table $name has no _keys marker"))
     val all = parts.map { case (seq, path) =>
         spark.read.parquet(path).withColumn("_mseq", lit(seq))
       }.reduce(_ unionByName _)
@@ -221,10 +266,9 @@ final class ParquetTwinStore(root: String) extends TwinStore {
     val live = all.withColumn("_mmax", max(col("_mseq")).over(w))
       .filter(col("_mseq") === col("_mmax"))
       .drop("_mseq")
-    val tombs = seqDirs(dir, "t").filter(p => hasData(p._2))
-    if (tombs.isEmpty) Some(live.drop("_mmax"))
+    if (ts.isEmpty) Some(live.drop("_mmax"))
     else {
-      val gone = tombs.map { case (seq, path) =>
+      val gone = ts.map { case (seq, path) =>
           spark.read.parquet(path).withColumn("_tseq", lit(seq))
         }.reduce(_ unionByName _)
         .groupBy(keyCols.map(col): _*).agg(max(col("_tseq")).as("_tmax"))
@@ -233,6 +277,25 @@ final class ParquetTwinStore(root: String) extends TwinStore {
         .drop("_mmax", "_tmax"))
     }
   }
+
+  /** The current table of bucket k for serving: the cached checkpointed
+    * resolution if the bucket has one, else the lazy resolution (which
+    * for a base-only bucket is a plain file read). Does NOT checkpoint —
+    * [[merge]] batches the materialization of every bucket that needs
+    * one into a single job. */
+  private def bucketTable(spark: SparkSession, name: String,
+                          k: Int): Option[DataFrame] =
+    bucketCache.get((name, k)).orElse(resolveBucket(spark, name, k))
+
+  /** True when bucket k's current resolution is NOT backed by either the
+    * cache or a plain base file — i.e. serving it would re-run the MoR
+    * window. [[merge]] checkpoints exactly these (touched buckets this
+    * trigger, plus post-restart buckets with live deltas). */
+  private def needsMaterialize(name: String, k: Int): Boolean =
+    !bucketCache.contains((name, k)) && {
+      val (ds, ts, base) = liveParts(bucketDir(name, k))
+      (ds.nonEmpty || ts.nonEmpty) && (base.nonEmpty || ds.nonEmpty)
+    }
 
   /** Merged tables record their key columns in a `_keys` marker file so
     * a RESTARTED store can resolve them in [[load]] before the caller's
@@ -256,6 +319,51 @@ final class ParquetTwinStore(root: String) extends TwinStore {
       java.nio.charset.StandardCharsets.UTF_8).split("\n").toSeq.filter(_.nonEmpty))
   }
 
+  /** The fanout a merged table was CREATED with, persisted in a
+    * `_fanout` marker — a restarted store (possibly constructed with a
+    * different default) must route keys to the same buckets. */
+  private def tableFanout(name: String): Int = {
+    val f = new java.io.File(s"$root/$name.m/_fanout")
+    if (f.exists())
+      new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+    else {
+      java.nio.file.Files.write(f.toPath,
+        fanout.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      fanout
+    }
+  }
+
+  private def pendingRmMarker(name: String): java.io.File =
+    new java.io.File(s"$root/$name.m/_pending_rm")
+
+  /** Release files consumed by the PREVIOUS merge's compactions — they
+    * are now past their retention window. Reads the persisted marker
+    * (not just the in-memory list) so a JVM restart between compaction
+    * and next merge doesn't leak the consumed files. */
+  private def gcPending(name: String): Unit = {
+    pendingRm.remove(name): Unit
+    val f = pendingRmMarker(name)
+    if (f.exists()) {
+      new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+        .split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+        // paths are stored root-relative; refuse anything that escapes
+        .filter(p => !p.contains(".."))
+        .foreach(p => rm(s"$root/$p"))
+      f.delete(): Unit
+    }
+  }
+
+  private def schedulePendingRm(name: String, consumed: Seq[String]): Unit =
+    if (consumed.nonEmpty) {
+      val rel = consumed.map(_.stripPrefix(s"$root/"))
+      pendingRm(name) = rel
+      java.nio.file.Files.write(pendingRmMarker(name).toPath,
+        rel.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ()
+    }
+
   override def append(name: String, delta: DataFrame): DataFrame = synchronized {
     val dir = s"$root/$name"
     delta.write.mode("append").parquet(dir)
@@ -266,41 +374,89 @@ final class ParquetTwinStore(root: String) extends TwinStore {
                      deleteKeys: Option[DataFrame]): DataFrame = synchronized {
     val spark = upserts.sparkSession
     val dir = s"$root/$name.m"
-    // deferred GC: files consumed by the PREVIOUS merge's compaction are
-    // now past their retention window
-    pendingRm.remove(name).foreach(_.foreach(rm))
     new java.io.File(dir).mkdirs()
+    // deferred GC: files consumed by the PREVIOUS merge's compactions
+    // are now past their retention window
+    gcPending(name)
     writeKeys(name, keyCols)
-    val seq = nextMergeSeq(name)
-    // the per-trigger write: update-mass by construction
-    upserts.write.mode("overwrite").parquet(s"$dir/d$seq")
-    deleteKeys.foreach(d =>
-      d.select(keyCols.map(col): _*).write.mode("overwrite").parquet(s"$dir/t$seq"))
+    val n = tableFanout(name)
+    val route = pmod(xxhash64(keyCols.map(col): _*), lit(n.toLong)).cast("int")
 
-    val liveDeltas = seqDirs(dir, "d")
-    if (liveDeltas.length >= MaxDeltas && resolveMerged(spark, name, keyCols).isDefined) {
-      // compaction: fold the resolved table into a new base; consumed
-      // files go to the deferred-GC list, not the floor (held DataFrames
-      // from the previous trigger must survive this one)
-      val resolved = resolveMerged(spark, name, keyCols).get
-      val baseSeq = nextMergeSeq(name)
-      resolved.write.mode("overwrite").parquet(s"$dir/base-v$baseSeq")
-      val consumed = (seqDirs(dir, "base-v").filter(_._1 != baseSeq) ++
-        liveDeltas ++ seqDirs(dir, "t")).map(_._2)
-      pendingRm(name) = consumed
-      // resolution over the fresh base alone (old files are still on
-      // disk for retention, but excluded by reading the base directly)
-      spark.read.parquet(s"$dir/base-v$baseSeq")
-    } else {
-      // materialize the resolution ONCE per merge: callers run several
-      // actions per trigger against the returned table, and re-running
-      // the last-writer-wins window per action would multiply the MoR
-      // read amplification (durability still lives in the files — the
-      // checkpoint is a per-trigger read cache, exactly what a real
-      // MERGE's returned table version is). Empty-table degenerate case:
-      // the empty upsert frame carries the right schema.
-      resolveMerged(spark, name, keyCols).fold(upserts)(_.localCheckpoint())
+    // stage the update-mass write ONCE (one Spark job, partitioned by
+    // destination bucket), then rename each staged partition into its
+    // bucket at that bucket's next file sequence — only the buckets the
+    // update's keys hash to are touched
+    def stage(df: DataFrame, tag: String): Map[Int, String] = {
+      val sdir = s"$dir/_stage-$tag"
+      rm(sdir)
+      df.withColumn("_gb", route)
+        .write.partitionBy("_gb").mode("overwrite").parquet(sdir)
+      val staged = new java.io.File(sdir).listFiles()
+      if (staged == null) Map.empty
+      else staged.iterator
+        .filter(f => f.isDirectory && f.getName.startsWith("_gb="))
+        .map(f => f.getName.drop(4).toInt -> f.getPath).toMap
     }
+    val upStaged = stage(upserts, "u")
+    val delStaged = deleteKeys.fold(Map.empty[Int, String])(d =>
+      stage(d.select(keyCols.map(col): _*), "t"))
+    val touched = (upStaged.keySet ++ delStaged.keySet).toSeq.sorted
+    for (k <- touched) {
+      val bdir = new java.io.File(bucketDir(name, k))
+      bdir.mkdirs(): Unit
+      // upsert and tombstone of ONE merge share a sequence (upsert/delete
+      // key sets are disjoint within a call; strict `>` in resolution
+      // keeps a same-seq tombstone authoritative for its own keys)
+      val seq = nextBucketSeq(name, k)
+      upStaged.get(k).foreach { p =>
+        require(new java.io.File(p).renameTo(new java.io.File(s"${bdir.getPath}/d$seq")),
+          s"failed to place delta for bucket $k of $name")
+      }
+      delStaged.get(k).foreach { p =>
+        require(new java.io.File(p).renameTo(new java.io.File(s"${bdir.getPath}/t$seq")),
+          s"failed to place tombstone for bucket $k of $name")
+      }
+      bucketCache.remove((name, k)): Unit
+    }
+    rm(s"$dir/_stage-u"); rm(s"$dir/_stage-t")
+
+    // materialize every bucket whose resolution would otherwise re-run
+    // the MoR window per caller action — the touched buckets, plus (post
+    // restart) untouched buckets carrying live deltas — in ONE batched
+    // localCheckpoint: the per-trigger materialization is touched-bucket
+    // mass, never table mass. Untouched buckets keep their cached prior
+    // resolution or their plain base read.
+    val need = (0 until n).filter(k => needsMaterialize(name, k))
+    if (need.nonEmpty) {
+      val tagged = need.map(k =>
+          resolveBucket(spark, name, k).get.withColumn("_gb", lit(k)))
+        .reduce(_ unionByName _).localCheckpoint()
+      for (k <- need)
+        bucketCache((name, k)) = tagged.filter(col("_gb") === k).drop("_gb")
+    }
+
+    // BUCKET-LOCAL compaction: a bucket past MaxDeltas live deltas folds
+    // its (already-checkpointed) resolution into a fresh base; consumed
+    // files go to the PERSISTED deferred-GC list, not the floor (held
+    // DataFrames from the previous trigger must survive this one)
+    val consumed = Seq.newBuilder[String]
+    for (k <- touched) {
+      val bdir = bucketDir(name, k)
+      val (ds, ts, base) = liveParts(bdir)
+      if (ds.length >= MaxDeltas) {
+        val baseSeq = nextBucketSeq(name, k)
+        bucketCache((name, k)).write.mode("overwrite")
+          .parquet(s"$bdir/base-v$baseSeq")
+        consumed ++= (base.toSeq ++ ds ++ ts).map(_._2)
+      }
+    }
+    schedulePendingRm(name, consumed.result())
+
+    // the full current table: cached/materialized buckets union lazy
+    // base reads; empty-table degenerate case — the empty upsert frame
+    // carries the right schema
+    val parts = (0 until n).flatMap(k => bucketTable(spark, name, k))
+    if (parts.isEmpty) upserts else parts.reduce(_ unionByName _)
   }
 
   override def replace(name: String, df: DataFrame): DataFrame = synchronized {
@@ -314,9 +470,14 @@ final class ParquetTwinStore(root: String) extends TwinStore {
   override def load(spark: SparkSession, name: String): Option[DataFrame] =
     synchronized {
       val mergedDir = new java.io.File(s"$root/$name.m")
-      if (mergedDir.isDirectory)
-        readKeys(name).flatMap(ks => resolveMerged(spark, name, ks))
-      else {
+      if (mergedDir.isDirectory) {
+        // lazy per-bucket resolution; the next merge on the table
+        // materializes (and caches) exactly the buckets carrying live
+        // deltas, so a restarted twin pays the window once, batched
+        val n = tableFanout(name)
+        val parts = (0 until n).flatMap(k => bucketTable(spark, name, k))
+        if (parts.isEmpty) None else Some(parts.reduce(_ unionByName _))
+      } else {
         val plain = new java.io.File(s"$root/$name")
         if (plain.isDirectory) Some(spark.read.parquet(plain.getPath))
         else {
@@ -328,8 +489,14 @@ final class ParquetTwinStore(root: String) extends TwinStore {
 }
 
 object ParquetTwinStore {
-  /** Live-delta count that triggers a merged-table compaction: per-
-    * trigger cost stays update-mass for `MaxDeltas - 1` triggers, then
-    * one trigger pays the (amortized) table-mass fold. */
+  /** Live-delta count that triggers a BUCKET-LOCAL compaction: a
+    * bucket's per-trigger cost stays update-mass for `MaxDeltas - 1`
+    * touches, then one touch pays the (amortized) bucket-mass fold. */
   val MaxDeltas = 8
+
+  /** Default merged-table fanout. Small for the test/probe scale; a
+    * cluster deployment sizes it like any bucketed table (state mass /
+    * target bucket size) — the marker file makes per-table fanout a
+    * creation-time choice, not a code constant. */
+  val NumBuckets = 16
 }

@@ -1,0 +1,111 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * Bucketed-TwinStore read-path probe — the evidence for the r12 store
+ * refactor: merge-on-read RESOLUTION cost must track the buckets an
+ * update TOUCHES, not total state mass ([[graft.streaming.ParquetTwinStore]]
+ * hash-buckets each merged table; untouched buckets serve from their
+ * cached resolution or base files).
+ *
+ * Construction: one merged table, default fanout. Every trigger lands
+ * two merges —
+ *
+ *  1. a GROWTH merge: `growPerTrigger` brand-new keys, pre-filtered to
+ *     hash AWAY from bucket 0 (the table's standing mass grows
+ *     linearly, spread over the other 15 buckets);
+ *  2. a timed HOT-UPDATE merge: the SAME `hotKeys` keys (all hashing
+ *     into bucket 0) re-upserted — the fixed-size update against the
+ *     growing table.
+ *
+ * With the pre-r12 whole-table resolution the hot merge would re-read
+ * and re-window the ENTIRE table (cost ∝ trigger number); with
+ * bucket-local resolution it touches only bucket 0, whose mass is
+ * constant — so the hot-update series must stay FLAT while the table
+ * grows 30×. The growth merges are recorded too: their cost tracks
+ * their touched buckets' (growing) mass — the honest statement of what
+ * bucketing buys (update-locality, not magic). A final SPRAY merge
+ * (same update size, keys across all buckets) shows the worst case:
+ * every bucket touched = table-mass resolution, the fanout tuning
+ * knob's other end.
+ *
+ * Writes `twinstore_probe.json`; `Bench` embeds it into
+ * `bench_detail.json` (key "twinstore").
+ *
+ * Usage: `sbt "runMain graft.tools.TwinStoreProbe [nTriggers out]"`
+ */
+object TwinStoreProbe {
+
+  private def f(v: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, v)
+
+  def main(args: Array[String]): Unit = {
+    val nTriggers = if (args.length > 0) args(0).toInt else 30
+    val out = if (args.length > 1) args(1) else "twinstore_probe.json"
+    val growPerTrigger = 5000
+    val hotSize = 500
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    import graft.streaming.ParquetTwinStore
+
+    val fanout = ParquetTwinStore.NumBuckets
+    // id pools by destination bucket, via the store's own routing hash
+    val pool = spark.range(0, (nTriggers * growPerTrigger + hotSize) * 3L)
+      .select(col("id"), pmod(xxhash64(col("id")), lit(fanout.toLong)).as("b"))
+    val hotKeys = pool.filter(col("b") === 0).limit(hotSize)
+      .select("id").as[Long].collect()
+    val growKeys = pool.filter(col("b") =!= 0)
+      .limit(nTriggers * growPerTrigger).select("id").as[Long].collect()
+    require(growKeys.length == nTriggers * growPerTrigger, "id pool too small")
+
+    val root = java.nio.file.Files.createTempDirectory("graft-tsprobe").toString
+    val st = new ParquetTwinStore(root)
+    def df(ids: Array[Long], tag: String) =
+      ids.toSeq.toDF("id").withColumn("v", concat(lit(tag), col("id")))
+
+    def timed(thunk: => Unit): (Double, Double) = {
+      val c0 = graft.util.ProcStat.cpuNs(); val t0 = System.nanoTime()
+      thunk
+      ((System.nanoTime() - t0) / 1e9, (graft.util.ProcStat.cpuNs() - c0) / 1e9)
+    }
+
+    val steal0 = graft.util.ProcStat.stealJiffies()
+    val hotT = Array.ofDim[(Double, Double)](nTriggers)
+    val growT = Array.ofDim[(Double, Double)](nTriggers)
+    for (t <- 0 until nTriggers) {
+      val slice = growKeys.slice(t * growPerTrigger, (t + 1) * growPerTrigger)
+      growT(t) = timed { st.merge("t", Seq("id"), df(slice, s"g$t-"), None): Unit }
+      hotT(t) = timed { st.merge("t", Seq("id"), df(hotKeys, s"h$t-"), None): Unit }
+      System.err.println(f"[tsprobe] trigger $t: grow ${growT(t)._1}%.2fs, hot ${hotT(t)._1}%.2fs (table ${(t + 1) * growPerTrigger + hotSize} rows)")
+    }
+    // worst case: same update size but keys sprayed across every bucket
+    val sprayKeys = growKeys.take(hotSize)
+    val spray = timed { st.merge("t", Seq("id"), df(sprayKeys, "spray-"), None): Unit }
+    val stealPct = graft.util.ProcStat.stealPct(steal0, graft.util.ProcStat.stealJiffies())
+
+    // flat-ness: mean of the last 5 hot updates over the mean of hot
+    // updates 3..7 (skip the cold-start triggers); bucket 0 compacts
+    // every MaxDeltas-th hot merge, so compare non-compaction triggers
+    val cN = ParquetTwinStore.MaxDeltas
+    val steady = (3 until nTriggers).filter(i => (i + 1) % cN != 0)
+    val early = steady.take(5).map(hotT(_)._1)
+    val late = steady.takeRight(5).map(hotT(_)._1)
+    val earlyC = steady.take(5).map(hotT(_)._2)
+    val lateC = steady.takeRight(5).map(hotT(_)._2)
+    def mean(xs: Seq[Double]) = xs.sum / xs.length
+
+    val json =
+      s"""{"n_triggers":$nTriggers,"fanout":$fanout,"grow_rows_per_trigger":$growPerTrigger,"hot_update_rows":$hotSize,"final_table_rows":${nTriggers * growPerTrigger + hotSize},"hot_update_s":[${hotT.map(p => f(p._1)).mkString(",")}],"hot_update_cpu_s":[${hotT.map(p => f(p._2)).mkString(",")}],"grow_merge_s":[${growT.map(p => f(p._1)).mkString(",")}],"hot_early_mean_s":${f(mean(early))},"hot_late_mean_s":${f(mean(late))},"hot_growth":${f(mean(late) / mean(early))},"hot_growth_cpu":${f(mean(lateC) / mean(earlyC))},"spray_update_s":${f(spray._1)},"spray_update_cpu_s":${f(spray._2)},"steal_pct":${f(stealPct)},"note":"hot updates re-upsert a FIXED key set confined to bucket 0 while growth merges inflate the other 15 buckets ${nTriggers}x: flat hot_update_s (hot_growth ~1) = resolve cost tracks touched-bucket mass, not table mass. grow_merge_s tracks its touched buckets' growing mass (the honest bucketing trade); spray_update_s is the all-buckets-touched worst case."}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (json + "\n").getBytes("UTF-8"))
+    System.out.println(json)
+    spark.stop()
+  }
+}

@@ -55,10 +55,11 @@ class TwinStoreSpec extends SparkSpec {
     }
   }
 
-  test("parquet merge: compaction folds deltas into a base and the result is unchanged") {
+  test("parquet merge: compaction folds a bucket's deltas into a base and the result is unchanged") {
     val root = java.nio.file.Files.createTempDirectory("graft-tscompact").toString
-    val st = new ParquetTwinStore(root)
-    // MaxDeltas + 3 merges: enough to cross the compaction threshold
+    // fanout 1: every key lands in bucket b0, so MaxDeltas + 3 merges
+    // are guaranteed to cross the compaction threshold
+    val st = new ParquetTwinStore(root, 1)
     var expect = Map.empty[Long, String]
     var cur: DataFrame = null
     for (i <- 1 to ParquetTwinStore.MaxDeltas + 3) {
@@ -67,11 +68,11 @@ class TwinStoreSpec extends SparkSpec {
       cur = st.merge("t", Seq("id"), kv(id -> s"v$i"), None)
     }
     assert(rows(cur) == expect.map { case (k, v) => (k, v) }.toSet)
-    val parts = new java.io.File(s"$root/t.m").listFiles().map(_.getName)
+    val parts = new java.io.File(s"$root/t.m/b0").listFiles().map(_.getName)
     assert(parts.exists(_.startsWith("base-v")),
       s"compaction must have produced a base, saw ${parts.toSeq}")
     // live (post-compaction) delta count is bounded by MaxDeltas
-    // regardless of how many merges ran — the table never accumulates
+    // regardless of how many merges ran — the bucket never accumulates
     // unbounded read amplification. (Consumed files linger one trigger
     // for the retention window, so count dirs NEWER than the base.)
     val baseSeq = parts.filter(_.startsWith("base-v")).map(_.drop(6).toLong).max
@@ -81,18 +82,80 @@ class TwinStoreSpec extends SparkSpec {
       s"live deltas must reset at compaction, saw ${parts.toSeq}")
   }
 
+  test("parquet merge: compaction is bucket-local — untouched buckets keep their files") {
+    val root = java.nio.file.Files.createTempDirectory("graft-tsblocal").toString
+    val st = new ParquetTwinStore(root, 4)
+    // seed many keys so several buckets hold data
+    st.merge("t", Seq("id"), kv((0L until 64L).map(i => i -> s"seed$i"): _*), None)
+    val before = (0 until 4).map(k =>
+      Option(new java.io.File(s"$root/t.m/b$k").list()).fold(Set.empty[String])(_.toSet))
+    assert(before.count(_.nonEmpty) >= 3, "seed should touch most buckets")
+    // hammer ONE key (one bucket) straight through its compaction
+    var cur: DataFrame = null
+    for (i <- 1 to ParquetTwinStore.MaxDeltas + 3)
+      cur = st.merge("t", Seq("id"), kv(7L -> s"hot$i"), None)
+    val after = (0 until 4).map(k =>
+      Option(new java.io.File(s"$root/t.m/b$k").list()).fold(Set.empty[String])(_.toSet))
+    val changed = (0 until 4).count(k => before(k) != after(k))
+    assert(changed == 1,
+      s"only key 7's bucket may change, but ${changed} buckets did")
+    val hot = (0 until 4).find(k => before(k) != after(k)).get
+    assert(after(hot).exists(_.startsWith("base-v")),
+      s"the hot bucket must have compacted, saw ${after(hot)}")
+    // and the table is still correct: 64 seeds with key 7 overwritten
+    assert(cur.count() == 64L)
+    assert(rows(cur.filter(cur("id") === 7L)) ==
+      Set((7L, s"hot${ParquetTwinStore.MaxDeltas + 3}")))
+  }
+
   test("parquet merge: retention — a table returned at trigger T is readable through trigger T+1") {
     val root = java.nio.file.Files.createTempDirectory("graft-tsretain").toString
-    val st = new ParquetTwinStore(root)
+    // fanout 1 so the run drives straight through a compaction; at every
+    // step, the PREVIOUS trigger's returned DataFrame must still execute
+    // (deferred GC)
+    val st = new ParquetTwinStore(root, 1)
     var held: DataFrame = null
-    // drive straight through a compaction; at every step, the PREVIOUS
-    // trigger's returned DataFrame must still execute (deferred GC)
     for (i <- 1 to ParquetTwinStore.MaxDeltas + 3) {
       val next = st.merge("t", Seq("id"), kv(i.toLong -> s"v$i"), None)
       if (held != null) assert(held.count() == (i - 1).toLong,
         s"the previous trigger's table must survive trigger $i")
       held = next
     }
+  }
+
+  test("parquet merge: deferred GC survives a restart (persisted _pending_rm)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-tsgc").toString
+    val st = new ParquetTwinStore(root, 1)
+    for (i <- 1 to ParquetTwinStore.MaxDeltas)
+      st.merge("t", Seq("id"), kv(i.toLong -> s"v$i"), None)
+    // the compaction just scheduled its consumed files; a NEW store over
+    // the same root (simulating a JVM restart) must release them on its
+    // first merge rather than leak them forever
+    val marker = new java.io.File(s"$root/t.m/_pending_rm")
+    assert(marker.exists(), "compaction must persist its deferred-GC list")
+    val doomed = scala.io.Source.fromFile(marker).getLines().toList.filter(_.nonEmpty)
+    assert(doomed.nonEmpty)
+    val st2 = new ParquetTwinStore(root)
+    val cur = st2.merge("t", Seq("id"), kv(99L -> "post"), None)
+    assert(!marker.exists(), "the restarted store's merge must run the deferred GC")
+    doomed.foreach(p => assert(!new java.io.File(s"$root/$p").exists(),
+      s"consumed path $p must be deleted after the retention window"))
+    assert(cur.count() == ParquetTwinStore.MaxDeltas + 1L)
+  }
+
+  test("parquet merge: bucket routing survives a restart with a DIFFERENT default fanout") {
+    val root = java.nio.file.Files.createTempDirectory("graft-tsfan").toString
+    val st = new ParquetTwinStore(root, 4)
+    st.merge("t", Seq("id"), kv((0L until 32L).map(i => i -> s"a$i"): _*), None)
+    // a restarted store constructed with another fanout must keep
+    // routing by the table's persisted _fanout marker
+    val st2 = new ParquetTwinStore(root, 16)
+    val cur = st2.merge("t", Seq("id"), kv(5L -> "B"), Some(keys(6L)))
+    val got = rows(cur)
+    assert(got.size == 31 && got((5L, "B")) && !got.exists(_._1 == 6L))
+    assert(!new java.io.File(s"$root/t.m/b7").isDirectory ||
+      (0 until 16).forall(k => k < 4 || !new java.io.File(s"$root/t.m/b$k").isDirectory),
+      "no bucket beyond the creation fanout may appear")
   }
 
   test("merge fuzz: random upsert/delete/re-insert sequences — parquet == in-memory == model, across compactions") {
@@ -105,7 +168,11 @@ class TwinStoreSpec extends SparkSpec {
     val rnd = new scala.util.Random(42)
     for (trial <- 1 to 3) {
       val root = java.nio.file.Files.createTempDirectory(s"graft-tsfuzz$trial").toString
-      val pq = new ParquetTwinStore(root)
+      // fanout 2: the 10-key space splits across two buckets and each
+      // bucket still crosses its compaction threshold within the run,
+      // so the fuzz exercises routing, per-bucket sequences AND
+      // bucket-local compaction in the same trajectory
+      val pq = new ParquetTwinStore(root, 2)
       val mem = new InMemoryTwinStore
       var model = Map.empty[Long, Set[String]] // key -> current row group
       for (step <- 1 to 2 * ParquetTwinStore.MaxDeltas + 5) {
