@@ -44,24 +44,51 @@ import org.apache.spark.sql.functions._
  */
 object Doremi {
 
+  /** Per-domain LM-score summary `(source, n_docs, s)` from
+    * already-computed per-doc scores + a (doc_id, source) map — shared
+    * by the batch collapse and [[graft.streaming.StreamingDoremi]]'s
+    * serve path (which re-scores from its STORED profile/model tables,
+    * never the corpus). NOTE this summary is NOT itself mergeable
+    * across batches: `lm_x1e6` is scored under the corpus-TRAINED
+    * model, which changes as data arrives — the mergeable state is the
+    * bigram model and the per-doc profiles (plain sums), not the score
+    * sums. */
+  def domainSumsFromScores(scores: DataFrame, docSource: DataFrame): DataFrame =
+    scores
+      .join(docSource.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("lm_x1e6")).as("s"))
+
+  /** Per-domain LM-score summary `(source, n_docs, s)`. */
+  def domainSums(docs: DataFrame): DataFrame =
+    domainSumsFromScores(LmScore.bigramLmScores(docs), docs)
+
+  /** `(source, n_docs, mean_lm_x1e6)` from the additive summary. */
+  def meansFromSums(sums: DataFrame): DataFrame =
+    sums.select(col("source"), col("n_docs"),
+      expr("s div n_docs").as("mean_lm_x1e6"))
+
   /** Per-domain LM-score summary `(source, n_docs, mean_lm_x1e6)` — the
     * single corpus collapse the MW rounds iterate on. Documents without
     * bigrams score 0 (they drag their domain's mean, deterministically). */
   def domainMeans(docs: DataFrame): DataFrame =
-    LmScore.bigramLmScores(docs)
-      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"), sum(col("lm_x1e6")).as("s"))
-      .select(col("source"), col("n_docs"),
-        expr("s div n_docs").as("mean_lm_x1e6"))
+    meansFromSums(domainSums(docs))
 
   /** `rounds` multiplicative-weights rounds over [[domainMeans]]:
     * `(source, n_docs, mean_lm_x1e6, w_mult, weight_permille)` with
     * `w_mult` the final unnormalized weight (start 1000) and
     * `weight_permille` its share of the final mixture. */
   def domainWeights(docs: DataFrame, etaX1000: Long = 500,
-                    rounds: Int = 3): DataFrame = {
-    var w = domainMeans(docs).withColumn("w", lit(1000L))
+                    rounds: Int = 3): DataFrame =
+    weightsFromMeans(domainMeans(docs), etaX1000, rounds)
+
+  /** The MW rounds over an already-collapsed `(source, n_docs,
+    * mean_lm_x1e6)` table — shared by the batch query and the streaming
+    * twin's serve path (which retrains from the maintained domain table
+    * without re-reading the corpus). */
+  def weightsFromMeans(means: DataFrame, etaX1000: Long,
+                       rounds: Int): DataFrame = {
+    var w = means.withColumn("w", lit(1000L))
     for (_ <- 1 to rounds) {
       val tot = w.agg(sum(expr("w * mean_lm_x1e6")).as("sw"), sum(col("w")).as("tw"))
       w = w.crossJoin(broadcast(tot))

@@ -57,14 +57,25 @@ final class StreamingAnnIndex(store: TwinStore = new InMemoryTwinStore) {
   }
 
   /** Absorb one micro-batch of (vec_id, embedding) rows: one map-only
-    * pass computes each vector's norm and bucket signature; the store
-    * append is delta-sized. */
+    * pass computes each vector's norm and bucket signature
+    * ([[Similarity.annIndexRows]] — the same builder the batch serving
+    * queries read through, so twin and batch index rows are identical
+    * by construction); the store append is delta-sized.
+    *
+    * Exactly-once ingest under crash-redelivery: the index is id-keyed
+    * and insert-only, so a redelivered micro-batch re-offers ids that
+    * already landed — they anti-join out against the stored index (a
+    * keyed lookup), leaving only the genuinely new rows. Because ids
+    * drop out individually, even a partially-committed append replays
+    * cleanly (`StreamingSpec` pins the redelivery no-op). */
   def processBatch(vecs: DataFrame): Unit = synchronized {
     resume(vecs.sparkSession)
     if (vecs.isEmpty) return
-    val delta = Similarity.normed(vecs)
-      .withColumn("cb", graft.functions.Fast.bucketsFast(col("v")))
-    index = Some(store.append("annIndex", delta))
+    val delta = Similarity.annIndexRows(vecs)
+    val fresh = index.fold(delta)(ix =>
+      delta.join(ix.select(col("id")), Seq("id"), "left_anti").localCheckpoint())
+    if (index.isEmpty || !fresh.isEmpty)
+      index = Some(store.append("annIndex", fresh))
   }
 
   /** Exact top-k over the corpus-so-far. */

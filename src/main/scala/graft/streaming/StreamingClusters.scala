@@ -72,9 +72,21 @@ final class StreamingClusters(thresholdX1000: Long,
 
   /** Absorb one micro-batch of (doc_id, text) rows. Synchronized: one
     * trigger at a time mutates the state tables (foreachBatch already
-    * serializes triggers; this guards ad-hoc callers). */
-  def processBatch(docs: DataFrame): Unit = synchronized {
-    resume(docs.sparkSession)
+    * serializes triggers; this guards ad-hoc callers).
+    *
+    * Replay safety: a crash-redelivered micro-batch would double-append
+    * the signature tables and pair arriving docs against their own
+    * corpus copies, so (a) docs already in the LAST-written state table
+    * (`corpusBands`) anti-join out up front — a fully committed trigger
+    * replays as a no-op — and (b) each signature append itself
+    * anti-joins against its own table, so a crash BETWEEN the two
+    * appends re-lands only the missing one (`StreamingSpec` pins the
+    * redelivery). */
+  def processBatch(docs0: DataFrame): Unit = synchronized {
+    resume(docs0.sparkSession)
+    val docs = corpusBands.fold(docs0)(cb =>
+      docs0.join(cb.select(col("id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti").localCheckpoint())
     if (docs.isEmpty) return
     val newSets = Dedup.shingleSets(docs).localCheckpoint()
     val newBands = Dedup.bandedSignatures(newSets)
@@ -100,8 +112,12 @@ final class StreamingClusters(thresholdX1000: Long,
         store.merge("labels", Seq("id"),
           Dedup.duplicateClustersAltStar(pairs), None)
     })
-    corpusSets = Some(store.append("corpusSets", newSets))
-    corpusBands = Some(store.append("corpusBands", newBands))
+    // per-table replay guards: only rows whose id is genuinely absent
+    // land (covers a crash between the two appends)
+    corpusSets = Some(store.append("corpusSets", corpusSets.fold(newSets)(cs =>
+      newSets.join(cs.select(col("id")).distinct(), Seq("id"), "left_anti"))))
+    corpusBands = Some(store.append("corpusBands", corpusBands.fold(newBands)(cb =>
+      newBands.join(cb.select(col("id")).distinct(), Seq("id"), "left_anti"))))
   }
 
   /** Attach to a streaming (doc_id, text) source: every micro-batch is

@@ -58,10 +58,29 @@ import graft.dedup.{Dedup, Winnow}
  * into the counter table every trigger; the two are pinned equal after
  * every trigger in `StreamingSpec`.
  *
- * Ingest contract: exactly-once doc ids — ENFORCED at the sink:
- * [[processBatch]] anti-joins each batch against the stored metadata
- * table by doc id, so a crash-redelivered micro-batch (or any replay)
- * is absorbed as a no-op instead of double-counting `n_raw`.
+ * Ingest contract: exactly-once doc ids — ENFORCED at the sink, and
+ * CRASH-ATOMIC per trigger. The trigger's state writes are framed by a
+ * write-ahead/commit pair: a tiny `absorbing` intent table (batch doc
+ * ids) is appended FIRST, and the `meta` table — the replay guard every
+ * batch is anti-joined against — is merged LAST. A fully committed
+ * trigger therefore absorbs its redelivery as a no-op (the guard), and
+ * a trigger that crashed between any two state writes is detected on
+ * redelivery (ids in `absorbing` but not `meta`) and RE-PROCESSED
+ * rather than dropped: every state write is idempotent under
+ * re-application (`posts`/`meta` are keyed merges; the exact-keeper,
+ * signature, label and flag merges re-derive their upserts from
+ * post-state), the dethronement set widens to a touched-group sweep
+ * against the stored metadata (a tombstone for an already-removed key
+ * is a no-op, so over-approximating is safe), and the flag ledger plus
+ * the serving counters — whose pre-crash deltas are unrecoverable once
+ * the label merge committed — are re-evaluated from the stored state
+ * wholesale (table-mass on exactly the replay trigger; the
+ * crash-recovery price of exactly-once re-processing without a
+ * cross-table transactional store — clean triggers stay
+ * affected-set-sized). `StreamingSpec`
+ * pins a crash at EVERY write boundary: kill the trigger after its
+ * k-th store write, redeliver through a fresh twin, and the final
+ * state must equal the batch recompute for all k.
  */
 final class StreamingCuration(thresholdX1000: Long,
                               store: TwinStore = new InMemoryTwinStore) {
@@ -77,6 +96,9 @@ final class StreamingCuration(thresholdX1000: Long,
   private var flags: Option[DataFrame] = None      // (doc_id, source, h, qx, nt, s_exact, s_kb, s_q, contam, s_clean)
   // per-source counter table the serving report reads (O(sources) rows)
   private var counters: Option[DataFrame] = None   // (source, n_raw, n_exact, n_keepbest, n_quality, n_clean, n_toks)
+  // write-ahead intent record: doc ids whose trigger STARTED writing
+  // state (appended before any other write; `meta` commits the trigger)
+  private var absorbing: Option[DataFrame] = None
   private var resumed = false
 
   /** A restarted pipeline resumes every state table from the store —
@@ -89,6 +111,7 @@ final class StreamingCuration(thresholdX1000: Long,
       resumed = true
       meta = store.load(spark, "meta")
       posts = store.load(spark, "posts")
+      absorbing = store.load(spark, "absorbing")
       exactKeep = store.load(spark, "exactKeep")
       eSets = store.load(spark, "eSets")
       eBands = store.load(spark, "eBands")
@@ -127,14 +150,16 @@ final class StreamingCuration(thresholdX1000: Long,
     * callers.
     *
     * Replay safety: Structured Streaming REDELIVERS the last uncommitted
-    * micro-batch after a crash, and the store's append verbs would then
-    * double-append `meta`/`posts` and the counters would double-fold —
-    * so the batch is anti-joined against the resumed metadata table on
-    * doc_id first (a cheap keyed lookup through the same state the
-    * trigger reads anyway). Already-absorbed rows drop out and a full
-    * replay becomes a no-op; this ENFORCES the exactly-once-doc-id
-    * ingest contract instead of documenting it (`StreamingSpec` pins a
-    * full-batch replay through the parquet store). */
+    * micro-batch after a crash. A FULLY committed trigger is caught by
+    * the guard below — the batch anti-joins against the stored metadata
+    * table on doc_id (`meta` is the LAST write of a trigger, i.e. the
+    * commit record), so its redelivery is a no-op. A PARTIALLY committed
+    * trigger (crash between two state writes) is detected by the
+    * write-ahead `absorbing` table — the FIRST write — and re-processed
+    * through replay-stable derivations (see the class doc); the only
+    * increment-based table, the serving counters, is recomputed from the
+    * flag ledger on that trigger alone. `StreamingSpec` pins a crash at
+    * every write boundary. */
   def processBatch(rawDocs: DataFrame): Unit = synchronized {
     resume(rawDocs.sparkSession)
     val docs = meta match {
@@ -146,9 +171,19 @@ final class StreamingCuration(thresholdX1000: Long,
     if (docs.isEmpty) return
     val oldLabels = labelTable // pre-trigger labeling, for the counter diff
     val bm = Curation.docMeta(docs).localCheckpoint()
-    meta = Some(store.append("meta", bm))
+    val bIds0 = bm.select(col("doc_id"))
+    // a batch doc already in the intent table means the previous
+    // delivery of this trigger crashed mid-write: state is partially
+    // updated, so switch every non-idempotent derivation to its
+    // replay-stable form
+    val replay = absorbing.exists(a =>
+      !bIds0.join(a, Seq("doc_id"), "left_semi").isEmpty)
+    absorbing = Some(store.append("absorbing", bIds0))
+
     val bp = Winnow.postings(docs).localCheckpoint()
-    posts = Some(store.append("posts", bp))
+    // keyed merge, not append: a replayed trigger re-upserts each doc's
+    // posting group instead of double-appending it
+    posts = Some(store.merge("posts", Seq("doc_id"), bp, None))
 
     // ---- exact-keeper merge + survivor-set deltas ----
     val bMin = bm.groupBy("h").agg(min(col("doc_id")).as("new_id"))
@@ -162,17 +197,50 @@ final class StreamingCuration(thresholdX1000: Long,
         // least() skips nulls, so a one-sided h keeps its only candidate.
         // Only the CHANGED keys (new h, or a dethroning smaller id) go
         // through the store — the merge upsert is update-mass.
-        val changed = old.join(bMin, Seq("h"), "full_outer")
+        val ful = old.join(bMin, Seq("h"), "full_outer")
           .select(col("h"), col("keep_id").as("old_keep"), col("new_id"))
+          .localCheckpoint()
+        val changed = ful
           .withColumn("keep_id", least(col("old_keep"), col("new_id")))
           .filter(col("old_keep").isNull || col("keep_id") < col("old_keep"))
-          .localCheckpoint()
-        (store.merge("exactKeep", Seq("h"),
-          changed.select(col("h"), col("keep_id")), None),
-          // a changed keeper is ALWAYS a batch doc (min ids only decrease)
-          changed.select(col("keep_id").as("id")).localCheckpoint(),
-          Some(changed.filter(col("old_keep").isNotNull)
-            .select(col("old_keep").as("id")).localCheckpoint()))
+        val ek = store.merge("exactKeep", Seq("h"),
+          changed.select(col("h"), col("keep_id")), None)
+        // entered = batch docs that ARE the post-merge keeper of their
+        // group. On a clean trigger this is exactly the changed-keeper
+        // set (a new doc id can only be the stored keeper by dethroning
+        // or creating the group this trigger); on a replay — where the
+        // keeper merge already applied and `changed` is empty — it still
+        // re-derives the docs whose downstream absorption may not have
+        // committed. Always a batch-doc set (min ids only decrease).
+        val ent = ful.filter(col("new_id").isNotNull &&
+            least(col("old_keep"), col("new_id")) === col("new_id"))
+          .select(col("new_id").as("id")).localCheckpoint()
+        val exi =
+          if (!replay)
+            Some(changed.filter(col("old_keep").isNotNull)
+              .select(col("old_keep").as("id")).localCheckpoint())
+          else
+            // replay-stable dethronement sweep: every HISTORICAL doc of
+            // a batch-touched group that is NOT the group's current
+            // keeper — catches removals the crashed delivery computed
+            // but only partially committed (deleting an already-removed
+            // key is a no-op, so over-approximating is safe, and it
+            // re-tombstones whichever of eSets/eBands missed its
+            // delete). Restricted to the batch's h groups via the
+            // pre-trigger metadata (meta lacks the batch: it is the
+            // commit record), so the sweep is touched-group-mass; it
+            // runs only on the crash-recovery trigger, never the
+            // steady-state path.
+            meta match {
+              case Some(m0) =>
+                Some(m0.select(col("doc_id"), col("h"))
+                  .join(bMin.select(col("h")), Seq("h"), "left_semi")
+                  .join(ek.select(col("h"), col("keep_id")), Seq("h"))
+                  .filter(col("doc_id") =!= col("keep_id"))
+                  .select(col("doc_id").as("id")).localCheckpoint())
+              case _ => None
+            }
+        (ek, ent, exi)
     }
     exactKeep = Some(nextEk)
 
@@ -217,8 +285,15 @@ final class StreamingCuration(thresholdX1000: Long,
     val selfPairs = Dedup.minhashLshPairsFromBanded(enteredBands, enteredSets, thresholdX1000)
     val delta =
       if (prevSets != null)
+        // the corpus side excludes the entering docs: a no-op on clean
+        // triggers (a new doc id can't be in the standing store), but on
+        // a replay — where the signature merge may already have absorbed
+        // the batch — it keeps the between-pass sides disjoint (no
+        // self-pairs, no duplicate orientations)
         Dedup.minhashLshPairsBetweenBanded(enteredBands, enteredSets,
-          prevBands, prevSets, thresholdX1000).unionByName(selfPairs)
+          prevBands.join(entered, Seq("id"), "left_anti"),
+          prevSets.join(entered, Seq("id"), "left_anti"),
+          thresholdX1000).unionByName(selfPairs)
       else selfPairs
     val pairs = delta.select(col("a"), col("b"))
     val next =
@@ -245,7 +320,13 @@ final class StreamingCuration(thresholdX1000: Long,
     eBands = Some(store.merge("eBands", Seq("id"), enteredBands, exited))
 
     maintainCounters(docs.sparkSession, bm, bp, oldLabels, exited, nextEk,
-      labelTable.get)
+      labelTable.get, replay)
+
+    // COMMIT RECORD, last: the guard table. A redelivery after this
+    // write is a full no-op; a redelivery before it re-processes through
+    // the replay-stable paths above. Keyed merge so a crash mid-write
+    // (some buckets placed, some not) re-upserts instead of duplicating.
+    meta = Some(store.merge("meta", Seq("doc_id"), bm, None))
   }
 
   /**
@@ -279,10 +360,16 @@ final class StreamingCuration(thresholdX1000: Long,
    */
   private def maintainCounters(spark: SparkSession, bm: DataFrame, bp: DataFrame,
                                oldLabels: Option[DataFrame], exited: Option[DataFrame],
-                               nextEk: DataFrame, nextLabels: DataFrame): Unit = {
+                               nextEk: DataFrame, nextLabels: DataFrame,
+                               replay: Boolean): Unit = {
     import org.apache.spark.sql.functions.broadcast
-    val fl0 = flags.getOrElse(emptyFlags(spark))
     val bIds = bm.select(col("doc_id").as("id"))
+    // on a replay the ledger may already hold the batch docs' rows; the
+    // batch metadata is authoritative for them, so drop the ledger's
+    // copies from every union below (a no-op on clean triggers — the
+    // guard keeps ledger and batch disjoint)
+    val fl0 = flags.getOrElse(emptyFlags(spark))
+      .join(bIds, col("doc_id") === bIds("id"), "left_anti")
 
     // ---- newly contaminated docs (monotone flip) ----
     val ps = posts.get
@@ -310,8 +397,19 @@ final class StreamingCuration(thresholdX1000: Long,
         ol.join(hitK, Seq("keeper"), "left_semi").select(col("id"))
       case _ => bIds.limit(0)
     }
-    val a1 = bIds.unionByName(xIds).unionByName(oldHitMembers)
-      .unionByName(newContam).distinct().localCheckpoint()
+    val a1base = bIds.unionByName(xIds).unionByName(oldHitMembers)
+      .unionByName(newContam)
+    // crash-recovery trigger: the pre-crash labeling is unrecoverable
+    // (the label merge may have committed), so flag flips the crashed
+    // delivery computed for OTHER members of its touched clusters can't
+    // be re-derived from any delta — re-evaluate the WHOLE ledger once.
+    // Table-mass on exactly the replay trigger (like the counters
+    // rebuild below — the price of exactly-once re-processing without a
+    // cross-table transactional store); clean triggers stay
+    // affected-set-sized.
+    val a1 =
+      (if (replay) a1base.unionByName(fl0.select(col("doc_id").as("id")))
+       else a1base).distinct().localCheckpoint()
     // close over whole clusters in the NEW labeling: keep-best is a
     // cluster-local argmax, so any touched cluster re-evaluates ALL its
     // members
@@ -347,9 +445,12 @@ final class StreamingCuration(thresholdX1000: Long,
         col("s_exact"), col("s_kb"), col("s_q"), col("contam"), col("s_clean"))
       .localCheckpoint()
 
-    // ---- counter deltas = new-flag vectors minus old-flag vectors ----
-    // a NEW doc has no old row, so its +1 raw contribution survives the
-    // diff; an existing doc's raw contributions cancel to 0
+    // ---- ledger merge FIRST: the re-evaluated (affected-set) rows
+    // upsert by doc id; unaffected rows are never rewritten (update-mass
+    // write). Written before the counters so a replay can rebuild the
+    // counters from a ledger that already absorbed this batch.
+    flags = Some(store.merge("flags", Seq("doc_id"), nf, None))
+
     def vec(df: DataFrame, sign: Long): DataFrame = df.select(col("source"),
       lit(sign).as("d_raw"),
       when(col("s_exact"), sign).otherwise(0L).as("d_exact"),
@@ -357,21 +458,29 @@ final class StreamingCuration(thresholdX1000: Long,
       when(col("s_q"), sign).otherwise(0L).as("d_q"),
       when(col("s_clean"), sign).otherwise(0L).as("d_clean"),
       when(col("s_clean"), col("nt") * sign).otherwise(0L).as("d_toks"))
-    val oldA = fl0.join(aIds, fl0("doc_id") === aIds("id"), "left_semi")
-    val delta = vec(nf, 1L).unionByName(vec(oldA, -1L))
-    val prev = counters.getOrElse(emptyCounters(spark))
-      .select(col("source"), col("n_raw").as("d_raw"), col("n_exact").as("d_exact"),
-        col("n_keepbest").as("d_kb"), col("n_quality").as("d_q"),
-        col("n_clean").as("d_clean"), col("n_toks").as("d_toks"))
+    def fold(deltas: DataFrame): DataFrame = deltas.groupBy("source")
+      .agg(sum(col("d_raw")).as("n_raw"), sum(col("d_exact")).as("n_exact"),
+        sum(col("d_kb")).as("n_keepbest"), sum(col("d_q")).as("n_quality"),
+        sum(col("d_clean")).as("n_clean"), sum(col("d_toks")).as("n_toks"))
     counters = Some(store.replace("counters",
-      prev.unionByName(delta).groupBy("source")
-        .agg(sum(col("d_raw")).as("n_raw"), sum(col("d_exact")).as("n_exact"),
-          sum(col("d_kb")).as("n_keepbest"), sum(col("d_q")).as("n_quality"),
-          sum(col("d_clean")).as("n_clean"), sum(col("d_toks")).as("n_toks"))))
-
-    // ---- ledger merge: the re-evaluated (affected-set) rows upsert by
-    // doc id; unaffected rows are never rewritten (update-mass write)
-    flags = Some(store.merge("flags", Seq("doc_id"), nf, None))
+      if (replay)
+        // crash-recovery trigger: the increment-based diff cannot know
+        // whether the crashed delivery already folded its delta, so
+        // rebuild the counters from the (just-merged, authoritative)
+        // flag ledger — table-mass ONCE, on this trigger only
+        fold(vec(flags.get, 1L))
+      else {
+        // counter deltas = new-flag vectors minus old-flag vectors; a
+        // NEW doc has no old row, so its +1 raw contribution survives
+        // the diff, while an existing doc's raw contributions cancel
+        val oldA = fl0.join(aIds, fl0("doc_id") === aIds("id"), "left_semi")
+        val delta = vec(nf, 1L).unionByName(vec(oldA, -1L))
+        val prev = counters.getOrElse(emptyCounters(spark))
+          .select(col("source"), col("n_raw").as("d_raw"), col("n_exact").as("d_exact"),
+            col("n_keepbest").as("d_kb"), col("n_quality").as("d_q"),
+            col("n_clean").as("d_clean"), col("n_toks").as("d_toks"))
+        fold(prev.unionByName(delta))
+      }))
   }
 
   private def emptyFlags(spark: SparkSession): DataFrame = {

@@ -34,10 +34,20 @@ import graft.corpus.{Unigram, Wordpiece}
  * trigger is EXACTLY the batch training output on the full corpus —
  * `StreamingSpec` pins both families under micro-batch splits, and the
  * restart path through [[ParquetTwinStore]].
+ *
+ * Exactly-once ingest under crash-redelivery: the type table is
+ * ADDITIVE state (a replayed fold would double-add the batch's
+ * counts), so each stored row carries the id of the last micro-batch
+ * folded into it (`last_bid` — Structured Streaming redelivers an
+ * uncommitted trigger with the SAME batch id and data). The upsert
+ * derivation keeps a row's standing count unchanged when its
+ * `last_bid` already equals the arriving batch id, making the fold
+ * idempotent PER WORD-TYPE ROW — a crash even mid-merge re-applies
+ * cleanly. `StreamingSpec` pins a redelivered trigger as a no-op.
  */
 final class StreamingVocab(store: TwinStore = new InMemoryTwinStore) {
 
-  private var types: Option[DataFrame] = None // (w, wc) cumulative
+  private var types: Option[DataFrame] = None // (w, wc, last_bid) cumulative
   private var resumed = false
 
   private def resume(spark: SparkSession): Unit =
@@ -49,25 +59,32 @@ final class StreamingVocab(store: TwinStore = new InMemoryTwinStore) {
   /** The maintained word-type frequency table `(w, wc)`. */
   def wordTypes(spark: SparkSession): DataFrame = synchronized {
     resume(spark)
-    types.getOrElse {
+    types.fold {
       import spark.implicits._
       Seq.empty[(String, Long)].toDF("w", "wc")
-    }
+    }(_.select(col("w"), col("wc")))
   }
 
-  /** Absorb one micro-batch of documents (needs a `text` column). */
-  def processBatch(docs: DataFrame): Unit = synchronized {
+  /** Absorb one micro-batch of documents (needs a `text` column);
+    * `batchId` is the Structured Streaming micro-batch id — stable
+    * across a crash redelivery, which is what makes the additive fold
+    * idempotent. */
+  def processBatch(docs: DataFrame, batchId: Long): Unit = synchronized {
     resume(docs.sparkSession)
     if (docs.isEmpty) return
     val bt = Unigram.wordTypes(docs).localCheckpoint()
     val upserts = types match {
-      case None => bt
+      case None => bt.withColumn("last_bid", lit(batchId))
       case Some(t) =>
         // updated counts for the batch's types only: standing count (a
-        // keyed semi-lookup into the state) + batch count
-        bt.join(t.withColumnRenamed("wc", "wc_old"), Seq("w"), "left")
+        // keyed semi-lookup into the state) + batch count — unless this
+        // row already absorbed this very batch id (crash redelivery)
+        bt.select(col("w"), col("wc").as("bwc"))
+          .join(t.withColumnRenamed("wc", "wc_old"), Seq("w"), "left")
           .select(col("w"),
-            (col("wc") + coalesce(col("wc_old"), lit(0L))).as("wc"))
+            when(col("last_bid") === batchId, col("wc_old"))
+              .otherwise(col("bwc") + coalesce(col("wc_old"), lit(0L))).as("wc"),
+            lit(batchId).as("last_bid"))
     }
     types = Some(store.merge("wordTypes", Seq("w"), upserts, None))
   }
@@ -92,7 +109,7 @@ final class StreamingVocab(store: TwinStore = new InMemoryTwinStore) {
 
   /** Attach to a streaming document source. */
   def sink(stream: DataFrame): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      processBatch(batch)
+    stream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
+      processBatch(batch, bid)
     }
 }

@@ -1012,12 +1012,20 @@ class StreamingSpec extends SparkSpec {
     // writes are sequence-numbered deltas, replace tables are versioned
     // with old versions GC'd
     val files = new java.io.File(root).listFiles().map(_.getName).toSet
-    assert(files.contains("meta") && files.contains("posts"))
+    // meta/posts are doc-keyed MERGES since the crash-atomicity work
+    // (idempotent re-application under replay); absorbing is the
+    // write-ahead intent append
+    assert(files.contains("meta.m") && files.contains("posts.m") &&
+      files.contains("absorbing"))
     assert(files.contains("labels.m") && files.contains("exactKeep.m"),
       s"merged tables must live in merge-on-read dirs, saw $files")
-    val labelParts = new java.io.File(s"$root/labels.m").listFiles().map(_.getName)
-    assert(labelParts.exists(_.startsWith("d")),
-      s"merged tables must accumulate per-trigger deltas, saw ${labelParts.toSeq}")
+    // merged tables are hash-bucketed: per-trigger deltas live inside
+    // the touched buckets' dirs
+    val labelParts = new java.io.File(s"$root/labels.m").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("b"))
+      .flatMap(b => Option(b.list()).getOrElse(Array.empty[String]))
+    assert(labelParts.exists(n => n.startsWith("d") && n.drop(1).forall(_.isDigit)),
+      s"merged tables must accumulate per-trigger deltas inside buckets, saw ${labelParts.toSeq}")
     assert(files.count(_.startsWith("counters-v")) <= 2,
       s"old replace versions must be GC'd, saw $files")
   }
@@ -1099,6 +1107,58 @@ class StreamingSpec extends SparkSpec {
       "a redelivered micro-batch must not perturb the clustering")
   }
 
+  test("curation trigger is crash-atomic: a crash after EVERY store-write boundary, then redelivery, lands on the batch state") {
+    import spark.implicits._
+    import graft.dedup.{Dedup, Winnow}
+    // a trigger makes 9 store writes (absorbing, posts, exactKeep,
+    // labels, eSets, eBands, flags, counters, meta-commit); kill the
+    // trigger after each prefix, redeliver the batch through a fresh
+    // incarnation (exactly Structured Streaming's crash contract), and
+    // the final state must equal the batch recompute — the write-ahead/
+    // commit framing plus replay-stable derivations make the partial
+    // trigger re-processable instead of silently dropped or doubled
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+      .filter(col("doc_id") % 3 === 0)
+    val orig = docs.as[CurRow].collect().toSeq
+    val twins = orig.filter(_.doc_id % 12 == 0)
+      .map(r => CurRow(r.doc_id + 1000000L, r.source, r.text.toUpperCase))
+    val aug = (orig ++ twins).sortBy(-_.doc_id) // twins first; later batches dethrone
+    val augDf = aug.toDF()
+    val expectReport = reportRows(graft.queries.CorpusQueries.e2eCurate(
+      augDf, Dedup.shingleSets(augDf), Winnow.postings(augDf)))
+    // ONE continuous trajectory, 10 batches, EVERY batch delivered
+    // through a trigger that crashes after a DIFFERENT write boundary
+    // (0 = before any write .. 9 = fully committed) and is then
+    // redelivered through a fresh incarnation — so each boundary is hit
+    // against genuinely accumulated state, dethronements included. After
+    // every redelivery the serving counters must agree with the full
+    // state recompute (the exact invariant a lost/doubled delta breaks);
+    // the batch oracle pins the final state.
+    val per = (aug.length + 9) / 10
+    val batches = aug.grouped(per).toSeq
+    val root = java.nio.file.Files.createTempDirectory("graft-crash").toString
+    // fanout 4 keeps the per-merge file/job fanout test-sized
+    for ((b, boundary) <- batches.zipWithIndex) {
+      val doomed = new StreamingCuration(300,
+        new CrashAfter(new ParquetTwinStore(root, 4), boundary))
+      val crashed =
+        try { doomed.processBatch(b.toDF()); false }
+        catch { case e: RuntimeException if e.getMessage == "injected crash" => true }
+      assert(crashed == (boundary < 9), s"boundary $boundary: expected 9 writes/trigger")
+      // redelivery through a fresh incarnation over the same root
+      val cur = new StreamingCuration(300, new ParquetTwinStore(root, 4))
+      cur.processBatch(b.toDF())
+      assert(reportRows(cur.reportServed(spark)) == reportRows(cur.report(spark)),
+        s"crash after write $boundary: serving counters diverged from the state recompute")
+    }
+    val fin = new StreamingCuration(300, new ParquetTwinStore(root, 4))
+    assert(reportRows(fin.report(spark)) == expectReport,
+      "final state after ten crash-redelivery cycles diverged from the batch pipeline")
+    assert(reportRows(fin.reportServed(spark)) == expectReport,
+      "final serving counters after ten crash-redelivery cycles diverged from the batch pipeline")
+  }
+
   test("streaming cluster maintenance through the PARQUET state store == batch recompute") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -1145,11 +1205,14 @@ class StreamingSpec extends SparkSpec {
     val third = all.length / 3
     val root = java.nio.file.Files.createTempDirectory("graft-svocab").toString
     val sv1 = new StreamingVocab(new ParquetTwinStore(root))
-    sv1.processBatch(all.slice(0, third).toDF())
-    sv1.processBatch(all.slice(third, 2 * third).toDF())
+    sv1.processBatch(all.slice(0, third).toDF(), batchId = 0L)
+    sv1.processBatch(all.slice(third, 2 * third).toDF(), batchId = 1L)
     // new incarnation over the same root: resumes the type table
     val sv2 = new StreamingVocab(new ParquetTwinStore(root))
-    sv2.processBatch(all.slice(2 * third, all.length).toDF())
+    sv2.processBatch(all.slice(2 * third, all.length).toDF(), batchId = 2L)
+    // crash-redelivery no-op: the SAME batch id re-offered must not
+    // double-add the type counts (per-row last_bid idempotency)
+    sv2.processBatch(all.slice(2 * third, all.length).toDF(), batchId = 2L)
     assert(vrows(sv2.unigramVocab(spark)) == expectUni,
       "streaming unigram vocab must equal the batch training output")
     assert(vrows(sv2.wordpieceVocab(spark)) == expectWp,
@@ -1189,6 +1252,9 @@ class StreamingSpec extends SparkSpec {
     // restart: a fresh incarnation over the same root resumes the index
     val ix2 = new StreamingAnnIndex(new ParquetTwinStore(root))
     ix2.processBatch(batchDf(all.slice(2 * third, all.length)))
+    // crash-redelivery no-op: already-landed ids anti-join out instead
+    // of double-appending index rows
+    ix2.processBatch(batchDf(all.slice(2 * third, all.length)))
     assert(rows(ix2.topK(spark, query, 10)) == expectBrute,
       "streaming exact top-k must equal the batch result")
     assert(rows(ix2.topKLsh(spark, query, 10, dim)) == expectLsh,
@@ -1199,4 +1265,105 @@ class StreamingSpec extends SparkSpec {
     // the index genuinely lives on disk as an append-only table
     assert(new java.io.File(s"$root/annIndex").isDirectory)
   }
+
+  test("streaming DoReMi twin: merged domain sums + reweight == batch mixture (restart + redelivery)") {
+    import spark.implicits._
+    import graft.corpus.Doremi
+    // DoReMi's hardness signal is the corpus-TRAINED bigram LM, so the
+    // mergeable state is the model + per-doc profiles (plain sums), not
+    // the score sums; the twin maintains those and re-scores from the
+    // stored tables on serve, so the served weights must equal the
+    // batch query exactly — across a restart, and with a
+    // crash-redelivered trigger as a no-op (model rows are last_bid
+    // idempotent, profile/source appends are id-guarded)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+    def wrows(df: org.apache.spark.sql.DataFrame): Seq[(String, Long, Long, Long, Long)] =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sorted.toSeq
+    val expect = wrows(Doremi.domainWeights(docs))
+
+    val all = docs.as[CurRow].collect().toSeq
+    val third = all.length / 3
+    val root = java.nio.file.Files.createTempDirectory("graft-sdoremi").toString
+    val sd1 = new StreamingDoremi(new ParquetTwinStore(root))
+    sd1.processBatch(all.slice(0, third).toDF(), batchId = 0L)
+    sd1.processBatch(all.slice(third, 2 * third).toDF(), batchId = 1L)
+    // restart: a fresh incarnation over the same root resumes the table
+    val sd2 = new StreamingDoremi(new ParquetTwinStore(root))
+    sd2.processBatch(all.slice(2 * third, all.length).toDF(), batchId = 2L)
+    // crash-redelivery no-op: the SAME batch id must not double-add
+    sd2.processBatch(all.slice(2 * third, all.length).toDF(), batchId = 2L)
+    assert(wrows(sd2.weights(spark)) == expect,
+      "streaming-final DoReMi weights must equal the batch mixture")
+    // the model is a merged table; the profiles/sources are appends
+    assert(new java.io.File(s"$root/lmModel.m").isDirectory)
+    assert(new java.io.File(s"$root/docProfiles").isDirectory)
+  }
+
+  test("live ingest -> index -> retrieval: streamed gate + ANN index serve the batch sim_e2e_retrieval panel (restart included)") {
+    import spark.implicits._
+    import graft.sim.Similarity
+    import graft.functions.TextFunctions
+    // the full serving pipeline as one streaming test: documents arrive,
+    // the quality gate keeps some, their embeddings land in the
+    // streaming ANN index, and the shared retrievalPanel over the
+    // maintained index must equal the BATCH sim_e2e_retrieval query on
+    // the same corpus (same gate, same index rows, same panel)
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val expect = graft.queries.SimQueries.queries("sim_e2e_retrieval")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+
+    val all = docs.as[CurRow].collect().toSeq.sortBy(_.doc_id)
+    val third = all.length / 3
+    val root = java.nio.file.Files.createTempDirectory("graft-livepipe").toString
+    def ingest(ix: StreamingAnnIndex, batch: Seq[CurRow]): Unit = {
+      // the live gate: keep arriving docs passing the quality bar, then
+      // hand their embeddings to the index twin (a keyed lookup of the
+      // batch's ids into the embedding source)
+      val keptIds = batch.toDF()
+        .filter(TextFunctions.qualityScoreX1000(col("text")) >= 550)
+        .select(col("doc_id"))
+      ix.processBatch(emb.join(keptIds, emb("vec_id") === keptIds("doc_id"), "left_semi"))
+    }
+    val ix1 = new StreamingAnnIndex(new ParquetTwinStore(root))
+    ingest(ix1, all.slice(0, third))
+    ingest(ix1, all.slice(third, 2 * third))
+    // restart mid-pipeline, then the final batch + its crash redelivery
+    val ix2 = new StreamingAnnIndex(new ParquetTwinStore(root))
+    ingest(ix2, all.slice(2 * third, all.length))
+    ingest(ix2, all.slice(2 * third, all.length))
+    val got = Similarity.retrievalPanel(ix2.indexed(spark))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expect,
+      "the live pipeline's served panel must equal the batch e2e retrieval query")
+  }
+}
+
+/** Fault-injection wrapper for the crash-atomicity pin: forwards the
+  * first `n` state writes, then throws — modeling a foreachBatch
+  * trigger dying between two store writes (reads are unaffected, as a
+  * crash loses no committed files). */
+final class CrashAfter(inner: TwinStore, n: Int) extends TwinStore {
+  private var writes = 0
+  private def tick(): Unit = {
+    writes += 1
+    if (writes > n) throw new RuntimeException("injected crash")
+  }
+  override def append(name: String, delta: org.apache.spark.sql.DataFrame) = {
+    tick(); inner.append(name, delta)
+  }
+  override def merge(name: String, keyCols: Seq[String],
+                     upserts: org.apache.spark.sql.DataFrame,
+                     deleteKeys: Option[org.apache.spark.sql.DataFrame]) = {
+    tick(); inner.merge(name, keyCols, upserts, deleteKeys)
+  }
+  override def replace(name: String, df: org.apache.spark.sql.DataFrame) = {
+    tick(); inner.replace(name, df)
+  }
+  override def load(spark: org.apache.spark.sql.SparkSession, name: String) =
+    inner.load(spark, name)
 }
