@@ -309,36 +309,23 @@ object SimQueries {
     },
     // E2E RETRIEVAL PIPELINE — the serving-side tail next to
     // corpus_e2e_curate (dedup) and text_e2e_tokenize (pretraining):
-    // quality-gate the documents, restrict the STORED index rows (norm +
-    // LSH bucket signature — the StreamingAnnIndex artifact) to the kept
-    // corpus by a keyed semi-join, then answer a 5-query panel with LSH
-    // top-3 each. The index materializes once and feeds both the query
-    // panel and the candidate filter; candidates ride the broadcast
-    // 5-row panel against a map-only bucket-membership filter (never a
-    // corpus self-join), and the rank window partitions by query id.
+    // quality-gate the documents, restrict the STORED serving index
+    // (Tables.annIndex — the StreamingAnnIndex artifact's batch
+    // stand-in, same row builder) to the kept corpus by a keyed
+    // semi-join, then answer the shared 5-query LSH panel
+    // (Similarity.retrievalPanel: broadcast panel, map-only bucket
+    // membership, rank window partitioned by query id — never a corpus
+    // self-join or re-hash). The gate materializes once as an id list;
+    // the index itself is never rebuilt here — at 100 TB both are
+    // stored tables and this query is pure serving.
     // Output: 15 rows (q_id, rank, hit_id, cos_x1e6).
     "sim_e2e_retrieval" -> { (s: SparkSession, dir: String) =>
-      import org.apache.spark.sql.expressions.Window
       val kept = Tables.docs(s, dir)
         .filter(graft.functions.TextFunctions.qualityScoreX1000(col("text")) >= 550)
         .select(col("doc_id").as("id"))
-      val ix = Tables.normedEmb(s, dir).join(kept, Seq("id"), "left_semi")
-        .withColumn("cb", graft.functions.Fast.bucketsFast(col("v")))
         .localCheckpoint()
-      val qs = ix.orderBy(col("id").asc).limit(5)
-        .select(col("id").as("q_id"), col("v").as("qv"),
-          col("nrm").as("qn"), col("cb").as("qb"))
-      val scored = ix.join(broadcast(qs),
-          exists(zip_with(col("cb"), col("qb"), (x, y) => x === y), identity) &&
-            col("id") =!= col("q_id"))
-        .select(col("q_id"), col("id"),
-          (graft.functions.Fast.dotFast(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("cos"))
-      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("id").asc)
-      scored.withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 3)
-        .select(col("q_id"), col("rank"), col("id").as("hit_id"),
-          floor(col("cos") * lit(1000000.0)).cast("long").as("cos_x1e6"))
-        .orderBy("q_id", "rank")
+      Similarity.retrievalPanel(
+        Tables.annIndex(s, dir).join(kept, Seq("id"), "left_semi"))
     },
     // quantization-error profile: per-cell sum of squared distance to the
     // own centroid (floored to x1e6 integers per vector — engine-exact).

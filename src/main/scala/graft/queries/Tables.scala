@@ -56,6 +56,15 @@ object Tables {
   def normedEmb(s: SparkSession, dir: String): DataFrame =
     memo(s, dir, "normedEmb")(Similarity.normed(emb(s, dir)))
 
+  /** The stored ANN serving index `(id, v, nrm, cb)` — the batch
+    * stand-in for the [[graft.streaming.StreamingAnnIndex]]-maintained
+    * artifact, built by the SAME row builder
+    * ([[Similarity.annIndexRows]]) so retrieval queries read the index
+    * the ingest pipeline maintains instead of re-hashing the corpus. */
+  def annIndex(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "annIndex")(
+      Similarity.annIndexRowsFromNormed(normedEmb(s, dir)).localCheckpoint())
+
   /** Materialized 8-token span-hash postings `(id, pos, span_h)` of
     * `documents` (see [[Dedup.spanPostings]]) — shared by the span
     * blocklist and the per-doc contamination profile. */

@@ -77,6 +77,52 @@ object Similarity {
       .withColumn("nrm", graft.functions.Fast.normFast(col("v")))
       .localCheckpoint() // materialize once, truncate the lambda lineage
 
+  /** The full serving-index row `(id, v, nrm, cb)` — norm plus LSH
+    * bucket signature, one map-only pass. THE shared index builder:
+    * [[graft.streaming.StreamingAnnIndex]] maintains exactly this table
+    * per micro-batch, and the batch retrieval queries
+    * (`sim_e2e_retrieval`) read it as a stored artifact
+    * (`Tables.annIndex`), so streaming and batch serve identical rows
+    * by construction. */
+  def annIndexRows(vecs: DataFrame, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame =
+    annIndexRowsFromNormed(normed(vecs, idCol, vecCol))
+
+  /** [[annIndexRows]] over an already-normed `(id, v, nrm)` frame (the
+    * batch path reuses the memoized normed corpus). */
+  def annIndexRowsFromNormed(normedVecs: DataFrame): DataFrame =
+    normedVecs.withColumn("cb", graft.functions.Fast.bucketsFast(col("v")))
+
+  /** The retrieval SERVING panel over a stored index `(id, v, nrm, cb)`
+    * (possibly restricted to a kept corpus): the `nQueries` smallest-id
+    * index rows become the query panel, every query answers by LSH
+    * bucket membership + exact cosine re-rank, top `k` per query. The
+    * panel rides a BROADCAST of the tiny query side against a map-only
+    * bucket-membership filter — never a corpus self-join — and the rank
+    * window partitions by query id. Shared verbatim by the batch query
+    * (`sim_e2e_retrieval`) and the live pipeline
+    * (StreamingCuration gate → StreamingAnnIndex → this panel), which
+    * is what `StreamingSpec`'s ingest→index→serve pin leans on.
+    * Output: `nQueries · k` rows (q_id, rank, hit_id, cos_x1e6). */
+  def retrievalPanel(ix: DataFrame, nQueries: Int = 5, k: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos").desc, col("id").asc)
+    val qs = ix.orderBy(col("id").asc).limit(nQueries)
+      .select(col("id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("cb").as("qb"))
+    ix.join(broadcast(qs),
+        exists(zip_with(col("cb"), col("qb"), (x, y) => x === y), identity) &&
+          col("id") =!= col("q_id"))
+      .select(col("q_id"), col("id"),
+        (graft.functions.Fast.dotFast(col("v"), col("qv")) /
+          (col("nrm") * col("qn"))).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("id").as("hit_id"),
+        floor(col("cos") * lit(1000000.0)).cast("long").as("cos_x1e6"))
+      .orderBy("q_id", "rank")
+  }
+
   /**
    * Exact brute-force top-k: cosine of every corpus vector against the
    * single query row (broadcast), ordered (cos desc, id asc), limit k.

@@ -51,6 +51,11 @@ object ScaleProbe {
     // round-11: the MW mixture rounds ride the bigram-LM corpus pass —
     // the ladder checks the domain-round tail stays O(domains)
     "corpus_mix_doremi",
+    // round-12: the retrieval serving tail (gate -> stored-index
+    // restriction -> broadcast LSH panel) — the ladder checks the
+    // panel's candidate mass stays bucket-bounded (the output is fixed
+    // 15 rows; cost must track the gate scan + membership filter, ~1)
+    "sim_e2e_retrieval",
     // round-9 widening — docs/embeddings families whose candidate/state
     // growth is least obvious: the LSH-recall anti-join panel (exact
     // side by definition), wedge-join RA scoring, the minhash-graph

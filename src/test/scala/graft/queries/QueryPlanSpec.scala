@@ -695,6 +695,32 @@ class QueryPlanSpec extends SparkSpec {
     }
   }
 
+  test("sim_e2e_retrieval: broadcast 5-row panel, no corpus self-join, rank window partitioned by query id") {
+    val df = SimQueries.queries("sim_e2e_retrieval")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString()
+    // the candidate pass rides the BROADCAST of the 5-row query panel
+    // against the stored index (a broadcast nested-loop on the bucket
+    // membership predicate) — never a corpus×corpus self-join: the only
+    // join shapes allowed are broadcasts and the keyed kept-semi-join
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"expected the panel to ride a broadcast join in:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"no corpus self-join may appear in:\n$plan")
+    assert(!plan.contains("SortMergeJoin ["),
+      s"no corpus-scale shuffle join may appear (panel is broadcast-tier, kept-restriction is a hash semi-join) in:\n$plan")
+    // the rank window partitions by q_id (never a partitionBy-less window)
+    assert(plan.contains("Window") && plan.contains("partitionBy") ||
+        "windowspecdefinition\\(q_id".r.findFirstIn(plan.toLowerCase).isDefined ||
+        plan.contains("Window [q_id") || plan.contains("[q_id"),
+      s"expected the rank window keyed by q_id in:\n$plan")
+    // and the index is served from the memoized stored artifact — the
+    // corpus is not re-hashed inside the query (no bucket/norm kernels
+    // in the serving plan's own pipeline, which would mark a rebuild)
+    val own = plan.split("Scan ExistingRDD")(0)
+    assert(!own.contains("buckets_fast") || !own.contains("norm_fast"),
+      s"the serving plan must read stored index rows, not rebuild them:\n$plan")
+  }
+
   test("corpus_e2e_curate: the seven-stage composition pays exactly one minhash pass") {
     // The pipeline's cluster stage bands the exact survivors once; no
     // other stage may trigger a signature scan (a second pass would mean
