@@ -62,12 +62,13 @@ import graft.dedup.{Dedup, Winnow}
  * CRASH-ATOMIC per trigger. The trigger's state writes are framed by a
  * write-ahead/commit pair: a tiny `absorbing` intent table (batch doc
  * ids) is appended FIRST, and the `meta` table — the replay guard every
- * batch is anti-joined against — is merged LAST. A fully committed
+ * batch is anti-joined against — is appended LAST. A fully committed
  * trigger therefore absorbs its redelivery as a no-op (the guard), and
  * a trigger that crashed between any two state writes is detected on
  * redelivery (ids in `absorbing` but not `meta`) and RE-PROCESSED
  * rather than dropped: every state write is idempotent under
- * re-application (`posts`/`meta` are keyed merges; the exact-keeper,
+ * re-application (`posts` appends behind a doc-id anti-join, `meta` is
+ * disjoint from the batch by the guard itself; the exact-keeper,
  * signature, label and flag merges re-derive their upserts from
  * post-state), the dethronement set widens to a touched-group sweep
  * against the stored metadata (a tombstone for an already-removed key
@@ -181,9 +182,14 @@ final class StreamingCuration(thresholdX1000: Long,
     absorbing = Some(store.append("absorbing", bIds0))
 
     val bp = Winnow.postings(docs).localCheckpoint()
-    // keyed merge, not append: a replayed trigger re-upserts each doc's
-    // posting group instead of double-appending it
-    posts = Some(store.merge("posts", Seq("doc_id"), bp, None))
+    // append with an id replay guard: a replayed trigger re-lands only
+    // the docs whose postings never committed (append-only tables must
+    // NOT go through the keyed merge verb — a doc-id delta sprays every
+    // store bucket, so the merge's touched-bucket re-materialization
+    // degenerates to table mass per trigger; the anti-join keeps the
+    // write delta-sized AND idempotent at doc granularity)
+    posts = Some(store.append("posts", posts.fold(bp)(p =>
+      bp.join(p.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti"))))
 
     // ---- exact-keeper merge + survivor-set deltas ----
     val bMin = bm.groupBy("h").agg(min(col("doc_id")).as("new_id"))
@@ -324,9 +330,12 @@ final class StreamingCuration(thresholdX1000: Long,
 
     // COMMIT RECORD, last: the guard table. A redelivery after this
     // write is a full no-op; a redelivery before it re-processes through
-    // the replay-stable paths above. Keyed merge so a crash mid-write
-    // (some buckets placed, some not) re-upserts instead of duplicating.
-    meta = Some(store.merge("meta", Seq("doc_id"), bm, None))
+    // the replay-stable paths above. Plain APPEND (not merge — see the
+    // posts comment): the batch is disjoint from the stored metadata by
+    // the guard itself, and a crash mid-append leaves some docs
+    // committed — the per-doc guard then re-processes exactly the
+    // missing ones on the next delivery.
+    meta = Some(store.append("meta", bm))
   }
 
   /**

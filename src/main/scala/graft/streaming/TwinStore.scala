@@ -427,13 +427,16 @@ final class ParquetTwinStore(root: String,
     // mass, never table mass. Untouched buckets keep their cached prior
     // resolution or their plain base read.
     val need = (0 until n).filter(k => needsMaterialize(name, k))
-    if (need.nonEmpty) {
-      val tagged = need.map(k =>
-          resolveBucket(spark, name, k).get.withColumn("_gb", lit(k)))
-        .reduce(_ unionByName _).localCheckpoint()
-      for (k <- need)
-        bucketCache((name, k)) = tagged.filter(col("_gb") === k).drop("_gb")
-    }
+    val freshlyMaterialized: Option[DataFrame] =
+      if (need.isEmpty) None
+      else {
+        val tagged = need.map(k =>
+            resolveBucket(spark, name, k).get.withColumn("_gb", lit(k)))
+          .reduce(_ unionByName _).localCheckpoint()
+        for (k <- need)
+          bucketCache((name, k)) = tagged.filter(col("_gb") === k).drop("_gb")
+        Some(tagged.drop("_gb"))
+      }
 
     // BUCKET-LOCAL compaction: a bucket past MaxDeltas live deltas folds
     // its (already-checkpointed) resolution into a fresh base; consumed
@@ -452,10 +455,15 @@ final class ParquetTwinStore(root: String,
     }
     schedulePendingRm(name, consumed.result())
 
-    // the full current table: cached/materialized buckets union lazy
-    // base reads; empty-table degenerate case — the empty upsert frame
+    // the full current table: the buckets materialized THIS merge ride
+    // as ONE union leg (the batched checkpoint itself — in the common
+    // spraying-update case that's the whole plan, not a fanout-way
+    // union of filtered views), cached/base-only buckets union in
+    // lazily; empty-table degenerate case — the empty upsert frame
     // carries the right schema
-    val parts = (0 until n).flatMap(k => bucketTable(spark, name, k))
+    val needSet = need.toSet
+    val parts = freshlyMaterialized.toSeq ++
+      (0 until n).filterNot(needSet).flatMap(k => bucketTable(spark, name, k))
     if (parts.isEmpty) upserts else parts.reduce(_ unionByName _)
   }
 

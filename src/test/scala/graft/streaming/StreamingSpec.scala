@@ -1012,10 +1012,10 @@ class StreamingSpec extends SparkSpec {
     // writes are sequence-numbered deltas, replace tables are versioned
     // with old versions GC'd
     val files = new java.io.File(root).listFiles().map(_.getName).toSet
-    // meta/posts are doc-keyed MERGES since the crash-atomicity work
-    // (idempotent re-application under replay); absorbing is the
-    // write-ahead intent append
-    assert(files.contains("meta.m") && files.contains("posts.m") &&
+    // meta/posts stay append-only (id-guarded for replay — the keyed
+    // merge verb would turn their doc-id deltas into table-mass bucket
+    // re-materialization); absorbing is the write-ahead intent append
+    assert(files.contains("meta") && files.contains("posts") &&
       files.contains("absorbing"))
     assert(files.contains("labels.m") && files.contains("exactKeep.m"),
       s"merged tables must live in merge-on-read dirs, saw $files")
