@@ -133,27 +133,38 @@ final class InMemoryTwinStore extends TwinStore {
  *    sets. A merge stages the upserts/delete-keys ONCE with a
  *    `partitionBy` write and renames each staged partition into its
  *    bucket — so the write is one Spark job and update-mass, and ONLY
- *    the buckets the update's keys hash to are touched. Resolution
- *    (last-writer-wins per key group by file sequence, tombstones
- *    participating in the order) runs PER BUCKET: touched buckets are
- *    re-resolved and re-materialized this trigger (one batched
- *    `localCheckpoint` over all touched buckets — update-bucket mass,
- *    not table mass); untouched buckets are served from their cached
- *    prior resolution, or read lazily straight from their base file
- *    when they carry no deltas. Compaction is BUCKET-LOCAL: once a
- *    bucket's live delta count passes [[ParquetTwinStore.MaxDeltas]],
- *    that bucket alone folds into a new `base-v<seq>` (written from the
- *    already-checkpointed resolution — no second read) and its consumed
- *    files are garbage-collected ONE TRIGGER LATER (deferred GC, so a
- *    DataFrame handed out at trigger T survives trigger T+1 — the
- *    retention contract on [[TwinStore]]). The deferred-GC list is
- *    persisted (`_pending_rm` marker) so a JVM restart between the
- *    compaction and the next merge still releases the consumed files.
- *    Net effect at scale: per-trigger read AND write cost track the
- *    buckets the update touches, not total state mass — fixed-size
- *    updates against a growing table stay flat as long as their keys
- *    don't spray across every bucket (fanout is the tuning knob; a
- *    cluster deployment sizes it like any bucketed table's).
+ *    the buckets the update's keys hash to are touched. Resolution of
+ *    a touched bucket is INCREMENTAL: the arriving delta folds into
+ *    the bucket's cached prior resolution (a broadcast anti-join on
+ *    the update's keys + union — the [[InMemoryTwinStore.merge]] shape
+ *    per bucket), so a trigger never re-reads the bucket's base +
+ *    delta files or re-runs the merge-on-read window; the fold is
+ *    materialized in one batched `localCheckpoint` over all touched
+ *    buckets. The file-level last-writer-wins window (per key group by
+ *    file sequence, tombstones participating in the order) runs only
+ *    on the COLD path — a restarted store resolving a bucket it has no
+ *    cache for — and exactly once per bucket per incarnation; the fuzz
+ *    suite pins the incremental fold equal to the window across
+ *    restarts. Untouched buckets are served from their cached prior
+ *    resolution, or read lazily straight from their base file when
+ *    they carry no deltas. Compaction is BUCKET-LOCAL: once a bucket's
+ *    live delta count passes [[ParquetTwinStore.MaxDeltas]], that
+ *    bucket alone folds into a new `base-v<seq>` (written from the
+ *    already-checkpointed resolution to a temp dir, then RENAMED into
+ *    place — a crash mid-write can never leave a torn base masking
+ *    still-live older deltas) and its consumed files are
+ *    garbage-collected ONE TRIGGER LATER (deferred GC, so a DataFrame
+ *    handed out at trigger T survives trigger T+1 — the retention
+ *    contract on [[TwinStore]]). The deferred-GC list is persisted
+ *    (`_pending_rm` marker) so a JVM restart between the compaction
+ *    and the next merge still releases the consumed files.
+ *    Net effect at scale: per-trigger DISK cost (read and write) is
+ *    update-mass regardless of key distribution; the remaining
+ *    state-proportional term is the in-memory re-checkpoint of the
+ *    touched buckets' resolutions, bounded per bucket and sized by the
+ *    fanout knob (a cluster deployment sizes fanout like any bucketed
+ *    table's: state mass / target bucket size — see
+ *    [[ParquetTwinStore.fanoutFor]]).
  *  - REPLACED tables are written to a fresh versioned directory per
  *    trigger, keeping the previous version alive until the NEXT replace
  *    (same retention window as merge), then deleted.
@@ -166,9 +177,12 @@ final class ParquetTwinStore(root: String,
   private val versions = scala.collection.mutable.Map.empty[String, Long]
   // (table, bucket) -> last used file sequence within that bucket
   private val bucketSeqs = scala.collection.mutable.Map.empty[(String, Int), Long]
-  // (table, bucket) -> checkpointed current resolution of that bucket;
-  // invalidated when the bucket is touched, so untouched buckets never
-  // re-pay the merge-on-read window
+  // (table, bucket) -> the TAGGED checkpointed ancestor (carries a `_gb`
+  // bucket column) whose slice `_gb == bucket` is that bucket's current
+  // resolution. Buckets materialized by the same batched checkpoint
+  // share the ancestor BY REFERENCE, so readers group buckets by
+  // ancestor and scan it ONCE with a grouped isin filter — a spraying
+  // update folds all its buckets in one pass instead of fanout passes
   private val bucketCache =
     scala.collection.mutable.Map.empty[(String, Int), DataFrame]
   // files consumed by a compaction, physically deleted at the START of
@@ -176,6 +190,25 @@ final class ParquetTwinStore(root: String,
   // retention contract); mirrored to a `_pending_rm` marker file so a
   // restart between compaction and next merge still releases them
   private val pendingRm = scala.collection.mutable.Map.empty[String, Seq[String]]
+
+  // per-merge phase attribution (seconds, accumulated until drained):
+  // the instrument behind the streaming ladder's per-trigger breakdown —
+  // an unexplained trigger spike decomposes into gc/stage/checkpoint/
+  // compact instead of staying a mystery number
+  private val phaseNs = scala.collection.mutable.Map.empty[String, Long]
+  private def phase[A](name: String)(body: => A): A = {
+    val t0 = System.nanoTime()
+    try body
+    finally phaseNs(name) = phaseNs.getOrElse(name, 0L) + (System.nanoTime() - t0)
+  }
+
+  /** Accumulated per-phase merge seconds since the last drain (probe /
+    * ladder instrumentation; resets the accumulator). */
+  def drainPhaseSeconds(): Map[String, Double] = synchronized {
+    val out = phaseNs.map { case (k, v) => k -> v / 1e9 }.toMap
+    phaseNs.clear()
+    out
+  }
 
   private def rm(path: String): Unit = {
     def walk(f: java.io.File): Unit = {
@@ -278,14 +311,31 @@ final class ParquetTwinStore(root: String,
     }
   }
 
-  /** The current table of bucket k for serving: the cached checkpointed
-    * resolution if the bucket has one, else the lazy resolution (which
-    * for a base-only bucket is a plain file read). Does NOT checkpoint —
-    * [[merge]] batches the materialization of every bucket that needs
-    * one into a single job. */
+  /** The current table of bucket k for serving: the slice of its cached
+    * checkpointed ancestor if the bucket has one, else the lazy
+    * resolution (which for a base-only bucket is a plain file read).
+    * Does NOT checkpoint — [[merge]] batches the materialization of
+    * every bucket that needs one into a single job. */
   private def bucketTable(spark: SparkSession, name: String,
                           k: Int): Option[DataFrame] =
-    bucketCache.get((name, k)).orElse(resolveBucket(spark, name, k))
+    bucketCache.get((name, k))
+      .map(_.filter(col("_gb") === k).drop("_gb"))
+      .orElse(resolveBucket(spark, name, k))
+
+  /** Union legs for the given buckets' current tables (no checkpoint):
+    * cached buckets scan each shared tagged ancestor ONCE (grouped isin
+    * filter — never one pass per bucket); the rest resolve lazily
+    * (plain base reads for delta-free buckets, the merge-on-read window
+    * for post-restart buckets that [[merge]] hasn't materialized yet). */
+  private def assembleLegs(spark: SparkSession, name: String,
+                           ks: Seq[Int]): Seq[DataFrame] = {
+    val (cached, uncached) = ks.partition(k => bucketCache.contains((name, k)))
+    val ancestorLegs = cached.groupBy(k => bucketCache((name, k))).toSeq
+      .map { case (anc, bs) =>
+        anc.filter(col("_gb").isin(bs.map(Int.box): _*)).drop("_gb")
+      }
+    ancestorLegs ++ uncached.flatMap(k => resolveBucket(spark, name, k))
+  }
 
   /** True when bucket k's current resolution is NOT backed by either the
     * cache or a plain base file — i.e. serving it would re-run the MoR
@@ -321,13 +371,28 @@ final class ParquetTwinStore(root: String,
 
   /** The fanout a merged table was CREATED with, persisted in a
     * `_fanout` marker — a restarted store (possibly constructed with a
-    * different default) must route keys to the same buckets. */
+    * different default) must route keys to the same buckets. A table
+    * root holding pre-bucketing (flat-layout) `d*`/`t*`/`base-v*` dirs
+    * with no marker fails LOUDLY instead of silently serving an empty
+    * table (stamping a fresh marker would make the bucket scan skip the
+    * legacy dirs — for a curation twin that also discards the replay
+    * guard, so redelivered batches would double-ingest). */
   private def tableFanout(name: String): Int = {
-    val f = new java.io.File(s"$root/$name.m/_fanout")
+    val dir = s"$root/$name.m"
+    val f = new java.io.File(s"$dir/_fanout")
     if (f.exists())
       new String(java.nio.file.Files.readAllBytes(f.toPath),
         java.nio.charset.StandardCharsets.UTF_8).trim.toInt
     else {
+      val legacy = (seqDirs(dir, "base-v") ++ seqDirs(dir, "d") ++ seqDirs(dir, "t"))
+        .map(_._2)
+      if (legacy.nonEmpty)
+        throw new IllegalStateException(
+          s"merged table $name at $dir holds flat-layout dirs " +
+            s"(${legacy.map(_.split('/').last).mkString(", ")}) from a " +
+            "pre-bucketing store version; migrate them into bucket dirs " +
+            "(or re-materialize the table) before resuming — refusing to " +
+            "silently serve an empty table")
       java.nio.file.Files.write(f.toPath,
         fanout.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       fanout
@@ -377,7 +442,7 @@ final class ParquetTwinStore(root: String,
     new java.io.File(dir).mkdirs()
     // deferred GC: files consumed by the PREVIOUS merge's compactions
     // are now past their retention window
-    gcPending(name)
+    phase("gc")(gcPending(name))
     writeKeys(name, keyCols)
     val n = tableFanout(name)
     val route = pmod(xxhash64(keyCols.map(col): _*), lit(n.toLong)).cast("int")
@@ -397,10 +462,30 @@ final class ParquetTwinStore(root: String,
         .filter(f => f.isDirectory && f.getName.startsWith("_gb="))
         .map(f => f.getName.drop(4).toInt -> f.getPath).toMap
     }
-    val upStaged = stage(upserts, "u")
-    val delStaged = deleteKeys.fold(Map.empty[Int, String])(d =>
-      stage(d.select(keyCols.map(col): _*), "t"))
+    val (upStaged, delStaged) = phase("stage") {
+      (stage(upserts, "u"),
+        deleteKeys.fold(Map.empty[Int, String])(d =>
+          stage(d.select(keyCols.map(col): _*), "t")))
+    }
     val touched = (upStaged.keySet ++ delStaged.keySet).toSeq.sorted
+    val touchedSet = touched.toSet
+    // the PRIOR resolution of the touched buckets, captured before the
+    // new files land. Warm path (every trigger after a bucket's first
+    // touch): grouped slices of the cached tagged ancestors — ONE scan
+    // per ancestor, so a spraying update reads the prior state once,
+    // not once per bucket. Cold path (first touch after a restart): the
+    // lazy file-level MoR window, paid once inside the batched
+    // checkpoint below.
+    val (warmTouched, coldTouched) =
+      touched.partition(k => bucketCache.contains((name, k)))
+    val warmLegs: Seq[DataFrame] =
+      warmTouched.groupBy(k => bucketCache((name, k))).toSeq.map {
+        case (anc, bs) => anc.filter(col("_gb").isin(bs.map(Int.box): _*))
+      }
+    val coldLegs: Seq[DataFrame] = coldTouched.flatMap(k =>
+      resolveBucket(spark, name, k).map(_.withColumn("_gb", lit(k))))
+    val upParts = scala.collection.mutable.Map.empty[Int, String]
+    val delParts = scala.collection.mutable.Map.empty[Int, String]
     for (k <- touched) {
       val bdir = new java.io.File(bucketDir(name, k))
       bdir.mkdirs(): Unit
@@ -409,61 +494,100 @@ final class ParquetTwinStore(root: String,
       // keeps a same-seq tombstone authoritative for its own keys)
       val seq = nextBucketSeq(name, k)
       upStaged.get(k).foreach { p =>
-        require(new java.io.File(p).renameTo(new java.io.File(s"${bdir.getPath}/d$seq")),
+        val dst = s"${bdir.getPath}/d$seq"
+        require(new java.io.File(p).renameTo(new java.io.File(dst)),
           s"failed to place delta for bucket $k of $name")
+        upParts(k) = dst
       }
       delStaged.get(k).foreach { p =>
-        require(new java.io.File(p).renameTo(new java.io.File(s"${bdir.getPath}/t$seq")),
+        val dst = s"${bdir.getPath}/t$seq"
+        require(new java.io.File(p).renameTo(new java.io.File(dst)),
           s"failed to place tombstone for bucket $k of $name")
+        delParts(k) = dst
       }
-      bucketCache.remove((name, k)): Unit
     }
     rm(s"$dir/_stage-u"); rm(s"$dir/_stage-t")
 
-    // materialize every bucket whose resolution would otherwise re-run
-    // the MoR window per caller action — the touched buckets, plus (post
-    // restart) untouched buckets carrying live deltas — in ONE batched
-    // localCheckpoint: the per-trigger materialization is touched-bucket
-    // mass, never table mass. Untouched buckets keep their cached prior
-    // resolution or their plain base read.
-    val need = (0 until n).filter(k => needsMaterialize(name, k))
-    val freshlyMaterialized: Option[DataFrame] =
-      if (need.isEmpty) None
-      else {
-        val tagged = need.map(k =>
-            resolveBucket(spark, name, k).get.withColumn("_gb", lit(k)))
-          .reduce(_ unionByName _).localCheckpoint()
-        for (k <- need)
-          bucketCache((name, k)) = tagged.filter(col("_gb") === k).drop("_gb")
-        Some(tagged.drop("_gb"))
-      }
+    // INCREMENTAL resolution of the touched buckets: fold the just-landed
+    // delta into the prior resolutions — prior rows whose key appears in
+    // the update (upsert OR delete) anti-join out, the upsert rows union
+    // in (the InMemoryTwinStore.merge shape). Routing sends each key to
+    // exactly one bucket, so ONE global anti-join over the tagged prior
+    // union equals the per-bucket folds — the whole fold is one map-side
+    // pass (broadcast update keys) over the prior state: no base/delta
+    // re-read, no merge-on-read window, regardless of how the keys spray.
+    val keyed = keyCols.map(col)
+    val upTagged: Option[DataFrame] = touched.flatMap(k =>
+        upParts.get(k).map(p =>
+          spark.read.parquet(p).withColumn("_gb", lit(k))))
+      .reduceOption(_ unionByName _)
+    val goneKeys: Option[DataFrame] =
+      (upTagged.map(_.select(keyed: _*)).toSeq ++
+        touched.flatMap(k => delParts.get(k))
+          .map(p => spark.read.parquet(p).select(keyed: _*)))
+        .reduceOption(_ unionByName _).map(_.distinct())
+    val priorTagged: Option[DataFrame] =
+      (warmLegs ++ coldLegs).reduceOption(_ unionByName _)
+    val keptTagged = priorTagged.map(p =>
+      goneKeys.fold(p)(g => p.join(broadcast(g), keyCols, "left_anti")))
+    val foldedTagged: Option[DataFrame] =
+      (keptTagged.toSeq ++ upTagged.toSeq).reduceOption(_ unionByName _)
+    // post-restart buckets carrying live deltas but untouched this merge:
+    // resolve through the file-level window once, batched with the fold
+    val coldUntouched: Seq[(Int, DataFrame)] = phase("resolve_cold") {
+      (0 until n).filterNot(touchedSet)
+        .filter(k => needsMaterialize(name, k))
+        .map(k => k -> resolveBucket(spark, name, k).get)
+    }
+
+    // ONE batched localCheckpoint materializes the fold + cold resolves:
+    // per-trigger disk I/O stays update-mass (the staged write above);
+    // this in-memory re-materialization of the touched buckets is the
+    // only state-proportional term, bounded per bucket by the fanout
+    val tagged: Option[DataFrame] = phase("checkpoint") {
+      (foldedTagged.toSeq ++ coldUntouched.map { case (k, df) =>
+          df.withColumn("_gb", lit(k)) })
+        .reduceOption(_ unionByName _).map(_.localCheckpoint())
+    }
+    val materialized: Seq[Int] =
+      if (tagged.isEmpty) Seq.empty
+      else touched ++ coldUntouched.map(_._1)
+    tagged.foreach(t => materialized.foreach(k => bucketCache((name, k)) = t))
 
     // BUCKET-LOCAL compaction: a bucket past MaxDeltas live deltas folds
-    // its (already-checkpointed) resolution into a fresh base; consumed
-    // files go to the PERSISTED deferred-GC list, not the floor (held
+    // its (already-checkpointed) resolution into a fresh base — written
+    // to a temp dir and RENAMED into place, so a crash mid-write cannot
+    // leave a torn base masking still-live older deltas; consumed files
+    // go to the PERSISTED deferred-GC list, not the floor (held
     // DataFrames from the previous trigger must survive this one)
-    val consumed = Seq.newBuilder[String]
-    for (k <- touched) {
-      val bdir = bucketDir(name, k)
-      val (ds, ts, base) = liveParts(bdir)
-      if (ds.length >= MaxDeltas) {
-        val baseSeq = nextBucketSeq(name, k)
-        bucketCache((name, k)).write.mode("overwrite")
-          .parquet(s"$bdir/base-v$baseSeq")
-        consumed ++= (base.toSeq ++ ds ++ ts).map(_._2)
+    phase("compact") {
+      val consumed = Seq.newBuilder[String]
+      for (k <- touched) {
+        val bdir = bucketDir(name, k)
+        val (ds, ts, base) = liveParts(bdir)
+        if (ds.length >= MaxDeltas && bucketCache.contains((name, k))) {
+          val baseSeq = nextBucketSeq(name, k)
+          val tmp = s"$bdir/.base-tmp"
+          rm(tmp)
+          bucketTable(spark, name, k).get.write.mode("overwrite").parquet(tmp)
+          require(new java.io.File(tmp).renameTo(new java.io.File(s"$bdir/base-v$baseSeq")),
+            s"failed to commit compacted base for bucket $k of $name")
+          consumed ++= (base.toSeq ++ ds ++ ts).map(_._2)
+        }
       }
+      schedulePendingRm(name, consumed.result())
     }
-    schedulePendingRm(name, consumed.result())
 
     // the full current table: the buckets materialized THIS merge ride
     // as ONE union leg (the batched checkpoint itself — in the common
     // spraying-update case that's the whole plan, not a fanout-way
-    // union of filtered views), cached/base-only buckets union in
-    // lazily; empty-table degenerate case — the empty upsert frame
-    // carries the right schema
-    val needSet = need.toSet
-    val parts = freshlyMaterialized.toSeq ++
-      (0 until n).filterNot(needSet).flatMap(k => bucketTable(spark, name, k))
+    // union of filtered views); other buckets union in through
+    // assembleLegs (one scan per shared cached ancestor, plain base
+    // reads for delta-free buckets); empty-table degenerate case — the
+    // empty upsert frame carries the right schema
+    val matSet = materialized.toSet
+    val parts = tagged.map(_.drop("_gb")).toSeq ++
+      assembleLegs(spark, name, (0 until n).filterNot(matSet))
     if (parts.isEmpty) upserts else parts.reduce(_ unionByName _)
   }
 
@@ -483,7 +607,7 @@ final class ParquetTwinStore(root: String,
         // materializes (and caches) exactly the buckets carrying live
         // deltas, so a restarted twin pays the window once, batched
         val n = tableFanout(name)
-        val parts = (0 until n).flatMap(k => bucketTable(spark, name, k))
+        val parts = assembleLegs(spark, name, 0 until n)
         if (parts.isEmpty) None else Some(parts.reduce(_ unionByName _))
       } else {
         val plain = new java.io.File(s"$root/$name")
@@ -504,7 +628,21 @@ object ParquetTwinStore {
 
   /** Default merged-table fanout. Small for the test/probe scale; a
     * cluster deployment sizes it like any bucketed table (state mass /
-    * target bucket size) — the marker file makes per-table fanout a
-    * creation-time choice, not a code constant. */
+    * target bucket size — [[fanoutFor]]) — the marker file makes
+    * per-table fanout a creation-time choice, not a code constant. */
   val NumBuckets = 16
+
+  /** The fanout sizing rule as a constructor-level knob: one bucket per
+    * `targetBucketBytes` of expected state mass (the standard bucketed-
+    * table sizing), floored at [[NumBuckets]] and capped at 4096 (past
+    * that, per-merge file fanout dominates). A twin that expects ~16 GiB
+    * of state at the default 256 MiB target gets 64 buckets — the
+    * spray-update probe row (`TwinStoreProbe`) measures exactly that
+    * configuration. */
+  def fanoutFor(expectedStateBytes: Long,
+                targetBucketBytes: Long = 256L << 20): Int = {
+    require(targetBucketBytes > 0, "targetBucketBytes must be positive")
+    val want = (expectedStateBytes + targetBucketBytes - 1) / targetBucketBytes
+    math.min(4096L, math.max(NumBuckets.toLong, want)).toInt
+  }
 }

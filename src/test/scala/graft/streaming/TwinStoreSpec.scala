@@ -199,6 +199,42 @@ class TwinStoreSpec extends SparkSpec {
     }
   }
 
+  test("parquet merge: a pre-bucketing (flat-layout) table root fails LOUDLY instead of serving empty") {
+    val root = java.nio.file.Files.createTempDirectory("graft-tslegacy").toString
+    // fabricate a legacy layout: d1/ directly under t.m/, no _fanout
+    val legacyDelta = new java.io.File(s"$root/t.m/d1")
+    legacyDelta.mkdirs()
+    kv(1L -> "old").write.mode("overwrite").parquet(legacyDelta.getPath)
+    val st = new ParquetTwinStore(root)
+    val eLoad = intercept[IllegalStateException](st.load(spark, "t"))
+    assert(eLoad.getMessage.contains("flat-layout"))
+    // a merge over the same root must refuse too (silently absorbing the
+    // upsert would discard the legacy rows AND the replay guard)
+    val eMerge = intercept[IllegalStateException](
+      st.merge("t", Seq("id"), kv(2L -> "new"), None))
+    assert(eMerge.getMessage.contains("flat-layout"))
+  }
+
+  test("parquet merge: a torn (crashed) compaction base write never masks live deltas") {
+    val root = java.nio.file.Files.createTempDirectory("graft-tstorn").toString
+    val st = new ParquetTwinStore(root, 1)
+    st.merge("t", Seq("id"), kv(1L -> "a", 2L -> "b"), None)
+    st.merge("t", Seq("id"), kv(2L -> "B"), None)
+    // simulate a compaction that died mid-write: bases are written to a
+    // temp dir and renamed into place, so the torn remnant is a
+    // `.base-tmp` dir with data files — it must be invisible to both the
+    // sequence scan and resolution (a torn base that COUNTED as the
+    // newest base would mask the still-live d1/d2 and lose rows)
+    val torn = new java.io.File(s"$root/t.m/b0/.base-tmp")
+    torn.mkdirs()
+    kv(1L -> "torn").write.mode("overwrite").parquet(torn.getPath)
+    val st2 = new ParquetTwinStore(root)
+    assert(rows(st2.load(spark, "t").get) == Set((1L, "a"), (2L, "B")),
+      "a torn compaction remnant must not participate in resolution")
+    val cur = st2.merge("t", Seq("id"), kv(3L -> "c"), None)
+    assert(rows(cur) == Set((1L, "a"), (2L, "B"), (3L, "c")))
+  }
+
   test("parquet merge: a restarted store resumes the sequence and load() resolves the merged table") {
     val root = java.nio.file.Files.createTempDirectory("graft-tsrestart").toString
     val st1 = new ParquetTwinStore(root)
