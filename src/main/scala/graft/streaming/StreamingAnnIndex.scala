@@ -12,9 +12,24 @@ import graft.sim.Similarity
  * ingest pipeline"); this twin IS that ingest pipeline. Per micro-batch
  * of arriving vectors it computes the per-vector index row — L2 norm +
  * the per-table hyperplane bucket ids, one map-only pass, no shuffle —
- * and appends it through the [[TwinStore]] (append verb: the index is
- * insert-only, so every trigger's write is delta-sized by construction
- * and the 100 TB shape is a date-partitioned index table).
+ * and MERGES it through the [[TwinStore]] (keyed by id: the
+ * Delta/Iceberg-MERGE shape of every production vector index, so the
+ * per-trigger parquet write is update-mass and the 100 TB form is a
+ * keyed index table).
+ *
+ * DELETION is first-class: a curation pipeline that dethrones a doc
+ * after it was indexed (exact-dup keeper replaced by a smaller id,
+ * near-dup cluster keep-best change) hands the dethroned ids to
+ * [[processBatch]] and they leave the index through the store's
+ * tombstone path — a batch query that re-restricts the corpus per
+ * serve never notices, but a LIVE index that only ever inserts would
+ * keep serving dethroned docs forever (`StreamingSpec` pins a
+ * dethronement-crossing retrieval: a doc indexed at trigger T and
+ * dethroned at T+k must leave the served panel). Dethronement is
+ * MONOTONE (a dethroned doc never re-enters the survivor set), so the
+ * twin also keeps a tiny `annDeleted` ledger of ever-dethroned ids:
+ * a crash-redelivered micro-batch that re-offers a since-deleted id
+ * anti-joins out against it instead of resurrecting the doc.
  *
  * Serving reads the maintained index directly:
  *
@@ -33,13 +48,15 @@ import graft.sim.Similarity
  */
 final class StreamingAnnIndex(store: TwinStore = new InMemoryTwinStore) {
 
-  private var index: Option[DataFrame] = None // (id, v, nrm, cb)
+  private var index: Option[DataFrame] = None   // (id, v, nrm, cb)
+  private var deleted: Option[DataFrame] = None // (id) — ever-dethroned
   private var resumed = false
 
   private def resume(spark: SparkSession): Unit =
     if (!resumed) {
       resumed = true
       index = store.load(spark, "annIndex")
+      deleted = store.load(spark, "annDeleted")
     }
 
   /** The maintained index `(id, v, nrm, cb)` — empty before any batch. */
@@ -56,26 +73,43 @@ final class StreamingAnnIndex(store: TwinStore = new InMemoryTwinStore) {
     }
   }
 
-  /** Absorb one micro-batch of (vec_id, embedding) rows: one map-only
-    * pass computes each vector's norm and bucket signature
-    * ([[Similarity.annIndexRows]] — the same builder the batch serving
-    * queries read through, so twin and batch index rows are identical
-    * by construction); the store append is delta-sized.
+  /** Absorb one micro-batch: arriving (vec_id, embedding) rows enter the
+    * index, `dethroned` ids (a curation pipeline's exited survivors)
+    * leave it. One map-only pass computes each new vector's norm and
+    * bucket signature ([[Similarity.annIndexRows]] — the same builder
+    * the batch serving queries read through, so twin and batch index
+    * rows are identical by construction); the store merge is keyed, so
+    * the parquet write is update-mass.
     *
-    * Exactly-once ingest under crash-redelivery: the index is id-keyed
-    * and insert-only, so a redelivered micro-batch re-offers ids that
-    * already landed — they anti-join out against the stored index (a
-    * keyed lookup), leaving only the genuinely new rows. Because ids
-    * drop out individually, even a partially-committed append replays
-    * cleanly (`StreamingSpec` pins the redelivery no-op). */
-  def processBatch(vecs: DataFrame): Unit = synchronized {
+    * Exactly-once under crash-redelivery: inserts are id-keyed — a
+    * redelivered micro-batch's already-landed ids anti-join out against
+    * the stored index, and its since-dethroned ids against the
+    * `annDeleted` ledger (dethronement is monotone, so the ledger never
+    * wrongly blocks a live doc); deletes are idempotent tombstones (a
+    * re-delete of an absent key is a no-op). Insert and delete key sets
+    * are disjoint by construction: an arriving id that enters is its
+    * group's CURRENT keeper, a dethroned id is by definition not. */
+  def processBatch(vecs: DataFrame,
+                   dethroned: Option[DataFrame] = None): Unit = synchronized {
     resume(vecs.sparkSession)
-    if (vecs.isEmpty) return
+    val spark = vecs.sparkSession
+    val gone = dethroned.map(_.select(col("id")).distinct().localCheckpoint())
+      .filter(!_.isEmpty)
+    if (vecs.isEmpty && gone.isEmpty) return
     val delta = Similarity.annIndexRows(vecs)
-    val fresh = index.fold(delta)(ix =>
-      delta.join(ix.select(col("id")), Seq("id"), "left_anti").localCheckpoint())
-    if (index.isEmpty || !fresh.isEmpty)
-      index = Some(store.append("annIndex", fresh))
+    val guarded = index.fold(delta)(ix =>
+      delta.join(ix.select(col("id")), Seq("id"), "left_anti"))
+    val fresh = deleted.fold(guarded)(d =>
+      guarded.join(d, Seq("id"), "left_anti")).localCheckpoint()
+    // the dethronement ledger lands FIRST (append, id-guarded for its
+    // own redelivery): a crash between the two writes re-runs the merge
+    // on redelivery with the ledger already in place
+    gone.foreach { g =>
+      val newGone = deleted.fold(g)(d => g.join(d, Seq("id"), "left_anti"))
+      deleted = Some(store.append("annDeleted", newGone))
+    }
+    if (!fresh.isEmpty || gone.nonEmpty)
+      index = Some(store.merge("annIndex", Seq("id"), fresh, gone))
   }
 
   /** Exact top-k over the corpus-so-far. */
@@ -96,7 +130,9 @@ final class StreamingAnnIndex(store: TwinStore = new InMemoryTwinStore) {
       Similarity.rangeSearchFromNormed(indexed(spark), query, tau)
     }
 
-  /** Attach to a streaming (vec_id, embedding) source. */
+  /** Attach to a streaming (vec_id, embedding) source (insert-only —
+    * deletion riders come from a curation pipeline calling
+    * [[processBatch]] directly with its dethroned ids). */
   def sink(stream: DataFrame): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       processBatch(batch)

@@ -60,13 +60,19 @@ import graft.dedup.{Dedup, Winnow}
  *
  * Ingest contract: exactly-once doc ids — ENFORCED at the sink, and
  * CRASH-ATOMIC per trigger. The trigger's state writes are framed by a
- * write-ahead/commit pair: a tiny `absorbing` intent table (batch doc
- * ids) is appended FIRST, and the `meta` table — the replay guard every
- * batch is anti-joined against — is appended LAST. A fully committed
- * trigger therefore absorbs its redelivery as a no-op (the guard), and
- * a trigger that crashed between any two state writes is detected on
- * redelivery (ids in `absorbing` but not `meta`) and RE-PROCESSED
- * rather than dropped: every state write is idempotent under
+ * write-ahead/commit pair of O(1) BATCH-ID watermarks (Structured
+ * Streaming numbers micro-batches and redelivers the last uncommitted
+ * one under the SAME id, so the id is the natural transaction handle):
+ * a one-row `intent_bid` marker is written FIRST, and a one-row
+ * `commit_bid` marker is written LAST, after the `meta` append — the
+ * per-doc replay guard every batch is anti-joined against. A fully
+ * committed trigger therefore absorbs its redelivery as a no-op (the
+ * per-doc guard), and a trigger that crashed between any two state
+ * writes is detected on redelivery by a CONSTANT-TIME comparison
+ * (`intent_bid == batchId` while `commit_bid < batchId`) and
+ * RE-PROCESSED rather than dropped — no corpus-cardinality intent
+ * table, no per-trigger membership scan against the ingest history.
+ * Every state write is idempotent under
  * re-application (`posts` appends behind a doc-id anti-join, `meta` is
  * disjoint from the batch by the guard itself; the exact-keeper,
  * signature, label and flag merges re-derive their upserts from
@@ -97,9 +103,15 @@ final class StreamingCuration(thresholdX1000: Long,
   private var flags: Option[DataFrame] = None      // (doc_id, source, h, qx, nt, s_exact, s_kb, s_q, contam, s_clean)
   // per-source counter table the serving report reads (O(sources) rows)
   private var counters: Option[DataFrame] = None   // (source, n_raw, n_exact, n_keepbest, n_quality, n_clean, n_toks)
-  // write-ahead intent record: doc ids whose trigger STARTED writing
-  // state (appended before any other write; `meta` commits the trigger)
-  private var absorbing: Option[DataFrame] = None
+  // write-ahead/commit batch-id watermarks: intentBid is written before
+  // any other state write, commitBid after the last one — their gap is
+  // the O(1) partial-trigger detector (no intent TABLE, no history scan)
+  private var intentBid: Option[Long] = None
+  private var commitBid: Option[Long] = None
+  // ids dethroned by the last absorbed trigger (exact-keeper removals;
+  // on a replay trigger, the over-approximating sweep — every id in it
+  // is a genuine non-keeper, so downstream eviction stays correct)
+  private var lastExited: Option[DataFrame] = None
   private var resumed = false
 
   /** A restarted pipeline resumes every state table from the store —
@@ -112,7 +124,8 @@ final class StreamingCuration(thresholdX1000: Long,
       resumed = true
       meta = store.load(spark, "meta")
       posts = store.load(spark, "posts")
-      absorbing = store.load(spark, "absorbing")
+      intentBid = loadBid(spark, "intent_bid")
+      commitBid = loadBid(spark, "commit_bid")
       exactKeep = store.load(spark, "exactKeep")
       eSets = store.load(spark, "eSets")
       eBands = store.load(spark, "eBands")
@@ -125,6 +138,20 @@ final class StreamingCuration(thresholdX1000: Long,
   def labels(spark: SparkSession): DataFrame = synchronized {
     resume(spark)
     labelTable.getOrElse(emptyLabels(spark))
+  }
+
+  /** Ids dethroned by the LAST absorbed trigger (`(id)` rows) — the
+    * hook a serving-side consumer wires into its own maintenance in the
+    * same foreachBatch: [[StreamingAnnIndex.processBatch]] takes these
+    * as its eviction set, so a doc indexed at trigger T and dethroned
+    * at T+k leaves the served index at T+k (`StreamingSpec` pins the
+    * crossing). Empty before any trigger and on triggers without
+    * dethronements. */
+  def dethronedLastTrigger(spark: SparkSession): DataFrame = synchronized {
+    lastExited.getOrElse {
+      import spark.implicits._
+      Seq.empty[Long].toDF("id")
+    }
   }
 
   private def emptyLabels(spark: SparkSession): DataFrame = {
@@ -146,22 +173,23 @@ final class StreamingCuration(thresholdX1000: Long,
     Curation.report(m, ek, labels(spark), ps)
   }
 
-  /** Absorb one micro-batch of (doc_id, source, text) rows. Synchronized:
-    * foreachBatch already serializes triggers; this guards ad-hoc
-    * callers.
+  /** Absorb one micro-batch of (doc_id, source, text) rows, identified
+    * by its Structured-Streaming `batchId`. Synchronized: foreachBatch
+    * already serializes triggers; this guards ad-hoc callers.
     *
     * Replay safety: Structured Streaming REDELIVERS the last uncommitted
-    * micro-batch after a crash. A FULLY committed trigger is caught by
-    * the guard below — the batch anti-joins against the stored metadata
-    * table on doc_id (`meta` is the LAST write of a trigger, i.e. the
-    * commit record), so its redelivery is a no-op. A PARTIALLY committed
-    * trigger (crash between two state writes) is detected by the
-    * write-ahead `absorbing` table — the FIRST write — and re-processed
+    * micro-batch after a crash, under the SAME batchId. A FULLY
+    * committed trigger is caught by the guard below — the batch
+    * anti-joins against the stored metadata table on doc_id (`meta` is
+    * appended at the end of a trigger), so its redelivery is a no-op. A
+    * PARTIALLY committed trigger (crash between two state writes) is
+    * detected in O(1) by the batch-id watermark pair — this batchId
+    * already declared intent but never committed — and re-processed
     * through replay-stable derivations (see the class doc); the only
     * increment-based table, the serving counters, is recomputed from the
     * flag ledger on that trigger alone. `StreamingSpec` pins a crash at
     * every write boundary. */
-  def processBatch(rawDocs: DataFrame): Unit = synchronized {
+  def processBatch(rawDocs: DataFrame, batchId: Long): Unit = synchronized {
     resume(rawDocs.sparkSession)
     val docs = meta match {
       case Some(m) =>
@@ -172,14 +200,13 @@ final class StreamingCuration(thresholdX1000: Long,
     if (docs.isEmpty) return
     val oldLabels = labelTable // pre-trigger labeling, for the counter diff
     val bm = Curation.docMeta(docs).localCheckpoint()
-    val bIds0 = bm.select(col("doc_id"))
-    // a batch doc already in the intent table means the previous
-    // delivery of this trigger crashed mid-write: state is partially
-    // updated, so switch every non-idempotent derivation to its
-    // replay-stable form
-    val replay = absorbing.exists(a =>
-      !bIds0.join(a, Seq("doc_id"), "left_semi").isEmpty)
-    absorbing = Some(store.append("absorbing", bIds0))
+    // this batch id declared intent on a previous delivery but never
+    // committed: state is partially updated, so switch every
+    // non-idempotent derivation to its replay-stable form — a
+    // constant-time comparison, never a membership scan
+    val replay = intentBid.contains(batchId) && commitBid.forall(_ < batchId)
+    writeBid(rawDocs.sparkSession, "intent_bid", batchId)
+    intentBid = Some(batchId)
 
     val bp = Winnow.postings(docs).localCheckpoint()
     // append with an id replay guard: a replayed trigger re-lands only
@@ -249,6 +276,7 @@ final class StreamingCuration(thresholdX1000: Long,
         (ek, ent, exi)
     }
     exactKeep = Some(nextEk)
+    lastExited = exited
 
     // ---- signature store: one minhash pass over the batch ----
     val bSets = Dedup.shingleSets(docs).localCheckpoint()
@@ -328,15 +356,36 @@ final class StreamingCuration(thresholdX1000: Long,
     maintainCounters(docs.sparkSession, bm, bp, oldLabels, exited, nextEk,
       labelTable.get, replay)
 
-    // COMMIT RECORD, last: the guard table. A redelivery after this
-    // write is a full no-op; a redelivery before it re-processes through
-    // the replay-stable paths above. Plain APPEND (not merge — see the
-    // posts comment): the batch is disjoint from the stored metadata by
-    // the guard itself, and a crash mid-append leaves some docs
-    // committed — the per-doc guard then re-processes exactly the
-    // missing ones on the next delivery.
+    // the per-doc guard table: a redelivery after this write anti-joins
+    // to nothing. Plain APPEND (not merge — see the posts comment): the
+    // batch is disjoint from the stored metadata by the guard itself,
+    // and a crash mid-append leaves some docs committed — the per-doc
+    // guard then re-processes exactly the missing ones on the next
+    // delivery.
     meta = Some(store.append("meta", bm))
+    // COMMIT RECORD, last: closing the watermark pair marks the trigger
+    // fully committed, so the next delivery of this batchId (or the
+    // next batch) takes the clean-trigger path
+    writeBid(rawDocs.sparkSession, "commit_bid", batchId)
+    commitBid = Some(batchId)
   }
+
+  /** One-row batch-id watermark through the store's replace verb (tiny
+    * by construction; survives restarts with the rest of the state). */
+  private def writeBid(spark: SparkSession, name: String, bid: Long): Unit = {
+    import spark.implicits._
+    store.replace(name, Seq(bid).toDF("bid")): Unit
+  }
+
+  /** A torn marker (crash mid-replace) loads as None — sound in both
+    * directions: a torn INTENT means no later state write happened (it
+    * is the trigger's first write), so clean-trigger processing is
+    * correct; a torn COMMIT means everything up to and including `meta`
+    * committed, so the per-doc guard absorbs the redelivery before the
+    * replay flag is ever consulted. */
+  private def loadBid(spark: SparkSession, name: String): Option[Long] =
+    scala.util.Try(store.load(spark, name).map(_.head().getLong(0)))
+      .toOption.flatten
 
   /**
    * Delta-maintenance of the per-doc stage-flag ledger and the
@@ -514,7 +563,7 @@ final class StreamingCuration(thresholdX1000: Long,
 
   /** Attach to a streaming (doc_id, source, text) source. */
   def sink(stream: DataFrame): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      processBatch(batch)
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      processBatch(batch, batchId)
     }
 }

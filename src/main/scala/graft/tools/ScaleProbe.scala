@@ -150,14 +150,24 @@ object ScaleProbe {
     val nTriggers = sys.env.get("SPARK_GRAFT_TWIN_TRIGGERS").map(_.toInt).getOrElse(20)
     val steal0 = graft.util.ProcStat.stealJiffies()
     val root = java.nio.file.Files.createTempDirectory("graft-twinprobe").toString
-    val cur = new StreamingCuration(300, new ParquetTwinStore(root))
+    val twinStore = new ParquetTwinStore(root)
+    val cur = new StreamingCuration(300, twinStore)
+    val phases = scala.collection.mutable.ArrayBuffer.empty[Map[String, Double]]
     val bigDocs = corpus(big).localCheckpoint()
     val perTrigger = (0 until nTriggers).map { i =>
       val c0 = graft.util.ProcStat.cpuNs()
       val (t, _) = time1(() => cur.processBatch(
-        bigDocs.filter(pmod(col("doc_id"), lit(nTriggers.toLong)) === i.toLong)))
+        bigDocs.filter(pmod(col("doc_id"), lit(nTriggers.toLong)) === i.toLong),
+        batchId = i.toLong))
       val c = (graft.util.ProcStat.cpuNs() - c0) / 1e9
-      System.err.println(f"[scale] twin trigger $i: $t%.2fs wall / $c%.2f cpu-s")
+      // per-trigger phase attribution from the store's own instrument:
+      // an outlier trigger decomposes into stage/checkpoint/compact/gc
+      // instead of staying an unexplained number in the ladder
+      val ph = twinStore.drainPhaseSeconds()
+      phases += ph
+      val phStr = ph.toSeq.sortBy(-_._2)
+        .map { case (k, v) => f"$k ${v}%.2f" }.mkString(", ")
+      System.err.println(f"[scale] twin trigger $i: $t%.2fs wall / $c%.2f cpu-s ($phStr)")
       (t, c)
     }
     val ladderSteal = graft.util.ProcStat.stealPct(steal0, graft.util.ProcStat.stealJiffies())
@@ -193,21 +203,30 @@ object ScaleProbe {
         .select((col("doc_id") + lit(10000000L)).as("doc_id"), col("source"),
           upper(col("text")).as("text"))
       val c = new StreamingCuration(300)
-      c.processBatch(docs.filter(col("doc_id") % 3 =!= 0).unionByName(twins))
+      c.processBatch(docs.filter(col("doc_id") % 3 =!= 0).unionByName(twins),
+        batchId = 0L)
       val pre = c.labels(spark).localCheckpoint()
       // mass of the components trigger 2 will repair: every component
       // containing a twin (twin ids are >= 10M by construction)
       val hit = pre.filter(col("id") >= 10000000L || col("keeper") >= 10000000L)
         .select(col("keeper")).distinct()
       val mass = pre.join(hit, Seq("keeper"), "left_semi").count()
-      val (t, _) = time1(() => c.processBatch(docs.filter(col("doc_id") % 3 === 0)))
+      val (t, _) = time1(() => c.processBatch(docs.filter(col("doc_id") % 3 === 0),
+        batchId = 1L))
       (t, mass, c.labels(spark).count())
     }
     val (t1x, m1x, _) = dethrone(small)
     val (t10x, m10x, _) = dethrone(big)
     def ln(x: Double) = math.log(math.max(x, 1e-9))
     val eRepair = ln(t10x / t1x) / ln(ratio)
-    s""""streaming":{"flat_cost_probe":{"n_triggers":$nTriggers,"store":"parquet","per_trigger_s":[${perTrigger.map(p => f(p._1)).mkString(",")}],"per_trigger_cpu_s":[${perTrigger.map(p => f(p._2)).mkString(",")}],"first_half_mean_s":${f(firstHalf)},"second_half_mean_s":${f(secondHalf)},"growth":${f(secondHalf / firstHalf)},"first_half_mean_cpu_s":${f(firstHalfCpu)},"second_half_mean_cpu_s":${f(secondHalfCpu)},"growth_cpu":${f(secondHalfCpu / firstHalfCpu)},"steady_growth":${f(sW2 / sW1)},"steady_growth_cpu":${f(sC2 / sC1)},"steady_mean_s":[${f(sW1)},${f(sW2)}],"compaction_trigger_s":[${compactions.map(f).mkString(",")}],"steal_pct":${f(ladderSteal)},"note":"raw growth mixes the cheap warm-up cycle and the periodic compaction spikes; steady_growth compares non-compaction triggers after the first compaction (the flat-state claim), compaction_trigger_s shows the amortized fold cost trend"},"dethronement":{"t_1x_s":${f(t1x)},"t_10x_s":${f(t10x)},"exp_time":${f(eRepair)},"repaired_mass_1x":$m1x,"repaired_mass_10x":$m10x,"t_per_mass_1x_ms":${f(1000 * t1x / math.max(m1x, 1))},"t_per_mass_10x_ms":${f(1000 * t10x / math.max(m10x, 1))}}}"""
+    // per-trigger store-phase attribution (seconds): the sum over phases
+    // is the store's share of the trigger; the remainder is twin-side
+    // derivation (pair joins, flag re-evaluation, counter folds)
+    val phaseKeys = phases.flatMap(_.keys).distinct.sorted
+    val phaseJson = phaseKeys.map(k =>
+        s"${q(k)}:[${phases.map(m => f(m.getOrElse(k, 0.0))).mkString(",")}]")
+      .mkString("{", ",", "}")
+    s""""streaming":{"flat_cost_probe":{"n_triggers":$nTriggers,"store":"parquet","per_trigger_s":[${perTrigger.map(p => f(p._1)).mkString(",")}],"per_trigger_cpu_s":[${perTrigger.map(p => f(p._2)).mkString(",")}],"per_trigger_store_phase_s":$phaseJson,"first_half_mean_s":${f(firstHalf)},"second_half_mean_s":${f(secondHalf)},"growth":${f(secondHalf / firstHalf)},"first_half_mean_cpu_s":${f(firstHalfCpu)},"second_half_mean_cpu_s":${f(secondHalfCpu)},"growth_cpu":${f(secondHalfCpu / firstHalfCpu)},"steady_growth":${f(sW2 / sW1)},"steady_growth_cpu":${f(sC2 / sC1)},"steady_mean_s":[${f(sW1)},${f(sW2)}],"compaction_trigger_s":[${compactions.map(f).mkString(",")}],"steal_pct":${f(ladderSteal)},"note":"raw growth mixes the cheap warm-up cycle and the periodic compaction spikes; steady_growth compares non-compaction triggers after the first compaction (the flat-state claim), compaction_trigger_s shows the amortized fold cost trend"},"dethronement":{"t_1x_s":${f(t1x)},"t_10x_s":${f(t10x)},"exp_time":${f(eRepair)},"repaired_mass_1x":$m1x,"repaired_mass_10x":$m10x,"t_per_mass_1x_ms":${f(1000 * t1x / math.max(m1x, 1))},"t_per_mass_10x_ms":${f(1000 * t10x / math.max(m10x, 1))}}}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -253,6 +272,11 @@ object ScaleProbe {
       java.nio.file.Files.write(java.nio.file.Paths.get(p),
         (s"{$streamingOnly}\n").getBytes("UTF-8"))
       System.err.println(s"[scale] (streaming-only) wrote $p")
+      // splice the fresh streaming section into the committed artifact
+      // (the query ladder is unchanged by streaming-twin work; re-running
+      // it to refresh one section would cost an hour for no information)
+      if (spliceStreaming(out, streamingOnly))
+        System.err.println(s"[scale] (streaming-only) spliced section into $out")
       spark.stop()
       return
     }
@@ -297,4 +321,31 @@ object ScaleProbe {
   }
 
   private def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+
+  /** Replace the `"streaming":{...}` section of an existing probe
+    * artifact in place (brace-matched; the section's strings carry no
+    * braces by construction). Returns false when the file or section is
+    * missing or unbalanced — callers fall back to the side artifact. */
+  private def spliceStreaming(path: String, section: String): Boolean = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p)) return false
+    val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    val key = "\"streaming\":{"
+    val i = txt.indexOf(key)
+    if (i < 0) return false
+    var depth = 1
+    var j = i + key.length
+    while (depth > 0 && j < txt.length) {
+      txt(j) match {
+        case '{' => depth += 1
+        case '}' => depth -= 1
+        case _   => ()
+      }
+      j += 1
+    }
+    if (depth != 0) return false
+    java.nio.file.Files.write(p,
+      (txt.substring(0, i) + section + txt.substring(j)).getBytes("UTF-8"))
+    true
+  }
 }

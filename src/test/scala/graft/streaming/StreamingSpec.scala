@@ -1012,11 +1012,16 @@ class StreamingSpec extends SparkSpec {
     // writes are sequence-numbered deltas, replace tables are versioned
     // with old versions GC'd
     val files = new java.io.File(root).listFiles().map(_.getName).toSet
-    // meta/posts stay append-only (id-guarded for replay — the keyed
-    // merge verb would turn their doc-id deltas into table-mass bucket
-    // re-materialization); absorbing is the write-ahead intent append
-    assert(files.contains("meta") && files.contains("posts") &&
-      files.contains("absorbing"))
+    // meta/posts stay append-only (id-guarded for replay); the
+    // write-ahead/commit framing is the pair of one-row batch-id
+    // watermarks (replace-verb versioned dirs), NOT a doc-id intent
+    // table — partial-trigger detection is O(1), never a history scan
+    assert(files.contains("meta") && files.contains("posts"))
+    assert(files.exists(_.startsWith("intent_bid-v")) &&
+      files.exists(_.startsWith("commit_bid-v")),
+      s"the batch-id watermark pair must live in the store, saw $files")
+    assert(!files.contains("absorbing"),
+      "no unbounded doc-id intent table may exist")
     assert(files.contains("labels.m") && files.contains("exactKeep.m"),
       s"merged tables must live in merge-on-read dirs, saw $files")
     // merged tables are hash-bucketed: per-trigger deltas live inside
@@ -1047,7 +1052,7 @@ class StreamingSpec extends SparkSpec {
     val cur = new StreamingCuration(thresholdX1000 = 300)
     val per = (order.length + 3) / 4
     order.grouped(per).zipWithIndex.foreach { case (b, i) =>
-      cur.processBatch(b.toDF())
+      cur.processBatch(b.toDF(), batchId = i.toLong)
       assert(reportRows(cur.reportServed(spark)) == reportRows(cur.report(spark)),
         s"served counters diverged from the recomputed report after trigger $i")
     }
@@ -1096,7 +1101,7 @@ class StreamingSpec extends SparkSpec {
     // against the stored metadata by doc id) — n_raw and every
     // downstream counter stay exactly once
     val cur3 = new StreamingCuration(thresholdX1000 = 300, new ParquetTwinStore(root))
-    cur3.processBatch(secondHalf.toDF())
+    cur3.processBatch(secondHalf.toDF(), batchId = 1L)
     assert(reportRows(cur3.report(spark)) == expectReport,
       "a redelivered micro-batch must not double-count the report")
     assert(reportRows(cur3.reportServed(spark)) == expectReport,
@@ -1110,13 +1115,15 @@ class StreamingSpec extends SparkSpec {
   test("curation trigger is crash-atomic: a crash after EVERY store-write boundary, then redelivery, lands on the batch state") {
     import spark.implicits._
     import graft.dedup.{Dedup, Winnow}
-    // a trigger makes 9 store writes (absorbing, posts, exactKeep,
-    // labels, eSets, eBands, flags, counters, meta-commit); kill the
-    // trigger after each prefix, redeliver the batch through a fresh
-    // incarnation (exactly Structured Streaming's crash contract), and
+    // a trigger makes 10 store writes (intent_bid watermark, posts,
+    // exactKeep, labels, eSets, eBands, flags, counters, meta,
+    // commit_bid watermark); kill the trigger after each prefix,
+    // redeliver the batch through a fresh incarnation UNDER THE SAME
+    // BATCH ID (exactly Structured Streaming's crash contract), and
     // the final state must equal the batch recompute — the write-ahead/
-    // commit framing plus replay-stable derivations make the partial
-    // trigger re-processable instead of silently dropped or doubled
+    // commit watermark pair plus replay-stable derivations make the
+    // partial trigger re-processable instead of silently dropped or
+    // doubled
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id"), col("source"), col("text"))
       .filter(col("doc_id") % 3 === 0)
@@ -1127,15 +1134,16 @@ class StreamingSpec extends SparkSpec {
     val augDf = aug.toDF()
     val expectReport = reportRows(graft.queries.CorpusQueries.e2eCurate(
       augDf, Dedup.shingleSets(augDf), Winnow.postings(augDf)))
-    // ONE continuous trajectory, 10 batches, EVERY batch delivered
+    // ONE continuous trajectory, 11 batches, EVERY batch delivered
     // through a trigger that crashes after a DIFFERENT write boundary
-    // (0 = before any write .. 9 = fully committed) and is then
-    // redelivered through a fresh incarnation — so each boundary is hit
-    // against genuinely accumulated state, dethronements included. After
-    // every redelivery the serving counters must agree with the full
-    // state recompute (the exact invariant a lost/doubled delta breaks);
-    // the batch oracle pins the final state.
-    val per = (aug.length + 9) / 10
+    // (0 = before any write .. 10 = fully committed) and is then
+    // redelivered through a fresh incarnation under the same batch id —
+    // so each boundary is hit against genuinely accumulated state,
+    // dethronements included. After every redelivery the serving
+    // counters must agree with the full state recompute (the exact
+    // invariant a lost/doubled delta breaks); the batch oracle pins the
+    // final state.
+    val per = (aug.length + 10) / 11
     val batches = aug.grouped(per).toSeq
     val root = java.nio.file.Files.createTempDirectory("graft-crash").toString
     // fanout 4 keeps the per-merge file/job fanout test-sized
@@ -1143,12 +1151,13 @@ class StreamingSpec extends SparkSpec {
       val doomed = new StreamingCuration(300,
         new CrashAfter(new ParquetTwinStore(root, 4), boundary))
       val crashed =
-        try { doomed.processBatch(b.toDF()); false }
+        try { doomed.processBatch(b.toDF(), batchId = boundary.toLong); false }
         catch { case e: RuntimeException if e.getMessage == "injected crash" => true }
-      assert(crashed == (boundary < 9), s"boundary $boundary: expected 9 writes/trigger")
-      // redelivery through a fresh incarnation over the same root
+      assert(crashed == (boundary < 10), s"boundary $boundary: expected 10 writes/trigger")
+      // redelivery through a fresh incarnation over the same root,
+      // SAME batch id (the Structured Streaming redelivery contract)
       val cur = new StreamingCuration(300, new ParquetTwinStore(root, 4))
-      cur.processBatch(b.toDF())
+      cur.processBatch(b.toDF(), batchId = boundary.toLong)
       assert(reportRows(cur.reportServed(spark)) == reportRows(cur.report(spark)),
         s"crash after write $boundary: serving counters diverged from the state recompute")
     }
@@ -1262,8 +1271,9 @@ class StreamingSpec extends SparkSpec {
     assert(rows(ix2.rangeSearch(spark, query, 0.4).orderBy(col("vec_id"))).toSet
         == expectRange,
       "streaming range search must equal the batch result")
-    // the index genuinely lives on disk as an append-only table
-    assert(new java.io.File(s"$root/annIndex").isDirectory)
+    // the index genuinely lives on disk as a keyed merged table (the
+    // Delta-MERGE shape: update-mass writes, tombstone-capable)
+    assert(new java.io.File(s"$root/annIndex.m").isDirectory)
   }
 
   test("streaming DoReMi twin: merged domain sums + reweight == batch mixture (restart + redelivery)") {
@@ -1340,6 +1350,104 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(got == expect,
       "the live pipeline's served panel must equal the batch e2e retrieval query")
+  }
+
+  test("live index eviction: a doc indexed at trigger T and dethroned at T+k leaves the served panel") {
+    import spark.implicits._
+    import graft.sim.Similarity
+    import graft.functions.TextFunctions
+    // the insert-only failure mode the eviction path exists for: exact
+    // twins of the final panel's OWN query docs arrive first and are
+    // indexed (they are their md5 groups' keepers while the originals
+    // are absent); the originals arrive a trigger later and dethrone
+    // them. An index that only ever inserts would keep serving each
+    // twin as its original's top hit (cos = 1) forever — the curation
+    // pipeline's dethroned ids must tombstone them out, across a
+    // restart AND a crash-redelivery of the dethroning trigger.
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val all = docs.as[CurRow].collect().toSeq.sortBy(_.doc_id)
+    val embIds = emb.select(col("vec_id")).as[Long].collect().toSet
+    val qualityIds = docs
+      .filter(TextFunctions.qualityScoreX1000(col("text")) >= 550)
+      .select(col("doc_id")).as[Long].collect().toSet
+    // twin the 3 smallest kept+embedded ids — exactly the docs that head
+    // the final serving panel's query list, so an unevicted twin is
+    // GUARANTEED panel-visible (exact-duplicate vector of a panel query)
+    val twinBase = all.map(_.doc_id)
+      .filter(id => embIds(id) && qualityIds(id)).take(3).toSet
+    assert(twinBase.size == 3, "fixture must have 3 kept embedded docs")
+    val twins = all.filter(r => twinBase(r.doc_id))
+      .map(r => CurRow(r.doc_id + 1000000L, r.source, r.text))
+    val embAug = emb.unionByName(
+      emb.filter(col("vec_id").isin(twinBase.toSeq.map(Long.box): _*))
+        .withColumn("vec_id", col("vec_id") + lit(1000000L)))
+      .localCheckpoint()
+
+    // the batch oracle over the FINAL corpus state: every original is
+    // its group's keeper, so the final kept set is exactly the batch
+    // sim_e2e_retrieval gate — the pinned target is the gate query itself
+    val expect = graft.queries.SimQueries.queries("sim_e2e_retrieval")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+
+    val root = java.nio.file.Files.createTempDirectory("graft-evict").toString
+    // one foreachBatch body: curation absorbs the docs, the quality gate
+    // picks the inserts (every arriving doc here is its group's current
+    // keeper by construction), curation's dethroned ids ride along as
+    // the index eviction set
+    def ingest(cur: StreamingCuration, ix: StreamingAnnIndex,
+               batch: Seq[CurRow], bid: Long): Unit = {
+      cur.processBatch(batch.toDF(), batchId = bid)
+      val keptIds = batch.toDF()
+        .filter(TextFunctions.qualityScoreX1000(col("text")) >= 550)
+        .select(col("doc_id"))
+      ix.processBatch(
+        embAug.join(keptIds, embAug("vec_id") === keptIds("doc_id"), "left_semi"),
+        Some(cur.dethronedLastTrigger(spark)))
+    }
+    // trigger 0: all originals EXCEPT the twin bases, plus the twins
+    val cur1 = new StreamingCuration(300, new ParquetTwinStore(s"$root/cur"))
+    val ix1 = new StreamingAnnIndex(new ParquetTwinStore(s"$root/ix"))
+    ingest(cur1, ix1, all.filterNot(r => twinBase(r.doc_id)) ++ twins, bid = 0L)
+    val preEvict = ix1.indexed(spark)
+    assert(preEvict.filter(col("id") >= 1000000L).count() == 3L,
+      "the twins must be indexed while their originals are absent")
+
+    // trigger 1 through a RESTART: fresh incarnations resume from disk,
+    // the twin-base originals arrive and dethrone their twins
+    val cur2 = new StreamingCuration(300, new ParquetTwinStore(s"$root/cur"))
+    val ix2 = new StreamingAnnIndex(new ParquetTwinStore(s"$root/ix"))
+    ingest(cur2, ix2, all.filter(r => twinBase(r.doc_id)), bid = 1L)
+
+    // negative control — what an insert-only index would serve now: the
+    // twins back in, each the top hit of its original's panel query
+    val noEvict = Similarity.retrievalPanel(
+      ix2.indexed(spark).unionByName(preEvict.filter(col("id") >= 1000000L)))
+    assert(noEvict.filter(col("hit_id") >= 1000000L).count() > 0,
+      "control: without eviction the dethroned twins WOULD be served")
+
+    // the real served panel: no twins, equal to the batch gate query
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val served = rows(Similarity.retrievalPanel(ix2.indexed(spark)))
+    assert(!served.exists(_._3 >= 1000000L),
+      "a dethroned doc must leave the served panel")
+    assert(served == expect,
+      "post-eviction served panel must equal the batch retrieval query")
+
+    // crash-redelivery of the dethroning trigger: same batch id, same
+    // rows — inserts anti-join out, re-evictions are no-op tombstones
+    ingest(cur2, ix2, all.filter(r => twinBase(r.doc_id)), bid = 1L)
+    assert(rows(Similarity.retrievalPanel(ix2.indexed(spark))) == expect,
+      "redelivering the dethroning trigger must not perturb the index")
+    // a dethroned id re-offered later (out-of-order replay) must NOT
+    // resurrect: the annDeleted ledger blocks it permanently
+    ix2.processBatch(
+      embAug.filter(col("vec_id") >= 1000000L), None)
+    assert(rows(Similarity.retrievalPanel(ix2.indexed(spark))) == expect,
+      "a re-offered dethroned id must not re-enter the index")
   }
 }
 
