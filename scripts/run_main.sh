@@ -1,0 +1,24 @@
+#!/usr/bin/env bash
+# Run a graft main class directly on the compiled classes (no sbt lock,
+# no sbt startup): mirrors build.sbt's fork JVM flags. Usage:
+#   scripts/run_main.sh graft.Bench [args...]
+# Env knobs pass through (SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS,
+# SPARK_DRIVER_MEM, SPARK_GRAFT_TWIN_TRIGGERS, SPARK_GRAFT_SCALE_ONLY...).
+set -euo pipefail
+cd "$(dirname "$0")/.."
+MAIN="$1"; shift
+ADD_OPENS=(
+  java.base/java.lang java.base/java.lang.invoke java.base/java.lang.reflect
+  java.base/java.io java.base/java.net java.base/java.nio
+  java.base/java.util java.base/java.util.concurrent
+  java.base/java.util.concurrent.atomic
+  java.base/sun.nio.ch java.base/sun.nio.cs
+  java.base/sun.security.action java.base/sun.util.calendar
+)
+OPENS_FLAGS=()
+for p in "${ADD_OPENS[@]}"; do OPENS_FLAGS+=(--add-opens "$p=ALL-UNNAMED"); done
+exec java "${OPENS_FLAGS[@]}" \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  "-Xmx${SPARK_DRIVER_MEM:-48g}" -XX:+UseG1GC \
+  -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
+  "$MAIN" "$@"

@@ -167,27 +167,64 @@ object Bench {
         case _ => None
       }
     }.toMap
+    // CPU-clock bleed regime: process CPU counts EVERY JVM thread, so a
+    // long-lived sweep JVM bleeds concurrent-GC/background work into a
+    // query's attribution IN PROPORTION TO ITS WALL TIME (bisected
+    // r11/r12: join_anti_customers +4.2 cpu-s over 0.40s wall,
+    // anomaly_seasonal +5.7 over 0.84s, agg_funnel_time +1.8 over 0.31s
+    // — all at or near their fresh-JVM floors). An in-sweep excess
+    // inside ~10 cpu-s per wall-second is therefore AMBIGUOUS — but it
+    // must not auto-clear (that verdict is blind for any query running
+    // under ~10 effective threads, i.e. most of this suite): it
+    // ESCALATES to a fresh-JVM confirmation run (graft.tools
+    // .FreshConfirm — no sweep bleed, so a ~0.5 cpu-s absolute
+    // allowance restores sensitivity at every parallelism). A flag
+    // whose fresh-JVM run fails cannot clear itself by failing.
+    def freshConfirm(k: String): Either[String, T] =
+      try {
+        import scala.jdk.CollectionConverters._
+        val javaBin = System.getProperty("java.home") + "/bin/java"
+        val jvmArgs = java.lang.management.ManagementFactory
+          .getRuntimeMXBean.getInputArguments.asScala.toSeq
+        val cmd = Seq(javaBin) ++ jvmArgs ++
+          Seq("-cp", System.getProperty("java.class.path"),
+            "graft.tools.FreshConfirm", k, sfDir)
+        val pb = new ProcessBuilder(cmd: _*)
+        pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+        pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+        val p = pb.start()
+        val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+        val done = p.waitFor(15, java.util.concurrent.TimeUnit.MINUTES)
+        if (!done) { p.destroyForcibly(); Left("fresh-JVM run timed out") }
+        else {
+          val re = """"wall":([0-9.]+),"cpu":([0-9.]+)""".r
+          re.findAllMatchIn(out).toSeq.lastOption
+            .map(m => Right(T(m.group(1).toDouble, m.group(2).toDouble)))
+            .getOrElse(Left(s"fresh-JVM run exited ${p.exitValue()} without a sample"))
+        }
+      } catch { case e: Throwable =>
+        Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}")
+      }
+    val freshSamples = scala.collection.mutable.LinkedHashMap.empty[String, T]
+    val freshErrors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val regressions = flagged.filter { case (k, (_, floor, clock)) =>
       isoErrors.contains(k) ||
         isolated.get(k).exists { iso =>
           val overBar =
             if (clock == "cpu") iso.cpu > 2 * floor && iso.cpu - floor > 0.5
             else iso.wall > 2 * floor && iso.wall - floor > 0.25
-          // CPU-clock sanity guard: process CPU counts EVERY JVM thread,
-          // so a long-lived sweep JVM bleeds concurrent-GC/background
-          // work into a query's attribution IN PROPORTION TO ITS WALL
-          // TIME (bisected r11/r12: join_anti_customers +4.2 cpu-s over
-          // 0.40s wall, anomaly_seasonal +5.7 over 0.84s, agg_funnel_time
-          // +1.8 over 0.31s — all at or near their fresh-JVM floors).
-          // So a cpu flag only CONFIRMS when the excess over the floor
-          // exceeds the bleed ceiling for its wall time (~1/3 of the
-          // 32-thread pool): excess > 0.5 + 10·wall cpu-s. This keeps
-          // genuine CPU regressions confirmable at every size — a real
-          // 2x parallelized slowdown adds cpu far past the bleed bound —
-          // without depending on the (extreme-value-tail) wall floors.
-          val gcBleed = clock == "cpu" &&
+          val withinBleed = clock == "cpu" &&
             (iso.cpu - floor) <= 0.5 + 10.0 * iso.wall
-          overBar && !gcBleed
+          overBar && (!withinBleed || {
+            freshConfirm(k) match {
+              case Right(fr) =>
+                freshSamples(k) = fr
+                fr.cpu > 2 * floor && fr.cpu - floor > 0.5
+              case Left(err) =>
+                freshErrors(k) = err
+                true
+            }
+          })
         }
     }
     flagged.foreach { case (k, (now, floor, clock)) =>
@@ -198,14 +235,20 @@ object Bench {
             f"[bench] REGRESSION $k ($clock): $nowV%.3fs vs best $floor%.3fs — isolated re-run FAILED ($err), flag kept")
         case (Some(iso), _) if regressions.contains(k) =>
           val isoV = if (clock == "cpu") iso.cpu else iso.wall
+          val how = (freshSamples.get(k), freshErrors.get(k)) match {
+            case (Some(fr), _) => f"CONFIRMED by fresh JVM (${fr.cpu}%.3f cpu-s vs floor $floor%.3f)"
+            case (_, Some(err)) => s"fresh-JVM confirmation FAILED ($err), flag kept"
+            case _ => "CONFIRMED in isolation (excess beyond the bleed regime)"
+          }
           System.err.println(
-            f"[bench] REGRESSION $k ($clock): $nowV%.3fs (isolated $isoV%.3fs) vs best $floor%.3fs (>2x, CONFIRMED in isolation)")
+            f"[bench] REGRESSION $k ($clock): $nowV%.3fs (isolated $isoV%.3fs) vs best $floor%.3fs (>2x, $how)")
         case (Some(iso), _) =>
           val isoV = if (clock == "cpu") iso.cpu else iso.wall
-          val why =
-            if (clock == "cpu" && (iso.cpu - floor) <= 0.5 + 10.0 * iso.wall)
-              f"cpu excess ${iso.cpu - floor}%.2f within the gc-bleed bound for ${iso.wall}%.3fs wall"
-            else "sweep contention"
+          val why = freshSamples.get(k) match {
+            case Some(fr) =>
+              f"fresh-JVM sample ${fr.cpu}%.3f cpu-s / ${fr.wall}%.3fs wall is back at the floor (in-sweep excess was gc-bleed)"
+            case None => "sweep contention"
+          }
           System.err.println(
             f"[bench] flag cleared: $k ($clock) $nowV%.3fs in-sweep but $isoV%.3fs isolated vs best $floor%.3fs — $why, not a regression")
         case _ => ()
@@ -220,39 +263,23 @@ object Bench {
       (old.keySet ++ now.keySet).map { k =>
         k -> (old.get(k).toSeq ++ now.get(k).toSeq ++ iso.get(k).toSeq).min
       }.toMap
-    val newHist = ratchet(hist, results.map { case (k, v) => k -> v.wall },
-      isolated.map { case (k, v) => k -> v.wall })
-    val newHistCpu = ratchet(histCpu, results.map { case (k, v) => k -> v.cpu },
-      isolated.map { case (k, v) => k -> v.cpu })
-    try {
-      // merge this sf's two sections back into the (possibly multi-sf) file
-      val mineKeys = Set(sfDir, sfDir + "#cpu")
-      val others =
-        if (java.nio.file.Files.exists(histPath)) {
-          val txt = new String(java.nio.file.Files.readAllBytes(histPath), "UTF-8")
-          """"(/[^"]+)":\{([^}]*)\}""".r.findAllMatchIn(txt)
-            .map(m => m.group(1) -> m.group(2)).filterNot(kv => mineKeys(kv._1)).toMap
-        } else Map.empty[String, String]
-      def body(m: Map[String, Double]): String =
-        m.toSeq.sortBy(_._1).map { case (k, v) => q(k) + ":" + r3(v) }.mkString(",")
-      val mine = Seq(sfDir -> body(newHist), (sfDir + "#cpu") -> body(newHistCpu))
-      val full = (others.toSeq ++ mine).sortBy(_._1)
-        .map { case (sf, b) => q(sf) + ":{" + b + "}" }.mkString("{", ",", "}")
-      java.nio.file.Files.write(histPath, (full + "\n").getBytes("UTF-8"))
-    } catch { case _: Throwable => () } // history is best-effort
-    // full flag record: every flagged query with its clock, both readings,
-    // the isolated re-run, and the confirmed verdict
-    val regs = flagged.map { case (k, (now, floor, clock)) =>
-      val iso = isolated.get(k).map(v =>
-        s""""isolated_wall_s":${r3(v.wall)},"isolated_cpu_s":${r3(v.cpu)}""")
-        .getOrElse(s""""isolated_rerun_error":${q(isoErrors(k))}""")
-      q(k) + ":" + s"""{"clock":${q(clock)},"now_wall":${r3(now.wall)},"now_cpu":${r3(now.cpu)},"best":${r3(floor)},$iso,"confirmed":${regressions.contains(k)}}"""
-    }.mkString("{", ",", "}")
-    val memoTotal = memoCosts.values.sum
+    // fresh-JVM escalation samples are clean measurements — they ratchet
+    // the floors exactly like the in-sweep and isolated readings
+    val newHist = ratchet(
+      ratchet(hist, results.map { case (k, v) => k -> v.wall },
+        isolated.map { case (k, v) => k -> v.wall }),
+      freshSamples.map { case (k, v) => k -> v.wall }.toMap, Map.empty)
+    val newHistCpu = ratchet(
+      ratchet(histCpu, results.map { case (k, v) => k -> v.cpu },
+        isolated.map { case (k, v) => k -> v.cpu }),
+      freshSamples.map { case (k, v) => k -> v.cpu }.toMap, Map.empty)
     // the HONEST drift aggregates: this run's totals vs the best-known
     // floors, per clock, over the queries that have a floor. The cpu
     // ratio is the per-round comparator (steal-immune); the wall ratio
-    // is steal/extreme-value telemetry only (see the history comment)
+    // is steal/extreme-value telemetry only. Tracked round-over-round in
+    // the history file's #aggregates section — the backstop for the
+    // conservative per-query instrument: per-query flags can stay quiet
+    // while the aggregate drifts, and this series catches that.
     def vsFloor(cur: Map[String, Double], floors: Map[String, Double]): Double = {
       val covered = cur.filter { case (k, _) => floors.contains(k) }
       val fsum = covered.keys.map(floors).sum
@@ -260,8 +287,59 @@ object Bench {
     }
     val cpuVsFloor = vsFloor(results.map { case (k, v) => k -> v.cpu }, histCpu)
     val wallVsFloor = vsFloor(results.map { case (k, v) => k -> v.wall }, hist)
+    val histTxt =
+      if (java.nio.file.Files.exists(histPath))
+        new String(java.nio.file.Files.readAllBytes(histPath), "UTF-8")
+      else ""
+    val oldAggBody = """"#aggregates":\[([^\]]*)\]""".r
+      .findFirstMatchIn(histTxt).map(_.group(1)).getOrElse("")
+    // previous round's cpu_vs_floor for the same sf — surfaced in the
+    // BENCH line so round-over-round aggregate drift is one comparison
+    val prevCpuVsFloor = {
+      val entRe = ("""\{[^{}]*"sf":""" + java.util.regex.Pattern.quote(q(sfDir)) +
+        """[^{}]*"cpu_vs_floor":([0-9.eE+-]+)[^{}]*\}""").r
+      entRe.findAllMatchIn(oldAggBody).toSeq.lastOption.map(_.group(1).toDouble)
+    }
+    try {
+      // merge this sf's two sections back into the (possibly multi-sf) file
+      val mineKeys = Set(sfDir, sfDir + "#cpu")
+      val others =
+        """"(/[^"]+)":\{([^}]*)\}""".r.findAllMatchIn(histTxt)
+          .map(m => m.group(1) -> m.group(2)).filterNot(kv => mineKeys(kv._1)).toMap
+      def body(m: Map[String, Double]): String =
+        m.toSeq.sortBy(_._1).map { case (k, v) => q(k) + ":" + r3(v) }.mkString(",")
+      val mine = Seq(sfDir -> body(newHist), (sfDir + "#cpu") -> body(newHistCpu))
+      val aggEntry =
+        s"""{"ts":${System.currentTimeMillis() / 1000L},"sf":${q(sfDir)},"n_queries":${results.size},"wall_total":${r3(total)},"cpu_total":${r3(cpuTotal)},"cpu_vs_floor":${r3(cpuVsFloor)},"wall_vs_floor":${r3(wallVsFloor)},"n_flags":${flagged.size},"n_regressions":${regressions.size}}"""
+      // only full-suite runs enter the round-over-round series — a
+      // SPARK_GRAFT_BENCH_ONLY dev run's aggregate is meaningless there
+      val aggBody =
+        if (only.nonEmpty) oldAggBody
+        else if (oldAggBody.isEmpty) aggEntry
+        else oldAggBody + "," + aggEntry
+      val full = ((others.toSeq ++ mine).sortBy(_._1)
+        .map { case (sf, b) => q(sf) + ":{" + b + "}" } :+
+        ("\"#aggregates\":[" + aggBody + "]")).mkString("{", ",", "}")
+      java.nio.file.Files.write(histPath, (full + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () } // history is best-effort
+    // full flag record: every flagged query with its clock, both readings,
+    // the isolated re-run, the fresh-JVM escalation sample (when the
+    // in-sweep excess was bleed-ambiguous), and the confirmed verdict
+    val regs = flagged.map { case (k, (now, floor, clock)) =>
+      val iso = isolated.get(k).map(v =>
+        s""""isolated_wall_s":${r3(v.wall)},"isolated_cpu_s":${r3(v.cpu)}""")
+        .getOrElse(s""""isolated_rerun_error":${q(isoErrors(k))}""")
+      val fresh = freshSamples.get(k).map(v =>
+          s""","fresh_jvm_wall_s":${r3(v.wall)},"fresh_jvm_cpu_s":${r3(v.cpu)}""")
+        .orElse(freshErrors.get(k).map(e => s""","fresh_jvm_error":${q(e)}"""))
+        .getOrElse("")
+      q(k) + ":" + s"""{"clock":${q(clock)},"now_wall":${r3(now.wall)},"now_cpu":${r3(now.cpu)},"best":${r3(floor)},$iso$fresh,"confirmed":${regressions.contains(k)}}"""
+    }.mkString("{", ",", "}")
+    val memoTotal = memoCosts.values.sum
+    val prevCmp = prevCpuVsFloor
+      .map(p => s""","cpu_vs_floor_prev_round":${r3(p)}""").getOrElse("")
     val json =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":${q(sfDir)},"n_queries":${results.size},"n_errors":${errors.size},"n_regressions":${regressions.size},"n_flags_cleared":$nFlagsCleared,"cold_total":${r3(coldTotal)},"memo_total_s":${r3(memoTotal)},"cpu_total":${r3(cpuTotal)},"cpu_vs_floor":${r3(cpuVsFloor)},"wall_vs_floor_indicator":${r3(wallVsFloor)},"steal_warm_pct":${r3(stealWarm)},"steal_cold_pct":${r3(stealCold)},"queries":$qs,"errors":$errsShort,"detail":"bench_detail.json"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":${q(sfDir)},"n_queries":${results.size},"n_errors":${errors.size},"n_regressions":${regressions.size},"n_flags_cleared":$nFlagsCleared,"cold_total":${r3(coldTotal)},"memo_total_s":${r3(memoTotal)},"cpu_total":${r3(cpuTotal)},"cpu_vs_floor":${r3(cpuVsFloor)}$prevCmp,"wall_vs_floor_indicator":${r3(wallVsFloor)},"steal_warm_pct":${r3(stealWarm)},"steal_cold_pct":${r3(stealCold)},"queries":$qs,"errors":$errsShort,"detail":"bench_detail.json"}"""
     def jmap(m: Map[String, Double]): String =
       m.map { case (k, v) => q(k) + ":" + v }.mkString("{", ",", "}")
     // scaling exponents from tools.ScaleProbe (run on demand; committed

@@ -22,14 +22,20 @@ import org.apache.spark.sql.functions._
  *
  * With the pre-r12 whole-table resolution the hot merge would re-read
  * and re-window the ENTIRE table (cost ∝ trigger number); with
- * bucket-local resolution it touches only bucket 0, whose mass is
+ * bucket-local INCREMENTAL resolution (r13: the arriving delta folds
+ * into the cached prior via one broadcast anti-join — no file re-read,
+ * no merge-on-read window) it touches only bucket 0, whose mass is
  * constant — so the hot-update series must stay FLAT while the table
- * grows 30×. The growth merges are recorded too: their cost tracks
- * their touched buckets' (growing) mass — the honest statement of what
- * bucketing buys (update-locality, not magic). A final SPRAY merge
- * (same update size, keys across all buckets) shows the worst case:
- * every bucket touched = table-mass resolution, the fanout tuning
- * knob's other end.
+ * grows 30×. The growth merges are recorded too: their parquet write is
+ * delta-sized and their fold re-checkpoints only their touched buckets'
+ * prior state. A final SPRAY merge (same update size, keys across all
+ * buckets) probes the former worst case: before r13 it re-windowed
+ * table mass (9.75s at 150k rows vs 0.74s hot); with the incremental
+ * fold its extra cost over a hot update is one pass over the cached
+ * prior state — the probe pins it within ~2× of the hot update. A
+ * second spray row at fanout 64 ([[graft.streaming.ParquetTwinStore
+ * .fanoutFor]]'s 16 GiB sizing point) shows the knob's effect on
+ * per-bucket mass and compaction granularity.
  *
  * Writes `twinstore_probe.json`; `Bench` embeds it into
  * `bench_detail.json` (key "twinstore").
@@ -61,6 +67,7 @@ object TwinStoreProbe {
       .select(col("id"), pmod(xxhash64(col("id")), lit(fanout.toLong)).as("b"))
     val hotKeys = pool.filter(col("b") === 0).limit(hotSize)
       .select("id").as[Long].collect()
+    require(hotKeys.length == hotSize, "id pool too small for the hot set")
     val growKeys = pool.filter(col("b") =!= 0)
       .limit(nTriggers * growPerTrigger).select("id").as[Long].collect()
     require(growKeys.length == nTriggers * growPerTrigger, "id pool too small")
@@ -85,9 +92,21 @@ object TwinStoreProbe {
       hotT(t) = timed { st.merge("t", Seq("id"), df(hotKeys, s"h$t-"), None): Unit }
       System.err.println(f"[tsprobe] trigger $t: grow ${growT(t)._1}%.2fs, hot ${hotT(t)._1}%.2fs (table ${(t + 1) * growPerTrigger + hotSize} rows)")
     }
-    // worst case: same update size but keys sprayed across every bucket
+    // former worst case: same update size but keys sprayed across every
+    // bucket — with incremental resolution this must sit near the hot
+    // cost (one pass over the cached prior + update mass)
     val sprayKeys = growKeys.take(hotSize)
     val spray = timed { st.merge("t", Seq("id"), df(sprayKeys, "spray-"), None): Unit }
+
+    // the fanout knob's sizing point: the same total state mass in a
+    // 64-bucket table (ParquetTwinStore.fanoutFor(16 GiB) = 64), same
+    // spray update — per-bucket mass and compaction granularity shrink
+    // 4x while the spray cost stays bounded
+    val root64 = java.nio.file.Files.createTempDirectory("graft-tsprobe64").toString
+    val st64 = new ParquetTwinStore(root64, 64)
+    st64.merge("t", Seq("id"), df(growKeys, "seed-"), None): Unit
+    st64.merge("t", Seq("id"), df(hotKeys, "seed-"), None): Unit
+    val spray64 = timed { st64.merge("t", Seq("id"), df(sprayKeys, "spray-"), None): Unit }
     val stealPct = graft.util.ProcStat.stealPct(steal0, graft.util.ProcStat.stealJiffies())
 
     // flat-ness: mean of the last 5 hot updates over the mean of hot
@@ -102,7 +121,7 @@ object TwinStoreProbe {
     def mean(xs: Seq[Double]) = xs.sum / xs.length
 
     val json =
-      s"""{"n_triggers":$nTriggers,"fanout":$fanout,"grow_rows_per_trigger":$growPerTrigger,"hot_update_rows":$hotSize,"final_table_rows":${nTriggers * growPerTrigger + hotSize},"hot_update_s":[${hotT.map(p => f(p._1)).mkString(",")}],"hot_update_cpu_s":[${hotT.map(p => f(p._2)).mkString(",")}],"grow_merge_s":[${growT.map(p => f(p._1)).mkString(",")}],"hot_early_mean_s":${f(mean(early))},"hot_late_mean_s":${f(mean(late))},"hot_growth":${f(mean(late) / mean(early))},"hot_growth_cpu":${f(mean(lateC) / mean(earlyC))},"spray_update_s":${f(spray._1)},"spray_update_cpu_s":${f(spray._2)},"steal_pct":${f(stealPct)},"note":"hot updates re-upsert a FIXED key set confined to bucket 0 while growth merges inflate the other 15 buckets ${nTriggers}x: flat hot_update_s (hot_growth ~1) = resolve cost tracks touched-bucket mass, not table mass. grow_merge_s tracks its touched buckets' growing mass (the honest bucketing trade); spray_update_s is the all-buckets-touched worst case."}"""
+      s"""{"n_triggers":$nTriggers,"fanout":$fanout,"grow_rows_per_trigger":$growPerTrigger,"hot_update_rows":$hotSize,"final_table_rows":${nTriggers * growPerTrigger + hotSize},"hot_update_s":[${hotT.map(p => f(p._1)).mkString(",")}],"hot_update_cpu_s":[${hotT.map(p => f(p._2)).mkString(",")}],"grow_merge_s":[${growT.map(p => f(p._1)).mkString(",")}],"hot_early_mean_s":${f(mean(early))},"hot_late_mean_s":${f(mean(late))},"hot_growth":${f(mean(late) / mean(early))},"hot_growth_cpu":${f(mean(lateC) / mean(earlyC))},"spray_update_s":${f(spray._1)},"spray_update_cpu_s":${f(spray._2)},"spray_update_fanout64_s":${f(spray64._1)},"spray_update_fanout64_cpu_s":${f(spray64._2)},"steal_pct":${f(stealPct)},"note":"hot updates re-upsert a FIXED key set confined to bucket 0 while growth merges inflate the other 15 buckets ${nTriggers}x: flat hot_update_s (hot_growth ~1) = resolve cost tracks touched-bucket mass, not table mass. spray_update_s is the all-buckets-touched case: with r13's incremental fold (cached-prior anti-join, no file re-read/re-window) it must sit within ~2x of a hot update; spray_update_fanout64_s repeats it on a 64-bucket table (the fanoutFor 16GiB sizing point) over the same state mass."}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (json + "\n").getBytes("UTF-8"))
     System.out.println(json)

@@ -708,16 +708,18 @@ class QueryPlanSpec extends SparkSpec {
       s"no corpus self-join may appear in:\n$plan")
     assert(!plan.contains("SortMergeJoin ["),
       s"no corpus-scale shuffle join may appear (panel is broadcast-tier, kept-restriction is a hash semi-join) in:\n$plan")
-    // the rank window partitions by q_id (never a partitionBy-less window)
-    assert(plan.contains("Window") && plan.contains("partitionBy") ||
-        "windowspecdefinition\\(q_id".r.findFirstIn(plan.toLowerCase).isDefined ||
-        plan.contains("Window [q_id") || plan.contains("[q_id"),
+    // the rank window partitions by q_id (never a partitionBy-less
+    // window): a single windowspecdefinition whose partition key is q_id
+    assert("windowspecdefinition\\(q_id".r.findFirstIn(plan.toLowerCase).isDefined,
       s"expected the rank window keyed by q_id in:\n$plan")
+    assert(!"windowspecdefinition\\((?!q_id)".r.findFirstIn(plan.toLowerCase).isDefined,
+      s"no window may partition by anything but q_id in:\n$plan")
     // and the index is served from the memoized stored artifact — the
-    // corpus is not re-hashed inside the query (no bucket/norm kernels
-    // in the serving plan's own pipeline, which would mark a rebuild)
+    // corpus is not re-hashed inside the query (NEITHER the bucket nor
+    // the norm kernel may appear in the serving plan's own pipeline;
+    // either one would mark a rebuild)
     val own = plan.split("Scan ExistingRDD")(0)
-    assert(!own.contains("buckets_fast") || !own.contains("norm_fast"),
+    assert(!own.contains("buckets_fast") && !own.contains("norm_fast"),
       s"the serving plan must read stored index rows, not rebuild them:\n$plan")
   }
 
