@@ -452,7 +452,7 @@ final class ParquetTwinStore(root: String,
     // bucket at that bucket's next file sequence — only the buckets the
     // update's keys hash to are touched
     def stage(df: DataFrame, tag: String): Map[Int, String] = {
-      val sdir = s"$dir/_stage-$tag"
+      val sdir = s"$dir/stage-$tag"
       rm(sdir)
       df.withColumn("_gb", route)
         .write.partitionBy("_gb").mode("overwrite").parquet(sdir)
@@ -484,31 +484,7 @@ final class ParquetTwinStore(root: String,
       }
     val coldLegs: Seq[DataFrame] = coldTouched.flatMap(k =>
       resolveBucket(spark, name, k).map(_.withColumn("_gb", lit(k))))
-    val upParts = scala.collection.mutable.Map.empty[Int, String]
-    val delParts = scala.collection.mutable.Map.empty[Int, String]
-    for (k <- touched) {
-      val bdir = new java.io.File(bucketDir(name, k))
-      bdir.mkdirs(): Unit
-      // upsert and tombstone of ONE merge share a sequence (upsert/delete
-      // key sets are disjoint within a call; strict `>` in resolution
-      // keeps a same-seq tombstone authoritative for its own keys)
-      val seq = nextBucketSeq(name, k)
-      upStaged.get(k).foreach { p =>
-        val dst = s"${bdir.getPath}/d$seq"
-        require(new java.io.File(p).renameTo(new java.io.File(dst)),
-          s"failed to place delta for bucket $k of $name")
-        upParts(k) = dst
-      }
-      delStaged.get(k).foreach { p =>
-        val dst = s"${bdir.getPath}/t$seq"
-        require(new java.io.File(p).renameTo(new java.io.File(dst)),
-          s"failed to place tombstone for bucket $k of $name")
-        delParts(k) = dst
-      }
-    }
-    rm(s"$dir/_stage-u"); rm(s"$dir/_stage-t")
-
-    // INCREMENTAL resolution of the touched buckets: fold the just-landed
+    // INCREMENTAL resolution of the touched buckets: fold the just-staged
     // delta into the prior resolutions — prior rows whose key appears in
     // the update (upsert OR delete) anti-join out, the upsert rows union
     // in (the InMemoryTwinStore.merge shape). Routing sends each key to
@@ -516,15 +492,16 @@ final class ParquetTwinStore(root: String,
     // union equals the per-bucket folds — the whole fold is one map-side
     // pass (broadcast update keys) over the prior state: no base/delta
     // re-read, no merge-on-read window, regardless of how the keys spray.
+    // The update reads the staged PARENT dirs (one scan each, `_gb`
+    // inferred as the partition column) — never one read leg per bucket,
+    // which would put fanout-many tiny scans in every trigger's plan.
     val keyed = keyCols.map(col)
-    val upTagged: Option[DataFrame] = touched.flatMap(k =>
-        upParts.get(k).map(p =>
-          spark.read.parquet(p).withColumn("_gb", lit(k))))
-      .reduceOption(_ unionByName _)
+    val upTagged: Option[DataFrame] =
+      if (upStaged.isEmpty) None else Some(spark.read.parquet(s"$dir/stage-u"))
     val goneKeys: Option[DataFrame] =
       (upTagged.map(_.select(keyed: _*)).toSeq ++
-        touched.flatMap(k => delParts.get(k))
-          .map(p => spark.read.parquet(p).select(keyed: _*)))
+        (if (delStaged.isEmpty) Seq.empty
+         else Seq(spark.read.parquet(s"$dir/stage-t").select(keyed: _*))))
         .reduceOption(_ unionByName _).map(_.distinct())
     val priorTagged: Option[DataFrame] =
       (warmLegs ++ coldLegs).reduceOption(_ unionByName _)
@@ -543,16 +520,48 @@ final class ParquetTwinStore(root: String,
     // ONE batched localCheckpoint materializes the fold + cold resolves:
     // per-trigger disk I/O stays update-mass (the staged write above);
     // this in-memory re-materialization of the touched buckets is the
-    // only state-proportional term, bounded per bucket by the fanout
+    // only state-proportional term, bounded per bucket by the fanout.
+    // COALESCED to the session's shuffle-partition count: the fold
+    // unions the prior checkpoint with the staged reads, and an
+    // un-coalesced checkpoint would accumulate their partitions every
+    // trigger, so every later scan of the state (folds, compaction
+    // writes, serving) would pay an ever-growing task count for the
+    // same rows. The checkpoint runs BEFORE the staged partitions are
+    // renamed into their buckets (it materializes the staged content,
+    // so the files are free to move afterwards).
+    val target = spark.sessionState.conf.numShufflePartitions
     val tagged: Option[DataFrame] = phase("checkpoint") {
       (foldedTagged.toSeq ++ coldUntouched.map { case (k, df) =>
           df.withColumn("_gb", lit(k)) })
-        .reduceOption(_ unionByName _).map(_.localCheckpoint())
+        .reduceOption(_ unionByName _)
+        .map(_.coalesce(target).localCheckpoint())
     }
     val materialized: Seq[Int] =
       if (tagged.isEmpty) Seq.empty
       else touched ++ coldUntouched.map(_._1)
     tagged.foreach(t => materialized.foreach(k => bucketCache((name, k)) = t))
+
+    // place the staged partitions into their buckets (the durable form
+    // of this merge — what a cold restart resolves through the window)
+    phase("place") {
+      for (k <- touched) {
+        val bdir = new java.io.File(bucketDir(name, k))
+        bdir.mkdirs(): Unit
+        // upsert and tombstone of ONE merge share a sequence (upsert/
+        // delete key sets are disjoint within a call; strict `>` in the
+        // window keeps a same-seq tombstone authoritative for its keys)
+        val seq = nextBucketSeq(name, k)
+        upStaged.get(k).foreach { p =>
+          require(new java.io.File(p).renameTo(new java.io.File(s"${bdir.getPath}/d$seq")),
+            s"failed to place delta for bucket $k of $name")
+        }
+        delStaged.get(k).foreach { p =>
+          require(new java.io.File(p).renameTo(new java.io.File(s"${bdir.getPath}/t$seq")),
+            s"failed to place tombstone for bucket $k of $name")
+        }
+      }
+      rm(s"$dir/stage-u"); rm(s"$dir/stage-t")
+    }
 
     // BUCKET-LOCAL compaction: a bucket past MaxDeltas live deltas folds
     // its (already-checkpointed) resolution into a fresh base — written
@@ -562,18 +571,35 @@ final class ParquetTwinStore(root: String,
     // DataFrames from the previous trigger must survive this one)
     phase("compact") {
       val consumed = Seq.newBuilder[String]
-      for (k <- touched) {
-        val bdir = bucketDir(name, k)
-        val (ds, ts, base) = liveParts(bdir)
-        if (ds.length >= MaxDeltas && bucketCache.contains((name, k))) {
+      val compacting = touched.filter { k =>
+        val (ds, _, _) = liveParts(bucketDir(name, k))
+        ds.length >= MaxDeltas && bucketCache.contains((name, k))
+      }
+      if (compacting.nonEmpty) {
+        // every compacting bucket's (already-checkpointed) resolution is
+        // a slice of THIS merge's tagged checkpoint, so ONE partitionBy
+        // job stages all the new bases — never a write job per bucket —
+        // and each staged partition renames into its bucket atomically
+        // (a crash mid-write leaves only the ignored stage dir, never a
+        // torn base masking live deltas)
+        val cdir = s"$dir/stage-c"
+        rm(cdir)
+        tagged.get.filter(col("_gb").isin(compacting.map(Int.box): _*))
+          .write.partitionBy("_gb").mode("overwrite").parquet(cdir)
+        for (k <- compacting) {
+          val bdir = bucketDir(name, k)
+          val (ds, ts, base) = liveParts(bdir)
           val baseSeq = nextBucketSeq(name, k)
-          val tmp = s"$bdir/.base-tmp"
-          rm(tmp)
-          bucketTable(spark, name, k).get.write.mode("overwrite").parquet(tmp)
-          require(new java.io.File(tmp).renameTo(new java.io.File(s"$bdir/base-v$baseSeq")),
-            s"failed to commit compacted base for bucket $k of $name")
+          val src = new java.io.File(s"$cdir/_gb=$k")
+          // a bucket whose resolution is EMPTY stages no partition dir:
+          // consuming its files with no replacement base is exactly
+          // right (the empty resolution IS the bucket's state)
+          if (src.isDirectory)
+            require(src.renameTo(new java.io.File(s"$bdir/base-v$baseSeq")),
+              s"failed to commit compacted base for bucket $k of $name")
           consumed ++= (base.toSeq ++ ds ++ ts).map(_._2)
         }
+        rm(cdir)
       }
       schedulePendingRm(name, consumed.result())
     }

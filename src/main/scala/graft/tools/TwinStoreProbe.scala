@@ -89,8 +89,11 @@ object TwinStoreProbe {
     for (t <- 0 until nTriggers) {
       val slice = growKeys.slice(t * growPerTrigger, (t + 1) * growPerTrigger)
       growT(t) = timed { st.merge("t", Seq("id"), df(slice, s"g$t-"), None): Unit }
+      val growPh = st.drainPhaseSeconds().toSeq.sortBy(-_._2)
+        .map { case (k, v) => f"$k ${v}%.2f" }.mkString(", ")
       hotT(t) = timed { st.merge("t", Seq("id"), df(hotKeys, s"h$t-"), None): Unit }
-      System.err.println(f"[tsprobe] trigger $t: grow ${growT(t)._1}%.2fs, hot ${hotT(t)._1}%.2fs (table ${(t + 1) * growPerTrigger + hotSize} rows)")
+      st.drainPhaseSeconds(): Unit
+      System.err.println(f"[tsprobe] trigger $t: grow ${growT(t)._1}%.2fs ($growPh), hot ${hotT(t)._1}%.2fs (table ${(t + 1) * growPerTrigger + hotSize} rows)")
     }
     // former worst case: same update size but keys sprayed across every
     // bucket — with incremental resolution this must sit near the hot
