@@ -142,11 +142,30 @@ object Bench {
       } else Map.empty
     val hist = histSection(sfDir)
     val histCpu = histSection(sfDir + "#cpu")
-    // flag rule: >2x the cpu floor AND an absolute margin (0.5 cpu-s —
-    // cpu sums over 32 threads so small queries carry ~1-4 cpu-s)
+    // WINDOW NORMALIZATION: floors are per-query all-time minima, but
+    // host state (cpu frequency scaling, memory-bandwidth contention)
+    // shifts WHOLE windows — a throttled window reads every query at
+    // 1.3-1.8x its floor on both clocks at zero steal, which is not 196
+    // simultaneous code regressions. A regression is a query-SPECIFIC
+    // slowdown, so the per-query bar scales by the window's own median
+    // cpu inflation over well-floored queries; a genuinely broad code
+    // regression cannot hide in the median because the round-over-round
+    // cpu_vs_floor aggregate (#aggregates in the history file) tracks
+    // exactly that.
+    val inflSamples = results.toSeq.collect {
+      case (k, v) if histCpu.get(k).exists(_ > 0.3) => v.cpu / histCpu(k)
+    }.sorted
+    val windowInfl =
+      if (inflSamples.size >= 20) math.max(1.0, inflSamples(inflSamples.size / 2))
+      else 1.0
+    def adjFloor(floor: Double): Double = windowInfl * floor
+    // flag rule: >2x the window-adjusted cpu floor AND an absolute
+    // margin (0.5 cpu-s — cpu sums over 32 threads so small queries
+    // carry ~1-4 cpu-s)
     val flagged = results.collect {
       case (k, v) if histCpu.contains(k) &&
-          v.cpu > 2 * histCpu(k) && v.cpu - histCpu(k) > 0.5 =>
+          v.cpu > 2 * adjFloor(histCpu(k)) &&
+          v.cpu - adjFloor(histCpu(k)) > 0.5 =>
         k -> (v, histCpu(k), "cpu")
     }
     // SELF-VERIFYING ratchet: every flagged query re-runs in ISOLATION
@@ -210,16 +229,19 @@ object Bench {
     val regressions = flagged.filter { case (k, (_, floor, clock)) =>
       isoErrors.contains(k) ||
         isolated.get(k).exists { iso =>
+          val af = adjFloor(floor)
           val overBar =
-            if (clock == "cpu") iso.cpu > 2 * floor && iso.cpu - floor > 0.5
+            if (clock == "cpu") iso.cpu > 2 * af && iso.cpu - af > 0.5
             else iso.wall > 2 * floor && iso.wall - floor > 0.25
           val withinBleed = clock == "cpu" &&
-            (iso.cpu - floor) <= 0.5 + 10.0 * iso.wall
+            (iso.cpu - af) <= 0.5 + 10.0 * iso.wall
           overBar && (!withinBleed || {
+            // the fresh JVM runs in the SAME window, so its reading is
+            // judged against the same window-adjusted floor
             freshConfirm(k) match {
               case Right(fr) =>
                 freshSamples(k) = fr
-                fr.cpu > 2 * floor && fr.cpu - floor > 0.5
+                fr.cpu > 2 * af && fr.cpu - af > 0.5
               case Left(err) =>
                 freshErrors(k) = err
                 true
@@ -339,7 +361,7 @@ object Bench {
     val prevCmp = prevCpuVsFloor
       .map(p => s""","cpu_vs_floor_prev_round":${r3(p)}""").getOrElse("")
     val json =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":${q(sfDir)},"n_queries":${results.size},"n_errors":${errors.size},"n_regressions":${regressions.size},"n_flags_cleared":$nFlagsCleared,"cold_total":${r3(coldTotal)},"memo_total_s":${r3(memoTotal)},"cpu_total":${r3(cpuTotal)},"cpu_vs_floor":${r3(cpuVsFloor)}$prevCmp,"wall_vs_floor_indicator":${r3(wallVsFloor)},"steal_warm_pct":${r3(stealWarm)},"steal_cold_pct":${r3(stealCold)},"queries":$qs,"errors":$errsShort,"detail":"bench_detail.json"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":${q(sfDir)},"n_queries":${results.size},"n_errors":${errors.size},"n_regressions":${regressions.size},"n_flags_cleared":$nFlagsCleared,"cold_total":${r3(coldTotal)},"memo_total_s":${r3(memoTotal)},"cpu_total":${r3(cpuTotal)},"cpu_vs_floor":${r3(cpuVsFloor)}$prevCmp,"window_cpu_infl":${r3(windowInfl)},"wall_vs_floor_indicator":${r3(wallVsFloor)},"steal_warm_pct":${r3(stealWarm)},"steal_cold_pct":${r3(stealCold)},"queries":$qs,"errors":$errsShort,"detail":"bench_detail.json"}"""
     def jmap(m: Map[String, Double]): String =
       m.map { case (k, v) => q(k) + ":" + v }.mkString("{", ",", "}")
     // scaling exponents from tools.ScaleProbe (run on demand; committed
@@ -371,7 +393,7 @@ object Bench {
     val coldGapTop = coldGap.toSeq.sortBy(-_._2).take(15)
       .map { case (k, v) => q(k) + ":" + r3(v) }.mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results.map { case (k, v) => k -> v.wall })},"queries_cpu":${jmap(results.map { case (k, v) => k -> v.cpu })},"errors":$errs,"n_errors":${errors.size},"sf":${q(sfDir)},"cold_total":$coldTotal,"cpu_total":$cpuTotal,"cpu_vs_floor":$cpuVsFloor,"wall_vs_floor_indicator":$wallVsFloor,"steal_warm_pct":$stealWarm,"steal_cold_pct":$stealCold,"n_regressions":${regressions.size},"n_flags_cleared":$nFlagsCleared,"regressions":$regs,"regression_analysis":$regNotes,"cold_queries":${jmap(cold.map { case (k, v) => k -> v.wall })},"cold_queries_cpu":${jmap(cold.map { case (k, v) => k -> v.cpu })},"memo_build_s":${jmap(memoCosts)},"memo_total_s":$memoTotal,"cold_minus_warm_total":$coldGapTotal,"cold_minus_warm_top":$coldGapTop,"cold_gap_note":"cold_total - warm total = memo_total_s (one-time memo builds, itemized in memo_build_s) + per-query first-run codegen/JIT + shuffle-file creation, itemized as cold_queries[k] - queries[k] (top gaps in cold_minus_warm_top)","scaling":$scaling,"ingest":$ingest,"twinstore":$twinstore}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results.map { case (k, v) => k -> v.wall })},"queries_cpu":${jmap(results.map { case (k, v) => k -> v.cpu })},"errors":$errs,"n_errors":${errors.size},"sf":${q(sfDir)},"cold_total":$coldTotal,"cpu_total":$cpuTotal,"cpu_vs_floor":$cpuVsFloor,"window_cpu_infl":$windowInfl,"wall_vs_floor_indicator":$wallVsFloor,"steal_warm_pct":$stealWarm,"steal_cold_pct":$stealCold,"n_regressions":${regressions.size},"n_flags_cleared":$nFlagsCleared,"regressions":$regs,"regression_analysis":$regNotes,"cold_queries":${jmap(cold.map { case (k, v) => k -> v.wall })},"cold_queries_cpu":${jmap(cold.map { case (k, v) => k -> v.cpu })},"memo_build_s":${jmap(memoCosts)},"memo_total_s":$memoTotal,"cold_minus_warm_total":$coldGapTotal,"cold_minus_warm_top":$coldGapTop,"cold_gap_note":"cold_total - warm total = memo_total_s (one-time memo builds, itemized in memo_build_s) + per-query first-run codegen/JIT + shuffle-file creation, itemized as cold_queries[k] - queries[k] (top gaps in cold_minus_warm_top)","scaling":$scaling,"ingest":$ingest,"twinstore":$twinstore}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
       (detail + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () } // detail dump is best-effort

@@ -49,11 +49,22 @@ object FreshConfirm {
       ((System.nanoTime() - w0) / 1e9, (cpuNs() - c0) / 1e9)
     }
     one() // warmup: JIT + codegen + per-(session, sf-dir) memo builds
-    val (w1, c1) = one()
-    val (w2, c2) = one()
+    // a fresh JVM's C2 compiler threads bleed into process CPU for the
+    // first many executions (a 1-cpu-s query can read 30+ cpu-s on pass
+    // 2), so keep sampling until the min stops improving — the settled
+    // min is the comparable floor reading, not the first sample
+    var w = Double.MaxValue
+    var c = Double.MaxValue
+    var stale = 0
+    var pass = 0
+    while (pass < 10 && stale < 2) {
+      val (wi, ci) = one()
+      if (ci < c * 0.97) stale = 0 else stale += 1
+      w = math.min(w, wi)
+      c = math.min(c, ci)
+      pass += 1
+    }
     spark.stop()
-    val w = math.min(w1, w2)
-    val c = math.min(c1, c2)
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     System.out.println(s"""{"query":"$name","wall":${r3(w)},"cpu":${r3(c)}}""")
     System.out.flush()
