@@ -210,6 +210,12 @@ final class ParquetTwinStore(root: String,
     out
   }
 
+  // diagnostics: how many times the file-level merge-on-read window ran
+  // (the COLD path — once per bucket per incarnation at most; the spec
+  // pins that warm merges never add to this)
+  private val coldWindowCount = new java.util.concurrent.atomic.AtomicLong
+  def coldWindowResolves: Long = coldWindowCount.get
+
   private def rm(path: String): Unit = {
     def walk(f: java.io.File): Unit = {
       val kids = f.listFiles()
@@ -290,6 +296,7 @@ final class ParquetTwinStore(root: String,
     val parts = base.toSeq ++ ds
     if (parts.isEmpty) return None
     if (ds.isEmpty && ts.isEmpty) return Some(spark.read.parquet(base.get._2))
+    coldWindowCount.incrementAndGet(): Unit
     val keyCols = readKeys(name).getOrElse(
       throw new IllegalStateException(s"merged table $name has no _keys marker"))
     val all = parts.map { case (seq, path) =>

@@ -235,6 +235,43 @@ class TwinStoreSpec extends SparkSpec {
     assert(rows(cur) == Set((1L, "a"), (2L, "B"), (3L, "c")))
   }
 
+  test("parquet merge: warm merges fold incrementally — the cold file-window never runs, partitions stay bounded") {
+    // the two behavioral guarantees behind the r13 flat-cost ladder,
+    // pinned so a refactor cannot silently regress them:
+    //  1. after a bucket's first touch, its resolution folds into the
+    //     cached checkpoint — the file-level merge-on-read window (the
+    //     resolve_cold phase) must never run again in this incarnation;
+    //  2. the batched checkpoint coalesces to the session's shuffle
+    //     partitions — without the bound, every merge ADDS the staged
+    //     read's partitions and all later state scans pay an
+    //     ever-growing task count (the r12 sawtooth's hidden driver).
+    val root = java.nio.file.Files.createTempDirectory("graft-tswarm").toString
+    val st = new ParquetTwinStore(root, 4)
+    val bound = spark.sessionState.conf.numShufflePartitions + 4
+    var cur: DataFrame = null
+    for (i <- 1 to 12) {
+      cur = st.merge("t", Seq("id"),
+        kv((0L until 40L).map(k => k -> s"v$i-$k"): _*),
+        Some(keys(40L + i)))
+      assert(st.coldWindowResolves == 0L,
+        s"merge $i: warm buckets must fold incrementally, not re-run the file window")
+      assert(cur.rdd.getNumPartitions <= bound,
+        s"merge $i: ${cur.rdd.getNumPartitions} partitions — the checkpoint must stay coalesced")
+    }
+    assert(cur.count() == 40L)
+    // a restarted store pays the window at most once per bucket...
+    val st2 = new ParquetTwinStore(root, 4)
+    st2.merge("t", Seq("id"), kv(0L -> "post"), None)
+    val afterFirst = st2.coldWindowResolves
+    assert(afterFirst <= 4L, s"at most one window per bucket, saw $afterFirst")
+    // ...and is warm from then on, including for buckets it has not
+    // touched yet this incarnation (they were materialized batched)
+    val next = st2.merge("t", Seq("id"), kv(1L -> "post2", 2L -> "post3"), None)
+    assert(st2.coldWindowResolves == afterFirst,
+      "post-restart second merge must serve from the batched materialization")
+    assert(next.rdd.getNumPartitions <= bound)
+  }
+
   test("parquet merge: a restarted store resumes the sequence and load() resolves the merged table") {
     val root = java.nio.file.Files.createTempDirectory("graft-tsrestart").toString
     val st1 = new ParquetTwinStore(root)
