@@ -411,8 +411,12 @@ final class StreamingCuration(thresholdX1000: Long,
    *
    * Everything here is delta- or touched-component-sized except the
    * keyed lookups into the ledger (semi/anti joins on doc id) and the
-   * ledger rewrite, which go through the store's replace verb — the
-   * Delta-MERGE stand-in, update-mass-sized in production.
+   * contamination totals pass, which looks up the candidate docs'
+   * posting lists in the accumulated posting store — a broadcast-keyed
+   * lookup that SCANS the append table at this scale; the 100 TB form
+   * partitions the posting store by doc-id bucket (exactly the
+   * [[ParquetTwinStore]] layout) so the lookup prunes to the candidate
+   * docs' buckets instead of scanning corpus history.
    * `StreamingSpec` pins `reportServed` == the full recomputed report
    * after EVERY trigger under the adversarial orders.
    */
