@@ -82,13 +82,21 @@ trait TwinStore {
 
 /** In-memory store: `localCheckpoint` unions, lineage truncated per
   * trigger (the original twin shape — right for tests and for state that
-  * fits the cluster's block managers). */
+  * fits the cluster's block managers). Checkpoints are COALESCED to the
+  * session's shuffle-partition count for the same reason the parquet
+  * store's are: a union checkpoint inherits both legs' partitions, so an
+  * unbounded chain of per-trigger unions would grow the state's task
+  * count by the delta's partitions every trigger. */
 final class InMemoryTwinStore extends TwinStore {
   private val tables = scala.collection.mutable.Map.empty[String, DataFrame]
 
+  private def bounded(df: DataFrame): DataFrame =
+    df.coalesce(df.sparkSession.sessionState.conf.numShufflePartitions)
+      .localCheckpoint()
+
   override def append(name: String, delta: DataFrame): DataFrame = synchronized {
     val next = tables.get(name)
-      .fold(delta.localCheckpoint())(t => t.unionByName(delta).localCheckpoint())
+      .fold(bounded(delta))(t => bounded(t.unionByName(delta)))
     tables(name) = next
     next
   }
@@ -96,12 +104,12 @@ final class InMemoryTwinStore extends TwinStore {
   override def merge(name: String, keyCols: Seq[String], upserts: DataFrame,
                      deleteKeys: Option[DataFrame]): DataFrame = synchronized {
     val next = tables.get(name) match {
-      case None => upserts.localCheckpoint()
+      case None => bounded(upserts)
       case Some(cur) =>
         val keyed = keyCols.map(col)
         val gone = deleteKeys.fold(upserts.select(keyed: _*))(
           d => upserts.select(keyed: _*).unionByName(d.select(keyed: _*)))
-        cur.join(gone, keyCols, "left_anti").unionByName(upserts).localCheckpoint()
+        bounded(cur.join(gone, keyCols, "left_anti").unionByName(upserts))
     }
     tables(name) = next
     next
