@@ -24,6 +24,19 @@ object Bench {
     .getOperatingSystemMXBean.asInstanceOf[com.sun.management.OperatingSystemMXBean]
   private def cpuNs(): Long = osBean.getProcessCpuTime
 
+  /** Cumulative JIT-compiler milliseconds (C1+C2) — the fresh-JVM churn
+    * that dominates the cold pass's process CPU (r14 attribution: ~280
+    * cpu-s of pure compiler time on a ~225s cold pass; whichever query
+    * runs while C2 is busy absorbs it, so per-query cold gaps are
+    * run-random and only the bracketed TOTAL is attributable). */
+  private val jitBean = java.lang.management.ManagementFactory.getCompilationMXBean
+  private def jitMs(): Long = jitBean.getTotalCompilationTime
+  private def gcMs(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime).sum
+  }
+
   /** (steal, total) jiffies from /proc/stat's aggregate cpu line —
     * a direct host-level steal reading (field 8 = steal). */
   private def stealJiffies(): (Long, Long) =
@@ -85,7 +98,10 @@ object Bench {
     // min CPU is the steal-immune floor. Each pass also brackets
     // /proc/stat so host steal over the sweep is on the record.
     val (st0, tot0) = stealJiffies()
+    val jit0 = jitMs(); val gc0 = gcMs()
     val cold = pass(record = false)
+    val coldJitS = (jitMs() - jit0) / 1e3
+    val coldGcS = (gcMs() - gc0) / 1e3
     // the cold pass builds every per-(session, sf-dir) memo as a side
     // effect; the ledger decomposes cold_total into one-time memo builds
     // vs first-run query cost (r10's cold numbers were unattributable)
@@ -199,7 +215,11 @@ object Bench {
     // .FreshConfirm — no sweep bleed, so a ~0.5 cpu-s absolute
     // allowance restores sensitivity at every parallelism). A flag
     // whose fresh-JVM run fails cannot clear itself by failing.
-    def freshConfirm(k: String): Either[String, T] =
+    // child stdout goes to a temp FILE, and waitFor (with the timeout)
+    // runs BEFORE the read: reading the pipe first would block until the
+    // child closes stdout, making the timeout/destroyForcibly path
+    // unreachable for a hung fresh-JVM run
+    def freshConfirm(k: String): Either[String, (T, T)] =
       try {
         import scala.jdk.CollectionConverters._
         val javaBin = System.getProperty("java.home") + "/bin/java"
@@ -211,20 +231,26 @@ object Bench {
         val pb = new ProcessBuilder(cmd: _*)
         pb.environment().put("SPARK_GRAFT_CPUS", cpus)
         pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+        val outFile = java.io.File.createTempFile("fresh-confirm-", ".json")
+        outFile.deleteOnExit()
+        pb.redirectOutput(outFile)
         val p = pb.start()
-        val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
         val done = p.waitFor(15, java.util.concurrent.TimeUnit.MINUTES)
-        if (!done) { p.destroyForcibly(); Left("fresh-JVM run timed out") }
+        if (!done) { p.destroyForcibly(); outFile.delete(); Left("fresh-JVM run timed out") }
         else {
-          val re = """"wall":([0-9.]+),"cpu":([0-9.]+)""".r
+          val out = new String(java.nio.file.Files.readAllBytes(outFile.toPath), "UTF-8")
+          outFile.delete()
+          val re = """"wall":([0-9.]+),"cpu":([0-9.]+),"cold_wall":([0-9.]+),"cold_cpu":([0-9.]+)""".r
           re.findAllMatchIn(out).toSeq.lastOption
-            .map(m => Right(T(m.group(1).toDouble, m.group(2).toDouble)))
+            .map(m => Right((T(m.group(1).toDouble, m.group(2).toDouble),
+              T(m.group(3).toDouble, m.group(4).toDouble))))
             .getOrElse(Left(s"fresh-JVM run exited ${p.exitValue()} without a sample"))
         }
       } catch { case e: Throwable =>
         Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}")
       }
     val freshSamples = scala.collection.mutable.LinkedHashMap.empty[String, T]
+    val freshColdSamples = scala.collection.mutable.LinkedHashMap.empty[String, T]
     val freshErrors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val regressions = flagged.filter { case (k, (_, floor, clock)) =>
       isoErrors.contains(k) ||
@@ -239,8 +265,9 @@ object Bench {
             // the fresh JVM runs in the SAME window, so its reading is
             // judged against the same window-adjusted floor
             freshConfirm(k) match {
-              case Right(fr) =>
+              case Right((fr, frCold)) =>
                 freshSamples(k) = fr
+                freshColdSamples(k) = frCold
                 fr.cpu > 2 * af && fr.cpu - af > 0.5
               case Left(err) =>
                 freshErrors(k) = err
@@ -317,11 +344,25 @@ object Bench {
       .findFirstMatchIn(histTxt).map(_.group(1)).getOrElse("")
     // previous round's cpu_vs_floor for the same sf — surfaced in the
     // BENCH line so round-over-round aggregate drift is one comparison
-    val prevCpuVsFloor = {
+    def prevAggField(field: String): Option[Double] = {
       val entRe = ("""\{[^{}]*"sf":""" + java.util.regex.Pattern.quote(q(sfDir)) +
-        """[^{}]*"cpu_vs_floor":([0-9.eE+-]+)[^{}]*\}""").r
+        """[^{}]*"""" + field + """":([0-9.eE+-]+)[^{}]*\}""").r
       entRe.findAllMatchIn(oldAggBody).toSeq.lastOption.map(_.group(1).toDouble)
     }
+    val prevCpuVsFloor = prevAggField("cpu_vs_floor")
+    // the COLD axis ratchets too (r13: the driver's cold pass blew out
+    // 2.2x with no instrument watching — cold is the common case on a
+    // real cluster, so its round-over-round drift must be on the record)
+    val prevColdTotal = prevAggField("cold_total")
+    val coldCpuTotal = cold.values.map(_.cpu).sum
+    // BROAD-drift alarm (a uniform code regression raises the window
+    // median and hides from per-query flags): loud when this run's
+    // cpu_vs_floor exceeds the previous full-suite run's by >25% — the
+    // number still needs window judgment (an A/B control run decides
+    // host vs code), but it can no longer drift silently
+    val driftAlarm = prevCpuVsFloor.exists(p => cpuVsFloor > 1.25 * p)
+    if (driftAlarm) System.err.println(
+      f"[bench] AGGREGATE DRIFT ALARM: cpu_vs_floor $cpuVsFloor%.3f vs previous round ${prevCpuVsFloor.get}%.3f (>1.25x) — run a same-window A/B control (previous round's code, same host window) to split host state from a broad code regression")
     try {
       // merge this sf's two sections back into the (possibly multi-sf) file
       val mineKeys = Set(sfDir, sfDir + "#cpu")
@@ -332,7 +373,7 @@ object Bench {
         m.toSeq.sortBy(_._1).map { case (k, v) => q(k) + ":" + r3(v) }.mkString(",")
       val mine = Seq(sfDir -> body(newHist), (sfDir + "#cpu") -> body(newHistCpu))
       val aggEntry =
-        s"""{"ts":${System.currentTimeMillis() / 1000L},"sf":${q(sfDir)},"n_queries":${results.size},"wall_total":${r3(total)},"cpu_total":${r3(cpuTotal)},"cpu_vs_floor":${r3(cpuVsFloor)},"wall_vs_floor":${r3(wallVsFloor)},"n_flags":${flagged.size},"n_regressions":${regressions.size}}"""
+        s"""{"ts":${System.currentTimeMillis() / 1000L},"sf":${q(sfDir)},"n_queries":${results.size},"wall_total":${r3(total)},"cpu_total":${r3(cpuTotal)},"cold_total":${r3(coldTotal)},"cold_cpu_total":${r3(coldCpuTotal)},"cpu_vs_floor":${r3(cpuVsFloor)},"wall_vs_floor":${r3(wallVsFloor)},"n_flags":${flagged.size},"n_regressions":${regressions.size}}"""
       // only full-suite runs enter the round-over-round series — a
       // SPARK_GRAFT_BENCH_ONLY dev run's aggregate is meaningless there
       val aggBody =
@@ -351,8 +392,11 @@ object Bench {
       val iso = isolated.get(k).map(v =>
         s""""isolated_wall_s":${r3(v.wall)},"isolated_cpu_s":${r3(v.cpu)}""")
         .getOrElse(s""""isolated_rerun_error":${q(isoErrors(k))}""")
-      val fresh = freshSamples.get(k).map(v =>
-          s""","fresh_jvm_wall_s":${r3(v.wall)},"fresh_jvm_cpu_s":${r3(v.cpu)}""")
+      val fresh = freshSamples.get(k).map { v =>
+          val cold = freshColdSamples.get(k).map(cv =>
+            s""","fresh_jvm_cold_s":${r3(cv.wall)},"fresh_jvm_cold_cpu_s":${r3(cv.cpu)}""").getOrElse("")
+          s""","fresh_jvm_wall_s":${r3(v.wall)},"fresh_jvm_cpu_s":${r3(v.cpu)}$cold"""
+        }
         .orElse(freshErrors.get(k).map(e => s""","fresh_jvm_error":${q(e)}"""))
         .getOrElse("")
       q(k) + ":" + s"""{"clock":${q(clock)},"now_wall":${r3(now.wall)},"now_cpu":${r3(now.cpu)},"best":${r3(floor)},$iso$fresh,"confirmed":${regressions.contains(k)}}"""
@@ -360,8 +404,10 @@ object Bench {
     val memoTotal = memoCosts.values.sum
     val prevCmp = prevCpuVsFloor
       .map(p => s""","cpu_vs_floor_prev_round":${r3(p)}""").getOrElse("")
+    val prevColdCmp = prevColdTotal
+      .map(p => s""","cold_total_prev_round":${r3(p)}""").getOrElse("")
     val json =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":${q(sfDir)},"n_queries":${results.size},"n_errors":${errors.size},"n_regressions":${regressions.size},"n_flags_cleared":$nFlagsCleared,"cold_total":${r3(coldTotal)},"memo_total_s":${r3(memoTotal)},"cpu_total":${r3(cpuTotal)},"cpu_vs_floor":${r3(cpuVsFloor)}$prevCmp,"window_cpu_infl":${r3(windowInfl)},"wall_vs_floor_indicator":${r3(wallVsFloor)},"steal_warm_pct":${r3(stealWarm)},"steal_cold_pct":${r3(stealCold)},"queries":$qs,"errors":$errsShort,"detail":"bench_detail.json"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":${q(sfDir)},"n_queries":${results.size},"n_errors":${errors.size},"n_regressions":${regressions.size},"n_flags_cleared":$nFlagsCleared,"window_drift_alarm":$driftAlarm,"cold_total":${r3(coldTotal)}$prevColdCmp,"memo_total_s":${r3(memoTotal)},"cpu_total":${r3(cpuTotal)},"cpu_vs_floor":${r3(cpuVsFloor)}$prevCmp,"window_cpu_infl":${r3(windowInfl)},"wall_vs_floor_indicator":${r3(wallVsFloor)},"steal_warm_pct":${r3(stealWarm)},"steal_cold_pct":${r3(stealCold)},"queries":$qs,"errors":$errsShort,"detail":"bench_detail.json"}"""
     def jmap(m: Map[String, Double]): String =
       m.map { case (k, v) => q(k) + ":" + v }.mkString("{", ",", "}")
     // scaling exponents from tools.ScaleProbe (run on demand; committed
@@ -393,7 +439,7 @@ object Bench {
     val coldGapTop = coldGap.toSeq.sortBy(-_._2).take(15)
       .map { case (k, v) => q(k) + ":" + r3(v) }.mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results.map { case (k, v) => k -> v.wall })},"queries_cpu":${jmap(results.map { case (k, v) => k -> v.cpu })},"errors":$errs,"n_errors":${errors.size},"sf":${q(sfDir)},"cold_total":$coldTotal,"cpu_total":$cpuTotal,"cpu_vs_floor":$cpuVsFloor,"window_cpu_infl":$windowInfl,"wall_vs_floor_indicator":$wallVsFloor,"steal_warm_pct":$stealWarm,"steal_cold_pct":$stealCold,"n_regressions":${regressions.size},"n_flags_cleared":$nFlagsCleared,"regressions":$regs,"regression_analysis":$regNotes,"cold_queries":${jmap(cold.map { case (k, v) => k -> v.wall })},"cold_queries_cpu":${jmap(cold.map { case (k, v) => k -> v.cpu })},"memo_build_s":${jmap(memoCosts)},"memo_total_s":$memoTotal,"cold_minus_warm_total":$coldGapTotal,"cold_minus_warm_top":$coldGapTop,"cold_gap_note":"cold_total - warm total = memo_total_s (one-time memo builds, itemized in memo_build_s) + per-query first-run codegen/JIT + shuffle-file creation, itemized as cold_queries[k] - queries[k] (top gaps in cold_minus_warm_top)","scaling":$scaling,"ingest":$ingest,"twinstore":$twinstore}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results.map { case (k, v) => k -> v.wall })},"queries_cpu":${jmap(results.map { case (k, v) => k -> v.cpu })},"errors":$errs,"n_errors":${errors.size},"sf":${q(sfDir)},"cold_total":$coldTotal,"cold_cpu_total":$coldCpuTotal,"cold_jit_s":$coldJitS,"cold_gc_s":$coldGcS,"window_drift_alarm":$driftAlarm,"cpu_total":$cpuTotal,"cpu_vs_floor":$cpuVsFloor,"window_cpu_infl":$windowInfl,"wall_vs_floor_indicator":$wallVsFloor,"steal_warm_pct":$stealWarm,"steal_cold_pct":$stealCold,"n_regressions":${regressions.size},"n_flags_cleared":$nFlagsCleared,"regressions":$regs,"regression_analysis":$regNotes,"cold_queries":${jmap(cold.map { case (k, v) => k -> v.wall })},"cold_queries_cpu":${jmap(cold.map { case (k, v) => k -> v.cpu })},"memo_build_s":${jmap(memoCosts)},"memo_total_s":$memoTotal,"cold_minus_warm_total":$coldGapTotal,"cold_minus_warm_top":$coldGapTop,"cold_gap_note":"cold_total - warm total = memo_total_s (one-time memo builds, itemized in memo_build_s) + per-query first-run codegen/JIT + shuffle-file creation, itemized as cold_queries[k] - queries[k] (top gaps in cold_minus_warm_top). CAUTION (r14 attribution, cold_attrib.json): cold_jit_s cpu-seconds of JIT-compiler churn run CONCURRENTLY with the cold pass and land on whichever query is executing — per-query cold gaps are run-random under window pressure; only the bracketed totals (and the #aggregates cold series) are comparable across runs","scaling":$scaling,"ingest":$ingest,"twinstore":$twinstore}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
       (detail + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () } // detail dump is best-effort

@@ -34,7 +34,8 @@ object SparkEntry {
       graft.queries.DedupQueries.queries ++
       graft.queries.SimQueries.queries ++
       graft.queries.CorpusQueries.queries ++
-      graft.queries.MultimodalQueries.queries
+      graft.queries.MultimodalQueries.queries ++
+      graft.queries.StoreQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -48,5 +49,6 @@ object SparkEntry {
       graft.queries.DedupQueries.oracles ++
       graft.queries.SimQueries.oracles ++
       graft.queries.CorpusQueries.oracles ++
-      graft.queries.MultimodalQueries.oracles
+      graft.queries.MultimodalQueries.oracles ++
+      graft.queries.StoreQueries.oracles
 }

@@ -25,11 +25,22 @@ import graft.sim.Similarity
  * serve never notices, but a LIVE index that only ever inserts would
  * keep serving dethroned docs forever (`StreamingSpec` pins a
  * dethronement-crossing retrieval: a doc indexed at trigger T and
- * dethroned at T+k must leave the served panel). Dethronement is
- * MONOTONE (a dethroned doc never re-enters the survivor set), so the
- * twin also keeps a tiny `annDeleted` ledger of ever-dethroned ids:
- * a crash-redelivered micro-batch that re-offers a since-deleted id
- * anti-joins out against it instead of resurrecting the doc.
+ * dethroned at T+k must leave the served panel). The twin also keeps
+ * an `annDeleted` ledger of recently-dethroned ids, BOUNDED to the
+ * crash-REDELIVERY horizon: Structured Streaming redelivers only the
+ * last uncommitted trigger (under the same batch id), so the only
+ * insert set that can legitimately re-offer a since-deleted id is the
+ * current trigger's own redelivery — ledger rows are tagged with the
+ * trigger's batch id and rows older than the PREVIOUS trigger prune on
+ * every write, keeping the table (and its per-batch anti-join) sized
+ * by recent dethronement mass, never corpus dup-mass (at real web dup
+ * rates the ever-dethroned set is 30-50% of the corpus — an unbounded
+ * ledger would be a second corpus-mass table with a per-trigger scan).
+ * Offers from OUTSIDE the horizon can't carry dethroned ids under the
+ * ingest contract: dethronement is MONOTONE (a dethroned doc never
+ * re-enters the curation survivor set), so a later curation trigger
+ * never emits one as an insert — `StreamingSpec` pins the same-batch
+ * redelivery and next-trigger re-offer cases.
  *
  * Serving reads the maintained index directly:
  *
@@ -49,14 +60,22 @@ import graft.sim.Similarity
 final class StreamingAnnIndex(store: TwinStore = new InMemoryTwinStore) {
 
   private var index: Option[DataFrame] = None   // (id, v, nrm, cb)
-  private var deleted: Option[DataFrame] = None // (id) — ever-dethroned
+  // (id, bid) — dethroned within the redelivery horizon (bid >= last
+  // trigger's id); pruned on every ledger write
+  private var deleted: Option[DataFrame] = None
   private var resumed = false
 
   private def resume(spark: SparkSession): Unit =
     if (!resumed) {
       resumed = true
       index = store.load(spark, "annIndex")
-      deleted = store.load(spark, "annDeleted")
+      deleted = store.load(spark, "annDeleted").map { d =>
+        // pre-horizon (r13) ledgers carry only (id): tag them with a
+        // sentinel bid so they prune at the next write — every entry of
+        // a resumed ledger is from a committed trigger, outside the
+        // redelivery horizon by definition
+        if (d.columns.contains("bid")) d else d.withColumn("bid", lit(-1L))
+      }
     }
 
   /** The maintained index `(id, v, nrm, cb)` — empty before any batch. */
@@ -88,11 +107,17 @@ final class StreamingAnnIndex(store: TwinStore = new InMemoryTwinStore) {
     * wrongly blocks a live doc); deletes are idempotent tombstones (a
     * re-delete of an absent key is a no-op). Insert and delete key sets
     * are disjoint by construction: an arriving id that enters is its
-    * group's CURRENT keeper, a dethroned id is by definition not. */
+    * group's CURRENT keeper, a dethroned id is by definition not.
+    *
+    * `batchId` is the Structured-Streaming trigger id (foreachBatch
+    * provides it; [[sink]] threads it through). It tags this trigger's
+    * ledger rows and prunes rows older than the previous trigger — the
+    * redelivery horizon (see the class doc). Ad-hoc callers without a
+    * trigger sequence can leave the default, which never prunes. */
   def processBatch(vecs: DataFrame,
-                   dethroned: Option[DataFrame] = None): Unit = synchronized {
+                   dethroned: Option[DataFrame] = None,
+                   batchId: Long = 0L): Unit = synchronized {
     resume(vecs.sparkSession)
-    val spark = vecs.sparkSession
     val gone = dethroned.map(_.select(col("id")).distinct().localCheckpoint())
       .filter(!_.isEmpty)
     if (vecs.isEmpty && gone.isEmpty) return
@@ -100,13 +125,18 @@ final class StreamingAnnIndex(store: TwinStore = new InMemoryTwinStore) {
     val guarded = index.fold(delta)(ix =>
       delta.join(ix.select(col("id")), Seq("id"), "left_anti"))
     val fresh = deleted.fold(guarded)(d =>
-      guarded.join(d, Seq("id"), "left_anti")).localCheckpoint()
-    // the dethronement ledger lands FIRST (append, id-guarded for its
-    // own redelivery): a crash between the two writes re-runs the merge
-    // on redelivery with the ledger already in place
+      guarded.join(d.select(col("id")), Seq("id"), "left_anti")).localCheckpoint()
+    // the dethronement ledger lands FIRST: a crash between the two
+    // writes re-runs the merge on redelivery with the ledger already in
+    // place. The write is a REPLACE of a horizon-bounded table (rows
+    // with bid >= batchId - 1): tiny by construction, and idempotent
+    // under same-batch-id redelivery (same kept rows + same new rows).
     gone.foreach { g =>
-      val newGone = deleted.fold(g)(d => g.join(d, Seq("id"), "left_anti"))
-      deleted = Some(store.append("annDeleted", newGone))
+      val kept = deleted.map(_.filter(col("bid") >= batchId - 1L)).toSeq
+      val next = (kept :+ g.withColumn("bid", lit(batchId)))
+        .reduce(_ unionByName _)
+        .groupBy(col("id")).agg(max(col("bid")).as("bid"))
+      deleted = Some(store.replace("annDeleted", next))
     }
     if (!fresh.isEmpty || gone.nonEmpty)
       index = Some(store.merge("annIndex", Seq("id"), fresh, gone))
@@ -134,7 +164,7 @@ final class StreamingAnnIndex(store: TwinStore = new InMemoryTwinStore) {
     * deletion riders come from a curation pipeline calling
     * [[processBatch]] directly with its dethroned ids). */
   def sink(stream: DataFrame): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      processBatch(batch)
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      processBatch(batch, None, batchId)
     }
 }

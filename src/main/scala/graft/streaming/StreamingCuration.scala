@@ -110,7 +110,17 @@ final class StreamingCuration(thresholdX1000: Long,
   private var commitBid: Option[Long] = None
   // ids dethroned by the last absorbed trigger (exact-keeper removals;
   // on a replay trigger, the over-approximating sweep — every id in it
-  // is a genuine non-keeper, so downstream eviction stays correct)
+  // is a genuine non-keeper, so downstream eviction stays correct).
+  // PERSISTED through the store (an `exited` replace-verb table tagged
+  // with the trigger's batch id): a crash can land AFTER this pipeline's
+  // commit record but BEFORE a downstream consumer in the same
+  // foreachBatch (the live ANN index) absorbs the eviction set — the
+  // redelivery then takes the fully-committed early-return path, where
+  // an in-memory-only lastExited would resume as None and the trigger's
+  // dethronements would be lost to the consumer forever. The persisted
+  // copy lets that path re-serve the committed trigger's exited ids
+  // (downstream eviction is an idempotent tombstone, so re-serving to a
+  // consumer that already absorbed them is a no-op).
   private var lastExited: Option[DataFrame] = None
   private var resumed = false
 
@@ -197,7 +207,20 @@ final class StreamingCuration(thresholdX1000: Long,
           .localCheckpoint()
       case None => rawDocs
     }
-    if (docs.isEmpty) return
+    if (docs.isEmpty) {
+      // redelivery whose every row the per-doc guard absorbed (the meta
+      // append committed): re-serve THIS trigger's persisted eviction
+      // set — a crash can land after the meta append (with or without
+      // the commit marker) but before a same-foreachBatch consumer (the
+      // live ANN index) absorbed the dethronements, and an
+      // in-memory-only lastExited would hand that consumer None
+      // forever. The persisted set's batch-id tag is the gate: a
+      // genuinely empty NEW batch finds the previous trigger's tag and
+      // serves the empty set. Re-serving to a consumer that already
+      // absorbed the evictions is an idempotent tombstone no-op.
+      lastExited = loadExited(rawDocs.sparkSession, batchId)
+      return
+    }
     val oldLabels = labelTable // pre-trigger labeling, for the counter diff
     val bm = Curation.docMeta(docs).localCheckpoint()
     // this batch id declared intent on a previous delivery but never
@@ -277,6 +300,10 @@ final class StreamingCuration(thresholdX1000: Long,
     }
     exactKeep = Some(nextEk)
     lastExited = exited
+    // persist the eviction set (tagged with the batch id) BEFORE the
+    // commit record: the committed-redelivery path above re-serves it to
+    // same-trigger consumers that crashed before absorbing it
+    writeExited(rawDocs.sparkSession, exited, batchId)
 
     // ---- signature store: one minhash pass over the batch ----
     val bSets = Dedup.shingleSets(docs).localCheckpoint()
@@ -376,6 +403,28 @@ final class StreamingCuration(thresholdX1000: Long,
     import spark.implicits._
     store.replace(name, Seq(bid).toDF("bid")): Unit
   }
+
+  /** Persist the trigger's eviction set through the replace verb —
+    * trigger-sized by construction (this trigger's dethronements only),
+    * tagged with the batch id so [[loadExited]] can tell WHICH trigger
+    * it belongs to. Written on every trigger (an empty set overwrites
+    * the previous trigger's ids — `dethronedLastTrigger`'s contract is
+    * empty on triggers without dethronements). */
+  private def writeExited(spark: SparkSession, exited: Option[DataFrame],
+                          bid: Long): Unit = {
+    import spark.implicits._
+    val df = exited.getOrElse(Seq.empty[Long].toDF("id"))
+    store.replace("exited", df.select(col("id"), lit(bid).as("_bid"))): Unit
+  }
+
+  /** The persisted eviction set of trigger `bid`, or None when the
+    * stored table belongs to a different trigger (a torn write loads as
+    * whatever committed — both directions are safe: the consumer's
+    * eviction is an idempotent tombstone). */
+  private def loadExited(spark: SparkSession, bid: Long): Option[DataFrame] =
+    scala.util.Try(store.load(spark, "exited").map(_.filter(col("_bid") === bid)
+      .select(col("id")).localCheckpoint()))
+      .toOption.flatten.filter(!_.isEmpty)
 
   /** A torn marker (crash mid-replace) loads as None — sound in both
     * directions: a torn INTENT means no later state write happened (it

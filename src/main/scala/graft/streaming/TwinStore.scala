@@ -60,10 +60,15 @@ trait TwinStore {
     *  - every key in `deleteKeys` is removed;
     *  - all other rows are untouched.
     *
-    * Upsert and delete key sets within one call must be disjoint; a
-    * deleted key MAY be re-upserted by a later merge (a doc can re-enter
-    * the label table when a new arrival pairs with it after its previous
-    * partner dethroned out). Returns the full current table. */
+    * Upsert and delete key sets within one call should be disjoint; if
+    * a caller violates that, DELETE WINS uniformly (both store
+    * implementations drop the overlapping upsert rows, matching the
+    * parquet store's file-level resolution where a same-sequence
+    * tombstone is authoritative — so state never silently depends on
+    * whether a restart happened). A deleted key MAY be re-upserted by a
+    * LATER merge (a doc can re-enter the label table when a new arrival
+    * pairs with it after its previous partner dethroned out). Returns
+    * the full current table. */
   def merge(name: String, keyCols: Seq[String], upserts: DataFrame,
             deleteKeys: Option[DataFrame]): DataFrame
 
@@ -103,13 +108,18 @@ final class InMemoryTwinStore extends TwinStore {
 
   override def merge(name: String, keyCols: Seq[String], upserts: DataFrame,
                      deleteKeys: Option[DataFrame]): DataFrame = synchronized {
+    val keyed = keyCols.map(col)
+    // delete-wins on an (contract-violating) upsert/delete key overlap —
+    // uniform with the parquet store's warm fold AND its cold file-level
+    // window (same-sequence tombstones are authoritative there)
+    val up = deleteKeys.fold(upserts)(d =>
+      upserts.join(d.select(keyed: _*), keyCols, "left_anti"))
     val next = tables.get(name) match {
-      case None => bounded(upserts)
+      case None => bounded(up)
       case Some(cur) =>
-        val keyed = keyCols.map(col)
-        val gone = deleteKeys.fold(upserts.select(keyed: _*))(
-          d => upserts.select(keyed: _*).unionByName(d.select(keyed: _*)))
-        bounded(cur.join(gone, keyCols, "left_anti").unionByName(upserts))
+        val gone = deleteKeys.fold(up.select(keyed: _*))(
+          d => up.select(keyed: _*).unionByName(d.select(keyed: _*)))
+        bounded(cur.join(gone, keyCols, "left_anti").unionByName(up))
     }
     tables(name) = next
     next
@@ -178,7 +188,8 @@ final class InMemoryTwinStore extends TwinStore {
  *    (same retention window as merge), then deleted.
  */
 final class ParquetTwinStore(root: String,
-                             fanout: Int = ParquetTwinStore.NumBuckets)
+                             fanout: Int = ParquetTwinStore.NumBuckets,
+                             broadcastKeyBytes: Long = ParquetTwinStore.BroadcastKeyBytes)
     extends TwinStore {
   import ParquetTwinStore.MaxDeltas
 
@@ -249,6 +260,19 @@ final class ParquetTwinStore(root: String,
   private def hasData(path: String): Boolean = {
     val fs = new java.io.File(path).listFiles()
     fs != null && fs.exists(f => f.isFile && f.getName.startsWith("part-"))
+  }
+
+  /** Total bytes of regular files under `path` (recursive; 0 for a
+    * missing dir) — local fs metadata, the free size signal behind the
+    * update-key broadcast gate. */
+  private def dirBytes(path: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isFile) f.length()
+      else {
+        val kids = f.listFiles()
+        if (kids == null) 0L else kids.iterator.map(walk).sum
+      }
+    walk(new java.io.File(path))
   }
 
   /** Current version of a replace-table, surviving restarts: a fresh
@@ -450,9 +474,9 @@ final class ParquetTwinStore(root: String,
     delta.sparkSession.read.parquet(dir)
   }
 
-  override def merge(name: String, keyCols: Seq[String], upserts: DataFrame,
+  override def merge(name: String, keyCols: Seq[String], rawUpserts: DataFrame,
                      deleteKeys: Option[DataFrame]): DataFrame = synchronized {
-    val spark = upserts.sparkSession
+    val spark = rawUpserts.sparkSession
     val dir = s"$root/$name.m"
     new java.io.File(dir).mkdirs()
     // deferred GC: files consumed by the PREVIOUS merge's compactions
@@ -461,6 +485,14 @@ final class ParquetTwinStore(root: String,
     writeKeys(name, keyCols)
     val n = tableFanout(name)
     val route = pmod(xxhash64(keyCols.map(col): _*), lit(n.toLong)).cast("int")
+    // delete-wins on an upsert/delete key overlap (contract violation):
+    // dropping the overlapping upsert rows BEFORE staging keeps the warm
+    // incremental fold, the cold file-level window (where a same-sequence
+    // tombstone is authoritative) and the in-memory store all uniform —
+    // a violating caller can no longer get state that depends on whether
+    // a restart happened
+    val upserts = deleteKeys.fold(rawUpserts)(d =>
+      rawUpserts.join(d.select(keyCols.map(col): _*), keyCols, "left_anti"))
 
     // stage the update-mass write ONCE (one Spark job, partitioned by
     // destination bucket), then rename each staged partition into its
@@ -520,8 +552,19 @@ final class ParquetTwinStore(root: String,
         .reduceOption(_ unionByName _).map(_.distinct())
     val priorTagged: Option[DataFrame] =
       (warmLegs ++ coldLegs).reduceOption(_ unionByName _)
+    // SIZE-GATED broadcast of the update keys: per-trigger update sets
+    // are micro-batch-sized and broadcast is the right plan — but a
+    // BULK caller (backfill, migration) merging table-mass updates
+    // would ship the whole key set to every executor and OOM them. The
+    // staged parquet bytes (just written, local fs metadata — free) are
+    // the gate: past `broadcastKeyBytes` (default
+    // [[ParquetTwinStore.BroadcastKeyBytes]]) the fold falls back to a
+    // plain (shuffle/AQE-planned) anti-join.
+    val stagedBytes = dirBytes(s"$dir/stage-u") + dirBytes(s"$dir/stage-t")
     val keptTagged = priorTagged.map(p =>
-      goneKeys.fold(p)(g => p.join(broadcast(g), keyCols, "left_anti")))
+      goneKeys.fold(p)(g => p.join(
+        if (stagedBytes <= broadcastKeyBytes) broadcast(g) else g,
+        keyCols, "left_anti")))
     val foldedTagged: Option[DataFrame] =
       (keptTagged.toSeq ++ upTagged.toSeq).reduceOption(_ unionByName _)
     // post-restart buckets carrying live deltas but untouched this merge:
@@ -554,17 +597,25 @@ final class ParquetTwinStore(root: String,
     val materialized: Seq[Int] =
       if (tagged.isEmpty) Seq.empty
       else touched ++ coldUntouched.map(_._1)
-    tagged.foreach(t => materialized.foreach(k => bucketCache((name, k)) = t))
 
     // place the staged partitions into their buckets (the durable form
-    // of this merge — what a cold restart resolves through the window)
-    phase("place") {
+    // of this merge — what a cold restart resolves through the window).
+    // The bucketCache assignment is DEFERRED until the place phase
+    // succeeds: assigning first would leave the in-memory cache claiming
+    // post-merge state over pre-merge disk if a rename failed mid-place,
+    // and a caller that catches and keeps merging would fold (and
+    // eventually compact into a durable base) phantom rows. On a place
+    // failure the touched buckets' cache entries are INVALIDATED instead
+    // (disk may hold a partial placement; the next access re-resolves
+    // each bucket through the file-level window over whatever landed).
+    try phase("place") {
       for (k <- touched) {
         val bdir = new java.io.File(bucketDir(name, k))
         bdir.mkdirs(): Unit
         // upsert and tombstone of ONE merge share a sequence (upsert/
-        // delete key sets are disjoint within a call; strict `>` in the
-        // window keeps a same-seq tombstone authoritative for its keys)
+        // delete key sets are disjoint within a call — enforced by the
+        // delete-wins filter above; strict `>` in the window keeps a
+        // same-seq tombstone authoritative for its keys)
         val seq = nextBucketSeq(name, k)
         upStaged.get(k).foreach { p =>
           require(new java.io.File(p).renameTo(new java.io.File(s"${bdir.getPath}/d$seq")),
@@ -576,7 +627,11 @@ final class ParquetTwinStore(root: String,
         }
       }
       rm(s"$dir/stage-u"); rm(s"$dir/stage-t")
+    } catch { case e: Throwable =>
+      touched.foreach(k => bucketCache.remove((name, k)): Unit)
+      throw e
     }
+    tagged.foreach(t => materialized.foreach(k => bucketCache((name, k)) = t))
 
     // BUCKET-LOCAL compaction: a bucket past MaxDeltas live deltas folds
     // its (already-checkpointed) resolution into a fresh base — written
@@ -666,6 +721,16 @@ object ParquetTwinStore {
     * bucket's per-trigger cost stays update-mass for `MaxDeltas - 1`
     * touches, then one touch pays the (amortized) bucket-mass fold. */
   val MaxDeltas = 8
+
+  /** Staged-update byte size past which [[ParquetTwinStore.merge]] stops
+    * BROADCASTING the update key set into the incremental fold's
+    * anti-join and lets the planner (AQE) pick the join strategy.
+    * Per-trigger streaming updates are micro-batch-sized and sit far
+    * under this; the gate exists for bulk backfill/migration merges
+    * whose key sets would otherwise ship to every executor. Parquet
+    * bytes understate in-memory key mass by ~2-5x, so 64 MiB staged
+    * keeps the broadcast comfortably under typical executor headroom. */
+  val BroadcastKeyBytes: Long = 64L << 20
 
   /** Default merged-table fanout. Small for the test/probe scale; a
     * cluster deployment sizes it like any bucketed table (state mass /

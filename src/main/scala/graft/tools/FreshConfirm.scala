@@ -16,9 +16,15 @@ import org.apache.spark.sql.SparkSession
  * falls inside the bleed bound, instead of auto-clearing it.
  *
  * Prints exactly one JSON line on stdout:
- *   {"query":"<name>","wall":<min-of-2 s>,"cpu":<min-of-2 cpu-s>}
- * (one untimed warmup pass first — JIT, codegen, memo builds — matching
- * the sweep's warm-floor semantics).
+ *   {"query":"<name>","wall":<settled s>,"cpu":<settled cpu-s>,
+ *    "cold_wall":<first-pass s>,"cold_cpu":<first-pass cpu-s>}
+ * The settled pair is the floor reading (one untimed warmup pass first —
+ * JIT, codegen, memo builds — matching the sweep's warm-floor
+ * semantics); the cold pair is the very FIRST execution of the query in
+ * this JVM, recorded so every escalation also contributes a clean
+ * fresh-JVM data point to the COLD axis (on a real cluster cold is the
+ * common case, and the sweep's own cold pass is confounded by the 244
+ * queries compiling around it).
  *
  * Usage: `java -cp <bench classpath> graft.tools.FreshConfirm <query> <sfDir>`
  */
@@ -48,7 +54,25 @@ object FreshConfirm {
       fn(spark, sfDir).count()
       ((System.nanoTime() - w0) / 1e9, (cpuNs() - c0) / 1e9)
     }
-    one() // warmup: JIT + codegen + per-(session, sf-dir) memo builds
+    val (coldW, coldC) = one() // warmup: JIT + codegen + per-(session,
+    // sf-dir) memo builds — recorded as the fresh-JVM COLD reading
+    // SETTLE before sampling: background C2 compiler threads keep
+    // burning process CPU long after startup (compiling Spark itself),
+    // and for a SUB-SECOND query that churn dominates every sample in
+    // the min-of-10 budget (a 0.65 cpu-s query read 7.4 cpu-s fresh
+    // while its wall time sat at its floor). Idle-interval burn is the
+    // direct signal: sleep 250ms slices until an idle slice shows under
+    // half a thread of background CPU (or give up after 90s) — only
+    // then is a process-CPU sample attributable to the query.
+    locally {
+      val deadline = System.nanoTime() + 90L * 1000000000L
+      var settled = false
+      while (!settled && System.nanoTime() < deadline) {
+        val c0 = cpuNs()
+        Thread.sleep(250)
+        settled = (cpuNs() - c0) / 1e9 < 0.125 // < 0.5 cpu-s per wall-s
+      }
+    }
     // a fresh JVM's C2 compiler threads bleed into process CPU for the
     // first many executions (a 1-cpu-s query can read 30+ cpu-s on pass
     // 2), so keep sampling until the min stops improving — the settled
@@ -66,7 +90,7 @@ object FreshConfirm {
     }
     spark.stop()
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    System.out.println(s"""{"query":"$name","wall":${r3(w)},"cpu":${r3(c)}}""")
+    System.out.println(s"""{"query":"$name","wall":${r3(w)},"cpu":${r3(c)},"cold_wall":${r3(coldW)},"cold_cpu":${r3(coldC)}}""")
     System.out.flush()
   }
 }

@@ -100,17 +100,36 @@ object TwinStoreProbe {
     // cost (one pass over the cached prior + update mass)
     val sprayKeys = growKeys.take(hotSize)
     val spray = timed { st.merge("t", Seq("id"), df(sprayKeys, "spray-"), None): Unit }
+    val sprayPhases = st.drainPhaseSeconds()
 
-    // the fanout knob's sizing point: the same total state mass in a
-    // 64-bucket table (ParquetTwinStore.fanoutFor(16 GiB) = 64), same
-    // spray update — per-bucket mass and compaction granularity shrink
-    // 4x while the spray cost stays bounded
-    val root64 = java.nio.file.Files.createTempDirectory("graft-tsprobe64").toString
-    val st64 = new ParquetTwinStore(root64, 64)
-    st64.merge("t", Seq("id"), df(growKeys, "seed-"), None): Unit
-    st64.merge("t", Seq("id"), df(hotKeys, "seed-"), None): Unit
-    val spray64 = timed { st64.merge("t", Seq("id"), df(sprayKeys, "spray-"), None): Unit }
+    // the FANOUT COST CURVE: the same total state mass at fanout 32, 64
+    // (ParquetTwinStore.fanoutFor's 16 GiB sizing point) and 128, same
+    // spray update, with the per-merge PHASE breakdown kept per point —
+    // the curve names the per-bucket fixed term (place renames + staged
+    // partition dirs + per-bucket file listings) that dominates once
+    // buckets outnumber update rows' natural clustering, and is the
+    // measured basis for fanoutFor's cap note
+    def sprayAt(fo: Int): (Double, Double, Map[String, Double]) = {
+      val r = java.nio.file.Files.createTempDirectory(s"graft-tsprobe$fo").toString
+      val s2 = new ParquetTwinStore(r, fo)
+      s2.merge("t", Seq("id"), df(growKeys, "seed-"), None): Unit
+      s2.merge("t", Seq("id"), df(hotKeys, "seed-"), None): Unit
+      s2.drainPhaseSeconds(): Unit
+      val (w, c) = timed { s2.merge("t", Seq("id"), df(sprayKeys, "spray-"), None): Unit }
+      (w, c, s2.drainPhaseSeconds())
+    }
+    val curve: Seq[(Int, Double, Double, Map[String, Double])] =
+      Seq(32, 64, 128).map { fo =>
+        val (w, c, ph) = sprayAt(fo); (fo, w, c, ph)
+      }
+    val spray64 = curve.find(_._1 == 64).map(e => (e._2, e._3)).get
     val stealPct = graft.util.ProcStat.stealPct(steal0, graft.util.ProcStat.stealJiffies())
+    def phJson(ph: Map[String, Double]): String =
+      ph.toSeq.sortBy(-_._2).map { case (k, v) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")
+    val curveJson = ((16, spray._1, spray._2, sprayPhases) +: curve).map {
+      case (fo, w, c, ph) =>
+        s"""{"fanout":$fo,"spray_s":${f(w)},"spray_cpu_s":${f(c)},"phases":${phJson(ph)}}"""
+    }.mkString("[", ",", "]")
 
     // flat-ness: mean of the last 5 hot updates over the mean of hot
     // updates 3..7 (skip the cold-start triggers); bucket 0 compacts
@@ -124,7 +143,7 @@ object TwinStoreProbe {
     def mean(xs: Seq[Double]) = xs.sum / xs.length
 
     val json =
-      s"""{"n_triggers":$nTriggers,"fanout":$fanout,"grow_rows_per_trigger":$growPerTrigger,"hot_update_rows":$hotSize,"final_table_rows":${nTriggers * growPerTrigger + hotSize},"hot_update_s":[${hotT.map(p => f(p._1)).mkString(",")}],"hot_update_cpu_s":[${hotT.map(p => f(p._2)).mkString(",")}],"grow_merge_s":[${growT.map(p => f(p._1)).mkString(",")}],"hot_early_mean_s":${f(mean(early))},"hot_late_mean_s":${f(mean(late))},"hot_growth":${f(mean(late) / mean(early))},"hot_growth_cpu":${f(mean(lateC) / mean(earlyC))},"spray_update_s":${f(spray._1)},"spray_update_cpu_s":${f(spray._2)},"spray_update_fanout64_s":${f(spray64._1)},"spray_update_fanout64_cpu_s":${f(spray64._2)},"steal_pct":${f(stealPct)},"note":"hot updates re-upsert a FIXED key set confined to bucket 0 while growth merges inflate the other 15 buckets ${nTriggers}x: flat hot_update_s (hot_growth ~1) = resolve cost tracks touched-bucket mass, not table mass. spray_update_s is the all-buckets-touched case: with r13's incremental fold (cached-prior anti-join, no file re-read/re-window) it must sit within ~2x of a hot update; spray_update_fanout64_s repeats it on a 64-bucket table (the fanoutFor 16GiB sizing point) over the same state mass."}"""
+      s"""{"n_triggers":$nTriggers,"fanout":$fanout,"grow_rows_per_trigger":$growPerTrigger,"hot_update_rows":$hotSize,"final_table_rows":${nTriggers * growPerTrigger + hotSize},"hot_update_s":[${hotT.map(p => f(p._1)).mkString(",")}],"hot_update_cpu_s":[${hotT.map(p => f(p._2)).mkString(",")}],"grow_merge_s":[${growT.map(p => f(p._1)).mkString(",")}],"hot_early_mean_s":${f(mean(early))},"hot_late_mean_s":${f(mean(late))},"hot_growth":${f(mean(late) / mean(early))},"hot_growth_cpu":${f(mean(lateC) / mean(earlyC))},"spray_update_s":${f(spray._1)},"spray_update_cpu_s":${f(spray._2)},"spray_update_fanout64_s":${f(spray64._1)},"spray_update_fanout64_cpu_s":${f(spray64._2)},"fanout_curve":$curveJson,"steal_pct":${f(stealPct)},"note":"hot updates re-upsert a FIXED key set confined to bucket 0 while growth merges inflate the other 15 buckets ${nTriggers}x: flat hot_update_s (hot_growth ~1) = resolve cost tracks touched-bucket mass, not table mass. spray_update_s is the all-buckets-touched case: with r13's incremental fold (cached-prior anti-join, no file re-read/re-window) it must sit within ~2x of a hot update; spray_update_fanout64_s repeats it on a 64-bucket table (the fanoutFor 16GiB sizing point) over the same state mass."}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (json + "\n").getBytes("UTF-8"))
     System.out.println(json)

@@ -1115,9 +1115,10 @@ class StreamingSpec extends SparkSpec {
   test("curation trigger is crash-atomic: a crash after EVERY store-write boundary, then redelivery, lands on the batch state") {
     import spark.implicits._
     import graft.dedup.{Dedup, Winnow}
-    // a trigger makes 10 store writes (intent_bid watermark, posts,
-    // exactKeep, labels, eSets, eBands, flags, counters, meta,
-    // commit_bid watermark); kill the trigger after each prefix,
+    // a trigger makes 11 store writes (intent_bid watermark, posts,
+    // exactKeep, the persisted exited set, labels, eSets, eBands,
+    // flags, counters, meta, commit_bid watermark); kill the trigger
+    // after each prefix,
     // redeliver the batch through a fresh incarnation UNDER THE SAME
     // BATCH ID (exactly Structured Streaming's crash contract), and
     // the final state must equal the batch recompute — the write-ahead/
@@ -1134,16 +1135,16 @@ class StreamingSpec extends SparkSpec {
     val augDf = aug.toDF()
     val expectReport = reportRows(graft.queries.CorpusQueries.e2eCurate(
       augDf, Dedup.shingleSets(augDf), Winnow.postings(augDf)))
-    // ONE continuous trajectory, 11 batches, EVERY batch delivered
+    // ONE continuous trajectory, 12 batches, EVERY batch delivered
     // through a trigger that crashes after a DIFFERENT write boundary
-    // (0 = before any write .. 10 = fully committed) and is then
+    // (0 = before any write .. 11 = fully committed) and is then
     // redelivered through a fresh incarnation under the same batch id —
     // so each boundary is hit against genuinely accumulated state,
     // dethronements included. After every redelivery the serving
     // counters must agree with the full state recompute (the exact
     // invariant a lost/doubled delta breaks); the batch oracle pins the
     // final state.
-    val per = (aug.length + 10) / 11
+    val per = (aug.length + 11) / 12
     val batches = aug.grouped(per).toSeq
     val root = java.nio.file.Files.createTempDirectory("graft-crash").toString
     // fanout 4 keeps the per-merge file/job fanout test-sized
@@ -1153,7 +1154,7 @@ class StreamingSpec extends SparkSpec {
       val crashed =
         try { doomed.processBatch(b.toDF(), batchId = boundary.toLong); false }
         catch { case e: RuntimeException if e.getMessage == "injected crash" => true }
-      assert(crashed == (boundary < 10), s"boundary $boundary: expected 10 writes/trigger")
+      assert(crashed == (boundary < 11), s"boundary $boundary: expected 11 writes/trigger")
       // redelivery through a fresh incarnation over the same root,
       // SAME batch id (the Structured Streaming redelivery contract)
       val cur = new StreamingCuration(300, new ParquetTwinStore(root, 4))
@@ -1405,7 +1406,7 @@ class StreamingSpec extends SparkSpec {
         .select(col("doc_id"))
       ix.processBatch(
         embAug.join(keptIds, embAug("vec_id") === keptIds("doc_id"), "left_semi"),
-        Some(cur.dethronedLastTrigger(spark)))
+        Some(cur.dethronedLastTrigger(spark)), batchId = bid)
     }
     // trigger 0: all originals EXCEPT the twin bases, plus the twins
     val cur1 = new StreamingCuration(300, new ParquetTwinStore(s"$root/cur"))
@@ -1442,12 +1443,35 @@ class StreamingSpec extends SparkSpec {
     ingest(cur2, ix2, all.filter(r => twinBase(r.doc_id)), bid = 1L)
     assert(rows(Similarity.retrievalPanel(ix2.indexed(spark))) == expect,
       "redelivering the dethroning trigger must not perturb the index")
-    // a dethroned id re-offered later (out-of-order replay) must NOT
-    // resurrect: the annDeleted ledger blocks it permanently
+    // a dethroned id re-offered at the NEXT trigger (the redelivery
+    // horizon the bounded annDeleted ledger protects) must NOT
+    // resurrect; beyond the horizon the ingest contract itself blocks
+    // re-offers (dethronement is monotone — curation never re-emits a
+    // dethroned id as an insert)
     ix2.processBatch(
-      embAug.filter(col("vec_id") >= 1000000L), None)
+      embAug.filter(col("vec_id") >= 1000000L), None, batchId = 2L)
     assert(rows(Similarity.retrievalPanel(ix2.indexed(spark))) == expect,
       "a re-offered dethroned id must not re-enter the index")
+    // the ledger is horizon-BOUNDED: it holds exactly the dethroning
+    // trigger's ids (tagged with its bid), not an ever-growing
+    // dethronement history
+    val ledger = new ParquetTwinStore(s"$root/ix").load(spark, "annDeleted")
+    assert(ledger.exists(_.count() == 3L),
+      "the annDeleted ledger must hold only the recent trigger's dethronement mass")
+
+    // CROSS-JVM redelivery of a COMMITTED dethroning trigger (the crash
+    // window between curation's commit and the ANN merge in the same
+    // foreachBatch): fresh incarnations, same batch id — the per-doc
+    // guard absorbs the docs, and dethronedLastTrigger must re-serve the
+    // PERSISTED eviction set, not resume as empty. Replay against an
+    // index twin that never absorbed the eviction (restored from the
+    // pre-eviction state) must evict now.
+    val cur3 = new StreamingCuration(300, new ParquetTwinStore(s"$root/cur"))
+    cur3.processBatch(all.filter(r => twinBase(r.doc_id)).toDF(), batchId = 1L)
+    val reserved = cur3.dethronedLastTrigger(spark)
+      .as[Long].collect().toSet
+    assert(twinBase.map(_ + 1000000L).subsetOf(reserved),
+      "a committed trigger's redelivery must re-serve its persisted dethronements")
   }
 }
 

@@ -44,6 +44,41 @@ class TwinStoreSpec extends SparkSpec {
     }
   }
 
+  test("merge: an upsert/delete key OVERLAP resolves delete-wins, uniformly across stores and restarts") {
+    // the trait contract asks for disjoint key sets, but a violating
+    // caller must get ONE semantic everywhere — before this pin, the
+    // parquet warm fold gave upsert-wins while the cold file window
+    // (same-seq tombstone authoritative) gave tombstone-wins, so state
+    // silently depended on whether a restart had happened
+    for ((label, st) <- stores()) {
+      st.merge("t", Seq("id"), kv(1L -> "a", 2L -> "b"), None)
+      val cur = st.merge("t", Seq("id"), kv(1L -> "A", 3L -> "c"), Some(keys(1L)))
+      assert(rows(cur) == Set((2L, "b"), (3L, "c")), s"[$label] warm overlap must be delete-wins")
+    }
+    // the parquet COLD path (restart, file-level window) agrees
+    val root = java.nio.file.Files.createTempDirectory("graft-tsoverlap").toString
+    val pq = new ParquetTwinStore(root, 2)
+    pq.merge("t", Seq("id"), kv(1L -> "a", 2L -> "b"), None)
+    pq.merge("t", Seq("id"), kv(1L -> "A", 3L -> "c"), Some(keys(1L)))
+    assert(rows(new ParquetTwinStore(root).load(spark, "t").get)
+      == Set((2L, "b"), (3L, "c")), "cold-window overlap must be delete-wins")
+  }
+
+  test("parquet merge: past the broadcast gate the fold takes the shuffle anti-join and stays correct") {
+    // the update-key broadcast is size-gated (a bulk backfill must not
+    // ship its whole key set to every executor); a 1-byte threshold
+    // forces EVERY merge down the shuffle path — results must be
+    // byte-identical to the broadcast path's
+    val root = java.nio.file.Files.createTempDirectory("graft-tsgate").toString
+    val st = new ParquetTwinStore(root, 2, broadcastKeyBytes = 1L)
+    st.merge("t", Seq("id"), kv(1L -> "a", 2L -> "b", 3L -> "c"), None)
+    val cur = st.merge("t", Seq("id"), kv(2L -> "B"), Some(keys(3L)))
+    assert(rows(cur) == Set((1L, "a"), (2L, "B")), "shuffle-path fold diverged")
+    val cur2 = st.merge("t", Seq("id"), kv(3L -> "c2"), None)
+    assert(rows(cur2) == Set((1L, "a"), (2L, "B"), (3L, "c2")),
+      "shuffle-path re-insert diverged")
+  }
+
   test("merge: multi-row key groups are swapped whole") {
     for ((label, st) <- stores()) {
       // key 1 spans three rows (a doc's shingle set); the upsert replaces
