@@ -740,11 +740,25 @@ object ParquetTwinStore {
 
   /** The fanout sizing rule as a constructor-level knob: one bucket per
     * `targetBucketBytes` of expected state mass (the standard bucketed-
-    * table sizing), floored at [[NumBuckets]] and capped at 4096 (past
-    * that, per-merge file fanout dominates). A twin that expects ~16 GiB
-    * of state at the default 256 MiB target gets 64 buckets — the
-    * spray-update probe row (`TwinStoreProbe`) measures exactly that
-    * configuration. */
+    * table sizing), floored at [[NumBuckets]] and capped at 4096. A twin
+    * that expects ~16 GiB of state at the default 256 MiB target gets 64
+    * buckets — the spray-update probe row (`TwinStoreProbe`) measures
+    * exactly that configuration.
+    *
+    * MEASURED trade behind the cap (`twinstore_probe.json`
+    * `fanout_curve`, r14): a same-size spray update over the same state
+    * mass costs 0.77s / 1.18s / 1.94s / 2.23s at fanout 16/32/64/128 —
+    * a fixed term of roughly 10-15 ms PER TOUCHED BUCKET per trigger.
+    * The per-phase breakdown names it: the `stage` partitionBy write
+    * (one parquet writer + output file per touched bucket: 0.38 → 1.16s
+    * across the curve) plus the fold's staged-dir scan (`checkpoint`,
+    * 0.30 → 0.69s); the `place` renames and compaction bookkeeping are
+    * microseconds-tier and do NOT grow. So fanout buys smaller buckets
+    * (bounded per-bucket resolution/compaction mass) at a linear
+    * per-trigger spray premium — size it from state mass alone
+    * (`expectedStateBytes / 256 MiB`) and resist raising it further:
+    * past the cap the per-bucket writer/listing term dominates every
+    * spraying trigger while per-bucket mass is already comfortable. */
   def fanoutFor(expectedStateBytes: Long,
                 targetBucketBytes: Long = 256L << 20): Int = {
     require(targetBucketBytes > 0, "targetBucketBytes must be positive")
