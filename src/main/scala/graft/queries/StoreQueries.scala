@@ -19,16 +19,16 @@ import graft.streaming.ParquetTwinStore
  * Shape: the canonical event log deterministically compiles to an
  * ACTION LOG — per (stream, trigger) one upsert (carrying that slice's
  * max position and row count) or one delete (an arithmetic rule both
- * sides compute: `(value + seq) % 4 == 0`) — and the six triggers
+ * sides compute: `(value + seq) % 4 == 0`) — and the four triggers
  * replay IN ORDER through `ParquetTwinStore.merge` on a fresh store.
  * The result is the store's resolved table; the oracle replays the
  * same action log as plain ANSI last-writer-wins window SQL (latest
  * trigger per stream wins; a latest-trigger delete removes the key).
  * Deletes and re-inserts interleave by construction (a stream whose
- * delete lands at seq 2 re-enters at its next upsert seq), so the
+ * delete lands at seq 1 re-enters at its next upsert seq), so the
  * sequence-ordered tombstone path is genuinely exercised.
  *
- * Scale: the action log is aggregate-mass (streams x 6 rows, shuffled
+ * Scale: the action log is aggregate-mass (streams x 4 rows, shuffled
  * once with map-side partial aggregation); each trigger's merge is
  * update-mass against the bucketed store — exactly the per-trigger
  * economics the streaming twins rely on at 100 TB.
@@ -38,15 +38,20 @@ object StoreQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "twinstore_resolve" -> { (s: SparkSession, dir: String) =>
       val ev = Fixture.events(s, dir).select(col("position"), col("stream"))
+      // the action log is tiny (streams x 4 rows) and every downstream
+      // job is TASK-LAUNCH bound, not data bound — bound its partitions
+      // so the per-trigger staging/fold jobs don't pay 32 task launches
+      // for kilobytes (the store itself coalesces its checkpoints)
       val acts = ev
-        .groupBy(col("stream"), pmod(col("position"), lit(6L)).as("seq"))
+        .groupBy(col("stream"), pmod(col("position"), lit(4L)).as("seq"))
         .agg(max(col("position")).as("value"), count(lit(1)).as("n"))
         .withColumn("del", pmod(col("value") + col("seq"), lit(4L)) === 0L)
-        .localCheckpoint() // one aggregation feeds all six triggers
+        .coalesce(4)
+        .localCheckpoint() // one aggregation feeds all four triggers
       val root = java.nio.file.Files
         .createTempDirectory("graft-tsresolve").toString
-      val store = new ParquetTwinStore(root, 4)
-      for (t <- 0L to 5L) {
+      val store = new ParquetTwinStore(root, 2)
+      for (t <- 0L to 3L) {
         val tr = acts.filter(col("seq") === t)
         store.merge("t", Seq("stream"),
           tr.filter(!col("del")).select(col("stream"), col("value"), col("n")),
@@ -66,9 +71,9 @@ object StoreQueries {
   val oracles: Map[String, String] = Map(
     "twinstore_resolve" ->
       s"""$EV, acts AS (
-         |  SELECT stream, position % 6 AS seq,
+         |  SELECT stream, position % 4 AS seq,
          |         max(position) AS value, count(*) AS n
-         |  FROM ev GROUP BY stream, position % 6
+         |  FROM ev GROUP BY stream, position % 4
          |), tagged AS (
          |  SELECT stream, seq, value, n,
          |         ((value + seq) % 4 = 0) AS del,
