@@ -706,11 +706,16 @@ final class ParquetTwinStore(root: String,
         val parts = assembleLegs(spark, name, 0 until n)
         if (parts.isEmpty) None else Some(parts.reduce(_ unionByName _))
       } else {
-        val plain = new java.io.File(s"$root/$name")
-        if (plain.isDirectory) Some(spark.read.parquet(plain.getPath))
+        // a versioned replace table SUPERSEDES a legacy plain append dir
+        // of the same name: the only way both exist is a verb migration
+        // (e.g. the annDeleted ledger moved from append to horizon-bounded
+        // replace), and serving the stale append dir would silently
+        // resurrect the pre-migration contents on every restart
+        val v = currentVersion(name)
+        if (v > 0L) Some(spark.read.parquet(s"$root/$name-v$v"))
         else {
-          val v = currentVersion(name)
-          if (v > 0L) Some(spark.read.parquet(s"$root/$name-v$v")) else None
+          val plain = new java.io.File(s"$root/$name")
+          if (plain.isDirectory) Some(spark.read.parquet(plain.getPath)) else None
         }
       }
     }

@@ -79,6 +79,19 @@ class TwinStoreSpec extends SparkSpec {
       "shuffle-path re-insert diverged")
   }
 
+  test("load: a versioned replace table supersedes a legacy plain append dir (verb migration)") {
+    // the annDeleted ledger migrated from the append verb (plain dir)
+    // to horizon-bounded replace (versioned dirs); a restarted store
+    // must resume from the newest REPLACE, not keep serving the stale
+    // append dir forever
+    val root = java.nio.file.Files.createTempDirectory("graft-tsmig").toString
+    val st = new ParquetTwinStore(root)
+    st.append("t", kv(1L -> "legacy"))
+    st.replace("t", kv(2L -> "migrated"))
+    assert(rows(new ParquetTwinStore(root).load(spark, "t").get)
+      == Set((2L, "migrated")), "restart must resume the replace table")
+  }
+
   test("merge: multi-row key groups are swapped whole") {
     for ((label, st) <- stores()) {
       // key 1 spans three rows (a doc's shingle set); the upsert replaces
