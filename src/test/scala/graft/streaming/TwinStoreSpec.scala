@@ -224,16 +224,23 @@ class TwinStoreSpec extends SparkSpec {
       val mem = new InMemoryTwinStore
       var model = Map.empty[Long, Set[String]] // key -> current row group
       for (step <- 1 to 2 * ParquetTwinStore.MaxDeltas + 5) {
-        // pick disjoint upsert / delete key sets over a small key space
-        // (collisions + re-inserts guaranteed); multi-row groups included
+        // pick upsert / delete key sets over a small key space
+        // (collisions + re-inserts guaranteed); multi-row groups
+        // included. Trial 3 VIOLATES the disjointness contract on
+        // purpose: its delete picks may overlap the step's upserts, and
+        // the model applies DELETE-WINS (the pinned uniform semantic) —
+        // so the fuzz also guards the overlap path across compactions
+        // and restarts
         val keys = rnd.shuffle((0L to 9L).toList)
         val ups = keys.take(rnd.nextInt(3) + 1)
           .map(k => k -> (1 to rnd.nextInt(2) + 1).map(i => s"t$trial-s$step-$i").toSet)
-        val dels = keys.drop(ups.size).take(rnd.nextInt(2))
+        val delPool = if (trial == 3) keys else keys.drop(ups.size)
+        val dels = delPool.take(rnd.nextInt(2))
           .filter(k => model.contains(k) || rnd.nextBoolean())
         val upDf = ups.flatMap { case (k, vs) => vs.map(v => (k, v)) }.toDF("id", "v")
         val delDf = if (dels.isEmpty) None else Some(dels.toDF("id"))
-        model = (model -- dels) ++ ups
+        // delete-wins on overlap: apply upserts first, then deletions
+        model = (model ++ ups) -- dels
         val gotPq = rows(pq.merge("t", Seq("id"), upDf, delDf))
         val gotMem = rows(mem.merge("t", Seq("id"), upDf, delDf))
         val want = model.toSeq.flatMap { case (k, vs) => vs.map(v => (k, v)) }.toSet
