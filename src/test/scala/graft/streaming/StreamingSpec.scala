@@ -1472,6 +1472,41 @@ class StreamingSpec extends SparkSpec {
       .as[Long].collect().toSet
     assert(twinBase.map(_ + 1000000L).subsetOf(reserved),
       "a committed trigger's redelivery must re-serve its persisted dethronements")
+
+    // crash BETWEEN the index twin's two writes (ledger replace lands,
+    // the keyed merge does not), then redelivery through a FRESH
+    // incarnation: the resumed ledger must not block the re-run and the
+    // dethronement must complete — the ordering claim in the class doc,
+    // pinned at the exact boundary it protects
+    val root2 = java.nio.file.Files.createTempDirectory("graft-evict2").toString
+    val curB = new StreamingCuration(300, new ParquetTwinStore(s"$root2/cur"))
+    val ixB = new StreamingAnnIndex(new ParquetTwinStore(s"$root2/ix"))
+    ingest(curB, ixB, all.filterNot(r => twinBase(r.doc_id)) ++ twins, bid = 0L)
+    // trigger 1 with the ANN store crashing after its FIRST write (the
+    // ledger replace) — curation commits, the index merge never runs
+    val curB2 = new StreamingCuration(300, new ParquetTwinStore(s"$root2/cur"))
+    curB2.processBatch(all.filter(r => twinBase(r.doc_id)).toDF(), batchId = 1L)
+    val doomedIx = new StreamingAnnIndex(
+      new CrashAfter(new ParquetTwinStore(s"$root2/ix"), 1))
+    val keptB = all.filter(r => twinBase(r.doc_id)).toDF()
+      .filter(TextFunctions.qualityScoreX1000(col("text")) >= 550)
+      .select(col("doc_id"))
+    val crashed =
+      try {
+        doomedIx.processBatch(
+          embAug.join(keptB, embAug("vec_id") === keptB("doc_id"), "left_semi"),
+          Some(curB2.dethronedLastTrigger(spark)), batchId = 1L)
+        false
+      } catch { case e: RuntimeException if e.getMessage == "injected crash" => true }
+    assert(crashed, "the fault injection must fire between ledger and merge")
+    // redelivery: fresh incarnations, same batch id — curation
+    // early-returns and re-serves the persisted exited set, the index
+    // twin resumes the (already-written) ledger and completes the merge
+    val curB3 = new StreamingCuration(300, new ParquetTwinStore(s"$root2/cur"))
+    val ixB3 = new StreamingAnnIndex(new ParquetTwinStore(s"$root2/ix"))
+    ingest(curB3, ixB3, all.filter(r => twinBase(r.doc_id)), bid = 1L)
+    assert(rows(Similarity.retrievalPanel(ixB3.indexed(spark))) == expect,
+      "redelivery after a ledger-merge crash must complete the eviction")
   }
 }
 
