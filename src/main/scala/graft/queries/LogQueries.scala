@@ -43,7 +43,7 @@ object LogQueries {
   private def partitionedDir(s: SparkSession, dir: String): String =
     plogCache.getOrElseUpdate((s, dir),
       graft.util.MemoCost.timed("LogQueries.partitionedLog") {
-        val d = java.nio.file.Files.createTempDirectory("graft-plog").toString
+        val d = graft.util.TempRoots.create("graft-plog")
         graft.log.PartitionedLog.write(Fixture.events(s, dir), d)
         d
       })

@@ -12,6 +12,7 @@ final case class CountState(count: Long)
 final case class DispatchState(clicks: Long, views: Long, others: Long)
 final case class SumKState(sum_k: Long)
 final case class CusumState(position: Long, cusum: Long)
+final case class PumpState(n: Long, clicks: Long)
 
 /**
  * Verify-gate queries exercising the projection fold engine (SURVEY.md §2.4
@@ -42,7 +43,7 @@ object ProjectionQueries {
   private val svcCache = scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
   private def svcDir(s: SparkSession, dir: String): String =
     svcCache.getOrElseUpdate((s, dir), {
-      val d = java.nio.file.Files.createTempDirectory("graft-svc-gate").toString
+      val d = graft.util.TempRoots.create("graft-svc-gate")
       ProjectionService.create(s, d, "per_stream",
         """{"name":"per_stream","from":["$all"],"partitionBy":"stream",
           |"state":["n"],"when":{"$any":[{"op":"inc","field":"n"}]},
@@ -63,7 +64,7 @@ object ProjectionQueries {
   private val jsSvcCache = scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
   private def jsSvcDir(s: SparkSession, dir: String): String =
     jsSvcCache.getOrElseUpdate((s, dir), {
-      val d = java.nio.file.Files.createTempDirectory("graft-js-svc").toString
+      val d = graft.util.TempRoots.create("graft-js-svc")
       ProjectionService.create(s, d, "clicks-js",
         """
         fromAll()
@@ -80,7 +81,59 @@ object ProjectionQueries {
       d
     })
 
+  /** The catch-up replay's result sink, built ONCE per (session, sf-dir)
+    * by running the REAL pump end-to-end: the canonical log staged as a
+    * multi-file parquet dir (the subscription source's on-disk shape,
+    * range-partitioned by position), a [[graft.streaming.Subscriptions]]
+    * catch-up subscription bounded to 2 files per trigger (T6), the
+    * `flatMapGroupsWithState` fold, and the result-stream parquet sink —
+    * the full T1/T2/A6 mechanism, not a batch stand-in. The COUNTING
+    * state is commutative, so the replay's final state is order-robust
+    * across triggers by construction (order-SENSITIVE folds are pinned
+    * by `StreamingSpec`'s controlled sources). */
+  private val pumpCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def pumpSinkDir(s: SparkSession, dir: String): String =
+    pumpCache.getOrElseUpdate((s, dir),
+      graft.util.MemoCost.timed("ProjectionQueries.pumpReplay") {
+        implicit val enc: org.apache.spark.sql.Encoder[PumpState] =
+          org.apache.spark.sql.Encoders.product[PumpState]
+        val root = graft.util.TempRoots.create("graft-pump-gate")
+        val logDir = s"$root/log"
+        Fixture.events(s, dir)
+          .select(col("stream"), col("event_type"), col("revision"), col("position"))
+          .repartitionByRange(8, col("position"))
+          .sortWithinPartitions(col("position"))
+          .write.parquet(logDir)
+        val p = Projection.named("pump-replay").fromAll().foreachStream()
+          .when[PumpState](PumpState(0L, 0L), Map(
+            "click" -> ((st: PumpState, _: ProjEvent) => PumpState(st.n + 1L, st.clicks + 1L)),
+            "$any" -> ((st: PumpState, _: ProjEvent) => PumpState(st.n + 1L, st.clicks))))
+          .outputState().build
+        val q = graft.streaming.ProjectionPump.start(
+          s, p, logDir, root, s"$root/ckpt", availableNow = true,
+          sourceOptions = Map("maxFilesPerTrigger" -> "2"))
+        q.awaitTermination()
+        s"$root/${p.resultStream}"
+      })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // T1+T2+A6+§2.10 UNDER THE ORACLE: a catch-up subscription replay
+    // through the real projection pump — final emitted state per stream
+    // (the max-n emission: n increments every step, so the final state
+    // is the unique maximum) must equal the batch fold, oracled as
+    // plain GROUP BY SQL
+    "proj_pump_replay" -> { (s: SparkSession, dir: String) =>
+      import org.apache.spark.sql.expressions.Window
+      val sink = pumpSinkDir(s, dir)
+      val w = Window.partitionBy(col("partition")).orderBy(col("n").desc)
+      s.read.parquet(sink)
+        .select(col("partition"), col("state.n").as("n"),
+          col("state.clicks").as("clicks"))
+        .withColumn("_rk", row_number().over(w))
+        .filter(col("_rk") === 1).drop("_rk")
+        .orderBy(col("partition"))
+    },
     // A1+A3 ($any handler, foreachStream): events per stream
     "proj_count_by_stream" -> { (s: SparkSession, dir: String) =>
       import s.implicits._
@@ -260,6 +313,7 @@ object ProjectionQueries {
     "proj_catalog_roundtrip" -> { (s: SparkSession, dir: String) =>
       import s.implicits._
       val catalogDir = java.nio.file.Files.createTempDirectory("graft-catalog").toString
+      try {
       val script =
         """{"name":"catalog-rt","from":["$all"],"partitionBy":"stream",
           |"state":["clicks","others"],
@@ -276,10 +330,19 @@ object ProjectionQueries {
           element_at(col("state"), "clicks").as("clicks"),
           element_at(col("state"), "others").as("others"))
         .orderBy("partition")
+      // Catalog.get collected the stored descriptor eagerly above, so
+      // nothing downstream reads catalogDir — delete it here rather than
+      // stranding one tree per execution (bench reruns each gate query
+      // a dozen-plus times per sweep)
+      } finally graft.util.TempRoots.rm(catalogDir)
     }
   )
 
   val oracles: Map[String, String] = Map(
+    "proj_pump_replay" ->
+      s"""$EV SELECT stream AS partition, count(*) AS n,
+         |CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS clicks
+         |FROM ev GROUP BY stream ORDER BY stream""".stripMargin,
     "proj_count_by_stream" ->
       s"""$EV SELECT stream AS partition, count(*) AS count FROM ev
          |GROUP BY stream ORDER BY stream""".stripMargin,

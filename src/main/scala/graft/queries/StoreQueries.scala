@@ -58,11 +58,18 @@ object StoreQueries {
           Some(tr.filter(col("del")).select(col("stream")))): Unit
       }
       // an empty corpus stages no merge, so the store holds no table —
-      // serve the (empty) action-log schema instead
-      store.load(s, "t")
+      // serve the (empty) action-log schema instead. The result is
+      // localCheckpointED (materialized off the store's files) so the
+      // temp root can be deleted HERE — the bench reruns every gate
+      // query a dozen-plus times per sweep, and a leaked root per
+      // execution would strand parquet trees in /tmp across rounds.
+      val out = store.load(s, "t")
         .getOrElse(acts.select(col("stream"), col("value"), col("n")).limit(0))
         .select(col("stream"), col("value"), col("n"))
         .orderBy(col("stream"))
+        .localCheckpoint()
+      graft.util.TempRoots.rm(root)
+      out.orderBy(col("stream"))
     }
   )
 

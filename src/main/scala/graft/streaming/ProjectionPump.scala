@@ -105,11 +105,15 @@ object ProjectionPump {
    * Start the pump end-to-end: subscription source on `logDir` → fold →
    * result-stream parquet sink at `outDir/$projections-{name}-result`.
    * `availableNow = true` processes the backlog and stops (catch-up);
-   * otherwise the query tails the log until stopped.
+   * otherwise the query tails the log until stopped. `sourceOptions`
+   * are the subscription's backpressure knobs (T6 — e.g.
+   * `maxFilesPerTrigger` bounds how much backlog one trigger ingests).
    */
   def start[S](spark: SparkSession, p: Projection[S], logDir: String, outDir: String,
-               checkpointDir: String, availableNow: Boolean = false)(implicit enc: Encoder[S]): StreamingQuery = {
-    val src = Subscriptions.subscribe(spark, logDir, graft.model.ReadOptions(graft.model.AllStreams))
+               checkpointDir: String, availableNow: Boolean = false,
+               sourceOptions: Map[String, String] = Map.empty)(implicit enc: Encoder[S]): StreamingQuery = {
+    val src = Subscriptions.subscribe(spark, logDir,
+      graft.model.ReadOptions(graft.model.AllStreams), sourceOptions)
     val sink = s"$outDir/${p.resultStream}"
     val writer = emissions(p, src).toDF("partition", "state").writeStream
       .outputMode(OutputMode.Update())

@@ -42,6 +42,18 @@ import graft.sim.Similarity
  * never emits one as an insert — `StreamingSpec` pins the same-batch
  * redelivery and next-trigger re-offer cases.
  *
+ * LIMITATION (the horizon bound's contract): the bound is safe exactly
+ * under Structured Streaming's redelivery guarantee — at most the LAST
+ * uncommitted trigger replays, under its original batch id. A source
+ * that replays FURTHER back (checkpoint deletion, manual offset reset,
+ * `availableNow` reprocessing over an old checkpoint) re-offers insert
+ * sets outside the `bid >= batchId-1` horizon, and ids dethroned since
+ * then would silently resurrect where the old unbounded ledger blocked
+ * them. [[processBatch]] therefore REJECTS a batch-id regression
+ * (batchId < the largest id it has seen, in-memory or on the resumed
+ * ledger) loudly instead of processing it: recovery from a rewound
+ * checkpoint is rebuild-the-index territory, not a silent merge.
+ *
  * Serving reads the maintained index directly:
  *
  *  - [[topK]] — exact brute-force top-k over the corpus-so-far
@@ -64,6 +76,12 @@ final class StreamingAnnIndex(store: TwinStore = new InMemoryTwinStore) {
   // trigger's id); pruned on every ledger write
   private var deleted: Option[DataFrame] = None
   private var resumed = false
+  // largest trigger id processed so far — in-memory within an
+  // incarnation, re-seeded from the resumed ledger's max bid across a
+  // restart (best-effort: the ledger advances only on dethroning
+  // triggers, which are exactly the ones a rewound replay could
+  // resurrect). Guards the horizon bound's redelivery contract.
+  private var lastBid = Long.MinValue
 
   private def resume(spark: SparkSession): Unit =
     if (!resumed) {
@@ -75,6 +93,10 @@ final class StreamingAnnIndex(store: TwinStore = new InMemoryTwinStore) {
         // a resumed ledger is from a committed trigger, outside the
         // redelivery horizon by definition
         if (d.columns.contains("bid")) d else d.withColumn("bid", lit(-1L))
+      }
+      deleted.foreach { d =>
+        val m = d.agg(max(col("bid"))).head.get(0)
+        if (m != null) lastBid = math.max(lastBid, m.asInstanceOf[Long])
       }
     }
 
@@ -118,6 +140,15 @@ final class StreamingAnnIndex(store: TwinStore = new InMemoryTwinStore) {
                    dethroned: Option[DataFrame] = None,
                    batchId: Long = 0L): Unit = synchronized {
     resume(vecs.sparkSession)
+    // a batch-id REGRESSION means the source replayed past the
+    // redelivery horizon (rewound/lost checkpoint) — the horizon-bounded
+    // ledger cannot block resurrections that far back, so fail loudly
+    // instead of silently merging (class doc: LIMITATION)
+    if (batchId < lastBid)
+      throw new IllegalStateException(
+        s"StreamingAnnIndex: batch id regressed ($batchId < last seen $lastBid) — " +
+          "replay beyond the redelivery horizon; rebuild the index instead of merging")
+    lastBid = math.max(lastBid, batchId)
     val gone = dethroned.map(_.select(col("id")).distinct().localCheckpoint())
       .filter(!_.isEmpty)
     if (vecs.isEmpty && gone.isEmpty) return

@@ -262,6 +262,42 @@ final class ParquetTwinStore(root: String,
     fs != null && fs.exists(f => f.isFile && f.getName.startsWith("part-"))
   }
 
+  /** On-disk bytes of the KEY columns inside a staged parquet dir, read
+    * from the parquet footers (metadata-only — no data pages touched).
+    * The honest proxy for the broadcast key-set size: a wide-row
+    * micro-batch (an ANN index's embedding vectors, a doc table's
+    * bodies) can stage tens of MiB of full-width rows while its key set
+    * is a few KiB, and gating on TOTAL staged bytes would silently drop
+    * the broadcast fold on the steady-state hot path. Falls back to the
+    * file's full length for any file whose footer can't be read. */
+  private def stagedKeyBytes(spark: SparkSession, path: String,
+                             keyCols: Seq[String]): Long = {
+    import scala.jdk.CollectionConverters._
+    val keys = keyCols.toSet
+    def files(f: java.io.File): Iterator[java.io.File] = {
+      val kids = f.listFiles()
+      if (kids == null) Iterator.empty
+      else kids.iterator.flatMap { k =>
+        if (k.isDirectory) files(k)
+        else if (k.isFile && k.getName.startsWith("part-")) Iterator.single(k)
+        else Iterator.empty
+      }
+    }
+    val conf = spark.sparkContext.hadoopConfiguration
+    files(new java.io.File(path)).map { f =>
+      try {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(f.getPath), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getFooter.getBlocks.asScala.iterator
+          .flatMap(_.getColumns.asScala)
+          .filter(c => keys(c.getPath.toDotString.takeWhile(_ != '.')))
+          .map(_.getTotalSize).sum
+        finally r.close()
+      } catch { case scala.util.control.NonFatal(_) => f.length() }
+    }.sum
+  }
+
   /** Total bytes of regular files under `path` (recursive; 0 for a
     * missing dir) — local fs metadata, the free size signal behind the
     * update-key broadcast gate. */
@@ -275,19 +311,30 @@ final class ParquetTwinStore(root: String,
     walk(new java.io.File(path))
   }
 
+  /** A versioned replace dir whose write COMMITTED: Spark's file
+    * committer drops `_SUCCESS` only after the job's rename phase, so a
+    * crash mid-replace leaves a dir with `_temporary` (or partial
+    * `part-` files) and no marker. Distinguishes torn from merely empty
+    * — a legitimately-empty replace still commits its marker, where a
+    * `part-` sniff would misread it as torn and resurrect the prior
+    * version. */
+  private def committed(path: String): Boolean =
+    new java.io.File(path, "_SUCCESS").isFile
+
+  /** Versioned replace dirs of `name` under the root, ascending
+    * (version, path) — torn dirs included; callers filter by
+    * [[committed]] when serving. */
+  private def replaceDirs(name: String): Seq[(Long, String)] =
+    seqDirs(root, s"$name-v")
+
   /** Current version of a replace-table, surviving restarts: a fresh
     * store instance over an existing root scans for `name-v*` so its
     * next replace continues the sequence (instead of clobbering v1
-    * while v3 is live). */
+    * while v3 is live). Torn dirs COUNT here — the next replace must
+    * write past a torn max, never into it. */
   private def currentVersion(name: String): Long =
-    versions.getOrElseUpdate(name, {
-      val fs = new java.io.File(root).listFiles()
-      val prefix = s"$name-v"
-      if (fs == null) 0L
-      else fs.iterator.map(_.getName).filter(_.startsWith(prefix))
-        .map(_.drop(prefix.length)).filter(_.forall(_.isDigit))
-        .map(_.toLong).foldLeft(0L)(math.max)
-    })
+    versions.getOrElseUpdate(name,
+      replaceDirs(name).map(_._1).foldLeft(0L)(math.max))
 
   private def bucketDir(name: String, k: Int): String = s"$root/$name.m/b$k"
 
@@ -556,11 +603,13 @@ final class ParquetTwinStore(root: String,
     // are micro-batch-sized and broadcast is the right plan — but a
     // BULK caller (backfill, migration) merging table-mass updates
     // would ship the whole key set to every executor and OOM them. The
-    // staged parquet bytes (just written, local fs metadata — free) are
-    // the gate: past `broadcastKeyBytes` (default
-    // [[ParquetTwinStore.BroadcastKeyBytes]]) the fold falls back to a
-    // plain (shuffle/AQE-planned) anti-join.
-    val stagedBytes = dirBytes(s"$dir/stage-u") + dirBytes(s"$dir/stage-t")
+    // gate measures what actually broadcasts — the KEY columns' bytes
+    // from the just-written staged parquet's footers (stage-t is
+    // key-only already, so its file bytes stand as-is): past
+    // `broadcastKeyBytes` (default [[ParquetTwinStore.BroadcastKeyBytes]])
+    // the fold falls back to a plain (shuffle/AQE-planned) anti-join.
+    val stagedBytes = stagedKeyBytes(spark, s"$dir/stage-u", keyCols) +
+      dirBytes(s"$dir/stage-t")
     val keptTagged = priorTagged.map(p =>
       goneKeys.fold(p)(g => p.join(
         if (stagedBytes <= broadcastKeyBytes) broadcast(g) else g,
@@ -691,7 +740,16 @@ final class ParquetTwinStore(root: String,
     val v = currentVersion(name) + 1L
     df.write.mode("overwrite").parquet(s"$root/$name-v$v")
     versions(name) = v
-    if (v >= 3L) rm(s"$root/$name-v${v - 2L}")
+    // retention: keep this version plus the newest COMMITTED predecessor
+    // (the previous trigger's table, alive until the next replace).
+    // Everything else — older versions AND any torn dir a crash
+    // mid-replace stranded (only `_temporary`, no `_SUCCESS`) — is
+    // removed here, so recovery debris never accumulates past one
+    // replace on the same table.
+    val dirs = replaceDirs(name)
+    val keep = dirs.filter(p => p._1 < v && committed(p._2))
+      .lastOption.map(_._1).toSet + v
+    dirs.filterNot(p => keep(p._1)).foreach(p => rm(p._2))
     df.sparkSession.read.parquet(s"$root/$name-v$v")
   }
 
@@ -706,16 +764,24 @@ final class ParquetTwinStore(root: String,
         val parts = assembleLegs(spark, name, 0 until n)
         if (parts.isEmpty) None else Some(parts.reduce(_ unionByName _))
       } else {
-        // a versioned replace table SUPERSEDES a legacy plain append dir
-        // of the same name: the only way both exist is a verb migration
-        // (e.g. the annDeleted ledger moved from append to horizon-bounded
-        // replace), and serving the stale append dir would silently
-        // resurrect the pre-migration contents on every restart
-        val v = currentVersion(name)
-        if (v > 0L) Some(spark.read.parquet(s"$root/$name-v$v"))
-        else {
-          val plain = new java.io.File(s"$root/$name")
-          if (plain.isDirectory) Some(spark.read.parquet(plain.getPath)) else None
+        // a COMMITTED versioned replace table SUPERSEDES a legacy plain
+        // append dir of the same name: the only way both exist is a verb
+        // migration (e.g. the annDeleted ledger moved from append to
+        // horizon-bounded replace), and serving the stale append dir
+        // would silently resurrect the pre-migration contents on every
+        // restart. A crash mid-replace leaves the NEWEST version torn
+        // (only `_temporary`, no `_SUCCESS`): serve the newest committed
+        // version instead — the torn trigger never committed, so the
+        // prior version IS the state as of the last committed trigger —
+        // and remove the torn dirs so a later scan can't outrank it.
+        val dirs = replaceDirs(name)
+        val live = dirs.filter(p => committed(p._2)).lastOption
+        dirs.filterNot(p => committed(p._2)).foreach(p => rm(p._2))
+        live match {
+          case Some((_, path)) => Some(spark.read.parquet(path))
+          case None =>
+            val plain = new java.io.File(s"$root/$name")
+            if (plain.isDirectory) Some(spark.read.parquet(plain.getPath)) else None
         }
       }
     }
@@ -727,14 +793,17 @@ object ParquetTwinStore {
     * touches, then one touch pays the (amortized) bucket-mass fold. */
   val MaxDeltas = 8
 
-  /** Staged-update byte size past which [[ParquetTwinStore.merge]] stops
-    * BROADCASTING the update key set into the incremental fold's
+  /** Staged KEY-column byte size past which [[ParquetTwinStore.merge]]
+    * stops BROADCASTING the update key set into the incremental fold's
     * anti-join and lets the planner (AQE) pick the join strategy.
     * Per-trigger streaming updates are micro-batch-sized and sit far
     * under this; the gate exists for bulk backfill/migration merges
-    * whose key sets would otherwise ship to every executor. Parquet
-    * bytes understate in-memory key mass by ~2-5x, so 64 MiB staged
-    * keeps the broadcast comfortably under typical executor headroom. */
+    * whose key sets would otherwise ship to every executor. Measured
+    * from the staged parquet's footers (key column chunks only), so a
+    * wide-row batch — embedding vectors, document bodies — doesn't
+    * trip it while its key set is tiny. Parquet bytes understate
+    * in-memory key mass by ~2-5x, so 64 MiB of keys keeps the
+    * broadcast comfortably under typical executor headroom. */
   val BroadcastKeyBytes: Long = 64L << 20
 
   /** Default merged-table fanout. Small for the test/probe scale; a

@@ -1231,6 +1231,37 @@ class StreamingSpec extends SparkSpec {
     assert(new java.io.File(s"$root/wordTypes.m").isDirectory)
   }
 
+  test("streaming ANN index: a batch-id REGRESSION is rejected loudly (replay beyond the redelivery horizon)") {
+    import graft.sim.Similarity
+    // the horizon-bounded annDeleted ledger is safe exactly under the
+    // Structured Streaming contract (at most the LAST uncommitted
+    // trigger replays); a rewound checkpoint replaying further back
+    // could silently resurrect dethroned ids — the index must refuse it
+    // instead of merging, both within an incarnation and across a
+    // restart (re-seeded from the resumed ledger's max bid)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).limit(12).localCheckpoint()
+    val ids = emb.select(col("vec_id").as("id")).limit(2)
+    val root = java.nio.file.Files.createTempDirectory("graft-annbid").toString
+    val ix1 = new StreamingAnnIndex(new ParquetTwinStore(root))
+    ix1.processBatch(emb, None, batchId = 2L)
+    ix1.processBatch(emb.limit(0), Some(ids), batchId = 3L)
+    // same-id redelivery stays legal…
+    ix1.processBatch(emb.limit(0), Some(ids), batchId = 3L)
+    // …a regression does not
+    intercept[IllegalStateException] {
+      ix1.processBatch(emb, None, batchId = 1L)
+    }
+    // across a restart the guard re-seeds from the ledger (bid 3)
+    val ix2 = new StreamingAnnIndex(new ParquetTwinStore(root))
+    intercept[IllegalStateException] {
+      ix2.processBatch(emb, None, batchId = 2L)
+    }
+    // and the forward path still works
+    ix2.processBatch(emb, None, batchId = 4L)
+    assert(ix2.indexed(spark).count() > 0L)
+  }
+
   test("streaming ANN index: topK/LSH/range over the maintained index == batch, restart mid-stream") {
     import graft.sim.Similarity
     // the index rows (norm + LSH bucket signature) are computed at

@@ -92,6 +92,49 @@ class TwinStoreSpec extends SparkSpec {
       == Set((2L, "migrated")), "restart must resume the replace table")
   }
 
+  test("replace: a torn versioned dir (crash mid-replace) recovers to the newest committed version") {
+    val root = java.nio.file.Files.createTempDirectory("graft-tstorn").toString
+    val st = new ParquetTwinStore(root)
+    st.replace("t", kv(1L -> "v1"))
+    st.replace("t", kv(1L -> "v2"))
+    // simulate a crash mid-replace: a NEWER versioned dir holding only
+    // the committer's _temporary scratch — no part- files, no _SUCCESS
+    val torn = new java.io.File(s"$root/t-v3/_temporary")
+    assert(torn.mkdirs())
+    java.nio.file.Files.write(new java.io.File(torn, "junk").toPath,
+      "x".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val fresh = new ParquetTwinStore(root)
+    assert(rows(fresh.load(spark, "t").get) == Set((1L, "v2")),
+      "recovery must serve the newest COMMITTED version, not throw on the torn dir")
+    assert(!new java.io.File(s"$root/t-v3").exists(),
+      "load must remove the torn dir so it can never outrank the live version")
+    // the next incarnation's replace continues the sequence and its
+    // retention leaves exactly the new version + one committed predecessor
+    val next = new ParquetTwinStore(root)
+    next.replace("t", kv(1L -> "v3"))
+    assert(rows(new ParquetTwinStore(root).load(spark, "t").get) == Set((1L, "v3")))
+    val vdirs = new java.io.File(root).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("t-v")).map(_.getName).toSet
+    assert(vdirs.size == 2 && vdirs.forall(d =>
+      new java.io.File(s"$root/$d/_SUCCESS").isFile),
+      s"retention must keep two committed versions, got $vdirs")
+  }
+
+  test("replace: a torn FIRST replace falls back to the legacy append dir (migration crash)") {
+    // the verb-migration crash window: the very first replace after a
+    // table moves off the append verb dies mid-write — the plain dir IS
+    // the state as of the last committed trigger and must still serve
+    val root = java.nio.file.Files.createTempDirectory("graft-tstorn1").toString
+    val st = new ParquetTwinStore(root)
+    st.append("t", kv(1L -> "legacy"))
+    assert(new java.io.File(s"$root/t-v1/_temporary").mkdirs())
+    assert(rows(new ParquetTwinStore(root).load(spark, "t").get)
+      == Set((1L, "legacy")),
+      "with no committed version the pre-migration append dir must serve")
+    assert(!new java.io.File(s"$root/t-v1").exists(),
+      "the torn first version must be removed during recovery")
+  }
+
   test("merge: multi-row key groups are swapped whole") {
     for ((label, st) <- stores()) {
       // key 1 spans three rows (a doc's shingle set); the upsert replaces
