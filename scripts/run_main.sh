@@ -17,7 +17,18 @@ ADD_OPENS=(
 )
 OPENS_FLAGS=()
 for p in "${ADD_OPENS[@]}"; do OPENS_FLAGS+=(--add-opens "$p=ALL-UNNAMED"); done
-exec java "${OPENS_FLAGS[@]}" \
+# Cold-start amortization: load the CDS archive when present (trained by
+# scripts/gen_cds.sh against THIS launcher's classpath; -Xshare:auto
+# ignores a stale archive). SPARK_GRAFT_CDS_DUMP=<path> turns the run
+# into the training dump; SPARK_GRAFT_NO_CDS=1 opts out (A/B control).
+CDS_FLAGS=("-XX:ReservedCodeCacheSize=${SPARK_GRAFT_CODECACHE:-512m}")
+JSA="target/graft-cds-direct.jsa"
+if [[ -n "${SPARK_GRAFT_CDS_DUMP:-}" ]]; then
+  CDS_FLAGS+=("-XX:ArchiveClassesAtExit=$JSA" -Xlog:cds=off -Xlog:class+path=off)
+elif [[ -f "$JSA" && -z "${SPARK_GRAFT_NO_CDS:-}" ]]; then
+  CDS_FLAGS+=("-XX:SharedArchiveFile=$JSA" -Xlog:cds=off -Xlog:class+path=off)
+fi
+exec java "${OPENS_FLAGS[@]}" "${CDS_FLAGS[@]}" \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   "-Xmx${SPARK_DRIVER_MEM:-48g}" -XX:+UseG1GC \
   -cp "target/scala-2.13/classes:/opt/spark/jars/*" \

@@ -148,10 +148,14 @@ final class InMemoryTwinStore extends TwinStore {
  *    `_fanout` marker so restarts route identically); each bucket is an
  *    independent mini MoR table with its own sequence-numbered delta
  *    (`d<seq>`), tombstone (`t<seq>`) and base (`base-v<seq>`) file
- *    sets. A merge stages the upserts/delete-keys ONCE with a
- *    `partitionBy` write and renames each staged partition into its
- *    bucket — so the write is one Spark job and update-mass, and ONLY
- *    the buckets the update's keys hash to are touched. Resolution of
+ *    sets. A merge stages the upserts/delete-keys ONCE, unpartitioned,
+ *    with the routing bucket as a `_gb` column; a small (spraying
+ *    micro-batch) update then PLACES as one shared OVERFLOW delta
+ *    (`ovf/d<seq>` + a `_buckets` manifest — a rename, no per-bucket
+ *    files), while a bulk update re-splits into per-bucket files — so
+ *    the write is one Spark job and update-mass, with no per-touched-
+ *    bucket fixed term, and ONLY the buckets the update's keys hash to
+ *    are touched. Resolution of
  *    a touched bucket is INCREMENTAL: the arriving delta folds into
  *    the bucket's cached prior resolution (a broadcast anti-join on
  *    the update's keys + union — the [[InMemoryTwinStore.merge]] shape
@@ -189,13 +193,19 @@ final class InMemoryTwinStore extends TwinStore {
  */
 final class ParquetTwinStore(root: String,
                              fanout: Int = ParquetTwinStore.NumBuckets,
-                             broadcastKeyBytes: Long = ParquetTwinStore.BroadcastKeyBytes)
+                             broadcastKeyBytes: Long = ParquetTwinStore.BroadcastKeyBytes,
+                             overflowBytes: Long = ParquetTwinStore.OverflowBytes)
     extends TwinStore {
   import ParquetTwinStore.MaxDeltas
 
   private val versions = scala.collection.mutable.Map.empty[String, Long]
-  // (table, bucket) -> last used file sequence within that bucket
-  private val bucketSeqs = scala.collection.mutable.Map.empty[(String, Int), Long]
+  // table -> last used file sequence across ALL its buckets AND the
+  // shared overflow dir. ONE monotone sequence per table: per-bucket
+  // ordering only needs the sequence to increase within each bucket,
+  // and a table-wide sequence lets OVERFLOW deltas (one file carrying
+  // many buckets' rows — see the place phase) order consistently
+  // against per-bucket files in the same bucket's resolution window.
+  private val tableSeqs = scala.collection.mutable.Map.empty[String, Long]
   // (table, bucket) -> the TAGGED checkpointed ancestor (carries a `_gb`
   // bucket column) whose slice `_gb == bucket` is that bucket's current
   // resolution. Buckets materialized by the same batched checkpoint
@@ -337,17 +347,50 @@ final class ParquetTwinStore(root: String,
       replaceDirs(name).map(_._1).foldLeft(0L)(math.max))
 
   private def bucketDir(name: String, k: Int): String = s"$root/$name.m/b$k"
+  private def ovfDir(name: String): String = s"$root/$name.m/ovf"
 
-  /** Next file sequence within one bucket, surviving restarts (scans
-    * the bucket dir for the max seen base/delta/tombstone sequence). */
-  private def nextBucketSeq(name: String, k: Int): Long = {
-    val dir = bucketDir(name, k)
-    val cur = bucketSeqs.getOrElseUpdate((name, k),
-      (seqDirs(dir, "base-v") ++ seqDirs(dir, "d") ++ seqDirs(dir, "t"))
-        .map(_._1).foldLeft(0L)(math.max))
-    bucketSeqs((name, k)) = cur + 1L
+  /** Next file sequence of a table, surviving restarts (scans every
+    * bucket dir and the overflow dir for the max seen sequence, so new
+    * files always order after everything on disk — including per-bucket
+    * sequences written by the pre-overflow store version). */
+  private def nextTableSeq(name: String): Long = {
+    val cur = tableSeqs.getOrElseUpdate(name, {
+      val n = tableFanout(name)
+      val bucketMax = (0 until n).iterator.map { k =>
+        val d = bucketDir(name, k)
+        (seqDirs(d, "base-v") ++ seqDirs(d, "d") ++ seqDirs(d, "t"))
+          .map(_._1).foldLeft(0L)(math.max)
+      }.foldLeft(0L)(math.max)
+      val ovfMax = (seqDirs(ovfDir(name), "d") ++ seqDirs(ovfDir(name), "t"))
+        .map(_._1).foldLeft(0L)(math.max)
+      math.max(bucketMax, ovfMax)
+    })
+    tableSeqs(name) = cur + 1L
     cur + 1L
   }
+
+  // overflow sidecar: each overflow delta/tombstone dir carries a
+  // `_buckets` file (underscore-prefixed — parquet readers ignore it)
+  // listing the buckets whose rows it holds, written into the staged
+  // dir BEFORE the placing rename so file and manifest land atomically.
+  // Immutable once placed → cached per path.
+  private val ovfBucketCache =
+    scala.collection.concurrent.TrieMap.empty[String, Set[Int]]
+  private def ovfBuckets(path: String): Set[Int] =
+    ovfBucketCache.getOrElseUpdate(path, {
+      val f = new java.io.File(path, "_buckets")
+      if (!f.isFile) Set.empty
+      else new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+        .split(",").iterator.map(_.trim).filter(_.nonEmpty).map(_.toInt).toSet
+    })
+
+  /** Overflow parts (shared multi-bucket files, prefix "d" or "t") that
+    * carry rows for bucket `k` above sequence `floor`. */
+  private def ovfPartsFor(name: String, prefix: String, k: Int,
+                          floor: Long): Seq[(Long, String)] =
+    seqDirs(ovfDir(name), prefix)
+      .filter(p => p._1 > floor && ovfBuckets(p._2)(k) && hasData(p._2))
 
   /** Live (post-base) delta sequences of a bucket — the compaction
     * trigger counts these, and resolution reads only these (files older
@@ -372,24 +415,35 @@ final class ParquetTwinStore(root: String,
                             k: Int): Option[DataFrame] = {
     val dir = bucketDir(name, k)
     val (ds, ts, base) = liveParts(dir)
-    val parts = base.toSeq ++ ds
-    if (parts.isEmpty) return None
-    if (ds.isEmpty && ts.isEmpty) return Some(spark.read.parquet(base.get._2))
+    val floor = base.fold(-1L)(_._1)
+    // shared overflow files carrying this bucket's rows (filtered to
+    // the bucket's slice on read — `_gb` is a physical column there)
+    val ods = ovfPartsFor(name, "d", k, floor)
+    val ots = ovfPartsFor(name, "t", k, floor)
+    def ovfSlice(path: String): DataFrame =
+      spark.read.parquet(path).filter(col("_gb") === k).drop("_gb")
+    val upLegs: Seq[(Long, DataFrame)] =
+      (base.toSeq ++ ds).map { case (s, p) => (s, spark.read.parquet(p)) } ++
+        ods.map { case (s, p) => (s, ovfSlice(p)) }
+    if (upLegs.isEmpty) return None
+    if (ds.isEmpty && ts.isEmpty && ods.isEmpty && ots.isEmpty)
+      return Some(spark.read.parquet(base.get._2))
     coldWindowCount.incrementAndGet(): Unit
     val keyCols = readKeys(name).getOrElse(
       throw new IllegalStateException(s"merged table $name has no _keys marker"))
-    val all = parts.map { case (seq, path) =>
-        spark.read.parquet(path).withColumn("_mseq", lit(seq))
-      }.reduce(_ unionByName _)
+    val all = upLegs.map { case (seq, df) => df.withColumn("_mseq", lit(seq)) }
+      .reduce(_ unionByName _)
     val w = Window.partitionBy(keyCols.map(col): _*)
     val live = all.withColumn("_mmax", max(col("_mseq")).over(w))
       .filter(col("_mseq") === col("_mmax"))
       .drop("_mseq")
-    if (ts.isEmpty) Some(live.drop("_mmax"))
+    val tLegs: Seq[(Long, DataFrame)] =
+      ts.map { case (s, p) => (s, spark.read.parquet(p)) } ++
+        ots.map { case (s, p) => (s, ovfSlice(p)) }
+    if (tLegs.isEmpty) Some(live.drop("_mmax"))
     else {
-      val gone = ts.map { case (seq, path) =>
-          spark.read.parquet(path).withColumn("_tseq", lit(seq))
-        }.reduce(_ unionByName _)
+      val gone = tLegs.map { case (seq, df) => df.withColumn("_tseq", lit(seq)) }
+        .reduce(_ unionByName _)
         .groupBy(keyCols.map(col): _*).agg(max(col("_tseq")).as("_tmax"))
       Some(live.join(gone, keyCols, "left")
         .filter(col("_tmax").isNull || col("_mmax") > col("_tmax"))
@@ -430,7 +484,11 @@ final class ParquetTwinStore(root: String,
   private def needsMaterialize(name: String, k: Int): Boolean =
     !bucketCache.contains((name, k)) && {
       val (ds, ts, base) = liveParts(bucketDir(name, k))
-      (ds.nonEmpty || ts.nonEmpty) && (base.nonEmpty || ds.nonEmpty)
+      val floor = base.fold(-1L)(_._1)
+      val ods = ovfPartsFor(name, "d", k, floor)
+      val ots = ovfPartsFor(name, "t", k, floor)
+      (ds.nonEmpty || ts.nonEmpty || ods.nonEmpty || ots.nonEmpty) &&
+        (base.nonEmpty || ds.nonEmpty || ods.nonEmpty)
     }
 
   /** Merged tables record their key columns in a `_keys` marker file so
@@ -541,27 +599,35 @@ final class ParquetTwinStore(root: String,
     val upserts = deleteKeys.fold(rawUpserts)(d =>
       rawUpserts.join(d.select(keyCols.map(col): _*), keyCols, "left_anti"))
 
-    // stage the update-mass write ONCE (one Spark job, partitioned by
-    // destination bucket), then rename each staged partition into its
-    // bucket at that bucket's next file sequence — only the buckets the
-    // update's keys hash to are touched
-    def stage(df: DataFrame, tag: String): Map[Int, String] = {
+    // stage the update-mass write ONCE, UNPARTITIONED, with the routing
+    // bucket as a physical `_gb` column (sorted within partitions so
+    // row-group stats prune per-bucket reads). One writer + a handful
+    // of files regardless of how the keys spray — the r14 fanout curve
+    // measured the old per-bucket partitionBy stage as the dominant
+    // linear term of a spraying trigger (one writer + one file PER
+    // TOUCHED BUCKET: 0.38s → 1.16s from fanout 16 → 128). Whether the
+    // staged rows then land as one shared overflow delta or re-split
+    // into per-bucket files is the PLACE phase's size-based decision.
+    def stage(df: DataFrame, tag: String): Seq[Int] = {
       val sdir = s"$dir/stage-$tag"
       rm(sdir)
-      df.withColumn("_gb", route)
-        .write.partitionBy("_gb").mode("overwrite").parquet(sdir)
-      val staged = new java.io.File(sdir).listFiles()
-      if (staged == null) Map.empty
-      else staged.iterator
-        .filter(f => f.isDirectory && f.getName.startsWith("_gb="))
-        .map(f => f.getName.drop(4).toInt -> f.getPath).toMap
+      // the touched-bucket set rides an accumulator THROUGH the write
+      // job (set semantics — idempotent under task retries), so staging
+      // stays exactly one Spark job; a distinct() read-back would put
+      // two extra driver round-trips in every trigger
+      val acc = spark.sparkContext.collectionAccumulator[Int](s"graft-touched-$tag")
+      val recordGb = udf { (g: Int) => acc.add(g); g }
+      df.withColumn("_gb", recordGb(route)).sortWithinPartitions("_gb")
+        .write.mode("overwrite").parquet(sdir)
+      import scala.jdk.CollectionConverters._
+      acc.value.asScala.toSeq.distinct.sorted
     }
-    val (upStaged, delStaged) = phase("stage") {
+    val (upKs, delKs) = phase("stage") {
       (stage(upserts, "u"),
-        deleteKeys.fold(Map.empty[Int, String])(d =>
+        deleteKeys.fold(Seq.empty[Int])(d =>
           stage(d.select(keyCols.map(col): _*), "t")))
     }
-    val touched = (upStaged.keySet ++ delStaged.keySet).toSeq.sorted
+    val touched = (upKs ++ delKs).distinct.sorted
     val touchedSet = touched.toSet
     // the PRIOR resolution of the touched buckets, captured before the
     // new files land. Warm path (every trigger after a bucket's first
@@ -591,10 +657,10 @@ final class ParquetTwinStore(root: String,
     // which would put fanout-many tiny scans in every trigger's plan.
     val keyed = keyCols.map(col)
     val upTagged: Option[DataFrame] =
-      if (upStaged.isEmpty) None else Some(spark.read.parquet(s"$dir/stage-u"))
+      if (upKs.isEmpty) None else Some(spark.read.parquet(s"$dir/stage-u"))
     val goneKeys: Option[DataFrame] =
       (upTagged.map(_.select(keyed: _*)).toSeq ++
-        (if (delStaged.isEmpty) Seq.empty
+        (if (delKs.isEmpty) Seq.empty
          else Seq(spark.read.parquet(s"$dir/stage-t").select(keyed: _*))))
         .reduceOption(_ unionByName _).map(_.distinct())
     val priorTagged: Option[DataFrame] =
@@ -658,24 +724,56 @@ final class ParquetTwinStore(root: String,
     // (disk may hold a partial placement; the next access re-resolves
     // each bucket through the file-level window over whatever landed).
     try phase("place") {
-      for (k <- touched) {
-        val bdir = new java.io.File(bucketDir(name, k))
-        bdir.mkdirs(): Unit
+      if (touched.nonEmpty) {
         // upsert and tombstone of ONE merge share a sequence (upsert/
         // delete key sets are disjoint within a call — enforced by the
         // delete-wins filter above; strict `>` in the window keeps a
         // same-seq tombstone authoritative for its keys)
-        val seq = nextBucketSeq(name, k)
-        upStaged.get(k).foreach { p =>
-          require(new java.io.File(p).renameTo(new java.io.File(s"${bdir.getPath}/d$seq")),
-            s"failed to place delta for bucket $k of $name")
-        }
-        delStaged.get(k).foreach { p =>
-          require(new java.io.File(p).renameTo(new java.io.File(s"${bdir.getPath}/t$seq")),
-            s"failed to place tombstone for bucket $k of $name")
+        val seq = nextTableSeq(name)
+        val stagedBytesAll = dirBytes(s"$dir/stage-u") + dirBytes(s"$dir/stage-t")
+        // SIZE-BASED placement: a spraying micro-batch (many touched
+        // buckets, tiny per-bucket mass) lands as ONE shared OVERFLOW
+        // delta — a plain rename of the staged dir, zero extra jobs and
+        // zero per-bucket files (the r14 curve's 10-15 ms/bucket fixed
+        // term, gone). A BULK merge (per-bucket mass at or above
+        // `overflowBytes`) re-splits into per-bucket files so a later
+        // cold resolution of one bucket never scans a giant shared file.
+        if (stagedBytesAll < overflowBytes.toDouble * touched.size) {
+          new java.io.File(ovfDir(name)).mkdirs(): Unit
+          def placeOvf(tag: String, ks: Seq[Int], kind: String): Unit =
+            if (ks.nonEmpty) {
+              val src = new java.io.File(s"$dir/stage-$tag")
+              // the `_buckets` manifest rides INSIDE the staged dir so
+              // the rename lands data + manifest atomically
+              java.nio.file.Files.write(new java.io.File(src, "_buckets").toPath,
+                ks.mkString(",").getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+              require(src.renameTo(new java.io.File(s"${ovfDir(name)}/$kind$seq")),
+                s"failed to place overflow $kind-delta for $name")
+            } else rm(s"$dir/stage-$tag")
+          placeOvf("u", upKs, "d")
+          placeOvf("t", delKs, "t")
+        } else {
+          def placeBuckets(tag: String, ks: Seq[Int], kind: String): Unit =
+            if (ks.nonEmpty) {
+              val pdir = s"$dir/stage-$tag.p"
+              rm(pdir)
+              spark.read.parquet(s"$dir/stage-$tag")
+                .write.partitionBy("_gb").mode("overwrite").parquet(pdir)
+              for (k <- ks) {
+                val bdir = new java.io.File(bucketDir(name, k))
+                bdir.mkdirs(): Unit
+                val src = new java.io.File(s"$pdir/_gb=$k")
+                if (src.isDirectory)
+                  require(src.renameTo(new java.io.File(s"${bdir.getPath}/$kind$seq")),
+                    s"failed to place $kind-delta for bucket $k of $name")
+              }
+              rm(pdir)
+            }
+          placeBuckets("u", upKs, "d")
+          placeBuckets("t", delKs, "t")
+          rm(s"$dir/stage-u"); rm(s"$dir/stage-t")
         }
       }
-      rm(s"$dir/stage-u"); rm(s"$dir/stage-t")
     } catch { case e: Throwable =>
       touched.foreach(k => bucketCache.remove((name, k)): Unit)
       throw e
@@ -690,25 +788,51 @@ final class ParquetTwinStore(root: String,
     // DataFrames from the previous trigger must survive this one)
     phase("compact") {
       val consumed = Seq.newBuilder[String]
-      val compacting = touched.filter { k =>
-        val (ds, _, _) = liveParts(bucketDir(name, k))
-        ds.length >= MaxDeltas && bucketCache.contains((name, k))
+      // a bucket compacts when its live delta count (bucket-local files
+      // PLUS shared overflow files carrying its rows) crosses MaxDeltas;
+      // additionally, when the overflow dir itself holds MaxDeltas live
+      // files, EVERY bucket with live overflow rows compacts — draining
+      // the shared files so a straggler bucket (one overflow row, then
+      // never touched again) can't pin them forever. A shared file is
+      // only GC'd once every bucket it carries has a newer base.
+      val n2 = tableFanout(name)
+      // the drain counts DELTA files only (the bucket-local rule ignores
+      // tombstones too — a delete-heavy trigger writes d+t pairs and
+      // must not halve the effective drain period); tombstone files GC
+      // through the same floor check once their buckets compact
+      val ovfLive = seqDirs(ovfDir(name), "d").filter(p => hasData(p._2))
+      val drainOvf = ovfLive.size >= MaxDeltas
+      val compacting = (0 until n2).filter { k =>
+        bucketCache.contains((name, k)) && {
+          val (ds, _, base) = liveParts(bucketDir(name, k))
+          val floor = base.fold(-1L)(_._1)
+          val odsK = ovfPartsFor(name, "d", k, floor)
+          val otsK = ovfPartsFor(name, "t", k, floor)
+          (ds.length + odsK.length) >= MaxDeltas ||
+            (drainOvf && (odsK.nonEmpty || otsK.nonEmpty))
+        }
       }
+      val baseSeq = if (compacting.isEmpty) -1L else nextTableSeq(name)
       if (compacting.nonEmpty) {
-        // every compacting bucket's (already-checkpointed) resolution is
-        // a slice of THIS merge's tagged checkpoint, so ONE partitionBy
-        // job stages all the new bases — never a write job per bucket —
-        // and each staged partition renames into its bucket atomically
-        // (a crash mid-write leaves only the ignored stage dir, never a
-        // torn base masking live deltas)
+        // every compacting bucket's resolution is a slice of an
+        // already-checkpointed tagged ancestor (this merge's for
+        // touched/cold buckets, an earlier one for warm untouched
+        // buckets swept in by the overflow drain), so ONE partitionBy
+        // job per shared ancestor stages all the new bases — never a
+        // write job per bucket — and each staged partition renames into
+        // its bucket atomically (a crash mid-write leaves only the
+        // ignored stage dir, never a torn base masking live deltas)
         val cdir = s"$dir/stage-c"
         rm(cdir)
-        tagged.get.filter(col("_gb").isin(compacting.map(Int.box): _*))
+        compacting.groupBy(k => bucketCache((name, k))).toSeq
+          .map { case (anc, bs) =>
+            anc.filter(col("_gb").isin(bs.map(Int.box): _*)) }
+          .reduce(_ unionByName _)
           .write.partitionBy("_gb").mode("overwrite").parquet(cdir)
         for (k <- compacting) {
           val bdir = bucketDir(name, k)
+          new java.io.File(bdir).mkdirs(): Unit
           val (ds, ts, base) = liveParts(bdir)
-          val baseSeq = nextBucketSeq(name, k)
           val src = new java.io.File(s"$cdir/_gb=$k")
           // a bucket whose resolution is EMPTY stages no partition dir:
           // consuming its files with no replacement base is exactly
@@ -719,6 +843,27 @@ final class ParquetTwinStore(root: String,
           consumed ++= (base.toSeq ++ ds ++ ts).map(_._2)
         }
         rm(cdir)
+      }
+      // overflow GC: a shared file is dead once EVERY bucket in its
+      // `_buckets` manifest has a base newer than it (its rows are all
+      // superseded by compacted bases); it then rides the same
+      // deferred-GC retention window as bucket-local files
+      val compactedSet = compacting.toSet
+      val floorOf = scala.collection.mutable.Map.empty[Int, Long]
+      def baseFloor(k: Int): Long =
+        floorOf.getOrElseUpdate(k, {
+          val listed = liveParts(bucketDir(name, k))._3.fold(-1L)(_._1)
+          // a bucket compacted THIS merge whose resolution was empty
+          // wrote no base file, but everything at or below baseSeq is
+          // still superseded (the checkpointed resolution it compacted
+          // from was its complete state) — credit it the compaction
+          // sequence so it can't pin shared files forever
+          if (compactedSet(k)) math.max(listed, baseSeq) else listed
+        })
+      for (p <- seqDirs(ovfDir(name), "d") ++ seqDirs(ovfDir(name), "t")) {
+        val bs = ovfBuckets(p._2)
+        if (bs.nonEmpty && bs.forall(k => baseFloor(k) > p._1))
+          consumed += p._2
       }
       schedulePendingRm(name, consumed.result())
     }
@@ -806,6 +951,18 @@ object ParquetTwinStore {
     * broadcast comfortably under typical executor headroom. */
   val BroadcastKeyBytes: Long = 64L << 20
 
+  /** Average staged bytes PER TOUCHED BUCKET below which a merge's
+    * update lands as ONE shared OVERFLOW delta (a rename of the staged
+    * dir, `_gb` kept as a physical column + a `_buckets` manifest)
+    * instead of per-bucket files. This is what amortizes the r14 fanout
+    * curve's 10-15 ms/touched-bucket/trigger fixed term: a spraying
+    * micro-batch pays one writer + one file regardless of fanout, and
+    * the shared file is folded/compacted/GC'd like any delta (see the
+    * place + compact phases). Above the floor — bulk backfills,
+    * migrations — the update re-splits into per-bucket files so a cold
+    * single-bucket resolution never scans a giant multi-bucket file. */
+  val OverflowBytes: Long = 1L << 20
+
   /** Default merged-table fanout. Small for the test/probe scale; a
     * cluster deployment sizes it like any bucketed table (state mass /
     * target bucket size — [[fanoutFor]]) — the marker file makes
@@ -821,18 +978,19 @@ object ParquetTwinStore {
     *
     * MEASURED trade behind the cap (`twinstore_probe.json`
     * `fanout_curve`, r14): a same-size spray update over the same state
-    * mass costs 0.77s / 1.18s / 1.94s / 2.23s at fanout 16/32/64/128 —
-    * a fixed term of roughly 10-15 ms PER TOUCHED BUCKET per trigger.
-    * The per-phase breakdown names it: the `stage` partitionBy write
-    * (one parquet writer + output file per touched bucket: 0.38 → 1.16s
+    * mass cost 0.77s / 1.18s / 1.94s / 2.23s at fanout 16/32/64/128 —
+    * a fixed term of roughly 10-15 ms PER TOUCHED BUCKET per trigger,
+    * owned by the then-per-bucket `stage` partitionBy write (one
+    * parquet writer + output file per touched bucket: 0.38 → 1.16s
     * across the curve) plus the fold's staged-dir scan (`checkpoint`,
-    * 0.30 → 0.69s); the `place` renames and compaction bookkeeping are
-    * microseconds-tier and do NOT grow. So fanout buys smaller buckets
-    * (bounded per-bucket resolution/compaction mass) at a linear
-    * per-trigger spray premium — size it from state mass alone
-    * (`expectedStateBytes / 256 MiB`) and resist raising it further:
-    * past the cap the per-bucket writer/listing term dominates every
-    * spraying trigger while per-bucket mass is already comfortable. */
+    * 0.30 → 0.69s). Since r15 the spray path AMORTIZES that term: the
+    * stage write is unpartitioned (one writer regardless of spray) and
+    * a below-[[OverflowBytes]] update places as one shared overflow
+    * delta, so the remaining per-bucket terms are the compaction-time
+    * listing/rename tier. Fanout still buys smaller buckets (bounded
+    * per-bucket resolution/compaction mass) — size it from state mass
+    * alone (`expectedStateBytes / 256 MiB`); the cap guards the
+    * metadata (listing) cost that remains linear in fanout. */
   def fanoutFor(expectedStateBytes: Long,
                 targetBucketBytes: Long = 256L << 20): Int = {
     require(targetBucketBytes > 0, "targetBucketBytes must be positive")

@@ -1024,13 +1024,19 @@ class StreamingSpec extends SparkSpec {
       "no unbounded doc-id intent table may exist")
     assert(files.contains("labels.m") && files.contains("exactKeep.m"),
       s"merged tables must live in merge-on-read dirs, saw $files")
-    // merged tables are hash-bucketed: per-trigger deltas live inside
-    // the touched buckets' dirs
-    val labelParts = new java.io.File(s"$root/labels.m").listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith("b"))
+    // merged tables are hash-bucketed MoR: per-trigger deltas live as
+    // sequence-numbered files — per-bucket (`b<k>/d<seq>`) for bulk
+    // updates, or in the shared overflow dir (`ovf/d<seq>` + `_buckets`
+    // manifest) for spraying micro-batches (the r15 fixed-term
+    // amortization); compaction bases land per-bucket either way
+    val labelDir = new java.io.File(s"$root/labels.m")
+    val labelParts = labelDir.listFiles()
+      .filter(f => f.isDirectory && (f.getName.startsWith("b") || f.getName == "ovf"))
       .flatMap(b => Option(b.list()).getOrElse(Array.empty[String]))
-    assert(labelParts.exists(n => n.startsWith("d") && n.drop(1).forall(_.isDigit)),
-      s"merged tables must accumulate per-trigger deltas inside buckets, saw ${labelParts.toSeq}")
+    assert(labelParts.exists(n =>
+      (n.startsWith("d") && n.drop(1).forall(_.isDigit)) ||
+        (n.startsWith("base-v") && n.drop(6).forall(_.isDigit))),
+      s"merged tables must accumulate per-trigger deltas/bases inside the MoR layout, saw ${labelParts.toSeq}")
     assert(files.count(_.startsWith("counters-v")) <= 2,
       s"old replace versions must be GC'd, saw $files")
   }

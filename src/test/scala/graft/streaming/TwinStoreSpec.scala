@@ -175,7 +175,9 @@ class TwinStoreSpec extends SparkSpec {
 
   test("parquet merge: compaction is bucket-local — untouched buckets keep their files") {
     val root = java.nio.file.Files.createTempDirectory("graft-tsblocal").toString
-    val st = new ParquetTwinStore(root, 4)
+    // overflow disabled: this pin is about the PER-BUCKET file path
+    // (the overflow path's locality pin is the shared-file GC test)
+    val st = new ParquetTwinStore(root, 4, overflowBytes = 0L)
     // seed many keys so several buckets hold data
     st.merge("t", Seq("id"), kv((0L until 64L).map(i => i -> s"seed$i"): _*), None)
     val before = (0 until 4).map(k =>
@@ -197,6 +199,36 @@ class TwinStoreSpec extends SparkSpec {
     assert(cur.count() == 64L)
     assert(rows(cur.filter(cur("id") === 7L)) ==
       Set((7L, s"hot${ParquetTwinStore.MaxDeltas + 3}")))
+  }
+
+  test("parquet merge: shared overflow deltas drain and GC once every carried bucket has a newer base") {
+    // the spray path: tiny multi-bucket updates land as ONE shared
+    // overflow file per trigger (no per-bucket fixed term); the drain
+    // compaction plus manifest-based GC must keep the overflow file
+    // count bounded while the resolved state stays exact
+    val root = java.nio.file.Files.createTempDirectory("graft-tsovf").toString
+    val st = new ParquetTwinStore(root, 4)
+    val last = 2 * ParquetTwinStore.MaxDeltas + 2
+    var cur: DataFrame = null
+    for (i <- 1 to last)
+      cur = st.merge("t", Seq("id"),
+        kv((0L until 8L).map(k => k -> s"v$i-$k"): _*), None)
+    assert(rows(cur) == (0L until 8L).map(k => k -> s"v$last-$k").toSet)
+    val ovf = new java.io.File(s"$root/t.m/ovf")
+    assert(ovf.isDirectory, "spray deltas must land in the shared overflow dir")
+    assert((0 until 4).forall(k =>
+      Option(new java.io.File(s"$root/t.m/b$k").list())
+        .fold(true)(_.forall(_.startsWith("base-v")))),
+      "a spraying trigger must not write per-bucket delta files")
+    // one more merge applies the deferred GC; the live overflow count
+    // stays bounded by the drain threshold
+    cur = st.merge("t", Seq("id"), kv(0L -> "z"), None)
+    val live = Option(ovf.list()).fold(0)(_.count(n =>
+      (n.startsWith("d") || n.startsWith("t")) && n.drop(1).forall(_.isDigit)))
+    assert(live <= ParquetTwinStore.MaxDeltas + 2,
+      s"overflow files must drain and GC, saw $live live")
+    // a fresh incarnation resolves the same state through the window
+    assert(rows(new ParquetTwinStore(root, 4).load(spark, "t").get) == rows(cur))
   }
 
   test("parquet merge: retention — a table returned at trigger T is readable through trigger T+1") {
@@ -261,12 +293,20 @@ class TwinStoreSpec extends SparkSpec {
       val root = java.nio.file.Files.createTempDirectory(s"graft-tsfuzz$trial").toString
       // fanout 2: the 10-key space splits across two buckets and each
       // bucket still crosses its compaction threshold within the run,
-      // so the fuzz exercises routing, per-bucket sequences AND
-      // bucket-local compaction in the same trajectory
-      val pq = new ParquetTwinStore(root, 2)
+      // so the fuzz exercises routing, table sequences AND compaction
+      // in the same trajectory. Trial 2 disables the overflow floor so
+      // the per-bucket placement path stays fuzzed; the other trials
+      // run the default (tiny updates → shared overflow deltas + the
+      // overflow drain). A MID-RUN restart swaps in a fresh incarnation
+      // so the cold file-level window resolves a mixed bucket/overflow
+      // layout and the run then continues warm on top of it.
+      def mkStore() = new ParquetTwinStore(root, 2,
+        overflowBytes = if (trial == 2) 0L else ParquetTwinStore.OverflowBytes)
+      var pq = mkStore()
       val mem = new InMemoryTwinStore
       var model = Map.empty[Long, Set[String]] // key -> current row group
       for (step <- 1 to 2 * ParquetTwinStore.MaxDeltas + 5) {
+        if (step == ParquetTwinStore.MaxDeltas + 2) pq = mkStore()
         // pick upsert / delete key sets over a small key space
         // (collisions + re-inserts guaranteed); multi-row groups
         // included. Trial 3 VIOLATES the disjointness contract on
@@ -363,11 +403,41 @@ class TwinStoreSpec extends SparkSpec {
     val afterFirst = st2.coldWindowResolves
     assert(afterFirst <= 4L, s"at most one window per bucket, saw $afterFirst")
     // ...and is warm from then on, including for buckets it has not
-    // touched yet this incarnation (they were materialized batched)
+    // touched yet this incarnation (they were materialized batched if
+    // they carried live deltas; fully-compacted buckets serve as lazy
+    // base READS — bounded by the file layout, deliberately uncached)
     val next = st2.merge("t", Seq("id"), kv(1L -> "post2", 2L -> "post3"), None)
     assert(st2.coldWindowResolves == afterFirst,
       "post-restart second merge must serve from the batched materialization")
-    assert(next.rdd.getNumPartitions <= bound)
+    // the serve plan may union per-bucket base-read legs on top of the
+    // coalesced checkpoint; what must NOT happen is per-trigger growth
+    // (the r12 sawtooth) — pin a layout-derived cap and flatness
+    val baseFiles = (0 until 4).flatMap { k =>
+      Option(new java.io.File(s"$root/t.m/b$k").listFiles())
+        .getOrElse(Array.empty[java.io.File]).toSeq
+    }.filter(d => d.isDirectory && d.getName.startsWith("base-v"))
+      .map(d => Option(d.listFiles())
+        .fold(0)(_.count(f => f.isFile && f.getName.startsWith("part-"))))
+      .sum
+    // distinct cached ancestors (at most one per bucket, merging as
+    // buckets are re-touched together) can each contribute up to
+    // `bound` partitions on top of base legs — the cap is layout-
+    // derived and does NOT compound per trigger
+    val cap = 4 * bound + baseFiles
+    val p1 = next.rdd.getNumPartitions
+    assert(p1 <= cap, s"$p1 partitions exceeds layout cap $cap")
+    for (j <- 1 to 3) {
+      val nx = st2.merge("t", Seq("id"), kv(3L -> s"post-$j"), None)
+      assert(nx.rdd.getNumPartitions <= cap,
+        s"warm merge $j: ${nx.rdd.getNumPartitions} exceeds layout cap $cap")
+    }
+    // a full spray re-materializes every bucket into ONE checkpoint:
+    // the serve plan collapses back to the coalesced ancestor alone
+    val sprayed = st2.merge("t", Seq("id"),
+      kv((0L until 40L).map(k => k -> s"w-$k"): _*), None)
+    assert(sprayed.rdd.getNumPartitions <= bound,
+      s"after a full spray the plan is the single checkpoint again, " +
+        s"saw ${sprayed.rdd.getNumPartitions}")
   }
 
   test("parquet merge: a restarted store resumes the sequence and load() resolves the merged table") {
