@@ -16,6 +16,12 @@ cd "$(dirname "$0")/.."
 
 TRAIN_SET="agg_by_nation,join_orders_customers,read_all_forward,dedup_exact,sim_topk_brute,text_quality,proj_count_by_stream,corpus_mix,agg_hll_distinct,twinstore_resolve"
 
+# a packaged jar is the app classpath for BOTH launchers (exportJars in
+# build.sbt; run_main.sh prefers the jar when fresh) — the dynamic dump
+# rejects non-empty classpath directories
+echo "[gen_cds] packaging..."
+sbt -batch package >/dev/null 2>&1
+
 echo "[gen_cds] training sbt-fork archive (target/graft-cds.jsa)..."
 rm -f target/graft-cds.jsa
 SPARK_GRAFT_CDS_DUMP=1 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 \

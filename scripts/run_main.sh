@@ -19,17 +19,28 @@ OPENS_FLAGS=()
 for p in "${ADD_OPENS[@]}"; do OPENS_FLAGS+=(--add-opens "$p=ALL-UNNAMED"); done
 # Cold-start amortization: load the CDS archive when present (trained by
 # scripts/gen_cds.sh against THIS launcher's classpath; -Xshare:auto
-# ignores a stale archive). SPARK_GRAFT_CDS_DUMP=<path> turns the run
-# into the training dump; SPARK_GRAFT_NO_CDS=1 opts out (A/B control).
+# ignores a stale archive). SPARK_GRAFT_CDS_DUMP=1 turns the run into
+# the training dump; SPARK_GRAFT_NO_CDS=1 opts out (A/B control).
+# CDS requires a JAR app classpath (the dynamic dump rejects non-empty
+# directories), so prefer the packaged jar (sbt -batch package) when it
+# is at least as new as the compiled classes; otherwise fall back to the
+# classes dir (and skip CDS).
+APP_CP="target/scala-2.13/classes"
+JAR=$(ls -1t target/scala-2.13/eventstormspark_2.13-*.jar 2>/dev/null | head -1 || true)
+if [[ -n "$JAR" && -z "$(find target/scala-2.13/classes -name '*.class' -newer "$JAR" -print -quit 2>/dev/null)" ]]; then
+  APP_CP="$JAR"
+fi
 CDS_FLAGS=("-XX:ReservedCodeCacheSize=${SPARK_GRAFT_CODECACHE:-512m}")
 JSA="target/graft-cds-direct.jsa"
-if [[ -n "${SPARK_GRAFT_CDS_DUMP:-}" ]]; then
-  CDS_FLAGS+=("-XX:ArchiveClassesAtExit=$JSA" -Xlog:cds=off -Xlog:class+path=off)
-elif [[ -f "$JSA" && -z "${SPARK_GRAFT_NO_CDS:-}" ]]; then
-  CDS_FLAGS+=("-XX:SharedArchiveFile=$JSA" -Xlog:cds=off -Xlog:class+path=off)
+if [[ "$APP_CP" == *.jar ]]; then
+  if [[ -n "${SPARK_GRAFT_CDS_DUMP:-}" ]]; then
+    CDS_FLAGS+=("-XX:ArchiveClassesAtExit=$JSA" -Xlog:cds=off -Xlog:class+path=off)
+  elif [[ -f "$JSA" && -z "${SPARK_GRAFT_NO_CDS:-}" ]]; then
+    CDS_FLAGS+=("-XX:SharedArchiveFile=$JSA" -Xlog:cds=off -Xlog:class+path=off)
+  fi
 fi
 exec java "${OPENS_FLAGS[@]}" "${CDS_FLAGS[@]}" \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   "-Xmx${SPARK_DRIVER_MEM:-48g}" -XX:+UseG1GC \
-  -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
+  -cp "$APP_CP:/opt/spark/jars/*" \
   "$MAIN" "$@"

@@ -267,8 +267,12 @@ object Bench {
       try {
         import scala.jdk.CollectionConverters._
         val javaBin = System.getProperty("java.home") + "/bin/java"
+        // never inherit a CDS DUMP flag: two JVMs dumping to one
+        // archive race, and the child may refuse to start outright
+        // (dir-in-classpath validation runs at init for dump mode)
         val jvmArgs = java.lang.management.ManagementFactory
           .getRuntimeMXBean.getInputArguments.asScala.toSeq
+          .filterNot(_.startsWith("-XX:ArchiveClassesAtExit"))
         val cmd = Seq(javaBin) ++ jvmArgs ++
           Seq("-cp", System.getProperty("java.class.path"),
             "graft.tools.FreshConfirm", k, sfDir)
