@@ -250,7 +250,7 @@ object ScaleProbe {
     val phaseJson = phaseKeys.map(k =>
         s"${q(k)}:[${phases.map(m => f(m.getOrElse(k, 0.0))).mkString(",")}]")
       .mkString("{", ",", "}")
-    s""""streaming":{"flat_cost_probe":{"n_triggers":$nTriggers,"store":"parquet","per_trigger_s":[${perTrigger.map(p => f(p._1)).mkString(",")}],"per_trigger_cpu_s":[${perTrigger.map(p => f(p._2)).mkString(",")}],"per_trigger_store_phase_s":$phaseJson,"first_half_mean_s":${f(firstHalf)},"second_half_mean_s":${f(secondHalf)},"growth":${f(secondHalf / firstHalf)},"first_half_mean_cpu_s":${f(firstHalfCpu)},"second_half_mean_cpu_s":${f(secondHalfCpu)},"growth_cpu":${f(secondHalfCpu / firstHalfCpu)},"steady_growth":${f(sW2 / sW1)},"steady_growth_cpu":${f(sC2 / sC1)},"steady_mean_s":[${f(sW1)},${f(sW2)}],"compaction_trigger_s":[${compactions.map(f).mkString(",")}],"steal_pct":${f(ladderSteal)},"note":"raw growth mixes the cheap warm-up cycle and the periodic compaction spikes; steady_growth compares non-compaction triggers after the first compaction (the flat-state claim), compaction_trigger_s shows the amortized fold cost trend. per_trigger_store_phase_s attributes each trigger's store share (stage = staged partitionBy write, checkpoint = incremental-fold materialization, compact = batched base rewrite, place = renames, gc = deferred deletes); the remainder is twin-side derivation. The r12 ladder's sawtooth and its 142.65s outlier decomposed into exactly the terms r13 removed: whole-bucket file re-reads + MoR re-window per touched bucket (now an incremental cached fold), checkpoint partition counts growing by fanout per trigger (now coalesced), and one write job per compacting bucket (now one batched partitionBy job)."},"dethronement":{"t_1x_s":${f(t1x)},"t_10x_s":${f(t10x)},"exp_time":${f(eRepair)},"repaired_mass_1x":$m1x,"repaired_mass_10x":$m10x,"t_per_mass_1x_ms":${f(1000 * t1x / math.max(m1x, 1))},"t_per_mass_10x_ms":${f(1000 * t10x / math.max(m10x, 1))}},$annLedger}"""
+    s""""streaming":{"flat_cost_probe":{"n_triggers":$nTriggers,"store":"parquet","per_trigger_s":[${perTrigger.map(p => f(p._1)).mkString(",")}],"per_trigger_cpu_s":[${perTrigger.map(p => f(p._2)).mkString(",")}],"per_trigger_store_phase_s":$phaseJson,"first_half_mean_s":${f(firstHalf)},"second_half_mean_s":${f(secondHalf)},"growth":${f(secondHalf / firstHalf)},"first_half_mean_cpu_s":${f(firstHalfCpu)},"second_half_mean_cpu_s":${f(secondHalfCpu)},"growth_cpu":${f(secondHalfCpu / firstHalfCpu)},"steady_growth":${f(sW2 / sW1)},"steady_growth_cpu":${f(sC2 / sC1)},"steady_mean_s":[${f(sW1)},${f(sW2)}],"compaction_trigger_s":[${compactions.map(f).mkString(",")}],"steal_pct":${f(ladderSteal)},"note":"raw growth mixes the cheap warm-up cycle and the periodic compaction spikes; steady_growth compares non-compaction triggers after the first compaction (the flat-state claim), compaction_trigger_s shows the amortized fold cost trend. per_trigger_store_phase_s attributes each trigger's store share (stage = staged unpartitioned write, checkpoint = incremental-fold materialization, compact = batched base rewrite + overflow GC, place = overflow/bucket placement renames, gc = deferred deletes); the remainder is twin-side derivation. The r12 ladder's sawtooth and its 142.65s outlier decomposed into exactly the terms r13 removed: whole-bucket file re-reads + MoR re-window per touched bucket (now an incremental cached fold), checkpoint partition counts growing by fanout per trigger (now coalesced), and one write job per compacting bucket (now one batched partitionBy job)."},"dethronement":{"t_1x_s":${f(t1x)},"t_10x_s":${f(t10x)},"exp_time":${f(eRepair)},"repaired_mass_1x":$m1x,"repaired_mass_10x":$m10x,"t_per_mass_1x_ms":${f(1000 * t1x / math.max(m1x, 1))},"t_per_mass_10x_ms":${f(1000 * t10x / math.max(m10x, 1))}},$annLedger}"""
   }
 
   def main(args: Array[String]): Unit = {
