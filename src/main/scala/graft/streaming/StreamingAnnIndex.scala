@@ -95,7 +95,7 @@ final class StreamingAnnIndex(store: TwinStore = new InMemoryTwinStore) {
         if (d.columns.contains("bid")) d else d.withColumn("bid", lit(-1L))
       }
       deleted.foreach { d =>
-        val m = d.agg(max(col("bid"))).head.get(0)
+        val m = d.agg(max(col("bid"))).head().get(0)
         if (m != null) lastBid = math.max(lastBid, m.asInstanceOf[Long])
       }
     }
