@@ -26,7 +26,9 @@ for p in "${ADD_OPENS[@]}"; do OPENS_FLAGS+=(--add-opens "$p=ALL-UNNAMED"); done
 # is at least as new as the compiled classes; otherwise fall back to the
 # classes dir (and skip CDS).
 APP_CP="target/scala-2.13/classes"
-JAR=$(ls -1t target/scala-2.13/eventstormspark_2.13-*.jar 2>/dev/null | head -1 || true)
+# exclude the -tests jar (Test/compile under exportJars produces one and
+# it can be the newest match — it holds no main classes)
+JAR=$(ls -1t target/scala-2.13/eventstormspark_2.13-*.jar 2>/dev/null | grep -v -- '-tests\.jar' | head -1 || true)
 if [[ -n "$JAR" && -z "$(find target/scala-2.13/classes -name '*.class' -newer "$JAR" -print -quit 2>/dev/null)" ]]; then
   APP_CP="$JAR"
 fi
@@ -36,6 +38,13 @@ if [[ "$APP_CP" == *.jar ]]; then
   if [[ -n "${SPARK_GRAFT_CDS_DUMP:-}" ]]; then
     CDS_FLAGS+=("-XX:ArchiveClassesAtExit=$JSA" -Xlog:cds=off -Xlog:class+path=off)
   elif [[ -f "$JSA" && -z "${SPARK_GRAFT_NO_CDS:-}" ]]; then
+    # staleness check: -Xshare:auto ignores an archive trained on an
+    # older jar SILENTLY, forfeiting the measured ~9% cold win with no
+    # signal — warn so the operator reruns scripts/gen_cds.sh (Bench
+    # also records cds_archive_loaded from /proc/self/maps per sweep)
+    if [[ "$JSA" -ot "$JAR" ]]; then
+      echo "[run_main] WARNING: CDS archive $JSA is older than $JAR — a stale archive is silently ignored; rerun scripts/gen_cds.sh" >&2
+    fi
     CDS_FLAGS+=("-XX:SharedArchiveFile=$JSA" -Xlog:cds=off -Xlog:class+path=off)
   fi
 fi

@@ -192,16 +192,49 @@ object Bench {
     // ratchets down normally (a refloor can only widen the bar of the
     // one query it names, never hide a broad drift: the cpu_vs_floor
     // aggregate runs on raw floors).
+    // TOLERANT parse (r15 shipped an exact-key-order regex: any
+    // pretty-print or key reorder of the file silently disabled every
+    // refloor and the flags reappeared with no error): entries are
+    // brace-delimited objects inside the `_refloor` block, each key
+    // matched independently, whitespace-insensitive; the sf compares
+    // against the BASENAME of sfDir exactly (endsWith could cross-match
+    // a dir merely ending in the sf string). A `_refloor` block that is
+    // present but yields zero parsed entries warns loudly — a format
+    // drift must never silently re-confirm attributed flags.
     val refloors: Map[String, Double] = {
       val p = java.nio.file.Paths.get("regression_analysis.json")
       if (!java.nio.file.Files.exists(p)) Map.empty
       else {
         val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-        val re = ("""\{"sf":"([^"]+)","clock":"cpu","query":"([^"]+)",""" +
-          """"stale_floor":([0-9.eE+-]+),"floor":([0-9.eE+-]+)""").r
-        re.findAllMatchIn(txt).collect {
-          case m if sfDir.endsWith(m.group(1)) => m.group(2) -> m.group(4).toDouble
-        }.toMap
+        val blockStart = txt.indexOf("\"_refloor\"")
+        if (blockStart < 0) Map.empty
+        else {
+          val block = txt.substring(blockStart)
+          val sfName = new java.io.File(sfDir).getName
+          def field(obj: String, key: String): Option[String] =
+            ("\"" + key + """"\s*:\s*("([^"]*)"|[0-9.eE+-]+)""").r
+              .findFirstMatchIn(obj)
+              .map(m => Option(m.group(2)).getOrElse(m.group(1)))
+          // entry objects are flat (no nested braces) — non-greedy
+          // object match is exact for them and skips the protocol prose
+          val objs = """\{[^{}]*\}""".r.findAllIn(block).toSeq
+          val parsed = objs.flatMap { o =>
+            // stale_floor required too: it discriminates refloor entries
+            // from any other object the tail of the file might hold
+            (field(o, "sf"), field(o, "clock"), field(o, "query"),
+              field(o, "floor"), field(o, "stale_floor")) match {
+              case (Some(sf), Some("cpu"), Some(q), Some(f), Some(_)) =>
+                Some((sf, q, f.toDouble))
+              case _ => None
+            }
+          }
+          if (parsed.isEmpty)
+            System.err.println(
+              "[bench] WARNING: regression_analysis.json has a _refloor block " +
+                "but no entry parsed (sf/clock/query/floor fields) — format " +
+                "drift? every refloor is currently INACTIVE")
+          parsed.collect { case (sf, q2, f) if sf == sfName => q2 -> f }.toMap
+        }
       }
     }
     refloors.foreach { case (k, f) =>
@@ -392,11 +425,16 @@ object Bench {
       .findFirstMatchIn(histTxt).map(_.group(1)).getOrElse("")
     // previous round's cpu_vs_floor for the same sf — surfaced in the
     // BENCH line so round-over-round aggregate drift is one comparison
-    def prevAggField(field: String): Option[Double] = {
+    val sfEntries: Seq[String] = {
       val entRe = ("""\{[^{}]*"sf":""" + java.util.regex.Pattern.quote(q(sfDir)) +
-        """[^{}]*"""" + field + """":([0-9.eE+-]+)[^{}]*\}""").r
-      entRe.findAllMatchIn(oldAggBody).toSeq.lastOption.map(_.group(1).toDouble)
+        """[^{}]*\}""").r
+      entRe.findAllIn(oldAggBody).toSeq
     }
+    def entryField(e: String, fieldName: String): Option[Double] =
+      ("\"" + fieldName + """":([0-9.eE+-]+)""").r
+        .findFirstMatchIn(e).map(_.group(1).toDouble)
+    def prevAggField(field: String): Option[Double] =
+      sfEntries.reverseIterator.flatMap(e => entryField(e, field)).nextOption()
     val prevCpuVsFloor = prevAggField("cpu_vs_floor")
     // the COLD axis ratchets too (r13: the driver's cold pass blew out
     // 2.2x with no instrument watching — cold is the common case on a
@@ -411,6 +449,25 @@ object Bench {
     val driftAlarm = prevCpuVsFloor.exists(p => cpuVsFloor > 1.25 * p)
     if (driftAlarm) System.err.println(
       f"[bench] AGGREGATE DRIFT ALARM: cpu_vs_floor $cpuVsFloor%.3f vs previous round ${prevCpuVsFloor.get}%.3f (>1.25x) — run a same-window A/B control (previous round's code, same host window) to split host state from a broad code regression")
+    // COMPOUNDED drift tripwire (r15 watch item: raw cpu_vs_floor rose
+    // 1.63 → 2.21 over four rounds while the round-over-round alarm
+    // never fired — ~10%/round sub-alarm creep compounds to 2x in seven
+    // rounds with no tripwire). The WINDOW-NORMALIZED ratio
+    // (cpu_vs_floor / window_infl — host-state swings divided out, so
+    // only code- or data-side drift remains) is compared against its
+    // value FOUR full-suite runs back: >25% above it fires the same
+    // alarm class. Entries started carrying window_infl in r16; the
+    // r12-r15 backfill came from the committed BENCH_r*.json artifacts.
+    val normNow = cpuVsFloor / windowInfl
+    val normHist = sfEntries.flatMap(e =>
+      for {
+        c <- entryField(e, "cpu_vs_floor")
+        w <- entryField(e, "window_infl")
+      } yield c / w)
+    val compoundBase = normHist.takeRight(4).headOption
+    val compoundAlarm = compoundBase.exists(b => normNow > 1.25 * b)
+    if (compoundAlarm) System.err.println(
+      f"[bench] COMPOUND DRIFT ALARM: window-normalized cpu_vs_floor $normNow%.3f vs ${compoundBase.get}%.3f four full-suite runs back (>1.25x compounded) — sub-alarm per-round creep has accumulated; bisect with a same-window cross-version control before trusting any per-query floor")
     try {
       // merge this sf's two sections back into the (possibly multi-sf) file
       val mineKeys = Set(sfDir, sfDir + "#cpu")
@@ -421,7 +478,7 @@ object Bench {
         m.toSeq.sortBy(_._1).map { case (k, v) => q(k) + ":" + r3(v) }.mkString(",")
       val mine = Seq(sfDir -> body(newHist), (sfDir + "#cpu") -> body(newHistCpu))
       val aggEntry =
-        s"""{"ts":${System.currentTimeMillis() / 1000L},"sf":${q(sfDir)},"n_queries":${results.size},"wall_total":${r3(total)},"cpu_total":${r3(cpuTotal)},"cold_total":${r3(coldTotal)},"cold_cpu_total":${r3(coldCpuTotal)},"cpu_vs_floor":${r3(cpuVsFloor)},"wall_vs_floor":${r3(wallVsFloor)},"n_flags":${flagged.size},"n_regressions":${regressions.size}}"""
+        s"""{"ts":${System.currentTimeMillis() / 1000L},"sf":${q(sfDir)},"n_queries":${results.size},"wall_total":${r3(total)},"cpu_total":${r3(cpuTotal)},"cold_total":${r3(coldTotal)},"cold_cpu_total":${r3(coldCpuTotal)},"cpu_vs_floor":${r3(cpuVsFloor)},"wall_vs_floor":${r3(wallVsFloor)},"window_infl":${r3(windowInfl)},"n_flags":${flagged.size},"n_regressions":${regressions.size}}"""
       // only full-suite runs enter the round-over-round series — a
       // SPARK_GRAFT_BENCH_ONLY dev run's aggregate is meaningless there
       val aggBody =
@@ -454,8 +511,21 @@ object Bench {
       .map(p => s""","cpu_vs_floor_prev_round":${r3(p)}""").getOrElse("")
     val prevColdCmp = prevColdTotal
       .map(p => s""","cold_total_prev_round":${r3(p)}""").getOrElse("")
+    // whether a CDS shared archive actually MAPPED into this JVM:
+    // -Xshare:auto ignores a stale archive SILENTLY, so the flag having
+    // been passed proves nothing — the .jsa mapping in /proc/self/maps
+    // does. On the BENCH line so every sweep records whether the
+    // measured cold path had the archive (one recompile without
+    // scripts/gen_cds.sh quietly forfeits the ~9% cold win, and without
+    // this field that state was invisible in the artifact).
+    // match the graft archive by name — the JDK's own default
+    // classes.jsa is always mapped and would read as a false positive
+    val cdsLoaded =
+      try scala.io.Source.fromFile("/proc/self/maps").getLines()
+        .exists(l => l.contains("graft-cds") && l.contains(".jsa"))
+      catch { case _: Throwable => false }
     val json =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":${q(sfDir)},"n_queries":${results.size},"n_errors":${errors.size},"n_regressions":${regressions.size},"n_flags_cleared":$nFlagsCleared,"window_drift_alarm":$driftAlarm,"cold_total":${r3(coldTotal)}$prevColdCmp,"memo_total_s":${r3(memoTotal)},"cpu_total":${r3(cpuTotal)},"cpu_vs_floor":${r3(cpuVsFloor)}$prevCmp,"window_cpu_infl":${r3(windowInfl)},"wall_vs_floor_indicator":${r3(wallVsFloor)},"steal_warm_pct":${r3(stealWarm)},"steal_cold_pct":${r3(stealCold)},"queries":$qs,"errors":$errsShort,"detail":"bench_detail.json"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":${q(sfDir)},"n_queries":${results.size},"n_errors":${errors.size},"n_regressions":${regressions.size},"n_flags_cleared":$nFlagsCleared,"window_drift_alarm":$driftAlarm,"compound_drift_alarm":$compoundAlarm,"cpu_vs_floor_norm":${r3(normNow)},"cds_archive_loaded":$cdsLoaded,"cold_total":${r3(coldTotal)}$prevColdCmp,"memo_total_s":${r3(memoTotal)},"cpu_total":${r3(cpuTotal)},"cpu_vs_floor":${r3(cpuVsFloor)}$prevCmp,"window_cpu_infl":${r3(windowInfl)},"wall_vs_floor_indicator":${r3(wallVsFloor)},"steal_warm_pct":${r3(stealWarm)},"steal_cold_pct":${r3(stealCold)},"queries":$qs,"errors":$errsShort,"detail":"bench_detail.json"}"""
     def jmap(m: Map[String, Double]): String =
       m.map { case (k, v) => q(k) + ":" + v }.mkString("{", ",", "}")
     // scaling exponents from tools.ScaleProbe (run on demand; committed
@@ -487,7 +557,7 @@ object Bench {
     val coldGapTop = coldGap.toSeq.sortBy(-_._2).take(15)
       .map { case (k, v) => q(k) + ":" + r3(v) }.mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results.map { case (k, v) => k -> v.wall })},"queries_cpu":${jmap(results.map { case (k, v) => k -> v.cpu })},"errors":$errs,"n_errors":${errors.size},"sf":${q(sfDir)},"cold_total":$coldTotal,"cold_cpu_total":$coldCpuTotal,"cold_jit_s":$coldJitS,"cold_gc_s":$coldGcS,"window_drift_alarm":$driftAlarm,"cpu_total":$cpuTotal,"cpu_vs_floor":$cpuVsFloor,"window_cpu_infl":$windowInfl,"wall_vs_floor_indicator":$wallVsFloor,"steal_warm_pct":$stealWarm,"steal_cold_pct":$stealCold,"n_regressions":${regressions.size},"n_flags_cleared":$nFlagsCleared,"regressions":$regs,"regression_analysis":$regNotes,"cold_queries":${jmap(cold.map { case (k, v) => k -> v.wall })},"cold_queries_cpu":${jmap(cold.map { case (k, v) => k -> v.cpu })},"memo_build_s":${jmap(memoCosts)},"memo_total_s":$memoTotal,"cold_minus_warm_total":$coldGapTotal,"cold_minus_warm_top":$coldGapTop,"cold_gap_note":"cold_total - warm total = memo_total_s (one-time memo builds, itemized in memo_build_s) + per-query first-run codegen/JIT + shuffle-file creation, itemized as cold_queries[k] - queries[k] (top gaps in cold_minus_warm_top). CAUTION (r14 attribution, cold_attrib.json): cold_jit_s cpu-seconds of JIT-compiler churn run CONCURRENTLY with the cold pass and land on whichever query is executing — per-query cold gaps are run-random under window pressure; only the bracketed totals (and the #aggregates cold series) are comparable across runs","scaling":$scaling,"ingest":$ingest,"twinstore":$twinstore}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results.map { case (k, v) => k -> v.wall })},"queries_cpu":${jmap(results.map { case (k, v) => k -> v.cpu })},"errors":$errs,"n_errors":${errors.size},"sf":${q(sfDir)},"cold_total":$coldTotal,"cold_cpu_total":$coldCpuTotal,"cold_jit_s":$coldJitS,"cold_gc_s":$coldGcS,"window_drift_alarm":$driftAlarm,"compound_drift_alarm":$compoundAlarm,"cpu_vs_floor_norm":$normNow,"cds_archive_loaded":$cdsLoaded,"cpu_total":$cpuTotal,"cpu_vs_floor":$cpuVsFloor,"window_cpu_infl":$windowInfl,"wall_vs_floor_indicator":$wallVsFloor,"steal_warm_pct":$stealWarm,"steal_cold_pct":$stealCold,"n_regressions":${regressions.size},"n_flags_cleared":$nFlagsCleared,"regressions":$regs,"regression_analysis":$regNotes,"cold_queries":${jmap(cold.map { case (k, v) => k -> v.wall })},"cold_queries_cpu":${jmap(cold.map { case (k, v) => k -> v.cpu })},"memo_build_s":${jmap(memoCosts)},"memo_total_s":$memoTotal,"cold_minus_warm_total":$coldGapTotal,"cold_minus_warm_top":$coldGapTop,"cold_gap_note":"cold_total - warm total = memo_total_s (one-time memo builds, itemized in memo_build_s) + per-query first-run codegen/JIT + shuffle-file creation, itemized as cold_queries[k] - queries[k] (top gaps in cold_minus_warm_top). CAUTION (r14 attribution, cold_attrib.json): cold_jit_s cpu-seconds of JIT-compiler churn run CONCURRENTLY with the cold pass and land on whichever query is executing — per-query cold gaps are run-random under window pressure; only the bracketed totals (and the #aggregates cold series) are comparable across runs","scaling":$scaling,"ingest":$ingest,"twinstore":$twinstore}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
       (detail + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () } // detail dump is best-effort

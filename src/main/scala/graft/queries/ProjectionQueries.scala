@@ -13,6 +13,7 @@ final case class DispatchState(clicks: Long, views: Long, others: Long)
 final case class SumKState(sum_k: Long)
 final case class CusumState(position: Long, cusum: Long)
 final case class PumpState(n: Long, clicks: Long)
+final case class PumpPathState(n: Long, path: String, last_event_type: String)
 
 /**
  * Verify-gate queries exercising the projection fold engine (SURVEY.md §2.4
@@ -81,16 +82,57 @@ object ProjectionQueries {
       d
     })
 
+  /** Stage the fixture log the way the APPEND path produces it: 8
+    * position-range segments written SEQUENTIALLY with strictly
+    * increasing mtimes — so arrival order == position order, the
+    * contract the pump's catch-up replay rides on (and, since r16,
+    * enforces). The previous one-job repartitionByRange staging wrote
+    * all ranges in parallel: task-finish skew handed the file source
+    * range files out of arrival order, and the order-sensitive gate
+    * caught the replay folding them as delivered. */
+  private def stageLogSequential(s: SparkSession, dir: String, logDir: String): Unit = {
+    val evs = Fixture.events(s, dir)
+      .select(col("stream"), col("event_type"), col("revision"), col("position"))
+    val mm = evs.agg(min(col("position")), max(col("position"))).head()
+    new java.io.File(logDir).mkdirs(): Unit
+    def placeSeg(df: DataFrame, i: Int, mtime: Long): Unit = {
+      val tmp = s"$logDir.seg$i"
+      df.coalesce(1).sortWithinPartitions(col("position"))
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.isFile && f.getName.startsWith("part-"))
+        .getOrElse(sys.error(s"no part file staged for log segment $i"))
+      val dst = new java.io.File(logDir, f"seg-$i%04d.parquet")
+      require(part.renameTo(dst), s"failed to place log segment $i")
+      dst.setLastModified(mtime): Unit
+      graft.util.TempRoots.rm(tmp)
+    }
+    val segs = 8
+    val t0 = System.currentTimeMillis() - segs * 2000L
+    if (mm.isNullAt(0)) {
+      // EMPTY corpus: one empty segment carries the schema, so the
+      // subscription still gets a file (one empty trigger) and the
+      // result sink still materializes
+      placeSeg(evs.limit(0), 0, t0)
+    } else {
+      val (lo0, hi0) = (mm.getLong(0), mm.getLong(1))
+      val step = (hi0 - lo0) / segs + 1
+      for (i <- 0 until segs)
+        placeSeg(evs.filter(col("position") >= lo0 + i * step &&
+          col("position") < lo0 + (i + 1) * step), i, t0 + i * 1000L)
+    }
+  }
+
   /** The catch-up replay's result sink, built ONCE per (session, sf-dir)
     * by running the REAL pump end-to-end: the canonical log staged as a
-    * multi-file parquet dir (the subscription source's on-disk shape,
-    * range-partitioned by position), a [[graft.streaming.Subscriptions]]
-    * catch-up subscription bounded to 2 files per trigger (T6), the
-    * `flatMapGroupsWithState` fold, and the result-stream parquet sink —
-    * the full T1/T2/A6 mechanism, not a batch stand-in. The COUNTING
-    * state is commutative, so the replay's final state is order-robust
-    * across triggers by construction (order-SENSITIVE folds are pinned
-    * by `StreamingSpec`'s controlled sources). */
+    * multi-file parquet dir ([[stageLogSequential]] — sequential
+    * segments, the append path's shape), a
+    * [[graft.streaming.Subscriptions]] catch-up subscription bounded to
+    * 2 files per trigger (T6), the `flatMapGroupsWithState` fold, and
+    * the result-stream parquet sink — the full T1/T2/A6 mechanism, not
+    * a batch stand-in. The COUNTING state here is commutative; the
+    * order of the replay itself is pinned by the ordered twin
+    * (`proj_pump_replay_ordered`). */
   private val pumpCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
   private def pumpSinkDir(s: SparkSession, dir: String): String =
@@ -100,15 +142,48 @@ object ProjectionQueries {
           org.apache.spark.sql.Encoders.product[PumpState]
         val root = graft.util.TempRoots.create("graft-pump-gate")
         val logDir = s"$root/log"
-        Fixture.events(s, dir)
-          .select(col("stream"), col("event_type"), col("revision"), col("position"))
-          .repartitionByRange(8, col("position"))
-          .sortWithinPartitions(col("position"))
-          .write.parquet(logDir)
+        stageLogSequential(s, dir, logDir)
         val p = Projection.named("pump-replay").fromAll().foreachStream()
           .when[PumpState](PumpState(0L, 0L), Map(
             "click" -> ((st: PumpState, _: ProjEvent) => PumpState(st.n + 1L, st.clicks + 1L)),
             "$any" -> ((st: PumpState, _: ProjEvent) => PumpState(st.n + 1L, st.clicks))))
+          .outputState().build
+        val q = graft.streaming.ProjectionPump.start(
+          s, p, logDir, root, s"$root/ckpt", availableNow = true,
+          sourceOptions = Map("maxFilesPerTrigger" -> "2"))
+        q.awaitTermination()
+        s"$root/${p.resultStream}"
+      })
+
+  /** The ORDER-SENSITIVE twin of [[pumpSinkDir]] (r15 verdict item 3:
+    * `proj_pump_replay`'s counting state is commutative, so that gate
+    * alone could not distinguish a position-ordered replay from any
+    * permutation). This pump run folds a state where order is load-
+    * bearing twice over — the first-10-events path signature (the
+    * `agg_path_signature` arithmetic: any transposition changes the
+    * string) and the last-seen event type (any reordering of the tail
+    * changes it) — through the SAME 2-files-per-trigger catch-up
+    * subscription, so the strict per-stream position order of the
+    * reference's fold (`streams/streams.go:264-309`) is pinned under
+    * the driver's hash, not just by specs. */
+  private val pumpOrderedCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def pumpOrderedSinkDir(s: SparkSession, dir: String): String =
+    pumpOrderedCache.getOrElseUpdate((s, dir),
+      graft.util.MemoCost.timed("ProjectionQueries.pumpReplayOrdered") {
+        implicit val enc: org.apache.spark.sql.Encoder[PumpPathState] =
+          org.apache.spark.sql.Encoders.product[PumpPathState]
+        val root = graft.util.TempRoots.create("graft-pump-gate-ord")
+        val logDir = s"$root/log"
+        stageLogSequential(s, dir, logDir)
+        val p = Projection.named("pump-replay-ordered").fromAll().foreachStream()
+          .when[PumpPathState](PumpPathState(0L, "", ""), Map(
+            "$any" -> ((st: PumpPathState, e: ProjEvent) => PumpPathState(
+              st.n + 1L,
+              if (st.n >= 10L) st.path
+              else if (st.n == 0L) e.eventType
+              else st.path + "->" + e.eventType,
+              e.eventType))))
           .outputState().build
         val q = graft.streaming.ProjectionPump.start(
           s, p, logDir, root, s"$root/ckpt", availableNow = true,
@@ -130,6 +205,25 @@ object ProjectionQueries {
       s.read.parquet(sink)
         .select(col("partition"), col("state.n").as("n"),
           col("state.clicks").as("clicks"))
+        .withColumn("_rk", row_number().over(w))
+        .filter(col("_rk") === 1).drop("_rk")
+        .orderBy(col("partition"))
+    },
+    // The ORDER-SENSITIVE pump gate (r15 verdict item 3): same real
+    // pump + catch-up subscription as proj_pump_replay, but the state
+    // is order-bearing — the first-10 path signature and the last-seen
+    // event type both change under ANY reordering, so a hash match
+    // against the window-SQL oracle pins the strict per-stream position
+    // order of the replay itself, across trigger boundaries (2 files
+    // per trigger splits every stream's history mid-fold).
+    "proj_pump_replay_ordered" -> { (s: SparkSession, dir: String) =>
+      import org.apache.spark.sql.expressions.Window
+      val sink = pumpOrderedSinkDir(s, dir)
+      val w = Window.partitionBy(col("partition")).orderBy(col("n").desc)
+      s.read.parquet(sink)
+        .select(col("partition"), col("state.n").as("n"),
+          col("state.path").as("path"),
+          col("state.last_event_type").as("last_event_type"))
         .withColumn("_rk", row_number().over(w))
         .filter(col("_rk") === 1).drop("_rk")
         .orderBy(col("partition"))
@@ -343,6 +437,20 @@ object ProjectionQueries {
       s"""$EV SELECT stream AS partition, count(*) AS n,
          |CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS clicks
          |FROM ev GROUP BY stream ORDER BY stream""".stripMargin,
+    // order-sensitive final state as window SQL: the path is the
+    // position-ordered first-10 aggregation, the last type is the
+    // arg-max over position — any fold-order deviation hash-mismatches
+    "proj_pump_replay_ordered" ->
+      s"""$EV, r AS (
+         |  SELECT stream, event_type, position,
+         |    row_number() OVER (PARTITION BY stream ORDER BY position) AS rn
+         |  FROM ev
+         |)
+         |SELECT stream AS partition, count(*) AS n,
+         |  string_agg(event_type, '->' ORDER BY position)
+         |    FILTER (WHERE rn <= 10) AS path,
+         |  arg_max(event_type, position) AS last_event_type
+         |FROM r GROUP BY stream ORDER BY stream""".stripMargin,
     "proj_count_by_stream" ->
       s"""$EV SELECT stream AS partition, count(*) AS count FROM ev
          |GROUP BY stream ORDER BY stream""".stripMargin,

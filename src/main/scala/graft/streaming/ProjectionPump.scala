@@ -20,8 +20,18 @@ import graft.proj._
  * Ordering: the reference folds strictly by global `position`
  * (streams.go:264-309). Within a micro-batch each group is sorted by
  * position before folding (group-per-batch materialization — bounded by
- * the trigger's batch size); across micro-batches the file source replays
- * appends in order, so the fold order is monotone end-to-end.
+ * the trigger's batch size). ACROSS micro-batches the order is the
+ * source's delivery order, and for a file source that is arrival
+ * (mtime) order — the event log's append path writes segments
+ * sequentially, so arrival order IS position order in any log the
+ * appender produced. That contract is ENFORCED, not assumed: each
+ * key's state carries the high-water position already folded, and an
+ * event arriving below it fails the query loudly (r16: the
+ * order-sensitive pump gate caught a backlog staged as one parallel
+ * write — mtime ties delivered range files out of position order, and
+ * the commutative counting gate could not see it; silently folding
+ * out of order corrupts every order-bearing state, so it is an error,
+ * exactly like the ANN index's batch-id regression).
  */
 object ProjectionPump {
 
@@ -34,22 +44,37 @@ object ProjectionPump {
     implicit val keyedEnc: Encoder[KeyedEvent] = Encoders.product[KeyedEvent]
     implicit val strEnc: Encoder[String] = Encoders.STRING
     implicit val outEnc: Encoder[(String, S)] = Encoders.tuple(Encoders.STRING, enc)
+    implicit val stEnc: Encoder[(S, Long)] = Encoders.tuple(enc, Encoders.scalaLong)
     val keyed = ProjectionBatch
       .selected(p, ProjectionBatch.toProjEvents(src))
       .map(e => KeyedEvent(p.partitionOf(e), e))
     keyed
       .groupByKey(_.key)
-      .flatMapGroupsWithState[S, (String, S)](OutputMode.Update(), GroupStateTimeout.NoTimeout) {
-        (key: String, events: Iterator[KeyedEvent], state: GroupState[S]) =>
+      .flatMapGroupsWithState[(S, Long), (String, S)](OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (key: String, events: Iterator[KeyedEvent], state: GroupState[(S, Long)]) =>
           val ordered = events.toArray.sortBy(_.event.position)
-          var cur = state.getOption
+          // the state rides with the high-water position already folded:
+          // a later trigger delivering an EARLIER position means the
+          // source broke the log's arrival-order contract — fail loudly
+          // (class doc), never fold it (order-bearing states corrupt
+          // silently otherwise)
+          var cur = state.getOption.map(_._1)
+          val seen = state.getOption.fold(Long.MinValue)(_._2)
+          if (ordered.nonEmpty && ordered.head.event.position <= seen)
+            throw new IllegalStateException(
+              s"ProjectionPump: out-of-order delivery for key '$key' — position " +
+                s"${ordered.head.event.position} arrived after position $seen was " +
+                "folded; the log's arrival order must be position order (re-stage " +
+                "the backlog sequentially or rebuild the projection)")
+          var maxPos = seen
           val out = Vector.newBuilder[(String, S)]
           ordered.foreach { ke =>
             val (s, fwd) = p.step(cur, ke.event)
             cur = Some(s)
+            maxPos = ke.event.position
             if (fwd) out += ((key, s))
           }
-          cur.foreach(state.update)
+          cur.foreach(s => state.update((s, maxPos)))
           out.result().iterator
       }
   }
@@ -83,20 +108,29 @@ object ProjectionPump {
         }
         .map { case (n, p) => TaggedEvent(n, p.partitionOf(e), e) }
     }
+    implicit val stEnc: Encoder[(S, Long)] = Encoders.tuple(enc, Encoders.scalaLong)
     tagged
       .groupByKey(t => (t.proj, t.key))
-      .flatMapGroupsWithState[S, (String, String, S)](OutputMode.Update(), GroupStateTimeout.NoTimeout) {
-        (pk: (String, String), events: Iterator[TaggedEvent], state: GroupState[S]) =>
+      .flatMapGroupsWithState[(S, Long), (String, String, S)](OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (pk: (String, String), events: Iterator[TaggedEvent], state: GroupState[(S, Long)]) =>
           val p = byName(pk._1)
           val ordered = events.toArray.sortBy(_.event.position)
-          var cur = state.getOption
+          // same high-water order enforcement as [[emissions]]
+          var cur = state.getOption.map(_._1)
+          val seen = state.getOption.fold(Long.MinValue)(_._2)
+          if (ordered.nonEmpty && ordered.head.event.position <= seen)
+            throw new IllegalStateException(
+              s"ProjectionPump: out-of-order delivery for ${pk._1}/${pk._2} — position " +
+                s"${ordered.head.event.position} arrived after position $seen was folded")
+          var maxPos = seen
           val out = Vector.newBuilder[(String, String, S)]
           ordered.foreach { te =>
             val (s, fwd) = p.step(cur, te.event)
             cur = Some(s)
+            maxPos = te.event.position
             if (fwd) out += ((pk._1, pk._2, s))
           }
-          cur.foreach(state.update)
+          cur.foreach(s => state.update((s, maxPos)))
           out.result().iterator
       }
   }

@@ -50,8 +50,10 @@ import graft.sim.Similarity
  * sets outside the `bid >= batchId-1` horizon, and ids dethroned since
  * then would silently resurrect where the old unbounded ledger blocked
  * them. [[processBatch]] therefore REJECTS a batch-id regression
- * (batchId < the largest id it has seen, in-memory or on the resumed
- * ledger) loudly instead of processing it: recovery from a rewound
+ * (batchId < the largest id it has seen — tracked in-memory and
+ * persisted as the 1-row `annLastBid` watermark on every processed
+ * trigger, so the guard survives restarts even across insert-only
+ * runs) loudly instead of processing it: recovery from a rewound
  * checkpoint is rebuild-the-index territory, not a silent merge.
  *
  * Serving reads the maintained index directly:
@@ -77,10 +79,16 @@ final class StreamingAnnIndex(store: TwinStore = new InMemoryTwinStore) {
   private var deleted: Option[DataFrame] = None
   private var resumed = false
   // largest trigger id processed so far — in-memory within an
-  // incarnation, re-seeded from the resumed ledger's max bid across a
-  // restart (best-effort: the ledger advances only on dethroning
-  // triggers, which are exactly the ones a rewound replay could
-  // resurrect). Guards the horizon bound's redelivery contract.
+  // incarnation, re-seeded across a restart from the PERSISTED
+  // `annLastBid` watermark (a 1-row replace table written on every
+  // processed trigger, the StreamingCuration intent/commit-bid shape).
+  // Re-seeding from the dethronement ledger alone was a wider
+  // false-negative window than the class doc implied: the ledger
+  // advances only on dethroning triggers, so a checkpoint rewound past
+  // a run of insert-only triggers (but not past the last dethronement)
+  // was silently accepted, re-inserting ids whose pruned-away ledger
+  // entries could no longer block them. The ledger max still folds in
+  // as a floor for stores written before the watermark existed.
   private var lastBid = Long.MinValue
 
   private def resume(spark: SparkSession): Unit =
@@ -96,6 +104,10 @@ final class StreamingAnnIndex(store: TwinStore = new InMemoryTwinStore) {
       }
       deleted.foreach { d =>
         val m = d.agg(max(col("bid"))).head().get(0)
+        if (m != null) lastBid = math.max(lastBid, m.asInstanceOf[Long])
+      }
+      store.load(spark, "annLastBid").foreach { w =>
+        val m = w.agg(max(col("bid"))).head().get(0)
         if (m != null) lastBid = math.max(lastBid, m.asInstanceOf[Long])
       }
     }
@@ -148,10 +160,20 @@ final class StreamingAnnIndex(store: TwinStore = new InMemoryTwinStore) {
       throw new IllegalStateException(
         s"StreamingAnnIndex: batch id regressed ($batchId < last seen $lastBid) — " +
           "replay beyond the redelivery horizon; rebuild the index instead of merging")
+    val advanced = batchId > lastBid
     lastBid = math.max(lastBid, batchId)
     val gone = dethroned.map(_.select(col("id")).distinct().localCheckpoint())
       .filter(!_.isEmpty)
     if (vecs.isEmpty && gone.isEmpty) return
+    // persist the watermark on EVERY processed trigger, insert-only ones
+    // included, BEFORE the state writes: a crash anywhere in this
+    // trigger redelivers under the SAME batch id (== passes the strict-<
+    // guard), while a rewound checkpoint replaying any earlier id is
+    // rejected by the next incarnation even when no dethronement
+    // happened since. 1 row; the replace write is a constant tier.
+    if (advanced)
+      store.replace("annLastBid",
+        vecs.sparkSession.createDataFrame(Seq(Tuple1(batchId))).toDF("bid")): Unit
     val delta = Similarity.annIndexRows(vecs)
     val guarded = index.fold(delta)(ix =>
       delta.join(ix.select(col("id")), Seq("id"), "left_anti"))

@@ -321,15 +321,22 @@ final class ParquetTwinStore(root: String,
     walk(new java.io.File(path))
   }
 
-  /** A versioned replace dir whose write COMMITTED: Spark's file
-    * committer drops `_SUCCESS` only after the job's rename phase, so a
-    * crash mid-replace leaves a dir with `_temporary` (or partial
-    * `part-` files) and no marker. Distinguishes torn from merely empty
-    * — a legitimately-empty replace still commits its marker, where a
+  /** A versioned replace dir whose write COMMITTED. The authoritative
+    * signal is the STORE-OWNED `_graft_committed` marker [[replace]]
+    * writes after its parquet job returns: the committer's `_SUCCESS`
+    * depends on `mapreduce.fileoutputcommitter.marksuccessfuljobs`
+    * (default true but commonly disabled in deployments), and keying
+    * recovery on it would make a fresh store's load() read EVERY live
+    * version as torn — and destroy them. `_SUCCESS` is still accepted
+    * for dirs written by pre-marker store versions. A crash mid-replace
+    * leaves a dir with `_temporary` (or partial `part-` files) and
+    * neither marker. Distinguishes torn from merely empty — a
+    * legitimately-empty replace still commits its marker, where a
     * `part-` sniff would misread it as torn and resurrect the prior
     * version. */
   private def committed(path: String): Boolean =
-    new java.io.File(path, "_SUCCESS").isFile
+    new java.io.File(path, "_graft_committed").isFile ||
+      new java.io.File(path, "_SUCCESS").isFile
 
   /** Versioned replace dirs of `name` under the root, ascending
     * (version, path) — torn dirs included; callers filter by
@@ -358,8 +365,11 @@ final class ParquetTwinStore(root: String,
       val n = tableFanout(name)
       val bucketMax = (0 until n).iterator.map { k =>
         val d = bucketDir(name, k)
-        (seqDirs(d, "base-v") ++ seqDirs(d, "d") ++ seqDirs(d, "t"))
-          .map(_._1).foldLeft(0L)(math.max)
+        // `_floor` markers count: after GC a marker can be the only
+        // trace of its sequence, and reissuing a sequence at or below a
+        // floor would make the new delta invisible to resolution
+        ((seqDirs(d, "base-v") ++ seqDirs(d, "d") ++ seqDirs(d, "t"))
+          .map(_._1) :+ readFloorMarker(d)).foldLeft(0L)(math.max)
       }.foldLeft(0L)(math.max)
       val ovfMax = (seqDirs(ovfDir(name), "d") ++ seqDirs(ovfDir(name), "t"))
         .map(_._1).foldLeft(0L)(math.max)
@@ -392,13 +402,40 @@ final class ParquetTwinStore(root: String,
     seqDirs(ovfDir(name), prefix)
       .filter(p => p._1 > floor && ovfBuckets(p._2)(k) && hasData(p._2))
 
-  /** Live (post-base) delta sequences of a bucket — the compaction
+  /** A bucket whose compaction resolved to EMPTY has no base file to
+    * carry its supersession floor; it persists the floor in a `_floor`
+    * marker instead — without it, a delete-heavy bucket's consumed
+    * tombstones would re-enter every cold resolution after a restart
+    * and its shared overflow files could never GC (the manifest-vs-base
+    * comparison would see no base forever). */
+  private def readFloorMarker(dir: String): Long = {
+    val f = new java.io.File(dir, "_floor")
+    if (!f.isFile) -1L
+    else try new String(java.nio.file.Files.readAllBytes(f.toPath),
+      java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+    catch { case scala.util.control.NonFatal(_) => -1L }
+  }
+
+  private def writeFloorMarker(dir: String, seq: Long): Unit = {
+    new java.io.File(dir).mkdirs(): Unit
+    java.nio.file.Files.write(new java.io.File(dir, "_floor").toPath,
+      seq.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ()
+  }
+
+  /** Resolution floor of a bucket: every file at or below it is
+    * superseded — the newest base's sequence, or the `_floor` marker an
+    * empty-resolution compaction left in lieu of a base. */
+  private def bucketFloor(dir: String, base: Option[(Long, String)]): Long =
+    math.max(base.fold(-1L)(_._1), readFloorMarker(dir))
+
+  /** Live (post-floor) delta sequences of a bucket — the compaction
     * trigger counts these, and resolution reads only these (files older
-    * than the newest base linger one trigger for retention but are
-    * excluded from reads). */
+    * than the newest base/floor linger one trigger for retention but
+    * are excluded from reads). */
   private def liveParts(dir: String): (Seq[(Long, String)], Seq[(Long, String)], Option[(Long, String)]) = {
     val base = seqDirs(dir, "base-v").filter(p => hasData(p._2)).lastOption
-    val floor = base.fold(-1L)(_._1)
+    val floor = bucketFloor(dir, base)
     val ds = seqDirs(dir, "d").filter(p => p._1 > floor && hasData(p._2))
     val ts = seqDirs(dir, "t").filter(p => p._1 > floor && hasData(p._2))
     (ds, ts, base)
@@ -415,7 +452,7 @@ final class ParquetTwinStore(root: String,
                             k: Int): Option[DataFrame] = {
     val dir = bucketDir(name, k)
     val (ds, ts, base) = liveParts(dir)
-    val floor = base.fold(-1L)(_._1)
+    val floor = bucketFloor(dir, base)
     // shared overflow files carrying this bucket's rows (filtered to
     // the bucket's slice on read — `_gb` is a physical column there)
     val ods = ovfPartsFor(name, "d", k, floor)
@@ -483,8 +520,9 @@ final class ParquetTwinStore(root: String,
     * trigger, plus post-restart buckets with live deltas). */
   private def needsMaterialize(name: String, k: Int): Boolean =
     !bucketCache.contains((name, k)) && {
-      val (ds, ts, base) = liveParts(bucketDir(name, k))
-      val floor = base.fold(-1L)(_._1)
+      val bdir = bucketDir(name, k)
+      val (ds, ts, base) = liveParts(bdir)
+      val floor = bucketFloor(bdir, base)
       val ods = ovfPartsFor(name, "d", k, floor)
       val ots = ovfPartsFor(name, "t", k, floor)
       (ds.nonEmpty || ts.nonEmpty || ods.nonEmpty || ots.nonEmpty) &&
@@ -612,15 +650,20 @@ final class ParquetTwinStore(root: String,
       val sdir = s"$dir/stage-$tag"
       rm(sdir)
       // the touched-bucket set rides an accumulator THROUGH the write
-      // job (set semantics — idempotent under task retries), so staging
-      // stays exactly one Spark job; a distinct() read-back would put
-      // two extra driver round-trips in every trigger
-      val acc = spark.sparkContext.collectionAccumulator[Int](s"graft-touched-$tag")
+      // job, so staging stays exactly one Spark job; a distinct()
+      // read-back would put two extra driver round-trips in every
+      // trigger. The accumulator holds a SET per task (true set
+      // semantics — idempotent under task retries AND the possible
+      // sortWithinPartitions re-eval), so each task result ships at
+      // most fanout ints and the driver holds O(buckets), never
+      // O(rows) — a bulk backfill merge can't OOM the driver through
+      // its own instrumentation.
+      val acc = new ParquetTwinStore.BucketSetAccumulator
+      spark.sparkContext.register(acc, s"graft-touched-$tag")
       val recordGb = udf { (g: Int) => acc.add(g); g }
       df.withColumn("_gb", recordGb(route)).sortWithinPartitions("_gb")
         .write.mode("overwrite").parquet(sdir)
-      import scala.jdk.CollectionConverters._
-      acc.value.asScala.toSeq.distinct.sorted
+      acc.value.toSeq.sorted
     }
     val (upKs, delKs) = phase("stage") {
       (stage(upserts, "u"),
@@ -796,23 +839,58 @@ final class ParquetTwinStore(root: String,
       // never touched again) can't pin them forever. A shared file is
       // only GC'd once every bucket it carries has a newer base.
       val n2 = tableFanout(name)
-      // the drain counts DELTA files only (the bucket-local rule ignores
-      // tombstones too — a delete-heavy trigger writes d+t pairs and
-      // must not halve the effective drain period); tombstone files GC
-      // through the same floor check once their buckets compact
-      val ovfLive = seqDirs(ovfDir(name), "d").filter(p => hasData(p._2))
-      val drainOvf = ovfLive.size >= MaxDeltas
+      // the primary drain counts DELTA files only (d+t pairs of a mixed
+      // trigger must not halve the effective drain period) — but a
+      // delete-heavy/delete-only workload writes tombstones with few or
+      // no deltas, so a DOUBLED-threshold rule over d+t together backs
+      // it up: without it no compaction ever fires, every resolution
+      // windows over a growing tombstone set, and overflow GC never
+      // runs (no bucket gets a newer base/floor).
+      val ovfLiveD = seqDirs(ovfDir(name), "d").filter(p => hasData(p._2))
+      val ovfLiveT = seqDirs(ovfDir(name), "t").filter(p => hasData(p._2))
+      val drainOvf = ovfLiveD.size >= MaxDeltas ||
+        ovfLiveD.size + ovfLiveT.size >= 2 * MaxDeltas
       val compacting = (0 until n2).filter { k =>
         bucketCache.contains((name, k)) && {
-          val (ds, _, base) = liveParts(bucketDir(name, k))
-          val floor = base.fold(-1L)(_._1)
+          val bdir = bucketDir(name, k)
+          val (ds, ts, base) = liveParts(bdir)
+          val floor = bucketFloor(bdir, base)
           val odsK = ovfPartsFor(name, "d", k, floor)
           val otsK = ovfPartsFor(name, "t", k, floor)
           (ds.length + odsK.length) >= MaxDeltas ||
+            (ds.length + ts.length + odsK.length + otsK.length) >= 2 * MaxDeltas ||
             (drainOvf && (odsK.nonEmpty || otsK.nonEmpty))
         }
       }
-      val baseSeq = if (compacting.isEmpty) -1L else nextTableSeq(name)
+      // TOMBSTONE-ONLY buckets (no base, no live upsert leg local or
+      // shared — necessarily uncached: nothing ever materialized them).
+      // Every live tombstone there is semantically DEAD: a tombstone
+      // masks only upserts with OLDER sequences and none exist, while
+      // any future upsert takes a newer sequence. So no compaction job
+      // is needed — persist the floor in lieu of a base and consume the
+      // local tombstone files, which is what lets a delete-only table
+      // still drain its shared overflow files (the GC below retires a
+      // shared file once every manifest bucket's floor passes it).
+      val tombOnly = (0 until n2).filterNot(k => bucketCache.contains((name, k)))
+        .flatMap { k =>
+          val bdir = bucketDir(name, k)
+          val (ds, ts, base) = liveParts(bdir)
+          val floor = bucketFloor(bdir, base)
+          val odsK = ovfPartsFor(name, "d", k, floor)
+          val otsK = ovfPartsFor(name, "t", k, floor)
+          val tombstoneOnly = base.isEmpty && ds.isEmpty && odsK.isEmpty &&
+            (ts.nonEmpty || otsK.nonEmpty)
+          if (tombstoneOnly &&
+              ((ts.length + otsK.length) >= MaxDeltas || (drainOvf && otsK.nonEmpty)))
+            Some(k -> ts)
+          else None
+        }
+      val baseSeq =
+        if (compacting.isEmpty && tombOnly.isEmpty) -1L else nextTableSeq(name)
+      for ((k, ts) <- tombOnly) {
+        writeFloorMarker(bucketDir(name, k), baseSeq)
+        consumed ++= ts.map(_._2)
+      }
       if (compacting.nonEmpty) {
         // every compacting bucket's resolution is a slice of an
         // already-checkpointed tagged ancestor (this merge's for
@@ -836,10 +914,15 @@ final class ParquetTwinStore(root: String,
           val src = new java.io.File(s"$cdir/_gb=$k")
           // a bucket whose resolution is EMPTY stages no partition dir:
           // consuming its files with no replacement base is exactly
-          // right (the empty resolution IS the bucket's state)
+          // right (the empty resolution IS the bucket's state) — but
+          // the supersession floor must still persist, so the `_floor`
+          // marker stands in for the base it didn't write (restart
+          // reads skip the consumed files; overflow GC can retire
+          // shared files this bucket rides)
           if (src.isDirectory)
             require(src.renameTo(new java.io.File(s"$bdir/base-v$baseSeq")),
               s"failed to commit compacted base for bucket $k of $name")
+          else writeFloorMarker(bdir, baseSeq)
           consumed ++= (base.toSeq ++ ds ++ ts).map(_._2)
         }
         rm(cdir)
@@ -848,16 +931,16 @@ final class ParquetTwinStore(root: String,
       // `_buckets` manifest has a base newer than it (its rows are all
       // superseded by compacted bases); it then rides the same
       // deferred-GC retention window as bucket-local files
-      val compactedSet = compacting.toSet
+      val compactedSet = compacting.toSet ++ tombOnly.map(_._1)
       val floorOf = scala.collection.mutable.Map.empty[Int, Long]
       def baseFloor(k: Int): Long =
         floorOf.getOrElseUpdate(k, {
-          val listed = liveParts(bucketDir(name, k))._3.fold(-1L)(_._1)
+          val bdir = bucketDir(name, k)
+          val listed = bucketFloor(bdir, liveParts(bdir)._3)
           // a bucket compacted THIS merge whose resolution was empty
-          // wrote no base file, but everything at or below baseSeq is
-          // still superseded (the checkpointed resolution it compacted
-          // from was its complete state) — credit it the compaction
-          // sequence so it can't pin shared files forever
+          // wrote a `_floor` marker rather than a base (already covered
+          // by bucketFloor), but keep the explicit credit as a belt —
+          // everything at or below baseSeq is superseded either way
           if (compactedSet(k)) math.max(listed, baseSeq) else listed
         })
       for (p <- seqDirs(ovfDir(name), "d") ++ seqDirs(ovfDir(name), "t")) {
@@ -884,6 +967,12 @@ final class ParquetTwinStore(root: String,
   override def replace(name: String, df: DataFrame): DataFrame = synchronized {
     val v = currentVersion(name) + 1L
     df.write.mode("overwrite").parquet(s"$root/$name-v$v")
+    // the store-owned commit point: written only after the parquet job
+    // returned, independent of the committer's marksuccessfuljobs config
+    // (see [[committed]])
+    java.nio.file.Files.write(
+      new java.io.File(s"$root/$name-v$v", "_graft_committed").toPath,
+      Array.emptyByteArray): Unit
     versions(name) = v
     // retention: keep this version plus the newest COMMITTED predecessor
     // (the previous trigger's table, alive until the next replace).
@@ -915,13 +1004,19 @@ final class ParquetTwinStore(root: String,
         // horizon-bounded replace), and serving the stale append dir
         // would silently resurrect the pre-migration contents on every
         // restart. A crash mid-replace leaves the NEWEST version torn
-        // (only `_temporary`, no `_SUCCESS`): serve the newest committed
-        // version instead — the torn trigger never committed, so the
-        // prior version IS the state as of the last committed trigger —
-        // and remove the torn dirs so a later scan can't outrank it.
+        // (no commit marker): serve the newest committed version instead
+        // — the torn trigger never committed, so the prior version IS
+        // the state as of the last committed trigger — and remove torn
+        // dirs STRICTLY OLDER than it (they can never commit: versions
+        // are monotone). A torn dir NEWER than the newest committed
+        // version is left alone: it may be a concurrent replace()'s
+        // in-flight `_temporary` on a shared root, and rm'ing it would
+        // fail that writer's job mid-rename.
         val dirs = replaceDirs(name)
         val live = dirs.filter(p => committed(p._2)).lastOption
-        dirs.filterNot(p => committed(p._2)).foreach(p => rm(p._2))
+        live.foreach { case (lv, _) =>
+          dirs.filter(p => p._1 < lv && !committed(p._2)).foreach(p => rm(p._2))
+        }
         live match {
           case Some((_, path)) => Some(spark.read.parquet(path))
           case None =>
@@ -933,6 +1028,24 @@ final class ParquetTwinStore(root: String,
 }
 
 object ParquetTwinStore {
+  /** Per-task distinct-bucket accumulator: tasks add routed bucket ids,
+    * each task result ships one Set ≤ fanout, the driver merges sets —
+    * O(buckets) end to end. Duplicate adds (task retries, expression
+    * re-evaluation) are no-ops by construction. */
+  final class BucketSetAccumulator
+      extends org.apache.spark.util.AccumulatorV2[Int, Set[Int]] {
+    private val set = scala.collection.mutable.Set.empty[Int]
+    override def isZero: Boolean = set.isEmpty
+    override def copy(): BucketSetAccumulator = {
+      val c = new BucketSetAccumulator; c.set ++= set; c
+    }
+    override def reset(): Unit = set.clear()
+    override def add(v: Int): Unit = set += v
+    override def merge(o: org.apache.spark.util.AccumulatorV2[Int, Set[Int]]): Unit =
+      set ++= o.value
+    override def value: Set[Int] = set.toSet
+  }
+
   /** Live-delta count that triggers a BUCKET-LOCAL compaction: a
     * bucket's per-trigger cost stays update-mass for `MaxDeltas - 1`
     * touches, then one touch pays the (amortized) bucket-mass fold. */

@@ -123,6 +123,67 @@ object TwinStoreProbe {
         val (w, c, ph) = sprayAt(fo); (fo, w, c, ph)
       }
     val spray64 = curve.find(_._1 == 64).map(e => (e._2, e._3)).get
+
+    // ---- ADVERSARIAL OVERFLOW SHAPES (r15 verdict item 6) ----
+    // The flat fanout curve prices one small spray mass; these two rows
+    // price (a) the DRAIN BOUNDARY — the merge that crosses MaxDeltas
+    // live overflow deltas with every delta near its size cap, paying
+    // the all-buckets compaction fold — and (b) INTERLEAVED spray/bulk
+    // merges, where overflow placement and per-bucket re-splits
+    // alternate on one table. A shrunk overflowBytes knob (256 KiB)
+    // keeps the probe's absolute mass laptop-sized while preserving the
+    // boundary GEOMETRY (deltas sized to ~90% of the placement cap).
+    val ovfCap = 256L << 10
+    // ~200 incompressible bytes per row (salted md5 concat — constant
+    // padding would snappy-compress away and miss the byte gates)
+    def rdf(lo: Long, n: Long, tag: String) = {
+      val pads = (0 until 6).map(j =>
+        md5(concat(col("id").cast("string"), lit(s"-$j-$tag"))))
+      spark.range(lo, lo + n).select(col("id"), concat(pads: _*).as("v"))
+    }
+    val drainRow = {
+      val r = java.nio.file.Files.createTempDirectory("graft-tsdrain").toString
+      val s3 = new ParquetTwinStore(r, overflowBytes = ovfCap)
+      s3.merge("t", Seq("id"), rdf(0, 100000, "seed"), None): Unit
+      s3.drainPhaseSeconds(): Unit
+      // each delta ~90% of the overflow placement cap (cap = ovfCap ×
+      // touched buckets; md5-padded rows land ~200 B/row in parquet)
+      val perDelta = (0.9 * ovfCap * ParquetTwinStore.NumBuckets / 200).toLong
+      var pre = List.empty[(Double, Double)]
+      var drain: (Double, Double) = (0.0, 0.0)
+      var drainPh: Map[String, Double] = Map.empty
+      for (i <- 0 until ParquetTwinStore.MaxDeltas) {
+        val t = timed { s3.merge("t", Seq("id"),
+          rdf(200000L + i * perDelta, perDelta, s"d$i"), None): Unit }
+        val ph = s3.drainPhaseSeconds()
+        if (i == ParquetTwinStore.MaxDeltas - 1) { drain = t; drainPh = ph }
+        else pre ::= t
+      }
+      val preW = pre.map(_._1).sum / pre.size
+      val preC = pre.map(_._2).sum / pre.size
+      (preW, preC, drain._1, drain._2, drainPh, perDelta)
+    }
+    val interleavedRow = {
+      val r = java.nio.file.Files.createTempDirectory("graft-tsmix").toString
+      val s4 = new ParquetTwinStore(r, overflowBytes = ovfCap)
+      s4.merge("t", Seq("id"), rdf(0, 100000, "seed"), None): Unit
+      s4.drainPhaseSeconds(): Unit
+      val bulkRows = (2.0 * ovfCap * ParquetTwinStore.NumBuckets / 200).toLong
+      val sprayT = Array.ofDim[(Double, Double)](6)
+      val bulkT = Array.ofDim[(Double, Double)](6)
+      val phases = scala.collection.mutable.Map.empty[String, Double]
+      def addPh(): Unit = s4.drainPhaseSeconds().foreach { case (k, v) =>
+        phases(k) = phases.getOrElse(k, 0.0) + v }
+      for (i <- 0 until 6) {
+        sprayT(i) = timed { s4.merge("t", Seq("id"),
+          rdf(500000L + i * 800L, 800L, s"s$i"), None): Unit }
+        addPh()
+        bulkT(i) = timed { s4.merge("t", Seq("id"),
+          rdf(600000L + i * bulkRows, bulkRows, s"b$i"), None): Unit }
+        addPh()
+      }
+      (sprayT.toSeq, bulkT.toSeq, phases.toMap, bulkRows)
+    }
     val stealPct = graft.util.ProcStat.stealPct(steal0, graft.util.ProcStat.stealJiffies())
     def phJson(ph: Map[String, Double]): String =
       ph.toSeq.sortBy(-_._2).map { case (k, v) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")
@@ -142,8 +203,17 @@ object TwinStoreProbe {
     val lateC = steady.takeRight(5).map(hotT(_)._2)
     def mean(xs: Seq[Double]) = xs.sum / xs.length
 
+    val drainJson = {
+      val (pw, pc, dw, dc, ph, perDelta) = drainRow
+      s"""{"fanout":${ParquetTwinStore.NumBuckets},"overflow_bytes":$ovfCap,"rows_per_delta":$perDelta,"pre_drain_mean_s":${f(pw)},"pre_drain_mean_cpu_s":${f(pc)},"drain_merge_s":${f(dw)},"drain_merge_cpu_s":${f(dc)},"drain_phases":${phJson(ph)},"note":"deltas sized to ~90% of the overflow placement cap; the MaxDeltas-th merge crosses the drain threshold and pays the all-buckets compaction fold in its compact phase — the worst single-trigger cost the overflow path can schedule"}"""
+    }
+    val mixJson = {
+      val (sp, bk, ph, bulkRows) = interleavedRow
+      def mean(xs: Seq[Double]) = xs.sum / xs.length
+      s"""{"overflow_bytes":$ovfCap,"bulk_rows":$bulkRows,"spray_s":[${sp.map(p => f(p._1)).mkString(",")}],"bulk_s":[${bk.map(p => f(p._1)).mkString(",")}],"spray_mean_s":${f(mean(sp.map(_._1)))},"spray_mean_cpu_s":${f(mean(sp.map(_._2)))},"bulk_mean_s":${f(mean(bk.map(_._1)))},"bulk_mean_cpu_s":${f(mean(bk.map(_._2)))},"phases_total":${phJson(ph)},"note":"spray (overflow-delta) and bulk (per-bucket re-split) placements alternating on one table: both paths' files share the table-wide sequence, so the LWW window and compaction stay exact while each merge takes its size-appropriate placement"}"""
+    }
     val json =
-      s"""{"n_triggers":$nTriggers,"fanout":$fanout,"grow_rows_per_trigger":$growPerTrigger,"hot_update_rows":$hotSize,"final_table_rows":${nTriggers * growPerTrigger + hotSize},"hot_update_s":[${hotT.map(p => f(p._1)).mkString(",")}],"hot_update_cpu_s":[${hotT.map(p => f(p._2)).mkString(",")}],"grow_merge_s":[${growT.map(p => f(p._1)).mkString(",")}],"hot_early_mean_s":${f(mean(early))},"hot_late_mean_s":${f(mean(late))},"hot_growth":${f(mean(late) / mean(early))},"hot_growth_cpu":${f(mean(lateC) / mean(earlyC))},"spray_update_s":${f(spray._1)},"spray_update_cpu_s":${f(spray._2)},"spray_update_fanout64_s":${f(spray64._1)},"spray_update_fanout64_cpu_s":${f(spray64._2)},"fanout_curve":$curveJson,"steal_pct":${f(stealPct)},"note":"hot updates re-upsert a FIXED key set confined to bucket 0 while growth merges inflate the other 15 buckets ${nTriggers}x: flat hot_update_s (hot_growth ~1) = resolve cost tracks touched-bucket mass, not table mass. spray_update_s is the all-buckets-touched case: with r13's incremental fold (cached-prior anti-join, no file re-read/re-window) it must sit within ~2x of a hot update; spray_update_fanout64_s repeats it on a 64-bucket table (the fanoutFor 16GiB sizing point) over the same state mass."}"""
+      s"""{"n_triggers":$nTriggers,"fanout":$fanout,"grow_rows_per_trigger":$growPerTrigger,"hot_update_rows":$hotSize,"final_table_rows":${nTriggers * growPerTrigger + hotSize},"hot_update_s":[${hotT.map(p => f(p._1)).mkString(",")}],"hot_update_cpu_s":[${hotT.map(p => f(p._2)).mkString(",")}],"grow_merge_s":[${growT.map(p => f(p._1)).mkString(",")}],"hot_early_mean_s":${f(mean(early))},"hot_late_mean_s":${f(mean(late))},"hot_growth":${f(mean(late) / mean(early))},"hot_growth_cpu":${f(mean(lateC) / mean(earlyC))},"spray_update_s":${f(spray._1)},"spray_update_cpu_s":${f(spray._2)},"spray_update_fanout64_s":${f(spray64._1)},"spray_update_fanout64_cpu_s":${f(spray64._2)},"fanout_curve":$curveJson,"overflow_drain":$drainJson,"interleaved_bulk":$mixJson,"steal_pct":${f(stealPct)},"note":"hot updates re-upsert a FIXED key set confined to bucket 0 while growth merges inflate the other 15 buckets ${nTriggers}x: flat hot_update_s (hot_growth ~1) = resolve cost tracks touched-bucket mass, not table mass. spray_update_s is the all-buckets-touched case: with r13's incremental fold (cached-prior anti-join, no file re-read/re-window) it must sit within ~2x of a hot update; spray_update_fanout64_s repeats it on a 64-bucket table (the fanoutFor 16GiB sizing point) over the same state mass."}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (json + "\n").getBytes("UTF-8"))
     System.out.println(json)

@@ -1266,6 +1266,19 @@ class StreamingSpec extends SparkSpec {
     // and the forward path still works
     ix2.processBatch(emb, None, batchId = 4L)
     assert(ix2.indexed(spark).count() > 0L)
+    // the guard must survive INSERT-ONLY advances too: trigger 4 above
+    // dethroned nothing, so the dethronement ledger's max bid is still
+    // 3 — before the per-trigger annLastBid watermark a checkpoint
+    // rewound to bid 3 was silently accepted by a fresh incarnation,
+    // re-inserting ids whose pruned ledger entries could no longer
+    // block them
+    val ix3 = new StreamingAnnIndex(new ParquetTwinStore(root))
+    intercept[IllegalStateException] {
+      ix3.processBatch(emb, None, batchId = 3L)
+    }
+    // same-id redelivery of the last trigger stays legal across restart
+    ix3.processBatch(emb, None, batchId = 4L)
+    assert(ix3.indexed(spark).count() > 0L)
   }
 
   test("streaming ANN index: topK/LSH/range over the maintained index == batch, restart mid-stream") {

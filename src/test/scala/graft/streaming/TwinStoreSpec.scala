@@ -106,18 +106,45 @@ class TwinStoreSpec extends SparkSpec {
     val fresh = new ParquetTwinStore(root)
     assert(rows(fresh.load(spark, "t").get) == Set((1L, "v2")),
       "recovery must serve the newest COMMITTED version, not throw on the torn dir")
-    assert(!new java.io.File(s"$root/t-v3").exists(),
-      "load must remove the torn dir so it can never outrank the live version")
-    // the next incarnation's replace continues the sequence and its
-    // retention leaves exactly the new version + one committed predecessor
+    // a torn dir NEWER than the newest committed version is LEFT ALONE
+    // by load (it is indistinguishable from a concurrent replace()'s
+    // in-flight write on a shared root — rm'ing it would fail that
+    // writer mid-job); it is never served, and the next replace's
+    // writer-owned retention sweep removes it
+    assert(new java.io.File(s"$root/t-v3").exists(),
+      "load must not rm a torn dir newer than the newest committed version " +
+        "(it may be a concurrent writer's in-flight job)")
+    // the next incarnation's replace continues the sequence PAST the
+    // torn version, and its retention leaves exactly the new version +
+    // one committed predecessor (the torn dir goes with the sweep)
     val next = new ParquetTwinStore(root)
-    next.replace("t", kv(1L -> "v3"))
-    assert(rows(new ParquetTwinStore(root).load(spark, "t").get) == Set((1L, "v3")))
+    next.replace("t", kv(1L -> "v4"))
+    assert(rows(new ParquetTwinStore(root).load(spark, "t").get) == Set((1L, "v4")))
     val vdirs = new java.io.File(root).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("t-v")).map(_.getName).toSet
-    assert(vdirs.size == 2 && vdirs.forall(d =>
-      new java.io.File(s"$root/$d/_SUCCESS").isFile),
-      s"retention must keep two committed versions, got $vdirs")
+    assert(vdirs == Set("t-v2", "t-v4"),
+      s"retention must keep the new version + newest committed predecessor, got $vdirs")
+  }
+
+  test("replace: recovery works with the committer's _SUCCESS markers absent (marksuccessfuljobs off)") {
+    // deployments commonly disable mapreduce.fileoutputcommitter
+    // .marksuccessfuljobs; recovery keyed on _SUCCESS alone would then
+    // read EVERY live version as torn — and a load() would serve the
+    // stale legacy dir (or None) while destroying the real state. The
+    // store owns its commit point (_graft_committed) exactly so this
+    // cannot happen.
+    val root = java.nio.file.Files.createTempDirectory("graft-tsnosucc").toString
+    val st = new ParquetTwinStore(root)
+    st.replace("t", kv(1L -> "v1"))
+    st.replace("t", kv(1L -> "v2"))
+    for (d <- new java.io.File(root).listFiles(); if d.isDirectory) {
+      val s = new java.io.File(d, "_SUCCESS")
+      if (s.isFile) assert(s.delete())
+    }
+    assert(rows(new ParquetTwinStore(root).load(spark, "t").get) == Set((1L, "v2")),
+      "recovery must serve through the store-owned commit marker alone")
+    assert(new java.io.File(s"$root/t-v1").exists() && new java.io.File(s"$root/t-v2").exists(),
+      "no committed version may be destroyed when _SUCCESS markers are absent")
   }
 
   test("replace: a torn FIRST replace falls back to the legacy append dir (migration crash)") {
@@ -131,8 +158,16 @@ class TwinStoreSpec extends SparkSpec {
     assert(rows(new ParquetTwinStore(root).load(spark, "t").get)
       == Set((1L, "legacy")),
       "with no committed version the pre-migration append dir must serve")
+    // with NO committed version the torn dir stays (it may be the first
+    // replace in flight on a shared root); the sequence continues past
+    // it and the next replace's retention sweep removes it
+    assert(new java.io.File(s"$root/t-v1").exists(),
+      "load must not rm a torn dir it cannot prove dead")
+    new ParquetTwinStore(root).replace("t", kv(2L -> "migrated"))
     assert(!new java.io.File(s"$root/t-v1").exists(),
-      "the torn first version must be removed during recovery")
+      "the writer-owned retention sweep removes the torn first version")
+    assert(rows(new ParquetTwinStore(root).load(spark, "t").get)
+      == Set((2L, "migrated")))
   }
 
   test("merge: multi-row key groups are swapped whole") {
@@ -229,6 +264,57 @@ class TwinStoreSpec extends SparkSpec {
       s"overflow files must drain and GC, saw $live live")
     // a fresh incarnation resolves the same state through the window
     assert(rows(new ParquetTwinStore(root, 4).load(spark, "t").get) == rows(cur))
+  }
+
+  test("parquet merge: a delete-only workload still drains, compacts and GCs its tombstones") {
+    // before r16 the drain counted only 'd' files and the per-bucket
+    // rule only deltas: a delete-heavy table accumulated ovf/t<seq>
+    // files unboundedly — no compaction ever fired, every resolution
+    // windowed over a growing tombstone set, and GC never ran because
+    // no bucket got a newer base
+    val root = java.nio.file.Files.createTempDirectory("graft-tsdel").toString
+    val st = new ParquetTwinStore(root, 4)
+    val n = 4 * ParquetTwinStore.MaxDeltas
+    st.merge("t", Seq("id"), kv((0L until n.toLong).map(k => k -> s"v$k"): _*), None)
+    var cur: DataFrame = null
+    for (i <- 0 until n / 2)
+      cur = st.merge("t", Seq("id"), kv(), Some(keys(2L * i, 2L * i + 1)))
+    assert(cur.count() == 0L, "all keys deleted")
+    cur = st.merge("t", Seq("id"), kv(), Some(keys(9999L))) // applies deferred GC
+    val ovf = new java.io.File(s"$root/t.m/ovf")
+    val live = Option(ovf.list()).fold(0)(_.count(f =>
+      (f.startsWith("d") || f.startsWith("t")) && f.drop(1).forall(_.isDigit)))
+    assert(live <= 2 * ParquetTwinStore.MaxDeltas + 2,
+      s"tombstone files must drain and GC under a delete-only workload, saw $live live")
+    assert(new ParquetTwinStore(root, 4).load(spark, "t").forall(_.count() == 0L),
+      "cold restart must resolve the fully-deleted table as empty")
+  }
+
+  test("parquet merge: TOMBSTONE-ONLY buckets floor-mark, GC, and never mask later inserts") {
+    // deletes of never-present keys: the buckets have no base and no
+    // upsert legs, so a compaction job has nothing to write — the
+    // `_floor` marker stands in for the base, retiring the dead
+    // tombstones (they can only mask OLDER upserts, and none exist)
+    val root = java.nio.file.Files.createTempDirectory("graft-tstonly").toString
+    val st = new ParquetTwinStore(root, 4)
+    for (i <- 0 until 2 * ParquetTwinStore.MaxDeltas + 1)
+      st.merge("t", Seq("id"), kv(), Some(keys(i.toLong)))
+    st.merge("t", Seq("id"), kv(), Some(keys(10000L))): Unit // deferred GC
+    val ovf = new java.io.File(s"$root/t.m/ovf")
+    val live = Option(ovf.list()).fold(0)(_.count(f =>
+      f.startsWith("t") && f.drop(1).forall(_.isDigit)))
+    assert(live <= 2 * ParquetTwinStore.MaxDeltas + 2,
+      s"dead tombstone files must GC, saw $live live")
+    // a RESTARTED store must continue the sequence PAST the floor
+    // markers (after GC a marker can be the only trace of its
+    // sequence): an insert must be visible warm AND on a cold load —
+    // a reissued sequence at or below the floor would silently hide it
+    val st2 = new ParquetTwinStore(root, 4)
+    assert(rows(st2.merge("t", Seq("id"), kv(5L -> "alive"), None))
+      == Set((5L, "alive")), "warm insert after tombstone-only history")
+    assert(rows(new ParquetTwinStore(root, 4).load(spark, "t").get)
+      == Set((5L, "alive")),
+      "cold load must see the insert — the restarted sequence must clear every _floor marker")
   }
 
   test("parquet merge: retention — a table returned at trigger T is readable through trigger T+1") {
