@@ -147,21 +147,22 @@ object TwinStoreProbe {
       s3.merge("t", Seq("id"), rdf(0, 100000, "seed"), None): Unit
       s3.drainPhaseSeconds(): Unit
       // each delta ~90% of the overflow placement cap (cap = ovfCap ×
-      // touched buckets; md5-padded rows land ~200 B/row in parquet)
+      // touched buckets; md5-padded rows land ~200 B/row in parquet).
+      // The drain merge is identified by its COMPACT phase, not by
+      // index: the bulk-path seed leaves one per-bucket delta, so the
+      // per-bucket (ds + odsK >= MaxDeltas) rule crosses one merge
+      // before the shared-file count alone would
       val perDelta = (0.9 * ovfCap * ParquetTwinStore.NumBuckets / 200).toLong
-      var pre = List.empty[(Double, Double)]
-      var drain: (Double, Double) = (0.0, 0.0)
-      var drainPh: Map[String, Double] = Map.empty
-      for (i <- 0 until ParquetTwinStore.MaxDeltas) {
+      val runs = (0 until ParquetTwinStore.MaxDeltas).map { i =>
         val t = timed { s3.merge("t", Seq("id"),
           rdf(200000L + i * perDelta, perDelta, s"d$i"), None): Unit }
-        val ph = s3.drainPhaseSeconds()
-        if (i == ParquetTwinStore.MaxDeltas - 1) { drain = t; drainPh = ph }
-        else pre ::= t
+        (t, s3.drainPhaseSeconds())
       }
+      val di = runs.indices.maxBy(i => runs(i)._2.getOrElse("compact", 0.0))
+      val pre = runs.indices.filterNot(_ == di).map(runs(_)._1)
       val preW = pre.map(_._1).sum / pre.size
       val preC = pre.map(_._2).sum / pre.size
-      (preW, preC, drain._1, drain._2, drainPh, perDelta)
+      (preW, preC, runs(di)._1._1, runs(di)._1._2, runs(di)._2, perDelta)
     }
     val interleavedRow = {
       val r = java.nio.file.Files.createTempDirectory("graft-tsmix").toString
