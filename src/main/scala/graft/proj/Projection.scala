@@ -116,6 +116,16 @@ final case class Projection[S](
     }
     (s, forward)
   }
+
+  /** Whether an already-folded (post-chain) state passes the declared
+    * filter steps — the emit decision for a state handed over WHOLE
+    * rather than built per event (the hybrid catch-up's seed states),
+    * mirroring the per-event gate. Transform steps are skipped: a
+    * stored state already carries them. */
+  def emits(s: S): Boolean = steps.forall {
+    case FilterStep(f) => f(s)
+    case _             => true
+  }
 }
 
 /**

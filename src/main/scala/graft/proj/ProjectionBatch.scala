@@ -116,6 +116,52 @@ object ProjectionBatch {
   }
 
   /**
+   * [[finalStates]] plus each key's HIGH-WATER position (the last folded
+   * event's) — the handoff shape for [[graft.streaming.ProjectionPump]]'s
+   * hybrid catch-up: the streaming fold is seeded with (state, maxPos)
+   * per key, so its cross-trigger order guard spans the batch/stream
+   * boundary (a tail event at or below the catch-up's high water is
+   * rejected exactly like an out-of-order file).
+   */
+  def finalStatesWithPos[S](p: Projection[S], events: DataFrame)(
+      implicit enc: Encoder[S]): Dataset[(String, S, Long)] = {
+    implicit val outEnc: Encoder[(String, S, Long)] =
+      Encoders.tuple(Encoders.STRING, enc, Encoders.scalaLong)
+    keyedSorted(p, events).mapPartitions { base =>
+      new Iterator[(String, S, Long)] {
+        private var pending: Option[(String, S, Long)] = None
+        private var curKey: String = _
+        private var curState: Option[S] = None
+        private var curPos: Long = Long.MinValue
+        private var open = false
+        private def advance(): Unit = {
+          while (pending.isEmpty && base.hasNext) {
+            val ke = base.next()
+            if (open && ke.key != curKey) {
+              pending = curState.map((curKey, _, curPos))
+              curState = None
+              curPos = Long.MinValue
+            }
+            curKey = ke.key
+            open = true
+            curState = Some(p.step(curState, ke.event)._1)
+            curPos = ke.event.position
+          }
+          if (pending.isEmpty && !base.hasNext && open) {
+            pending = curState.map((curKey, _, curPos))
+            curState = None
+            open = false
+          }
+        }
+        def hasNext: Boolean = { advance(); pending.isDefined }
+        def next(): (String, S, Long) = {
+          advance(); val r = pending.get; pending = None; r
+        }
+      }
+    }
+  }
+
+  /**
    * Run MANY projections in ONE pass of the log — scan sharing the
    * reference cannot do (it folds each projection in its own
    * subscription, re-reading the log per projection;

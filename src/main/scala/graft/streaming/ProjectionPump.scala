@@ -40,7 +40,9 @@ object ProjectionPump {
    * source: one `(partition, state)` row per forwarded fold step.
    * OutputMode must be Update (or use [[start]] / `foreachBatch`).
    */
-  def emissions[S](p: Projection[S], src: DataFrame)(implicit enc: Encoder[S]): Dataset[(String, S)] = {
+  def emissions[S](p: Projection[S], src: DataFrame,
+                   initialState: Option[Dataset[(String, S, Long)]] = None)(
+      implicit enc: Encoder[S]): Dataset[(String, S)] = {
     implicit val keyedEnc: Encoder[KeyedEvent] = Encoders.product[KeyedEvent]
     implicit val strEnc: Encoder[String] = Encoders.STRING
     implicit val outEnc: Encoder[(String, S)] = Encoders.tuple(Encoders.STRING, enc)
@@ -48,9 +50,8 @@ object ProjectionPump {
     val keyed = ProjectionBatch
       .selected(p, ProjectionBatch.toProjEvents(src))
       .map(e => KeyedEvent(p.partitionOf(e), e))
-    keyed
-      .groupByKey(_.key)
-      .flatMapGroupsWithState[(S, Long), (String, S)](OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+    val grouped = keyed.groupByKey(_.key)
+    val fold = {
         (key: String, events: Iterator[KeyedEvent], state: GroupState[(S, Long)]) =>
           val ordered = events.toArray.sortBy(_.event.position)
           // the state rides with the high-water position already folded:
@@ -76,7 +77,19 @@ object ProjectionPump {
           }
           cur.foreach(s => state.update((s, maxPos)))
           out.result().iterator
-      }
+    }
+    initialState match {
+      case None => grouped.flatMapGroupsWithState[(S, Long), (String, S)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout)(fold)
+      case Some(init) =>
+        // hybrid catch-up handoff: per-key (state, high-water position)
+        // from the batch fold seeds the state store before the first
+        // trigger — the order guard spans the batch/stream boundary
+        val initKV = init.groupByKey(_._1)
+          .mapValues(t => (t._2, t._3))
+        grouped.flatMapGroupsWithState[(S, Long), (String, S)](
+          OutputMode.Update(), GroupStateTimeout.NoTimeout, initKV)(fold)
+    }
   }
 
   /**
@@ -150,6 +163,50 @@ object ProjectionPump {
       graft.model.ReadOptions(graft.model.AllStreams), sourceOptions)
     val sink = s"$outDir/${p.resultStream}"
     val writer = emissions(p, src).toDF("partition", "state").writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(sink)
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+
+  /**
+   * Hybrid catch-up + live tail — the at-scale catch-up path. [[start]]
+   * replays the backlog through bounded micro-batches: correct, but a
+   * large backlog costs (files / maxFilesPerTrigger) SEQUENTIAL
+   * triggers, each paying the trigger's fixed cost, and its per-event
+   * emissions are backlog-mass. Here the backlog present at call time
+   * folds as ONE batch job ([[ProjectionBatch.finalStatesWithPos]] — a
+   * single sorted shuffle over exactly the same rows in exactly the
+   * same per-key order, so the fold result is identical by
+   * construction; spec-pinned), its final states land in the result
+   * sink as the catch-up's emissions (filterBy-gated via
+   * [[graft.proj.Projection.emits]] — the state snapshot a huge
+   * catch-up hands to consumers), and the STREAMING fold starts from
+   * the backlog's end offset SEEDED with those states as
+   * `flatMapGroupsWithState` initial state, each key carrying its
+   * high-water position so the cross-trigger order guard spans the
+   * batch/stream handoff. Events appended after the call flow through
+   * the live tail exactly as in [[start]].
+   */
+  def startHybrid[S](spark: SparkSession, p: Projection[S], logDir: String, outDir: String,
+                     checkpointDir: String, availableNow: Boolean = false,
+                     sourceOptions: Map[String, String] = Map.empty)(
+      implicit enc: Encoder[S]): StreamingQuery = {
+    implicit val outEnc: Encoder[(String, S)] = Encoders.tuple(Encoders.STRING, enc)
+    val backlog = graft.append.Appender.readLog(spark, logDir)
+    val from = Subscriptions.endOffset(spark, logDir, graft.model.AllStreams)
+    // one batch job folds the whole backlog; localCheckpoint pins the
+    // boundary (the seed must not re-scan the dir after tail files land)
+    val finals = ProjectionBatch.finalStatesWithPos(p, backlog).localCheckpoint()
+    val sink = s"$outDir/${p.resultStream}"
+    finals.filter(t => p.emits(t._2)).map(t => (t._1, t._2))
+      .toDF("partition", "state").write.mode("append").parquet(sink)
+    val src = Subscriptions.subscribe(spark, logDir,
+      graft.model.ReadOptions(graft.model.AllStreams, from = graft.model.From(from)),
+      sourceOptions)
+    val writer = emissions(p, src, Some(finals)).toDF("partition", "state").writeStream
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>

@@ -409,6 +409,58 @@ class StreamingSpec extends SparkSpec {
     assert(finals == Map("s-0" -> 10L, "s-1" -> 10L))
   }
 
+  test("hybrid catch-up: batch fold seeds the streaming tail; order-sensitive state crosses the handoff") {
+    import spark.implicits._
+    import graft.queries.PumpPathState
+    // the 100 TB catch-up path: the backlog folds as ONE batch job and
+    // seeds the streaming fold as flatMapGroupsWithState initial state;
+    // the state is ORDER-BEARING (path + last event type), so any
+    // handoff misordering — seed built out of order, tail folded before
+    // the seed, boundary event double-counted or dropped — breaks the
+    // equality with the full batch fold
+    val logDir = Files.createTempDirectory("graft-hyblog").toString
+    val outDir = Files.createTempDirectory("graft-hybout").toString
+    val ckpt = Files.createTempDirectory("graft-hybckpt").toString
+    val types = IndexedSeq("signup", "view", "click", "purchase", "error")
+    def row(p: Long) = ev(s"s-${p % 3}", types((p % 5).toInt), p / 3, p)
+    // backlog: positions 1..18, two sequential segment files
+    (1L to 9L).map(row).toDF().coalesce(1).write.mode("append").parquet(logDir)
+    (10L to 18L).map(row).toDF().coalesce(1).write.mode("append").parquet(logDir)
+    val p = Projection.named("hybrid").fromAll().foreachStream()
+      .when[PumpPathState](PumpPathState(0L, "", ""), Map(
+        "$any" -> ((st: PumpPathState, e: ProjEvent) => PumpPathState(
+          st.n + 1L,
+          if (st.n >= 10L) st.path
+          else if (st.n == 0L) e.eventType
+          else st.path + "->" + e.eventType,
+          e.eventType))))
+      .outputState().build
+    implicit val enc = org.apache.spark.sql.Encoders.product[PumpPathState]
+    val q = ProjectionPump.startHybrid(spark, p, logDir, outDir, ckpt)
+    try {
+      // live tail: positions 19..27 appended AFTER the hybrid started
+      (19L to 27L).map(row).toDF().coalesce(1).write.mode("append").parquet(logDir)
+      q.processAllAvailable()
+      val res = spark.read.parquet(s"$outDir/${p.resultStream}")
+        .select(col("partition"), col("state.n"), col("state.path"), col("state.last_event_type"))
+      // final state per key (max n — n strictly increments) must equal
+      // the batch fold over the WHOLE log
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("partition")).orderBy(col("n").desc)
+      val got = res.withColumn("rk", org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("rk") === 1).drop("rk")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getString(3))).toSet
+      val want = graft.proj.ProjectionBatch
+        .finalStates(p, (1L to 27L).map(row).toDF())
+        .collect().map { case (k, st) => (k, st.n, st.path, st.last_event_type) }.toSet
+      assert(got == want, s"hybrid final states must equal the full batch fold: $got vs $want")
+      // the catch-up phase contributed exactly one seed emission per key
+      // (the batch snapshot), not per-event backlog emissions
+      val seedN = res.filter(col("n") === 6L).count() // 18 backlog events / 3 keys
+      assert(seedN == 3L, s"catch-up must emit one snapshot per key, saw $seedN rows at the boundary n")
+    } finally q.stop()
+  }
+
   test("stream-static enrichment: static dimension broadcast-joined in flight") {
     import spark.implicits._
     import org.apache.spark.sql.functions.broadcast
