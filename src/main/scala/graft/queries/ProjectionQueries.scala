@@ -105,7 +105,8 @@ object ProjectionQueries {
       logDir
     })
 
-  private def stageLogSequential(s: SparkSession, dir: String, logDir: String): Unit = {
+  private def stageLogSequential(s: SparkSession, dir: String, logDir: String,
+                                 segs: Int = 8): Unit = {
     val evs = Fixture.events(s, dir)
       .select(col("stream"), col("event_type"), col("revision"), col("position"))
     val mm = evs.agg(min(col("position")), max(col("position"))).head()
@@ -122,7 +123,6 @@ object ProjectionQueries {
       dst.setLastModified(mtime): Unit
       graft.util.TempRoots.rm(tmp)
     }
-    val segs = 8
     val t0 = System.currentTimeMillis() - segs * 2000L
     if (mm.isNullAt(0)) {
       // EMPTY corpus: one empty segment carries the schema, so the
@@ -209,11 +209,11 @@ object ProjectionQueries {
     * .startHybrid]] — the at-scale path: the backlog folds as ONE batch
     * job whose final states seed the streaming fold as initial state,
     * and only the live tail runs through triggers). Staged fresh (not
-    * the shared log — the hold-back dance mutates the dir): 6 segments
-    * are the backlog at start time, the last 2 re-enter as the LIVE
-    * TAIL with fresh mtimes after the query starts, 1 file per trigger,
-    * so the batch→stream handoff and two tail triggers all cross the
-    * same order-bearing state the ordered gate pins. */
+    * the shared log — the hold-back dance mutates the dir): 3 segments
+    * are the backlog at start time, the 4th re-enters as the LIVE TAIL
+    * with a fresh mtime after the query starts, so the batch→stream
+    * handoff crosses the same order-bearing state the ordered gate
+    * pins. */
   private val pumpHybridCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
   private def pumpHybridSinkDir(s: SparkSession, dir: String): String =
@@ -223,10 +223,16 @@ object ProjectionQueries {
           org.apache.spark.sql.Encoders.product[PumpPathState]
         val root = graft.util.TempRoots.create("graft-pump-hybrid")
         val logDir = s"$root/log"
-        stageLogSequential(s, dir, logDir)
+        // 4 segments are enough here: 3 are the batch-folded backlog, 1
+        // re-enters as the live tail — the per-trigger file-bounding
+        // property is already pinned by the two replay gates, and the
+        // subscription still lists (and footer-prunes) the backlog
+        // files, so fewer segments keep the memo's cost on the
+        // mechanism, not on empty catch-up triggers
+        stageLogSequential(s, dir, logDir, segs = 4)
         val hold = new java.io.File(s"$root/hold")
         hold.mkdirs(): Unit
-        val tailSegs = Seq("seg-0006.parquet", "seg-0007.parquet")
+        val tailSegs = Seq("seg-0003.parquet")
         for (n <- tailSegs) {
           val f = new java.io.File(logDir, n)
           if (f.isFile) require(f.renameTo(new java.io.File(hold, n)),
@@ -242,8 +248,7 @@ object ProjectionQueries {
               e.eventType))))
           .outputState().build
         val q = graft.streaming.ProjectionPump.startHybrid(
-          s, p, logDir, root, s"$root/ckpt",
-          sourceOptions = Map("maxFilesPerTrigger" -> "1"))
+          s, p, logDir, root, s"$root/ckpt")
         try {
           val t0 = System.currentTimeMillis()
           for ((n, i) <- tailSegs.zipWithIndex) {
