@@ -17,6 +17,8 @@ import graft.plans._
  *  - `graft_minhash(shingles)` — MinHash signature;
  *  - `graft_simhash16(text)` — 16-bit SimHash;
  *  - `graft_dot(a, b)` / `graft_norm(v)` — left-fold vector algebra;
+ *  - `graft_intersect_size(a, b)` — |a ∩ b| of BIGINT arrays (the
+ *    dedup verify joins' kernel, == size(array_intersect(a, b)));
  *  - `graft_lsh_buckets(v)` — hyperplane-LSH bucket ids;
  *  - `graft_cdc_chunks(text)` — content-defined chunk strings;
  *  - `graft_kmv(hash[, k])` — deterministic k-minimum-values distinct
@@ -84,6 +86,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[GraftExtensions].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))
+    ))
+    // |a ∩ b| of BIGINT arrays — the dedup verify joins' per-candidate
+    // kernel (== size(array_intersect(a, b)) for null-free elements)
+    ext.injectFunction((
+      new FunctionIdentifier("graft_intersect_size"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_intersect_size"),
+      (children: Seq[Expression]) => IntersectSize(children(0), children(1))
     ))
     // Spark's own runtime-filter bloom pair, exposed as SQL functions.
     // The optimizer only injects these itself between shuffle-join sides

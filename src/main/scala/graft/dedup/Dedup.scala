@@ -51,10 +51,10 @@ object Dedup {
     * ONCE and pass it to the `FromSets` variants below — recomputing the
     * signature pass per operator is the round-1 bench mistake. */
   def shingleSets(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs
+    graft.util.Par.widen(docs
       .select(col(idCol).as("id"), graft.functions.Fast.shingleHashesFast(col(textCol)).as("sh"))
       .withColumn("n_sh", size(col("sh")))
-      .filter(col("n_sh") > 0)
+      .filter(col("n_sh") > 0))
       .localCheckpoint()
 
   /**
@@ -101,7 +101,7 @@ object Dedup {
         cands
           .join(sets.select(col("id").as("a"), col("sh").as("sha"), col("n_sh").as("na")), "a")
           .join(sets.select(col("id").as("b"), col("sh").as("shb"), col("n_sh").as("nb")), "b")
-          .withColumn("c", size(array_intersect(col("sha"), col("shb"))))
+          .withColumn("c", graft.functions.Fast.intersectSizeFast(col("sha"), col("shb")))
           .withColumn("jaccard_x1000",
             floor(lit(1000.0) * col("c") / (col("na") + col("nb") - col("c"))).cast("long"))
           .filter(col("jaccard_x1000") >= thresholdX1000)
@@ -250,7 +250,7 @@ object Dedup {
     cands
       .join(sets.select(col("id").as("a"), col("sh").as("sha"), col("n_sh").as("na")), "a")
       .join(sets.select(col("id").as("b"), col("sh").as("shb"), col("n_sh").as("nb")), "b")
-      .withColumn("c", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("c", graft.functions.Fast.intersectSizeFast(col("sha"), col("shb")))
       .withColumn("jaccard_x1000",
         floor(lit(1000.0) * col("c") / (col("na") + col("nb") - col("c"))).cast("long"))
       .filter(col("jaccard_x1000") >= thresholdX1000)
@@ -293,7 +293,7 @@ object Dedup {
       .withColumn("n_match_rows",
         size(filter(zip_with(col("siga"), col("sigb"), (x, y) => x === y), m => m))
           .cast("long"))
-      .withColumn("c", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("c", graft.functions.Fast.intersectSizeFast(col("sha"), col("shb")))
       .withColumn("est_x1000", expr("(1000 * n_match_rows) div 8"))
       .withColumn("jaccard_x1000",
         floor(lit(1000.0) * col("c") / (col("na") + col("nb") - col("c"))).cast("long"))
@@ -337,7 +337,7 @@ object Dedup {
     cands
       .join(newSets.select(col("id").as("a"), col("sh").as("sha"), col("n_sh").as("na")), "a")
       .join(corpusSets.select(col("id").as("b"), col("sh").as("shb"), col("n_sh").as("nb")), "b")
-      .withColumn("c", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("c", graft.functions.Fast.intersectSizeFast(col("sha"), col("shb")))
       .withColumn("jaccard_x1000",
         floor(lit(1000.0) * col("c") / (col("na") + col("nb") - col("c"))).cast("long"))
       .filter(col("jaccard_x1000") >= thresholdX1000)
@@ -743,7 +743,8 @@ object Dedup {
    * shingle lands in every document's SUFFIX and never generates
    * candidates, collapsing the quadratic per-key join fan-out that makes
    * the naive inverted index unusable at PB scale. Candidates verify
-   * against the full stored sets (array_intersect), values exact.
+   * against the full stored sets (the graft_intersect_size kernel —
+   * == size(array_intersect), no boxing/output array), values exact.
    */
   def ngramJaccardPairsPrefixFiltered(sets: DataFrame, thresholdX1000: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -767,7 +768,7 @@ object Dedup {
     cands
       .join(sets.select(col("id").as("a"), col("sh").as("sha"), col("n_sh").as("na")), "a")
       .join(sets.select(col("id").as("b"), col("sh").as("shb"), col("n_sh").as("nb")), "b")
-      .withColumn("c", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("c", graft.functions.Fast.intersectSizeFast(col("sha"), col("shb")))
       .withColumn("jaccard_x1000",
         floor(lit(1000.0) * col("c") / (col("na") + col("nb") - col("c"))).cast("long"))
       .filter(col("jaccard_x1000") >= thresholdX1000)
@@ -823,6 +824,7 @@ object Dedup {
     simhashes(docs, idCol, textCol)
       .withColumn("lo", col("simhash").bitwiseAND(lit(255L)))
       .withColumn("hi", shiftright(col("simhash"), 8).bitwiseAND(lit(255L)))
+      .transform(graft.util.Par.widen)
       .localCheckpoint() // one signature pass, lineage truncated; both join sides reuse it
 
   /** Materialized 62-bit simhash signature table (id, simhash, b0..b3 —

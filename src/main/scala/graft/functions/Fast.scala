@@ -248,6 +248,65 @@ object Fast {
   def bucketsArr(v: ArrayData): ArrayData =
     UnsafeArrayData.fromPrimitiveArray(bucketsJvm(v.toFloatArray()))
 
+  /** |a ∩ b| over long arrays — the r16 verify-join kernel. Exactly
+    * `size(array_intersect(a, b))` for arrays without null elements
+    * (DISTINCT intersection: duplicates on either side count once), but
+    * computed as one primitive open-addressing build over the smaller
+    * side + one probe pass over the larger — no boxing, no output array,
+    * no per-element null branches. The dedup verify joins evaluate this
+    * per candidate pair over ~10²-10³-element shingle sets, and Spark's
+    * generic ArrayIntersect (SQLOpenHashSet + result buffer) was the
+    * dominant stage of every verify-join query (measured: 5.6 of 7.3
+    * task-cpu-s in dedup_jaccard_prefix at sf0.1). */
+  def intersectSizeJvm(a: Array[Long], b: Array[Long]): Int = {
+    val (s, l) = if (a.length <= b.length) (a, b) else (b, a)
+    if (s.isEmpty) return 0
+    // power-of-2 capacity, load factor <= 0.5; slot value 0 = empty (the
+    // zero KEY is tracked by a flag instead of a slot)
+    val cap = Integer.highestOneBit(math.max(s.length, 2)) * 4
+    val table = new Array[Long](cap)
+    val matched = new Array[Boolean](cap)
+    val mask = cap - 1
+    var hasZero = false
+    var i = 0
+    while (i < s.length) {
+      val k = s(i)
+      if (k == 0L) hasZero = true
+      else {
+        var idx = (mix64(k) & mask).toInt
+        while (table(idx) != 0L && table(idx) != k) idx = (idx + 1) & mask
+        table(idx) = k
+      }
+      i += 1
+    }
+    var c = 0
+    i = 0
+    while (i < l.length) {
+      val k = l(i)
+      if (k == 0L) {
+        if (hasZero) { c += 1; hasZero = false } // count the 0 key once
+      } else {
+        var idx = (mix64(k) & mask).toInt
+        while (table(idx) != 0L && table(idx) != k) idx = (idx + 1) & mask
+        if (table(idx) == k && !matched(idx)) { c += 1; matched(idx) = true }
+      }
+      i += 1
+    }
+    c
+  }
+
+  /** SplitMix64 finalizer — avalanche mix for the intersect probe table
+    * (shingle hashes are polynomial and cluster under low-bit masking). */
+  @inline private def mix64(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  def intersectSizeArr(a: ArrayData, b: ArrayData): Int =
+    intersectSizeJvm(a.toLongArray(), b.toLongArray())
+
   /** UTF8String entry point for the codegen'd [[graft.plans.CdcChunks]]:
     * content-defined chunk strings ([[graft.dedup.Cdc.chunksJvm]]). */
   def cdcChunksUtf8(s: UTF8String): ArrayData =
@@ -280,6 +339,8 @@ object Fast {
   def simhash16Fast(text: Column): Column = call_function("graft_simhash16", text)
   def simhash62Fast(text: Column): Column = call_function("graft_simhash62", text)
   def dotFast(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+  def intersectSizeFast(a: Column, b: Column): Column =
+    call_function("graft_intersect_size", a, b)
   def normFast(a: Column): Column = call_function("graft_norm", a)
   def bucketsFast(v: Column): Column = call_function("graft_lsh_buckets", v)
 }

@@ -102,6 +102,34 @@ case class Simhash62(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `graft_intersect_size(a, b)` — |a ∩ b| of two BIGINT arrays without
+  * null elements: exactly `size(array_intersect(a, b))` (DISTINCT
+  * intersection — duplicates count once), computed by a primitive
+  * open-addressing probe with no boxing and no output array
+  * ([[graft.functions.Fast.intersectSizeJvm]]). The dedup verify joins'
+  * per-candidate kernel. */
+case class IntersectSize(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_intersect_size"
+  override def checkInputDataTypes(): TypeCheckResult =
+    Seq(left, right).map(_.dataType).find {
+      case ArrayType(LongType, _) => false
+      case _                      => true
+    } match {
+      case Some(t) => TypeCheckResult.TypeCheckFailure(
+        s"graft_intersect_size expects ARRAY<BIGINT>, got ${t.catalogString}")
+      case None => TypeCheckResult.TypeCheckSuccess
+    }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    graft.functions.Fast.intersectSizeArr(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Fast.intersectSizeArr($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntersectSize =
+    copy(left = newLeft, right = newRight)
+}
+
 private object FloatArrayCheck {
   def apply(name: String, t: DataType): TypeCheckResult = t match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess

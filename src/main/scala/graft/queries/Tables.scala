@@ -50,7 +50,7 @@ object Tables {
     * fingerprint dump and the shared-passage pair join. */
   def winnowPostings(s: SparkSession, dir: String): DataFrame =
     memo(s, dir, "winnowPostings")(
-      graft.dedup.Winnow.postings(docs(s, dir)).localCheckpoint())
+      graft.util.Par.widen(graft.dedup.Winnow.postings(docs(s, dir))).localCheckpoint())
 
   /** Materialized normed embedding corpus (see [[Similarity.normed]]). */
   def normedEmb(s: SparkSession, dir: String): DataFrame =
@@ -70,14 +70,14 @@ object Tables {
     * blocklist and the per-doc contamination profile. */
   def spanPostings(s: SparkSession, dir: String): DataFrame =
     memo(s, dir, "spanPostings")(
-      Dedup.spanPostings(docs(s, dir), spanTokens = 8).localCheckpoint())
+      graft.util.Par.widen(Dedup.spanPostings(docs(s, dir), spanTokens = 8)).localCheckpoint())
 
   /** Materialized 4-token line chunking `(id, line_no, line)` of
     * `documents` (see [[Dedup.docLines]]) — shared by the boilerplate
     * report and the stripping pass. */
   def docLines(s: SparkSession, dir: String): DataFrame =
     memo(s, dir, "docLines")(
-      Dedup.docLines(docs(s, dir), wordsPerLine = 4).localCheckpoint())
+      graft.util.Par.widen(Dedup.docLines(docs(s, dir), wordsPerLine = 4)).localCheckpoint())
 
   // ---- "yesterday's" incremental-clustering state (doc_id % 10 != 0,
   // the 90% standing-corpus split of the dedup_clusters_incr gate) ----

@@ -73,8 +73,9 @@ object Similarity {
     * running several similarity ops over one corpus should compute this
     * once and pass it to the `FromNormed` variants below. */
   def normed(corpus: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("nrm", graft.functions.Fast.normFast(col("v")))
+    graft.util.Par.widen(
+      corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+        .withColumn("nrm", graft.functions.Fast.normFast(col("v"))))
       .localCheckpoint() // materialize once, truncate the lambda lineage
 
   /** The full serving-index row `(id, v, nrm, cb)` — norm plus LSH

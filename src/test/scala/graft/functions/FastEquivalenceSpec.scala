@@ -139,4 +139,30 @@ class FastEquivalenceSpec extends SparkSpec {
       assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) == java.lang.Double.doubleToLongBits(r.getDouble(3)))
     }
   }
+
+  test("intersect size: kernel == size(array_intersect) incl. empties, dups, zero key") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    def arr(n: Int): Array[Long] =
+      Array.fill(n)(rnd.nextLong() % 50)  // small domain forces overlaps + dups
+    val pairs: Seq[(Array[Long], Array[Long])] =
+      Seq(
+        (Array.empty[Long], Array.empty[Long]),
+        (Array.empty[Long], Array(1L, 2L)),
+        (Array(0L, 1L, 2L), Array(0L, 3L)),          // zero key present both sides
+        (Array(0L, 0L, 5L), Array(0L, 5L, 5L)),      // dups incl. zero
+        (Array(7L), Array(7L, 7L, 7L))
+      ) ++ (1 to 40).map(i => (arr(rnd.nextInt(200)), arr(rnd.nextInt(200))))
+    val df = pairs.toDF("a", "b")
+    val got = df.select(
+      size(array_intersect(col("a"), col("b"))).as("ref"),
+      Fast.intersectSizeFast(col("a"), col("b")).as("jvm")
+    ).collect()
+    got.foreach(r => assert(r.getInt(0) == r.getInt(1), s"mismatch on $r"))
+    // interpreted (non-codegen) path agrees too
+    pairs.foreach { case (a, b) =>
+      val ref = a.toSet.intersect(b.toSet).size
+      assert(Fast.intersectSizeJvm(a, b) == ref, s"jvm mismatch on ${a.toSeq} vs ${b.toSeq}")
+    }
+  }
 }
