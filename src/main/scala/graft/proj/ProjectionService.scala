@@ -218,16 +218,29 @@ object ProjectionService {
       .select("name").collect().map(_.getString(0)).toSeq.sorted
   }
 
+  /** (name, latest source) of every ENABLED, undeleted projection — the
+    * status table and the catalog each read ONCE (r16: the previous
+    * per-name `status`/`source` control plane cost 2N+1 driver jobs /
+    * ~26 scheduled stages before `stateAll`'s fold even started). */
+  private def enabledSources(spark: SparkSession, dir: String): Seq[(String, String)] = {
+    val w = Window.partitionBy("name").orderBy(col("updated_at").desc)
+    val live = readStatus(spark, dir)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .filter(col("enabled") && !col("deleted"))
+      .select("name").collect().map(_.getString(0)).toSet
+    val sources = Catalog.list(spark, catalogDir(dir))
+    live.toSeq.sorted.flatMap(n => sources.get(n).map(n -> _))
+  }
+
   /** `State` for EVERY enabled projection in ONE pass of the log
     * ([[ProjectionBatch.finalStatesAll]] — scan sharing the reference
     * cannot do: it re-reads the log per projection runner). Returns
     * (projection, partition, state). */
   def stateAll(spark: SparkSession, dir: String, events: DataFrame): DataFrame = {
     import spark.implicits._
-    val ps = listNames(spark, dir)
-      .filter(n => status(spark, dir, n).exists(_._1)) // enabled only
-      .filter(n => !isJsSource(source(spark, dir, n))) // bag-typed multiplexed fold
-      .map(n => n -> compiled(spark, dir, n))
+    val ps = enabledSources(spark, dir)
+      .filter { case (_, src) => !isJsSource(src) } // bag-typed multiplexed fold
+      .map { case (n, src) => n -> ProjectionScript.compile(src) }
     ProjectionBatch.finalStatesAll(ps, events).toDF("projection", "partition", "state")
   }
 

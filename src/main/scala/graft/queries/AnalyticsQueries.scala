@@ -580,16 +580,22 @@ object AnalyticsQueries {
     // only register rows (≤ 2^p per day). Exact WAU rides the same
     // fanout for the side-by-side error column.
     "agg_hll_rolling" -> { (s: SparkSession, dir: String) =>
-      val hashed = ev(s, dir)
+      // ONE log scan: registers and the exact side both derive from the
+      // DISTINCT (day, h) table (HLL registers are per-bucket maxima, so
+      // deduplicating identical hashes first changes nothing; the exact
+      // side already distinct'd) — the previous form scanned + hashed the
+      // log twice (r16; measured 45 task-run-s across 3 full scans)
+      val dh = ev(s, dir)
         .select(micros.as("tus"), sketchHash(col("stream")).as("h"))
         .select(expr("tus div 86400000000").as("day"), col("h"))
-      val daily = Hll.registers(hashed, Seq("day"), "h", 9)
+        .distinct().localCheckpoint()
+      val daily = Hll.registers(dh, Seq("day"), "h", 9)
       val bounds = daily.agg(max(col("day")).as("d1"))
       val windowRegs = daily
         .select(explode(sequence(col("day"), col("day") + 6)).as("day"),
           col("bucket"), col("r"))
         .groupBy("day", "bucket").agg(max(col("r")).as("r"))
-      val exact = hashed.distinct()
+      val exact = dh
         .select(explode(sequence(col("day"), col("day") + 6)).as("day"), col("h"))
         .groupBy("day").agg(countDistinct(col("h")).as("exact_wau"))
       Hll.estimate(windowRegs, Seq("day"), 9)

@@ -90,8 +90,15 @@ object SeriesQueries {
         .select(expr("tus div 86400000000").as("day"))
         .groupBy("day").agg(count(lit(1)).as("x"))
       val tot = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+      // the centered series is day-cardinality-sized (~30 rows) but feeds
+      // the denominator AND both lag-join sides: without materialization
+      // the full log scan + daily aggregation re-execute per consumer
+      // (measured: SIX log scans in one query at sf0.1, 22 task-cpu-s —
+      // r16, guide §3.3 "materialise an intermediate"); one tiny
+      // localCheckpoint makes it one scan
       val c = daily.crossJoin(broadcast(tot))
         .select(col("day"), expr("n * x - sx").as("cx"))
+        .localCheckpoint()
       val den = c.agg(sum(expr("cx * cx")).as("den"))
       val lagged = c
         .withColumn("l", explode(array((1 to 7).map(i => lit(i.toLong)): _*)))
@@ -115,11 +122,15 @@ object SeriesQueries {
     // (1000·n·n_days) div total over the cell's history; the baseline
     // table is ≤168 rows and broadcasts back.
     "anomaly_seasonal" -> { (s: SparkSession, dir: String) =>
+      // the (day, dow, hour) cell table is ≤ days×24 rows but feeds both
+      // the baseline aggregation and the join-back side: materialized once
+      // so the log scans once, not twice (r16; same move as ts_acf)
       val g = ev(s, dir).select(micros.as("tus"))
         .select(expr("tus div 86400000000").as("day"),
           expr("(tus div 3600000000) % 24").as("hour"))
         .withColumn("dow", expr("(day + 4) % 7"))
         .groupBy("day", "dow", "hour").agg(count(lit(1)).as("n"))
+        .localCheckpoint()
       val base = g.groupBy("dow", "hour")
         .agg(sum(col("n")).as("tot"), count(lit(1)).as("n_days"))
       g.join(broadcast(base), Seq("dow", "hour"))
@@ -397,13 +408,20 @@ object SeriesQueries {
     "agg_rolling_wau_sketch" -> { (s: SparkSession, dir: String) =>
       import s.implicits._
       val base = ev(s, dir).select(col("stream"), micros.as("tus"))
-      val act = base.select(col("stream"), expr("tus div 86400000000").as("day")).distinct()
+      // ONE log scan: the distinct (stream, day) activity table is
+      // materialized once and feeds the bounds, the exact side AND the
+      // sketch updates (HLL register updates are idempotent per value, so
+      // sketching the distinct activity == sketching every event — r16;
+      // the previous form scanned the log three times, 26 task-run-s)
+      val act = base.select(col("stream"), expr("tus div 86400000000").as("day"))
+        .distinct().localCheckpoint()
       val bounds = act.agg(max(col("day")).as("d1"))
       val exact = act
         .select(col("stream"), explode(sequence(col("day"), col("day") + 6)).as("day"))
         .groupBy(col("day")).agg(countDistinct(col("stream")).as("exact_wau"))
       val est = graft.streaming.RollingWau.estimatesBatch(
-        graft.streaming.RollingWau.updates(base)).toDF()
+        act.select(explode(sequence(col("day"), col("day") + 6)).as("day"), col("stream"))
+          .as[graft.streaming.WauUpdate]).toDF()
       est.join(exact, Seq("day"))
         .join(broadcast(bounds))
         .filter(col("day") <= col("d1"))
