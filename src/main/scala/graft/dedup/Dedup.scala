@@ -102,9 +102,12 @@ object Dedup {
           .join(sets.select(col("id").as("a"), col("sh").as("sha"), col("n_sh").as("na")), "a")
           .join(sets.select(col("id").as("b"), col("sh").as("shb"), col("n_sh").as("nb")), "b")
           .withColumn("c", graft.functions.Fast.intersectSizeFast(col("sha"), col("shb")))
+          // linear threshold form — kernel evaluated once per candidate in
+          // the pushed join condition (see ngramJaccardPairsPrefixFiltered)
+          .filter(col("c") * lit(1000L + thresholdX1000) >=
+            lit(thresholdX1000) * (col("na") + col("nb")))
           .withColumn("jaccard_x1000",
             floor(lit(1000.0) * col("c") / (col("na") + col("nb") - col("c"))).cast("long"))
-          .filter(col("jaccard_x1000") >= thresholdX1000)
           .select(col("a"), col("b"), col("jaccard_x1000"))
     }
   }
@@ -251,9 +254,17 @@ object Dedup {
       .join(sets.select(col("id").as("a"), col("sh").as("sha"), col("n_sh").as("na")), "a")
       .join(sets.select(col("id").as("b"), col("sh").as("shb"), col("n_sh").as("nb")), "b")
       .withColumn("c", graft.functions.Fast.intersectSizeFast(col("sha"), col("shb")))
+      // threshold as the LINEAR form c·(1000+t) ≥ t·(na+nb) — exactly
+      // floor(1000c/(na+nb−c)) ≥ t for union > 0 (integer algebra; the
+      // double division is exact for these magnitudes). The optimizer
+      // pushes this filter into the verify join's condition, so the
+      // linear form evaluates the intersect kernel ONCE per candidate
+      // there; the reported jaccard column recomputes it only for the
+      // surviving pairs (r16)
+      .filter(col("c") * lit(1000L + thresholdX1000) >=
+        lit(thresholdX1000) * (col("na") + col("nb")))
       .withColumn("jaccard_x1000",
         floor(lit(1000.0) * col("c") / (col("na") + col("nb") - col("c"))).cast("long"))
-      .filter(col("jaccard_x1000") >= thresholdX1000)
       .select(col("a"), col("b"), col("jaccard_x1000"))
   }
 
@@ -338,9 +349,17 @@ object Dedup {
       .join(newSets.select(col("id").as("a"), col("sh").as("sha"), col("n_sh").as("na")), "a")
       .join(corpusSets.select(col("id").as("b"), col("sh").as("shb"), col("n_sh").as("nb")), "b")
       .withColumn("c", graft.functions.Fast.intersectSizeFast(col("sha"), col("shb")))
+      // threshold as the LINEAR form c·(1000+t) ≥ t·(na+nb) — exactly
+      // floor(1000c/(na+nb−c)) ≥ t for union > 0 (integer algebra; the
+      // double division is exact for these magnitudes). The optimizer
+      // pushes this filter into the verify join's condition, so the
+      // linear form evaluates the intersect kernel ONCE per candidate
+      // there; the reported jaccard column recomputes it only for the
+      // surviving pairs (r16)
+      .filter(col("c") * lit(1000L + thresholdX1000) >=
+        lit(thresholdX1000) * (col("na") + col("nb")))
       .withColumn("jaccard_x1000",
         floor(lit(1000.0) * col("c") / (col("na") + col("nb") - col("c"))).cast("long"))
-      .filter(col("jaccard_x1000") >= thresholdX1000)
       .select(col("a"), col("b"), col("jaccard_x1000"))
   }
 
@@ -370,17 +389,22 @@ object Dedup {
       .withColumn("lbl", col("id")).localCheckpoint()
     var changed = 1L
     while (changed > 0) {
-      // each node takes the min label among itself and its neighbours
+      // each node takes the min label among itself and its neighbours.
+      // The changed flag rides the SAME pass (nbr < lbl ⟺ the new label
+      // strictly improves), so the convergence check is a filter-count on
+      // the checkpointed round output — the old form re-joined the round
+      // output against the previous labels, paying an extra join + two
+      // exchanges per round (r16)
       val next = edges
         .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("lbl", "nlbl"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("nlbl")).as("nbr"))
         .join(labels, "id")
-        .select(col("id"), least(col("lbl"), col("nbr")).as("lbl"))
+        .select(col("id"), least(col("lbl"), col("nbr")).as("lbl"),
+          (col("nbr") < col("lbl")).as("chg"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("lbl", "old"), "id")
-        .filter(col("lbl") < col("old")).count()
-      labels = next
+      changed = next.filter(col("chg")).count()
+      labels = next.select(col("id"), col("lbl"))
     }
     labels.select(col("id"), col("lbl").as("keeper"))
   }
@@ -769,9 +793,17 @@ object Dedup {
       .join(sets.select(col("id").as("a"), col("sh").as("sha"), col("n_sh").as("na")), "a")
       .join(sets.select(col("id").as("b"), col("sh").as("shb"), col("n_sh").as("nb")), "b")
       .withColumn("c", graft.functions.Fast.intersectSizeFast(col("sha"), col("shb")))
+      // threshold as the LINEAR form c·(1000+t) ≥ t·(na+nb) — exactly
+      // floor(1000c/(na+nb−c)) ≥ t for union > 0 (integer algebra; the
+      // double division is exact for these magnitudes). The optimizer
+      // pushes this filter into the verify join's condition, so the
+      // linear form evaluates the intersect kernel ONCE per candidate
+      // there; the reported jaccard column recomputes it only for the
+      // surviving pairs (r16)
+      .filter(col("c") * lit(1000L + thresholdX1000) >=
+        lit(thresholdX1000) * (col("na") + col("nb")))
       .withColumn("jaccard_x1000",
         floor(lit(1000.0) * col("c") / (col("na") + col("nb") - col("c"))).cast("long"))
-      .filter(col("jaccard_x1000") >= thresholdX1000)
       .select(col("a"), col("b"), col("jaccard_x1000"))
   }
 
