@@ -311,8 +311,12 @@ object TextQueries {
       val members = toks
         .withColumn("pid", sum(when(col("is_stop"), 1L).otherwise(0L)).over(w))
         .filter(!col("is_stop"))
-      val plens = members.groupBy("doc_id", "pid").agg(count(lit(1)).as("plen"))
-      val withLen = members.join(plens, Seq("doc_id", "pid"))
+      // phrase length as a count window over (doc_id, pid): the doc-hash
+      // partitioning the pid window just established already satisfies the
+      // clustered distribution, so this adds NO exchange — the previous
+      // groupBy+join-back formulation paid two (r16)
+      val withLen = members.withColumn("plen",
+        count(lit(1)).over(Window.partitionBy("doc_id", "pid")))
       val wordStats = withLen.groupBy("tok")
         .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
         .withColumn("wscore_x1000", expr("(1000 * deg) div freq"))
