@@ -59,6 +59,16 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // the generated-class cache (default 100 entries) is far under this
+      // suite's working set (~250 queries x O(10) codegen units), so every
+      // warm pass was re-running Janino + fresh C2 JIT for every stage:
+      // measured on the 45 slowest gates, 100 -> 20000 entries read 74.7s
+      // -> 52.5s warm / 185.9 -> 110.3 cpu-s (same window, r17). Scale-
+      // independent: any long-lived session serving a diverse query load
+      // (the 100 TB deployment model) wants its codegen working set
+      // resident; entries are source-keyed compiled classes, tens of MB
+      // total here. Static conf, so it must land at session creation.
+      .config("spark.sql.codegen.cache.maxEntries", "20000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]

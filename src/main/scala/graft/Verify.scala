@@ -17,6 +17,8 @@ object Verify {
       // normalizes it to µs TimestampType
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // codegen working set resident across the 249 queries (see Bench)
+      .config("spark.sql.codegen.cache.maxEntries", "20000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

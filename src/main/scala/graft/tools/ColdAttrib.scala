@@ -48,6 +48,7 @@ object ColdAttrib {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.codegen.cache.maxEntries", "20000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     final case class R(wall: Double, cpu: Double, jit: Double, gc: Double)

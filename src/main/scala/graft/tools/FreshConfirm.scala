@@ -46,6 +46,9 @@ object FreshConfirm {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // match Bench's codegen cache so fresh-JVM confirms measure the
+      // same regime the sweep runs in
+      .config("spark.sql.codegen.cache.maxEntries", "20000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val fn = graft.SparkEntry.queries(name)

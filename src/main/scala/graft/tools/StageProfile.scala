@@ -34,6 +34,8 @@ object StageProfile {
         sys.env.getOrElse("SPARK_GRAFT_OPENCOST", "4194304"))
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
         sys.env.getOrElse("SPARK_GRAFT_MINPART", "1m"))
+      // match Bench's codegen cache (see Bench.scala)
+      .config("spark.sql.codegen.cache.maxEntries", "20000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -22,6 +22,9 @@ object SparkSpec {
       // legacy int64-nanos loads as long and Fixture.raw normalizes it
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // keep every suite's generated classes resident (the default
+      // 100-entry cache cycles across 380+ tests, re-paying Janino+JIT)
+      .config("spark.sql.codegen.cache.maxEntries", "20000")
       // managed (bucketed) test tables land in a throwaway warehouse
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
