@@ -94,6 +94,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[GraftExtensions].getName, "graft_intersect_size"),
       (children: Seq[Expression]) => IntersectSize(children(0), children(1))
     ))
+    // identity evaluation barrier (non-deterministic flag) — pins a pure
+    // kernel to one evaluation site; see graft.plans.Pinned
+    ext.injectFunction(unary("graft_pinned", Pinned))
     // Spark's own runtime-filter bloom pair, exposed as SQL functions.
     // The optimizer only injects these itself between shuffle-join sides
     // (InjectRuntimeFilter); registering them lets a query build the same

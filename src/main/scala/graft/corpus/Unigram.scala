@@ -109,8 +109,22 @@ object Unigram {
     * table here would add a word-type-sized shuffle join per EM round
     * for a value the substring table already carries. Single-char
     * pieces always match, so no word type drops out of the regroup. */
-  def segment(subs: DataFrame, vocab: DataFrame): DataFrame = {
-    subs.join(broadcast(vocab), "p")
+  def segment(subs: DataFrame, vocab: DataFrame): DataFrame =
+    segmented(subs.join(broadcast(vocab), "p"))
+
+  /** [[segment]] under a DRIVER-HELD piece set — the EM loop's form. The
+    * vocabulary is codebook-tier BY CONSTRUCTION (≤ seedSize + alphabet
+    * entries at any corpus scale — the same tier as the k-means centroid
+    * and PQ codebook collects), so the round's piece set rides the plan
+    * as an InSet literal instead of a broadcast-join leg: no broadcast
+    * build job and no join in the per-round plan. Equivalent to the
+    * DataFrame form because vocab pieces are unique (an inner join on a
+    * unique key is a semi-join). */
+  def segment(subs: DataFrame, pieces: Seq[String]): DataFrame =
+    segmented(subs.filter(col("p").isInCollection(pieces)))
+
+  private def segmented(matched: DataFrame): DataFrame = {
+    matched
       .groupBy("w")
       .agg(min(col("wc")).as("wc"),
         sort_array(collect_list(struct(col("s"), col("e")))).as("ms"))
@@ -160,16 +174,31 @@ object Unigram {
     * the single training path [[train]] and [[tokenCounts]] both ride
     * (so the two can't drift apart). The vocabulary is codebook-tier at
     * every stage (≤ seedSize + alphabet rows, bounded by construction
-    * at ANY corpus scale), so each round's result collapses to one
-    * partition before the checkpoint — 1 task instead of
-    * shuffle-partition-many. */
+    * at ANY corpus scale), so each round holds it on the DRIVER and the
+    * round is ONE action — the previous per-round
+    * `coalesce(1).localCheckpoint()` + broadcast-build pair (3 jobs per
+    * round) collapses to a single top-K collect, and the piece set
+    * enters the next round's plan as an InSet literal. The collect is
+    * exactly the top-K the checkpoint materialized; order is a total
+    * order (usage desc, piece asc / freq desc, piece asc), so the piece
+    * SET — all any consumer reads — is unchanged. */
   private def trainVocab(subs: DataFrame, seedSize: Int, keepK: Int,
-                         minFreq: Long, rounds: Int): DataFrame = {
-    var vocab = seedVocab(subs, seedSize, minFreq).coalesce(1).localCheckpoint()
-    for (_ <- 1 to rounds)
-      vocab = prune(vocab, usage(segment(subs, vocab)), keepK)
-        .coalesce(1).localCheckpoint()
-    vocab
+                         minFreq: Long, rounds: Int): Seq[String] = {
+    var pieces = seedVocab(subs, seedSize, minFreq)
+      .collect().map(_.getString(0)).toIndexedSeq
+    // single chars are never pruned: the char set is invariant across
+    // rounds (exactly prune()'s chars leg)
+    val chars = pieces.filter(_.length == 1)
+    for (_ <- 1 to rounds) {
+      val kept = usage(segment(subs, pieces))
+        .filter(length(col("p")) >= 2 && col("usage") > 0)
+        .orderBy(col("usage").desc, col("p").asc)
+        .limit(keepK)
+        .select("p")
+        .collect().map(_.getString(0)).toIndexedSeq
+      pieces = chars ++ kept
+    }
+    pieces
   }
 
   /** Train the unigram vocabulary: seed → `rounds` segment/count/prune
@@ -189,8 +218,12 @@ object Unigram {
   def trainFromTypes(wt: DataFrame, maxLen: Int = 6, seedSize: Int = 200,
                      keepK: Int = 60, minFreq: Long = 2, rounds: Int = 2): DataFrame = {
     val subs = substringOccurrences(wt, maxLen).localCheckpoint()
-    val vocab = trainVocab(subs, seedSize, keepK, minFreq, rounds)
-    val finalUse = usage(segment(subs, vocab))
+    val pieces = trainVocab(subs, seedSize, keepK, minFreq, rounds)
+    val finalUse = usage(segment(subs, pieces))
+    // the trained piece set as a local relation (codebook-tier) for the
+    // reported-usage outer join — no scan or checkpoint behind it
+    val vocab = wt.sparkSession
+      .createDataset(pieces)(org.apache.spark.sql.Encoders.STRING).toDF("p")
     val scored = vocab.join(finalUse, Seq("p"), "left")
       .select(col("p"), coalesce(col("usage"), lit(0L)).as("usage"))
       .withColumn("neg_usage", -col("usage"))
@@ -206,7 +239,7 @@ object Unigram {
   def tokenCounts(docs: DataFrame, maxLen: Int = 6, seedSize: Int = 200,
                   keepK: Int = 60, minFreq: Long = 2, rounds: Int = 2): DataFrame = {
     val subs = substringOccurrences(wordTypes(docs), maxLen).localCheckpoint()
-    segment(subs, trainVocab(subs, seedSize, keepK, minFreq, rounds))
+    segment(subs, trainVocab(subs, seedSize, keepK, minFreq, rounds): Seq[String])
       .select(col("w"), size(col("pieces")).cast("long").as("n_tok"))
   }
 

@@ -64,8 +64,20 @@ object Wordpiece {
     * each step appends the FARTHEST match end at the current frontier
     * (maximal munch; single-char fallback guarantees progress). */
   def segment(subs: DataFrame, vocab: DataFrame): DataFrame =
-    subs.select(col("w"), col("wc"), col("s"), col("e"), pieceKey.as("p"))
-      .join(broadcast(vocab), "p")
+    segmented(subs.select(col("w"), col("wc"), col("s"), col("e"), pieceKey.as("p"))
+      .join(broadcast(vocab), "p"))
+
+  /** [[segment]] under a DRIVER-HELD piece set (codebook-tier by
+    * construction — ≤ initK + contK + 2·alphabet entries at any scale):
+    * the vocab enters the plan as an InSet literal, no broadcast-build
+    * job. Equivalent to the DataFrame form because vocab pieces are
+    * unique (the three vocab legs are pairwise disjoint). */
+  def segment(subs: DataFrame, pieces: Seq[String]): DataFrame =
+    segmented(subs.select(col("w"), col("wc"), col("s"), col("e"), pieceKey.as("p"))
+      .filter(col("p").isInCollection(pieces)))
+
+  private def segmented(matched: DataFrame): DataFrame =
+    matched
       .groupBy("w")
       .agg(min(col("wc")).as("wc"),
         sort_array(collect_list(struct(col("s"), col("e")))).as("ms"))
@@ -99,10 +111,15 @@ object Wordpiece {
                            contK: Int = 40, minFreq: Long = 2): DataFrame = {
     val subs = Unigram.substringOccurrences(wt, maxLen)
       .localCheckpoint()
-    val v = vocab(subs, initK, contK, minFreq).coalesce(1).localCheckpoint()
-    val use = segment(subs, v)
+    // the codebook-tier vocab is DRIVER-HELD (see segment(subs, pieces)):
+    // one collect replaces the checkpoint + broadcast-build jobs
+    val pieces = vocab(subs, initK, contK, minFreq)
+      .collect().map(_.getString(0)).toIndexedSeq
+    val use = segment(subs, pieces)
       .select(col("wc"), explode(col("pieces")).as("p"))
       .groupBy("p").agg(sum(col("wc")).as("usage"))
+    val v = wt.sparkSession
+      .createDataset(pieces)(org.apache.spark.sql.Encoders.STRING).toDF("p")
     val scored = v.join(use, Seq("p"), "left")
       .select(col("p"), coalesce(col("usage"), lit(0L)).as("usage"))
       .withColumn("neg_usage", -col("usage"))
@@ -119,8 +136,9 @@ object Wordpiece {
                      contK: Int = 40, minFreq: Long = 2): DataFrame = {
     val subs = Unigram.substringOccurrences(Unigram.wordTypes(docs), maxLen)
       .localCheckpoint()
-    val v = vocab(subs, initK, contK, minFreq).coalesce(1).localCheckpoint()
-    val tok = segment(subs, v)
+    val pieces = vocab(subs, initK, contK, minFreq)
+      .collect().map(_.getString(0)).toIndexedSeq
+    val tok = segment(subs, pieces)
       .select(col("w"), size(col("pieces")).cast("long").as("n_tok"))
     val st = docs
       .select(col("source"), explode(split(trim(lower(col("text"))), "\\s+")).as("w"))

@@ -101,9 +101,10 @@ object Dedup {
         cands
           .join(sets.select(col("id").as("a"), col("sh").as("sha"), col("n_sh").as("na")), "a")
           .join(sets.select(col("id").as("b"), col("sh").as("shb"), col("n_sh").as("nb")), "b")
-          .withColumn("c", graft.functions.Fast.intersectSizeFast(col("sha"), col("shb")))
-          // linear threshold form — kernel evaluated once per candidate in
-          // the pushed join condition (see ngramJaccardPairsPrefixFiltered)
+          .withColumn("c", graft.functions.Fast.intersectSizeOnce(col("sha"), col("shb")))
+          // linear threshold form over the pinned kernel column — one
+          // evaluation per candidate shared by filter and jaccard (r17;
+          // see ngramJaccardPairsPrefixFiltered)
           .filter(col("c") * lit(1000L + thresholdX1000) >=
             lit(thresholdX1000) * (col("na") + col("nb")))
           .withColumn("jaccard_x1000",
@@ -253,14 +254,14 @@ object Dedup {
     cands
       .join(sets.select(col("id").as("a"), col("sh").as("sha"), col("n_sh").as("na")), "a")
       .join(sets.select(col("id").as("b"), col("sh").as("shb"), col("n_sh").as("nb")), "b")
-      .withColumn("c", graft.functions.Fast.intersectSizeFast(col("sha"), col("shb")))
+      .withColumn("c", graft.functions.Fast.intersectSizeOnce(col("sha"), col("shb")))
       // threshold as the LINEAR form c·(1000+t) ≥ t·(na+nb) — exactly
       // floor(1000c/(na+nb−c)) ≥ t for union > 0 (integer algebra; the
-      // double division is exact for these magnitudes). The optimizer
-      // pushes this filter into the verify join's condition, so the
-      // linear form evaluates the intersect kernel ONCE per candidate
-      // there; the reported jaccard column recomputes it only for the
-      // surviving pairs (r16)
+      // double division is exact for these magnitudes). `c` rides the
+      // graft_pinned barrier, so the kernel evaluates ONCE per candidate
+      // in the projection above the join; the filter and the survivors'
+      // jaccard both read that one value (r17 — previously the pushed
+      // join condition and the jaccard each evaluated the kernel)
       .filter(col("c") * lit(1000L + thresholdX1000) >=
         lit(thresholdX1000) * (col("na") + col("nb")))
       .withColumn("jaccard_x1000",
@@ -348,14 +349,14 @@ object Dedup {
     cands
       .join(newSets.select(col("id").as("a"), col("sh").as("sha"), col("n_sh").as("na")), "a")
       .join(corpusSets.select(col("id").as("b"), col("sh").as("shb"), col("n_sh").as("nb")), "b")
-      .withColumn("c", graft.functions.Fast.intersectSizeFast(col("sha"), col("shb")))
+      .withColumn("c", graft.functions.Fast.intersectSizeOnce(col("sha"), col("shb")))
       // threshold as the LINEAR form c·(1000+t) ≥ t·(na+nb) — exactly
       // floor(1000c/(na+nb−c)) ≥ t for union > 0 (integer algebra; the
-      // double division is exact for these magnitudes). The optimizer
-      // pushes this filter into the verify join's condition, so the
-      // linear form evaluates the intersect kernel ONCE per candidate
-      // there; the reported jaccard column recomputes it only for the
-      // surviving pairs (r16)
+      // double division is exact for these magnitudes). `c` rides the
+      // graft_pinned barrier, so the kernel evaluates ONCE per candidate
+      // in the projection above the join; the filter and the survivors'
+      // jaccard both read that one value (r17 — previously the pushed
+      // join condition and the jaccard each evaluated the kernel)
       .filter(col("c") * lit(1000L + thresholdX1000) >=
         lit(thresholdX1000) * (col("na") + col("nb")))
       .withColumn("jaccard_x1000",
@@ -792,14 +793,14 @@ object Dedup {
     cands
       .join(sets.select(col("id").as("a"), col("sh").as("sha"), col("n_sh").as("na")), "a")
       .join(sets.select(col("id").as("b"), col("sh").as("shb"), col("n_sh").as("nb")), "b")
-      .withColumn("c", graft.functions.Fast.intersectSizeFast(col("sha"), col("shb")))
+      .withColumn("c", graft.functions.Fast.intersectSizeOnce(col("sha"), col("shb")))
       // threshold as the LINEAR form c·(1000+t) ≥ t·(na+nb) — exactly
       // floor(1000c/(na+nb−c)) ≥ t for union > 0 (integer algebra; the
-      // double division is exact for these magnitudes). The optimizer
-      // pushes this filter into the verify join's condition, so the
-      // linear form evaluates the intersect kernel ONCE per candidate
-      // there; the reported jaccard column recomputes it only for the
-      // surviving pairs (r16)
+      // double division is exact for these magnitudes). `c` rides the
+      // graft_pinned barrier, so the kernel evaluates ONCE per candidate
+      // in the projection above the join; the filter and the survivors'
+      // jaccard both read that one value (r17 — previously the pushed
+      // join condition and the jaccard each evaluated the kernel)
       .filter(col("c") * lit(1000L + thresholdX1000) >=
         lit(thresholdX1000) * (col("na") + col("nb")))
       .withColumn("jaccard_x1000",

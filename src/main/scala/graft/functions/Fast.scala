@@ -261,6 +261,13 @@ object Fast {
   def intersectSizeJvm(a: Array[Long], b: Array[Long]): Int = {
     val (s, l) = if (a.length <= b.length) (a, b) else (b, a)
     if (s.isEmpty) return 0
+    // the capacity computation below overflows Int for >= 2^29 elements;
+    // the kernel is a registered SQL function, so fail with a clear error
+    // instead of a NegativeArraySizeException (shingle sets are orders of
+    // magnitude smaller; a legitimate >= 2^29-element set needs a
+    // different algorithm anyway)
+    require(s.length < (1 << 29),
+      s"graft_intersect_size supports arrays under 2^29 elements, got ${s.length}")
     // power-of-2 capacity, load factor <= 0.5; slot value 0 = empty (the
     // zero KEY is tracked by a flag instead of a slot)
     val cap = Integer.highestOneBit(math.max(s.length, 2)) * 4
@@ -307,6 +314,29 @@ object Fast {
   def intersectSizeArr(a: ArrayData, b: ArrayData): Int =
     intersectSizeJvm(a.toLongArray(), b.toLongArray())
 
+  /** Null-aware twin of [[intersectSizeArr]] for arrays whose TYPE admits
+    * null elements (parquet round-trips mark elements nullable):
+    * exactly `size(array_intersect(a, b))` — distinct common non-null
+    * values, plus one when BOTH sides hold a null. The [[graft.plans.IntersectSize]]
+    * expression dispatches here only when the schema says nulls are
+    * possible, so null-free plans keep the bulk-copy path. */
+  def intersectSizeNullAware(a: ArrayData, b: ArrayData): Int = {
+    def split(x: ArrayData): (Array[Long], Boolean) = {
+      val n = x.numElements()
+      val buf = new Array[Long](n)
+      var m = 0; var hasNull = false; var i = 0
+      while (i < n) {
+        if (x.isNullAt(i)) hasNull = true
+        else { buf(m) = x.getLong(i); m += 1 }
+        i += 1
+      }
+      (if (m == n) buf else java.util.Arrays.copyOf(buf, m), hasNull)
+    }
+    val (aa, an) = split(a)
+    val (bb, bn) = split(b)
+    intersectSizeJvm(aa, bb) + (if (an && bn) 1 else 0)
+  }
+
   /** UTF8String entry point for the codegen'd [[graft.plans.CdcChunks]]:
     * content-defined chunk strings ([[graft.dedup.Cdc.chunksJvm]]). */
   def cdcChunksUtf8(s: UTF8String): ArrayData =
@@ -341,6 +371,15 @@ object Fast {
   def dotFast(a: Column, b: Column): Column = call_function("graft_dot", a, b)
   def intersectSizeFast(a: Column, b: Column): Column =
     call_function("graft_intersect_size", a, b)
+
+  /** [[intersectSizeFast]] wrapped in the `graft_pinned` evaluation
+    * barrier: the verify joins project this ONCE per candidate and both
+    * the threshold filter and the reported jaccard read the projected
+    * column — without the barrier the optimizer inlines the kernel into
+    * the pushed join condition AND the survivors' projection (two
+    * evaluations). Use where a filter + a projection share the value. */
+  def intersectSizeOnce(a: Column, b: Column): Column =
+    call_function("graft_pinned", call_function("graft_intersect_size", a, b))
   def normFast(a: Column): Column = call_function("graft_norm", a)
   def bucketsFast(v: Column): Column = call_function("graft_lsh_buckets", v)
 }

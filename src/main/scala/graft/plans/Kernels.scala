@@ -120,14 +120,54 @@ case class IntersectSize(left: Expression, right: Expression) extends BinaryExpr
         s"graft_intersect_size expects ARRAY<BIGINT>, got ${t.catalogString}")
       case None => TypeCheckResult.TypeCheckSuccess
     }
+  // schema-dispatched null handling: arrays whose TYPE admits null
+  // elements (e.g. any array re-read from parquet, where element
+  // nullability is not recorded) route through the null-aware variant —
+  // exactly size(array_intersect), null counted once when both sides
+  // hold one. Null-free types keep the bulk-copy fast path at zero cost.
+  // Without this the fast path would NPE (GenericArrayData) or silently
+  // read nulls as 0 (UnsafeArrayData) — the r16 ADVICE finding.
+  private lazy val mayHoldNullElements: Boolean =
+    Seq(left, right).exists(_.dataType match {
+      case ArrayType(_, cn) => cn
+      case _                => false
+    })
+  private lazy val kernelName =
+    if (mayHoldNullElements) "intersectSizeNullAware" else "intersectSizeArr"
   override def nullSafeEval(a: Any, b: Any): Any =
-    graft.functions.Fast.intersectSizeArr(
-      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (mayHoldNullElements)
+      graft.functions.Fast.intersectSizeNullAware(
+        a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    else
+      graft.functions.Fast.intersectSizeArr(
+        a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Fast.intersectSizeArr($a, $b)")
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Fast.$kernelName($a, $b)")
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): IntersectSize =
     copy(left = newLeft, right = newRight)
+}
+
+/** `graft_pinned(e)` — IDENTITY wrapper flagged non-deterministic to PIN
+  * the evaluation site of an expensive (but pure) kernel: the optimizer
+  * may not duplicate, push down, or constant-fold through it (the guide
+  * §4.4 "mark the expensive UDF non-deterministic" pattern, as a native
+  * expression). The dedup verify joins use it so the intersect kernel is
+  * computed ONCE per candidate in a projection ABOVE the join — without
+  * it the threshold filter referencing the kernel column is inlined and
+  * pushed into the join condition, and the surviving pairs' jaccard
+  * projection evaluates the kernel a second time. Semantically identity:
+  * the child is pure; only the optimizer's freedom is restricted. */
+case class Pinned(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = child.dataType
+  override def nullable: Boolean = child.nullable
+  override lazy val deterministic: Boolean = false
+  override def prettyName: String = "graft_pinned"
+  override def nullSafeEval(input: Any): Any = input
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => c)
+  override protected def withNewChildInternal(newChild: Expression): Pinned =
+    copy(child = newChild)
 }
 
 private object FloatArrayCheck {

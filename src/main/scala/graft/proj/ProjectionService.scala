@@ -229,7 +229,14 @@ object ProjectionService {
       .filter(col("enabled") && !col("deleted"))
       .select("name").collect().map(_.getString(0)).toSet
     val sources = Catalog.list(spark, catalogDir(dir))
-    live.toSeq.sorted.flatMap(n => sources.get(n).map(n -> _))
+    live.toSeq.sorted.map { n =>
+      // an enabled projection MUST have a catalog descriptor — the old
+      // per-name path threw here, and silently dropping the name from
+      // stateAll would hide a status/catalog inconsistency
+      n -> sources.getOrElse(n,
+        throw new NoSuchElementException(
+          s"projection '$n' is enabled but has no catalog descriptor"))
+    }
   }
 
   /** `State` for EVERY enabled projection in ONE pass of the log

@@ -286,8 +286,13 @@ object CorpusQueries {
     // input set, so thresholds AND keep-counts are fully value-oracled —
     // the same determinism contract as agg_sampled_quantiles.
     "corpus_adaptive_quality" -> { (s: SparkSession, dir: String) =>
+      // base feeds BOTH the per-source threshold sketch and the final
+      // aggregation join: materialize the 3-column projection once so
+      // the quality text kernel runs ONE corpus pass, not two (at scale
+      // the checkpoint is ~24 bytes/doc vs a second full-text scan)
       val base = docs(s, dir).select(col("doc_id"), col("source"),
         TextFunctions.qualityScoreX1000(col("text")).as("q"))
+        .localCheckpoint()
       val h = (Hashing.strHash(concat(col("doc_id").cast("string"), lit("#aq")))
         * lit(2654435761L)) % lit(2147483647L)
       val thr = base

@@ -666,9 +666,22 @@ final class ParquetTwinStore(root: String,
       acc.value.toSeq.sorted
     }
     val (upKs, delKs) = phase("stage") {
-      (stage(upserts, "u"),
-        deleteKeys.fold(Seq.empty[Int])(d =>
-          stage(d.select(keyCols.map(col): _*), "t")))
+      deleteKeys match {
+        case None => (stage(upserts, "u"), Seq.empty[Int])
+        case Some(d) =>
+          // the two staging writes are independent jobs over disjoint
+          // dirs — submit them concurrently so the tombstone write
+          // back-fills the upsert write's tail instead of queuing a
+          // second full job latency behind it (guide §2.6). Spark's
+          // scheduler runs concurrent jobs FIFO; both are update-mass.
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.duration.Duration
+          implicit val ec: scala.concurrent.ExecutionContext =
+            ParquetTwinStore.stageEc
+          val fu = Future(stage(upserts, "u"))
+          val ft = Future(stage(d.select(keyCols.map(col): _*), "t"))
+          (Await.result(fu, Duration.Inf), Await.result(ft, Duration.Inf))
+      }
     }
     val touched = (upKs ++ delKs).distinct.sorted
     val touchedSet = touched.toSet
@@ -1028,6 +1041,19 @@ final class ParquetTwinStore(root: String,
 }
 
 object ParquetTwinStore {
+  /** Two daemon threads for overlapping a merge's independent staging
+    * writes (upserts + tombstones). Job-scoped thread-locals (job
+    * group/description) are not relied on inside [[ParquetTwinStore.merge]],
+    * so submitting from pool threads is safe. */
+  private[streaming] lazy val stageEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(2,
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-twinstore-stage")
+          t.setDaemon(true)
+          t
+        }))
+
   /** Per-task distinct-bucket accumulator: tasks add routed bucket ids,
     * each task result ships one Set ≤ fanout, the driver merges sets —
     * O(buckets) end to end. Duplicate adds (task retries, expression

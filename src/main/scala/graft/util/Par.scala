@@ -27,8 +27,18 @@ object Par {
     * floor stays deliberately minimal. Override with SPARK_GRAFT_WIDEN
     * (0 disables). */
   def widen(df: DataFrame): DataFrame = {
-    val p = sys.env.get("SPARK_GRAFT_WIDEN").map(_.toInt).getOrElse(
-      math.min(2, df.sparkSession.sparkContext.defaultParallelism))
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    // tolerant override parse (a typo must not kill the job) and clamped
+    // to the core count — the scaladoc's "never above the core count" is
+    // enforced, not just documented
+    val p = sys.env.get("SPARK_GRAFT_WIDEN")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption.orElse {
+        System.err.println(
+          s"[graft] WARNING: SPARK_GRAFT_WIDEN='$v' is not an int — using default")
+        None
+      })
+      .map(v => math.min(v, cores))
+      .getOrElse(math.min(2, cores))
     if (p > 0 && df.rdd.getNumPartitions < p) df.repartition(p) else df
   }
 }

@@ -165,4 +165,70 @@ class FastEquivalenceSpec extends SparkSpec {
       assert(Fast.intersectSizeJvm(a, b) == ref, s"jvm mismatch on ${a.toSeq} vs ${b.toSeq}")
     }
   }
+
+  test("intersect size: null-admitting element types == size(array_intersect), incl. null elements") {
+    import spark.implicits._
+    // Option[Long] elements -> ArrayType(LongType, containsNull = true):
+    // the schema-dispatched null-aware path (what any parquet round-trip
+    // of stored shingle state produces)
+    val pairs: Seq[(Seq[Option[Long]], Seq[Option[Long]])] = Seq(
+      (Seq(Some(1L), None, Some(2L)), Seq(Some(2L), Some(3L))),          // null one side
+      (Seq(Some(1L), None), Seq(None, Some(9L))),                        // null both sides
+      (Seq(None, None), Seq(None)),                                      // nulls only
+      (Seq(Some(0L), None, Some(0L)), Seq(Some(0L), None)),              // zero key + nulls
+      (Seq.empty, Seq(None)),
+      (Seq(Some(4L), Some(5L)), Seq(Some(5L), Some(4L)))                 // no nulls, nullable type
+    )
+    val df = pairs.toDF("a", "b")
+    val got = df.select(
+      size(array_intersect(col("a"), col("b"))).as("ref"),
+      Fast.intersectSizeFast(col("a"), col("b")).as("jvm")
+    ).collect()
+    got.foreach(r => assert(r.getInt(0) == r.getInt(1), s"mismatch on $r"))
+  }
+
+  test("pinned intersect: identity value; single kernel site in a filtered join plan") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val pairs = (1 to 30).map(_ =>
+      (Array.fill(rnd.nextInt(60))(rnd.nextLong() % 30),
+        Array.fill(rnd.nextInt(60))(rnd.nextLong() % 30)))
+    val df = pairs.toDF("a", "b")
+    // graft_pinned is the identity on values
+    val got = df.select(
+      size(array_intersect(col("a"), col("b"))).as("ref"),
+      Fast.intersectSizeOnce(col("a"), col("b")).as("pinned")
+    ).collect()
+    got.foreach(r => assert(r.getInt(0) == r.getInt(1), s"mismatch on $r"))
+    // ... and it pins the kernel to ONE evaluation site: a verify-join
+    // shape (filter + survivor projection both reading `c`) must carry
+    // exactly one graft_intersect_size in the physical plan, NOT one in
+    // the pushed join condition plus one in the projection
+    val sets = pairs.zipWithIndex
+      .map { case ((a, b), i) => (i.toLong, a) }.toDF("id", "sh")
+      .withColumn("n_sh", size(col("sh")).cast("long"))
+    val cands = sets.select(col("id").as("a")).crossJoin(sets.select(col("id").as("b")))
+      .filter(col("a") < col("b"))
+    val verified = cands
+      .join(sets.select(col("id").as("a"), col("sh").as("sha"), col("n_sh").as("na")), "a")
+      .join(sets.select(col("id").as("b"), col("sh").as("shb"), col("n_sh").as("nb")), "b")
+      .withColumn("c", Fast.intersectSizeOnce(col("sha"), col("shb")))
+      .filter(col("c") * lit(1500L) >= lit(500L) * (col("na") + col("nb")))
+      .withColumn("jaccard_x1000",
+        floor(lit(1000.0) * col("c") / (col("na") + col("nb") - col("c"))).cast("long"))
+      .select(col("a"), col("b"), col("jaccard_x1000"))
+    val plan = verified.queryExecution.executedPlan.toString
+    val kernelSites = "graft_intersect_size".r.findAllIn(plan).size
+    assert(kernelSites == 1, s"expected 1 kernel site, got $kernelSites in:\n$plan")
+    // values equal the unpinned form
+    val unpinned = cands
+      .join(sets.select(col("id").as("a"), col("sh").as("sha"), col("n_sh").as("na")), "a")
+      .join(sets.select(col("id").as("b"), col("sh").as("shb"), col("n_sh").as("nb")), "b")
+      .withColumn("c", Fast.intersectSizeFast(col("sha"), col("shb")))
+      .filter(col("c") * lit(1500L) >= lit(500L) * (col("na") + col("nb")))
+      .withColumn("jaccard_x1000",
+        floor(lit(1000.0) * col("c") / (col("na") + col("nb") - col("c"))).cast("long"))
+      .select(col("a"), col("b"), col("jaccard_x1000"))
+    assert(verified.collect().map(_.toSeq).toSet == unpinned.collect().map(_.toSeq).toSet)
+  }
 }
