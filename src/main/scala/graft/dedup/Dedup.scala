@@ -388,23 +388,31 @@ object Dedup {
       .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id")).localCheckpoint()
+    val spark = pairs.sparkSession
     var changed = 1L
     while (changed > 0) {
       // each node takes the min label among itself and its neighbours.
       // The changed flag rides the SAME pass (nbr < lbl ⟺ the new label
-      // strictly improves), so the convergence check is a filter-count on
-      // the checkpointed round output — the old form re-joined the round
-      // output against the previous labels, paying an extra join + two
-      // exchanges per round (r16)
+      // strictly improves) AND its count rides the checkpoint job itself
+      // through an accumulator, so a round is ONE job — the r16 form
+      // still paid a separate filter-count action on the checkpointed
+      // blocks every round. Only `changed > 0` is consumed: a task retry
+      // can inflate the count (one benign extra round at worst), but can
+      // never turn a genuinely-changed round into 0 — rows with chg are
+      // the only adds.
+      val acc = spark.sparkContext.longAccumulator("graft-lbl-changed")
+      // non-deterministic: the optimizer may not duplicate or reorder the
+      // side-effecting marker (guide §4.4)
+      val markChg = udf { (c: Boolean) => { if (c) acc.add(1L); c } }.asNondeterministic()
       val next = edges
         .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("lbl", "nlbl"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("nlbl")).as("nbr"))
         .join(labels, "id")
         .select(col("id"), least(col("lbl"), col("nbr")).as("lbl"),
-          (col("nbr") < col("lbl")).as("chg"))
-        .localCheckpoint()
-      changed = next.filter(col("chg")).count()
+          markChg(col("nbr") < col("lbl")).as("chg"))
+        .localCheckpoint() // eager — acc is final once this returns
+      changed = acc.value
       labels = next.select(col("id"), col("lbl"))
     }
     labels.select(col("id"), col("lbl").as("keeper"))

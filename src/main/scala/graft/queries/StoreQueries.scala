@@ -66,8 +66,9 @@ object StoreQueries {
       val out = store.load(s, "t")
         .getOrElse(acts.select(col("stream"), col("value"), col("n")).limit(0))
         .select(col("stream"), col("value"), col("n"))
-        .orderBy(col("stream"))
-        .localCheckpoint()
+        .localCheckpoint() // materialize off the store's files (see above);
+      // the single orderBy below defines the result order — sorting before
+      // the checkpoint too would pay one extra exchange+sort for nothing
       graft.util.TempRoots.rm(root)
       out.orderBy(col("stream"))
     }
